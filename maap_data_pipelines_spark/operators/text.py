@@ -1,0 +1,189 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure column expressions (JVM codegen, zero UDFs): tokenization stats,
+quality scoring, stopword-heuristic language ID, positional rolling-hash
+fingerprints. Each operator has a structurally identical DuckDB SQL
+rendering so the driver's value-hash check is exact.
+
+Determinism contract: every float output is derived from exact integer
+counts via a single division (+ round 6dp) — no float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_31, md5_long, md5_long_sql
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "die", "das", "nicht"),
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "los", "las", "y", "que"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "wo3"),
+}
+LANG_ORDER = ("de", "en", "es", "fr", "zh")  # deterministic tie-break
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _in_list_count(words: Column, vocab: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*vocab)))
+
+
+def _in_list_count_sql(words_expr: str, vocab: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{v}'" for v in vocab)
+    return f"len(list_filter({words_expr}, w -> w IN ({lits})))"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    lower = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), 0)).alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit("[0-9]+"), 0)).alias("n_num_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit("[^a-z0-9 ]"), 0)).alias(
+            "n_other_tokens"
+        ),
+        F.length(F.col("text")).alias("n_chars_actual"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))                              AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+'))            AS n_alpha_tokens,
+       len(regexp_extract_all(lower(text), '[0-9]+'))            AS n_num_tokens,
+       len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))        AS n_other_tokens,
+       length(text)                                              AS n_chars_actual
+FROM documents
+"""
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Quality score from exact integer counts (single-division floats)."""
+    words = words_col(F.col("text"))
+    n_words = F.size(words)
+    n_chars = F.length(F.col("text"))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0))
+    n_stop = _in_list_count(words, STOPWORDS)
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    stop_ratio = F.round(n_stop / n_words, 6)
+    word_score = F.round(F.least(F.lit(100), n_words) / 100, 6)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_actual"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        word_score.alias("length_score"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' '))  AS n_words,
+       length(text)                  AS n_chars_actual,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       {_in_list_count_sql("string_split(text, ' ')", STOPWORDS)} AS n_stopwords,
+       ROUND(len(regexp_extract_all(text, '[.,;:!?]')) / length(text), 6) AS punct_ratio,
+       ROUND({_in_list_count_sql("string_split(text, ' ')", STOPWORDS)}
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       ROUND(LEAST(100, len(string_split(text, ' '))) / 100, 6) AS length_score
+FROM documents
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID, aggregated into a confusion table.
+
+    Mirrors n-gram-heuristic language ID at the cheapest useful fidelity;
+    ties broken by fixed LANG_ORDER, all-zero scores → 'und'.
+    """
+    words = words_col(F.lower(F.col("text")))
+    scores = {
+        lang: _in_list_count(words, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    # reversed fold means earlier LANG_ORDER entries take precedence on ties
+    pred_first = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        cond = scores[lang] > 0
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            cond = cond & (scores[lang] >= scores[other])
+        pred_first = F.when(cond, F.lit(lang)).otherwise(pred_first)
+    return (
+        docs.select("doc_id", F.col("lang").alias("declared_lang"), pred_first.alias("predicted_lang"))
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_case_sql() -> str:
+    w = "string_split(lower(text), ' ')"
+    score = {
+        lang: _in_list_count_sql(w, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    branches = []
+    for lang in LANG_ORDER:
+        conds = [f"({score[lang]}) > 0"]
+        for other in LANG_ORDER:
+            if other != lang:
+                conds.append(f"({score[lang]}) >= ({score[other]})")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+LANG_ID_SQL = f"""
+SELECT lang AS declared_lang,
+       {_lang_id_case_sql()} AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive positional rolling hash (mod 2^31-1) per document."""
+    words = words_col(F.col("text"))
+    positional = F.zip_with(
+        words,
+        F.sequence(F.lit(1), F.size(words)),
+        lambda w, i: i.cast("long") * (md5_long(w) % MERSENNE_31),
+    )
+    fp = (
+        F.aggregate(positional, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        % MERSENNE_31
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"), F.size(words).alias("n_words"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(list_zip(words, range(1, len(words) + 1)),
+             p -> p[2]::BIGINT * ({md5_long_sql('p[1]')} % {MERSENNE_31}))),
+         (x, y) -> x + y) % {MERSENNE_31} AS fingerprint,
+       len(words) AS n_words
+FROM w
+"""
+
+
+QUERY_SQL = {
+    "token_stats": TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+}

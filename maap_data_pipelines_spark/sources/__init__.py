@@ -1,0 +1,3 @@
+from .catalog import TABLES, read_table, read_tables
+
+__all__ = ["TABLES", "read_table", "read_tables"]
