@@ -6,7 +6,13 @@ The reference pipeline is event-driven (SQS/Step Functions fan-out,
 table and these plans are the batch-parity versions of the streaming
 rollups a catalog-ingest monitor needs.
 
-Money/value columns use exact integer cents (see plans/tpch.py rationale).
+Determinism contract: timestamps cross the oracle boundary as exact
+epoch-microsecond BIGINTs (``unix_micros`` / DuckDB ``epoch_us``) — both
+engines agree bit-for-bit and no Arrow timestamp-timezone metadata can
+perturb the driver's type-sensitive value hash. Money columns use exact
+integer cents (see plans/tpch.py rationale); every oracle SUM is cast to
+BIGINT because DuckDB's SUM(BIGINT) returns HUGEINT (int128) while Spark
+returns int64.
 """
 
 from __future__ import annotations
@@ -18,14 +24,34 @@ from pyspark.sql.window import Window
 from ..sources.catalog import read_table
 
 SESSION_GAP_MIN = 30
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+_HOUR_US = 3600 * 1_000_000
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with an exact epoch-microsecond ``ts_us`` column.
+
+    The driver's events parquet stores TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; ``nanosAsLong`` reads it as raw int64 nanos
+    (lossless). DuckDB's parquet reader *truncates* ns -> us, so we floor-
+    divide by 1000 to agree bit-for-bit (all epochs positive => `div` is
+    truncation on both engines).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = read_table(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows per event type: count + exact value sum."""
-    ev = read_table(spark, sf_dir, "events")
+    """Tumbling 1-hour windows per event type: count + exact value sum.
+
+    Single scan, partial-agg groupBy — map-side combine keeps the shuffle
+    at (n_hours x n_types) rows regardless of input size.
+    """
+    ev = read_events(spark, sf_dir)
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
             F.col("event_type"),
         )
         .agg(
@@ -37,10 +63,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HOURLY_SQL = """
-SELECT date_trunc('hour', ts) AS hour,
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -53,63 +79,61 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the window is partitioned by user_id — sessionization
     shuffles once on the natural key and never materializes cross-user
     state; this is the standard distributed formulation (no driver loops).
+    The subsequent groupBys reuse the user_id partitioning (no re-shuffle).
     """
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long"), 1).over(w)
-            > SESSION_GAP_MIN * 60,
-            1,
-        )
-        .otherwise(0),
+            F.col("ts_us") - F.lag(F.col("ts_us"), 1).over(w) > _GAP_US, 1
+        ).otherwise(0),
     ).withColumn("session_seq", F.sum("new_session").over(w) + 1)
     return (
         flagged.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
         )
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
-            F.sum(
-                F.col("session_end").cast("long") - F.col("session_start").cast("long")
-            ).alias("total_session_seconds"),
+            F.sum(F.col("session_end_us") - F.col("session_start_us")).alias(
+                "total_session_us"
+            ),
         )
     )
 
 
 SESSIONIZE_SQL = f"""
 WITH flagged AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                   > {SESSION_GAP_MIN * 60}
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   > {_GAP_US}
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), numbered AS (
-  SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                 ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
   FROM flagged
 ), sessions AS (
   SELECT user_id, session_seq, COUNT(*) AS n_events,
-         MIN(ts) AS session_start, MAX(ts) AS session_end
+         MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
   FROM numbered GROUP BY user_id, session_seq
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
-       SUM(epoch(session_end)::BIGINT - epoch(session_start)::BIGINT) AS total_session_seconds
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(session_end_us - session_start_us) AS BIGINT) AS total_session_us
 FROM sessions GROUP BY user_id
 """
 
 
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: JSON prop 'k' histogram per event type."""
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_events(spark, sf_dir)
     return (
         ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("int"))
         .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
@@ -121,56 +145,73 @@ JSON_PROPS_SQL = """
 SELECT event_type,
        CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS INT)) AS k_sum
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
 FROM events
 GROUP BY 1, 2
 """
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel view -> click -> purchase per user.
+    """Ordered funnel view -> click -> purchase per user — ONE pass.
 
-    Stage timestamps must be strictly increasing; computed with ordered
-    conditional windows (one shuffle on user_id, no self-joins).
+    Stage timestamps are strictly increasing. Computed with stacked
+    unordered conditional window-mins over the same user_id partition
+    (t_view feeds the t_click predicate, t_click feeds t_purchase), then a
+    groupBy on the already-partitioned key — exactly ONE shuffle and ONE
+    scan of events, vs. the naive 3-scan/2-join formulation that
+    dominates at 100 TB.
     """
-    ev = read_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t_click")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("t_c")
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+        .filter(F.col("t_purchase").isNotNull())
     )
-    c = (
-        per_user.join(clicks, "user_id", "left")
-        .filter(F.col("t_c") > F.col("t_view"))
-        .groupBy("user_id", "t_view")
-        .agg(F.min("t_c").alias("t_click"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("t_p")
-    )
-    p = (
-        c.join(purchases, "user_id", "left")
-        .filter(F.col("t_p") > F.col("t_click"))
-        .groupBy("user_id", "t_view", "t_click")
-        .agg(F.min("t_p").alias("t_purchase"))
-    )
-    return p.select("user_id", "t_view", "t_click", "t_purchase")
 
 
 FUNNEL_SQL = """
 WITH v AS (
-  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
   FROM events GROUP BY user_id
 ), c AS (
-  SELECT v.user_id, v.t_view, MIN(e.ts) AS t_click
+  SELECT v.user_id, v.t_view, MIN(epoch_us(e.ts)) AS t_click
   FROM v JOIN events e ON e.user_id = v.user_id
-  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
   GROUP BY v.user_id, v.t_view
 )
-SELECT c.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+SELECT c.user_id, c.t_view, c.t_click, MIN(epoch_us(e.ts)) AS t_purchase
 FROM c JOIN events e ON e.user_id = c.user_id
-WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
 GROUP BY c.user_id, c.t_view, c.t_click
 """
 

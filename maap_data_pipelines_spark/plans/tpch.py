@@ -61,12 +61,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT))                       AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))     AS sum_base_price_cents,
-       SUM({REVENUE_SQL})                                    AS sum_disc_price_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT))
-                                                             AS sum_charge_cents,
-       COUNT(*)                                              AS count_order
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                   AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM({REVENUE_SQL}) AS BIGINT)                                AS sum_disc_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+                                                                         AS sum_charge_cents,
+       COUNT(*)                                                          AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
@@ -95,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q3_SQL = f"""
-SELECT l_orderkey, o_orderdate, o_orderpriority, SUM({REVENUE_SQL}) AS revenue_cents
+SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(SUM({REVENUE_SQL}) AS BIGINT) AS revenue_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -137,7 +137,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q5_SQL = f"""
-SELECT n_name, SUM({REVENUE_SQL}) AS revenue_cents
+SELECT n_name, CAST(SUM({REVENUE_SQL}) AS BIGINT) AS revenue_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -173,7 +173,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -207,7 +207,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = f"""
 SELECT c_custkey, c_name, n_name,
-       SUM({REVENUE_SQL}) AS revenue_cents,
+       CAST(SUM({REVENUE_SQL}) AS BIGINT) AS revenue_cents,
        MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -245,8 +245,8 @@ def q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)  AS high_line_count,
-       SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)  AS high_line_count,
+       CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -281,10 +281,10 @@ def q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = f"""
 SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
-       SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END) AS promo_cents,
-       SUM({REVENUE_SQL}) AS total_cents,
-       ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END)
-             / SUM({REVENUE_SQL}), 6) AS promo_share
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM({REVENUE_SQL}) AS BIGINT) AS total_cents,
+       ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE 0 END) AS BIGINT)
+             / CAST(SUM({REVENUE_SQL}) AS BIGINT), 6) AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """
@@ -318,7 +318,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_SQL = """
 SELECT c_custkey, o_orderkey, o_orderdate,
        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -331,7 +331,17 @@ GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
 
 
 def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 customers per nation by revenue (dense_rank window)."""
+    """Top-3 customers per nation by revenue — salted two-phase top-k.
+
+    Scale design: a plain ``Window.partitionBy(n_name)`` collapses to 25
+    sort partitions (one per nation) holding every customer of the nation —
+    a straggler at 100 TB. Instead: (1) salt customers into S shards per
+    nation, take local top-3 per (nation, salt) shard — the shard window
+    sees only ~1/S of a nation; (2) re-rank the <= 25*S*3 survivors per
+    nation. Because the ordering tiebreak (c_custkey) is unique, dense_rank
+    == row_number and any global top-3 row is necessarily in its shard's
+    top-3, so the pruning is lossless.
+    """
     from pyspark.sql.window import Window
 
     cust = read_table(spark, sf_dir, "customer")
@@ -345,19 +355,32 @@ def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "c_custkey")
         .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
     )
-    w = Window.partitionBy("n_name").orderBy(
+    n_salt = 16
+    salted = rev.withColumn("salt", F.pmod(F.crc32(F.col("c_custkey").cast("string")), F.lit(n_salt)))
+    w_local = Window.partitionBy("n_name", "salt").orderBy(
         F.desc("revenue_cents"), F.col("c_custkey")
     )
-    return rev.withColumn("rnk", F.dense_rank().over(w)).filter(F.col("rnk") <= 3)
+    survivors = (
+        salted.withColumn("local_rnk", F.row_number().over(w_local))
+        .filter(F.col("local_rnk") <= 3)
+        .drop("salt", "local_rnk")
+    )
+    w_final = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue_cents"), F.col("c_custkey")
+    )
+    return (
+        survivors.withColumn("rnk", F.dense_rank().over(w_final).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
 
 
 TOP_CUSTOMERS_SQL = f"""
 SELECT * FROM (
   SELECT n_name, c_custkey,
-         SUM({REVENUE_SQL}) AS revenue_cents,
+         CAST(SUM({REVENUE_SQL}) AS BIGINT) AS revenue_cents,
          DENSE_RANK() OVER (
             PARTITION BY n_name
-            ORDER BY SUM({REVENUE_SQL}) DESC, c_custkey
+            ORDER BY CAST(SUM({REVENUE_SQL}) AS BIGINT) DESC, c_custkey
          ) AS rnk
   FROM customer
   JOIN orders   ON c_custkey = o_custkey

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import tpch
+from .plans import events, tpch
 
-_MODULES = [tpch]
+_MODULES = [tpch, events]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
