@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query to completion via the noop sink (full plan
+executes, no driver-side result transfer) on local[$SPARK_GRAFT_CPUS] and
+prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+A single warmup action is run first so JVM/codegen startup is not billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from maap_data_pipelines_spark import registry  # noqa: E402
+from maap_data_pipelines_spark.session import get_spark  # noqa: E402
+
+# Representative, scale-sensitive subset: scans+aggs, multi-join, window,
+# sessionization, funnel, text hashing. Extended as operators land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "top_customers_window",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_funnel",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # Warmup: execute one tiny plan so JVM startup isn't billed below.
+    _run(qs["q6_forecast_revenue"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        if key not in qs:
+            continue
+        t0 = time.time()
+        _run(qs[key](spark, sf_dir))
+        timings[key] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6,7 +6,10 @@ fingerprints. Each operator has a structurally identical DuckDB SQL
 rendering so the driver's value-hash check is exact.
 
 Determinism contract: every float output is derived from exact integer
-counts via a single division (+ round 6dp) — no float accumulation.
+counts via a single division (+ round 6dp) — no float accumulation. All
+integer outputs are BIGINT on both engines (Spark ``size``/``length``
+return int32 while DuckDB ``len``/``length`` return int64, so the Spark
+side casts to long — the driver's value hash is Arrow-type-sensitive).
 """
 
 from __future__ import annotations
@@ -32,8 +35,13 @@ def words_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def _size(col: Column) -> Column:
+    """Array length as BIGINT (DuckDB len() parity)."""
+    return F.size(col).cast("long")
+
+
 def _in_list_count(words: Column, vocab: tuple[str, ...]) -> Column:
-    return F.size(F.filter(words, lambda w: w.isin(*vocab)))
+    return _size(F.filter(words, lambda w: w.isin(*vocab)))
 
 
 def _in_list_count_sql(words_expr: str, vocab: tuple[str, ...]) -> str:
@@ -46,13 +54,13 @@ def token_stats(docs: DataFrame) -> DataFrame:
     lower = F.lower(F.col("text"))
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), 0)).alias("n_alpha_tokens"),
-        F.size(F.regexp_extract_all(lower, F.lit("[0-9]+"), 0)).alias("n_num_tokens"),
-        F.size(F.regexp_extract_all(lower, F.lit("[^a-z0-9 ]"), 0)).alias(
+        _size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        _size(F.regexp_extract_all(lower, F.lit("[a-z]+"), 0)).alias("n_alpha_tokens"),
+        _size(F.regexp_extract_all(lower, F.lit("[0-9]+"), 0)).alias("n_num_tokens"),
+        _size(F.regexp_extract_all(lower, F.lit("[^a-z0-9 ]"), 0)).alias(
             "n_other_tokens"
         ),
-        F.length(F.col("text")).alias("n_chars_actual"),
+        F.length(F.col("text")).cast("long").alias("n_chars_actual"),
     )
 
 
@@ -70,13 +78,13 @@ FROM documents
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality score from exact integer counts (single-division floats)."""
     words = words_col(F.col("text"))
-    n_words = F.size(words)
-    n_chars = F.length(F.col("text"))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0))
+    n_words = _size(words)
+    n_chars = F.length(F.col("text")).cast("long")
+    n_punct = _size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0))
     n_stop = _in_list_count(words, STOPWORDS)
     punct_ratio = F.round(n_punct / n_chars, 6)
     stop_ratio = F.round(n_stop / n_words, 6)
-    word_score = F.round(F.least(F.lit(100), n_words) / 100, 6)
+    word_score = F.round(F.least(F.lit(100).cast("long"), n_words) / 100, 6)
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -108,22 +116,32 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
     Mirrors n-gram-heuristic language ID at the cheapest useful fidelity;
     ties broken by fixed LANG_ORDER, all-zero scores → 'und'.
+
+    Scale shape: explode words once, count marker hits per language with
+    codegen'd conditional sums (map-side combine collapses each doc to one
+    row before the shuffle), then decide the winner over the five tiny
+    score columns. The naive formulation — a CASE tree re-evaluating an
+    interpreted higher-order ``filter`` lambda ~45x per document — was
+    measured ~100x slower and would be CPU-bound at 100 TB.
     """
-    words = words_col(F.lower(F.col("text")))
-    scores = {
-        lang: _in_list_count(words, markers) for lang, markers in LANG_MARKERS.items()
-    }
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("word")
+    exploded = docs.select("doc_id", F.col("lang").alias("declared_lang"), word)
+    score_cols = [
+        F.sum(F.when(F.col("word").isin(*markers), 1).otherwise(0)).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = exploded.groupBy("doc_id", "declared_lang").agg(*score_cols)
     # reversed fold means earlier LANG_ORDER entries take precedence on ties
     pred_first = F.lit("und")
     for lang in reversed(LANG_ORDER):
-        cond = scores[lang] > 0
+        cond = F.col(f"s_{lang}") > 0
         for other in LANG_ORDER:
             if other == lang:
                 continue
-            cond = cond & (scores[lang] >= scores[other])
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
         pred_first = F.when(cond, F.lit(lang)).otherwise(pred_first)
     return (
-        docs.select("doc_id", F.col("lang").alias("declared_lang"), pred_first.alias("predicted_lang"))
+        scored.select("declared_lang", pred_first.alias("predicted_lang"))
         .groupBy("declared_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -154,18 +172,30 @@ GROUP BY 1, 2
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
-    """Order-sensitive positional rolling hash (mod 2^31-1) per document."""
-    words = words_col(F.col("text"))
-    positional = F.zip_with(
-        words,
-        F.sequence(F.lit(1), F.size(words)),
-        lambda w, i: i.cast("long") * (md5_long(w) % MERSENNE_31),
+    """Order-sensitive positional rolling hash (mod 2^31-1) per document.
+
+    The per-term modulus bounds every intermediate: each term is < 2^31,
+    so a partial sum only reaches n_partial * 2^31 — exact in int64 up to
+    ~2^32 words/doc; DuckDB raises on BIGINT overflow while Spark wraps,
+    so bounded intermediates are a parity requirement, not a nicety.
+    Modular sums are associative+commutative, so sum-of-(term mod M) mod M
+    equals the reference left-fold exactly.
+
+    Scale shape: posexplode + codegen hash + partial aggregation — the
+    map-side combine collapses each document to a single (doc_id, sum,
+    count) row before the shuffle. The higher-order zip_with/aggregate
+    formulation (interpreted lambdas) measured ~50x slower per core.
+    """
+    word = F.posexplode(words_col(F.col("text")))
+    exploded = docs.select("doc_id", word.alias("pos", "word"))
+    term = F.pmod(
+        (F.col("pos") + 1).cast("long") * (md5_long(F.col("word")) % MERSENNE_31),
+        F.lit(MERSENNE_31).cast("long"),
     )
-    fp = (
-        F.aggregate(positional, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        % MERSENNE_31
+    return exploded.groupBy("doc_id").agg(
+        F.pmod(F.sum(term), F.lit(MERSENNE_31).cast("long")).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_words"),
     )
-    return docs.select("doc_id", fp.alias("fingerprint"), F.size(words).alias("n_words"))
 
 
 DOC_FINGERPRINT_SQL = f"""
@@ -175,7 +205,7 @@ SELECT doc_id,
          list_prepend(0::BIGINT,
            list_transform(list_zip(words, range(1, len(words) + 1)),
              p -> p[2]::BIGINT * ({md5_long_sql('p[1]')} % {MERSENNE_31}))),
-         (x, y) -> x + y) % {MERSENNE_31} AS fingerprint,
+         (x, y) -> (x + y) % {MERSENNE_31}) AS fingerprint,
        len(words) AS n_words
 FROM w
 """

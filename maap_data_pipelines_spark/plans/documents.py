@@ -1,0 +1,33 @@
+"""Registered document-analysis plans.
+
+Thin ``(spark, sf_dir)`` adapters over the pure ``DataFrame -> DataFrame``
+operators in :mod:`maap_data_pipelines_spark.operators.text`, reading the
+``documents`` table. Oracle SQL comes from the operators module (kept next
+to the Spark expressions so the two renderings evolve together).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import text
+from ..sources.catalog import read_table
+
+
+def _wrap(op):
+    def plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return op(read_table(spark, sf_dir, "documents"))
+
+    plan.__name__ = op.__name__
+    plan.__doc__ = op.__doc__
+    return plan
+
+
+QUERIES = {
+    "token_stats": _wrap(text.token_stats),
+    "text_quality": _wrap(text.text_quality),
+    "lang_id": _wrap(text.lang_id),
+    "doc_fingerprint": _wrap(text.doc_fingerprint),
+}
+
+ORACLES = dict(text.QUERY_SQL)

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import events, tpch
+from .plans import documents, events, tpch
 
-_MODULES = [tpch, events]
+_MODULES = [tpch, events, documents]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
