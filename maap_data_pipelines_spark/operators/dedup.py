@@ -1,0 +1,396 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families over the ``documents`` table, each with a structurally
+identical DuckDB SQL rendering so the driver's type-sensitive value hash
+is exact:
+
+* exact         — md5(text) hash-groupBy (survivor = min doc_id)
+* MinHash+LSH   — 3-word shingles -> 64 universal-hash permutations ->
+                  16x4 banding -> candidate pairs via band-bucket self-join
+* SimHash       — 60-bit shingle simhash, 4x15-bit piece blocking,
+                  pairs within Hamming radius (pigeonhole-complete)
+* n-gram Jaccard— distinct-shingle inverted index -> common counts ->
+                  exact Jaccard >= threshold (df-bounded)
+
+Scale design (the whole point):
+* Everything is explode + codegen hash + partial aggregation — map-side
+  combine collapses each doc to one signature row before any shuffle.
+* Candidate pairs come from equi-joins on (band_id, band_key) /
+  (piece_id, piece) / shingle — bounded fan-out, never an all-pairs
+  cross join. Identical-signature clusters are the only hot keys and AQE
+  skew-join splitting handles them.
+* The shingle inverted index drops shingles with document frequency >
+  NGRAM_MAX_DF (stopword-shingles): at 100 TB a single hot shingle would
+  otherwise create a quadratic join blowup. Jaccard is therefore over the
+  df-bounded shingle sets — applied identically in both engines.
+
+Hash family: see functions/hashing.py (md5-based, exact in int64 on both
+engines, no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_31, md5_long_sql, minhash_coeffs
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 60
+SIMHASH_PIECES = 4
+SIMHASH_PIECE_BITS = 15
+SIMHASH_MAX_HAMMING = 3
+NGRAM_N = 3
+NGRAM_MAX_DF = 100
+NGRAM_MIN_JACCARD = 0.5
+
+_COEFFS = minhash_coeffs(NUM_PERM)
+
+# --- shared shingle expressions -------------------------------------------
+# Spark SQL and DuckDB renderings of: 3-word shingles of split(text, ' ').
+# Spark `sequence(1, n)` DESCENDS when n < 1, so the empty case needs an
+# explicit guard; DuckDB `range(1, x)` is already empty for x <= 1.
+
+_SPARK_SHINGLES = (
+    "CASE WHEN size(w) < 3 THEN array() "
+    "ELSE transform(sequence(1, size(w) - 2), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))) END"
+)
+_DUCK_SHINGLES = (
+    "list_transform(range(1, greatest(len(w) - 1, 1)), "
+    "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])"
+)
+
+_DUCK_WORDS = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+_DUCK_SHING = (
+    f"SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM ({_DUCK_WORDS})"
+)
+
+
+def _shingles_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — one row per 3-word shingle (docs with <3 words drop)."""
+    return (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+    )
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group identical texts; survivor = min doc_id.
+
+    One scan + hash aggregate with map-side combine; at 100 TB the shuffle
+    carries one row per distinct text, not per document.
+    """
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def _minhash_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m63) MinHash signature via explode + 64 partial mins."""
+    hashed = _shingles_df(docs).select(
+        "doc_id",
+        (F.expr(f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % MERSENNE_31).alias("hm"),
+    )
+    mins = [
+        F.min((F.col("hm") * F.lit(a) + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
+        for j, (a, b) in enumerate(_COEFFS)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def _band_key(band: int):
+    return F.expr(
+        "CAST(conv(substring(md5(concat_ws('_', "
+        + ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
+    """MinHash (64 perms) + LSH banding (16x4) candidate pairs.
+
+    Output: (doc_a, doc_b, est_jaccard) — distinct pairs sharing >= 1 band,
+    est_jaccard = fraction of the 64 permutation minima that agree.
+    """
+    sig = _minhash_sig(docs)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
+        for j in range(NUM_PERM)
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(NUM_PERM)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_sql() -> str:
+    hm = f"({md5_long_sql('s')}) % {MERSENNE_31}"
+    mins = ",\n         ".join(
+        f"MIN((hm * {a} + {b}) % {MERSENNE_31}) AS m{j}"
+        for j, (a, b) in enumerate(_COEFFS)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_id, ({key}) AS band_key FROM sig".format(
+            b=b,
+            key=md5_long_sql(
+                " || '_' || ".join(
+                    f"m{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+                )
+            ),
+        )
+        for b in range(BANDS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(NUM_PERM)
+    )
+    return f"""
+WITH shing AS ({_DUCK_SHING}),
+hashed AS (SELECT doc_id, {hm} AS hm FROM shing),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hashed GROUP BY doc_id),
+bands AS (
+  {band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(({match_sum}) / CAST({NUM_PERM} AS DOUBLE), 6) AS est_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def _simhash_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — 60-bit shingle SimHash as BIGINT."""
+    hashed = _shingles_df(docs).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").alias("h"),
+    )
+    sums = [
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    grouped = hashed.groupBy("doc_id").agg(*sums)
+    fp = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(SIMHASH_BITS)
+    )
+    return grouped.select("doc_id", fp.alias("fp"))
+
+
+def dedup_simhash(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 3 of the 60-bit fp.
+
+    Blocking: the fingerprint splits into 4 pieces of 15 bits; any pair at
+    Hamming distance <= 3 shares at least one intact piece (pigeonhole), so
+    the piece-key equi-join finds EVERY such pair — completeness is
+    structural, not probabilistic. Output: (doc_a, doc_b, hamming).
+    """
+    fps = _simhash_fp(docs)
+    piece_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("piece_id"),
+                F.shiftright(F.col("fp"), k * SIMHASH_PIECE_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_PIECE_BITS) - 1))
+                .alias("piece"),
+            )
+            for k in range(SIMHASH_PIECES)
+        ]
+    )
+    pieces = fps.select(
+        "doc_id", "fp", F.explode(piece_structs).alias("pc")
+    ).select("doc_id", "fp", F.col("pc.piece_id").alias("piece_id"), F.col("pc.piece").alias("piece"))
+    a, b = pieces.alias("a"), pieces.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.piece_id") == F.col("b.piece_id"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def _simhash_sql() -> str:
+    h = md5_long_sql("s")
+    sums = ",\n         ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    piece_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, fp, {k} AS piece_id, (fp >> {k * SIMHASH_PIECE_BITS}) & {(1 << SIMHASH_PIECE_BITS) - 1} AS piece FROM fps"
+        for k in range(SIMHASH_PIECES)
+    )
+    return f"""
+WITH shing AS ({_DUCK_SHING}),
+hashed AS (SELECT doc_id, {h} AS h FROM shing),
+grouped AS (SELECT doc_id,
+         {sums}
+        FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id, ({fp}) AS fp FROM grouped),
+pieces AS (
+  {piece_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+  FROM pieces a JOIN pieces b
+    ON a.piece_id = b.piece_id AND a.piece = b.piece AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+# --- n-gram Jaccard -------------------------------------------------------
+
+
+def ngram_jaccard(docs: DataFrame) -> DataFrame:
+    """Exact Jaccard over df-bounded distinct 3-gram shingle sets.
+
+    Inverted-index join on shingle (never all-pairs); shingles appearing in
+    more than NGRAM_MAX_DF docs are dropped in BOTH engines (hot-key guard:
+    one viral shingle at 100 TB is a quadratic blowup). Output pairs with
+    jaccard >= 0.5: (doc_a, doc_b, n_common, jaccard).
+    """
+    shd = _shingles_df(docs).distinct()
+    df_ok = (
+        shd.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .select("s")
+    )
+    shf = shd.join(df_ok, "s", "left_semi")
+    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shf.alias("a"), shf.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH shing AS ({_DUCK_SHING}),
+shd AS (SELECT DISTINCT doc_id, s FROM shing),
+df_ok AS (SELECT s FROM shd GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}),
+shf AS (SELECT shd.doc_id, shd.s FROM shd JOIN df_ok USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= {NGRAM_MIN_JACCARD}
+"""
+
+
+QUERY_SQL = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "ngram_jaccard": NGRAM_JACCARD_SQL,
+}

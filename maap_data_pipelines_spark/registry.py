@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import documents, events, tpch
+from .plans import documents, events, llm, tpch
 
-_MODULES = [tpch, events, documents]
+_MODULES = [tpch, events, documents, llm]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
