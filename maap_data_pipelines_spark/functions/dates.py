@@ -24,13 +24,16 @@ STRATEGIES: list[tuple[str, str, str]] = [
 ]
 
 
+def _to_date_fn(fmt: str):
+    # NB: must be a 1-arg lambda — a 2-arg lambda (e.g. fmt=fmt default)
+    # makes F.transform pass the array INDEX as the second argument.
+    return lambda s: F.to_date(s, fmt)
+
+
 def extracted_dates(filename: Column) -> Column:
     """Array<date> of all dates found by the first matching strategy."""
     arrs = [
-        F.transform(
-            F.regexp_extract_all(filename, F.lit(pat), 1),
-            lambda s, fmt=fmt: F.to_date(s, fmt),
-        )
+        F.transform(F.regexp_extract_all(filename, F.lit(pat), 1), _to_date_fn(fmt))
         for pat, fmt, _ in STRATEGIES
     ]
     out = F.array().cast("array<date>")
@@ -41,11 +44,14 @@ def extracted_dates(filename: Column) -> Column:
 
 
 def extracted_dates_sql(filename_expr: str) -> str:
+    # try_strptime (not strptime): Spark's to_date returns NULL on a
+    # matched-but-invalid digit string; strptime would raise and crash the
+    # oracle where Spark silently NULLs — parity requires try_.
     out = "CAST([] AS DATE[])"
     for pat, _, dfmt in reversed(STRATEGIES):
         arr = (
             f"list_transform(regexp_extract_all({filename_expr}, '{pat}', 1), "
-            f"s -> strptime(s, '{dfmt}')::DATE)"
+            f"s -> try_strptime(s, '{dfmt}')::DATE)"
         )
         out = f"CASE WHEN len({arr}) > 0 THEN {arr} ELSE {out} END"
     return out

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import documents, events, llm, tpch
+from .plans import documents, events, llm, stac, tpch
 
-_MODULES = [tpch, events, documents, llm]
+_MODULES = [tpch, events, documents, llm, stac]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
