@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "build_stac_items",
+    "transfer_plan",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a typed metadata
+struct alongside (media_type, width, height, n_bytes). Decode /
+feature-extract run as Arrow-batched ``mapInPandas`` — the Spark-side
+plumbing (schema, batch shape, partitioning) is real and tested; the
+actual codec call is STUBBED (no image/audio libraries in this
+environment) behind ``decode_media``, which raises NotImplementedError
+unless ``allow_stub=True`` substitutes a deterministic fake.
+
+At 100 TB: binary payloads ride the same parquet scans as every other
+column (columnar pruning means metadata-only queries never read the
+bytes); feature extraction is embarrassingly parallel over Arrow record
+batches with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "n_bytes bigint, payload binary"
+)
+
+
+def make_media_df(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from documents.
+
+    The text bytes stand in for an encoded image payload; width/height
+    are deterministic metadata. This is the ingestion shape a real
+    pipeline would produce (payload + typed metadata side-by-side).
+    """
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        ((F.col("doc_id") % 16 + 1) * 64).cast("int").alias("width"),
+        ((F.col("doc_id") % 9 + 1) * 64).cast("int").alias("height"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        payload.alias("payload"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> np.ndarray:
+    """Decode a media payload to a pixel/sample array.
+
+    STUB: real decoding needs PIL/ffmpeg/soundfile, which are not in this
+    container. With ``allow_stub`` the payload bytes themselves are
+    reinterpreted as the sample array (deterministic, shape-correct
+    plumbing); without it this raises so nobody mistakes the stub for a
+    real codec.
+    """
+    if not allow_stub:
+        raise NotImplementedError(
+            f"no codec available for {media_type}; pass allow_stub=True for "
+            "the deterministic byte-passthrough used in tests"
+        )
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
+    """Per-payload feature vector via Arrow-batched mapInPandas.
+
+    Features: FEATURE_DIM-bucket byte histogram, L1-normalized — a stand-in
+    for an embedding model forward pass with identical plumbing (binary in,
+    fixed-dim float array out, zero shuffle).
+    """
+    schema = f"doc_id bigint, media_type string, n_bytes bigint, features array<double>"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                arr = decode_media(payload, mt, allow_stub=allow_stub)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(
+                    np.float64
+                )
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=schema)
+
+
+def media_metadata_summary(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup — never touches the payload column.
+
+    Column pruning keeps the binary bytes out of the scan entirely; at
+    100 TB this is the difference between a metadata query and a full
+    table read (verify via .explain: ReadSchema excludes 'payload').
+    """
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
+    )

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import documents, events, llm, stac, tpch
+from .plans import documents, events, llm, multimodal, stac, tpch
 
-_MODULES = [tpch, events, documents, llm, stac]
+_MODULES = [tpch, events, documents, llm, stac, multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

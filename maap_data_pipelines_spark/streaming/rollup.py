@@ -1,0 +1,88 @@
+"""Structured Streaming ingest: file source -> watermark -> windowed agg.
+
+Streaming twin of ``plans.events.events_hourly_rollup``. The reference
+pipeline is event-driven (SQS fan-out, deploy/cdk/queue_stack.py); on
+Spark the same monitoring rollup is a continuous query over a landing
+directory: new event files appear, the tumbling 1-hour windows update,
+late events are admitted up to the watermark horizon.
+
+Design notes for a real cluster:
+* ``withWatermark(ts, 2 hours)`` bounds state: windows older than
+  (max event time - 2h) are finalized and evicted — state size is
+  O(active windows x event types), independent of total stream length.
+* ``approx_count_distinct`` replaces the batch plan's exact
+  countDistinct: exact distinct per window is unbounded state in a
+  stream; HLL is the standard streaming answer (documented deviation).
+* File-source trigger ``availableNow`` lets the same query run as an
+  incremental batch (used by tests and backfills).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def streaming_hourly_rollup(
+    spark: SparkSession, source_dir: str, fmt: str = "json"
+) -> DataFrame:
+    """Streaming DataFrame: hourly tumbling window counts + exact cents."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format(fmt)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "value_cents",
+            "n_users_approx",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession, source_dir: str, query_name: str = "rollup", fmt: str = "json"
+):
+    """Drain everything currently in source_dir into a memory sink.
+
+    Returns the StreamingQuery; results land in the ``query_name`` temp
+    view (complete output mode — windowed aggregation state).
+    """
+    df = streaming_hourly_rollup(spark, source_dir, fmt=fmt)
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

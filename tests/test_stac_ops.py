@@ -1,0 +1,137 @@
+"""Reference-semantics pins for the STAC operators.
+
+The date cases mirror the reference's own test battery
+(/root/reference/lambdas/build-stac/tests/test_regex.py): strategy
+cascade, first-match-wins, multi-date -> (min, max), month/year range
+expansion (incl. relativedelta(day=31) == last_day), id precedence.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from maap_data_pipelines_spark.functions.dates import (
+    expand_range,
+    extracted_dates,
+    start_end_single,
+)
+
+D = dt.date
+
+# (filename, datetime_range, (start, end, single)) — cases from the
+# reference's test_regex.py (range expansion applied separately below).
+REGEX_CASES = [
+    ("s3://foo/bar/foo_2010-10-31_bar.tif", (None, None, D(2010, 10, 31))),
+    ("s3://foo/bar/foo_20051212_bar.tif", (None, None, D(2005, 12, 12))),
+    ("s3://foo/bar/foo_200507_bar.tif", (None, None, D(2005, 7, 1))),
+    ("s3://foo/bar/foo_2012_bar.tif", (None, None, D(2012, 1, 1))),
+    (
+        "s3://foo/bar/foo_2005-07-02_to_2006-09-29_bar.tif",
+        (D(2005, 7, 2), D(2006, 9, 29), None),
+    ),
+    (
+        "s3://foo/bar/foo_20050702_to_20060929_bar.tif",
+        (D(2005, 7, 2), D(2006, 9, 29), None),
+    ),
+    (
+        "s3://foo/bar/foo_2005_2006_2007_bar.tif",
+        (D(2005, 1, 1), D(2007, 1, 1), None),
+    ),
+]
+
+
+@pytest.mark.parametrize("filename,expected", REGEX_CASES)
+def test_extract_dates_reference_cases(spark, filename, expected):
+    df = spark.createDataFrame([(filename,)], ["fn"])
+    dates = extracted_dates(F.col("fn"))
+    start, end, single = start_end_single(dates)
+    row = df.select(
+        start.alias("s"), end.alias("e"), single.alias("d")
+    ).collect()[0]
+    assert (row.s, row.e, row.d) == expected
+
+
+MONTH_CASES = [
+    ("s3://foo/bar/foo_2005-01-02.tif", (D(2005, 1, 1), D(2005, 1, 31))),
+    ("s3://foo/bar/foo_2005-02-02.tif", (D(2005, 2, 1), D(2005, 2, 28))),
+    ("s3://foo/bar/foo_20050302_bar.tif", (D(2005, 3, 1), D(2005, 3, 31))),
+    ("s3://foo/bar/foo_20050402_bar.tif", (D(2005, 4, 1), D(2005, 4, 30))),
+]
+
+
+@pytest.mark.parametrize("filename,expected", MONTH_CASES)
+def test_month_range_expansion(spark, filename, expected):
+    df = spark.createDataFrame([(filename,)], ["fn"])
+    dates = extracted_dates(F.col("fn"))
+    single = F.element_at(dates, 1)
+    start, end = expand_range(single, "month")
+    row = df.select(start.alias("s"), end.alias("e")).collect()[0]
+    assert (row.s, row.e) == expected
+
+
+def test_year_range_expansion(spark):
+    df = spark.createDataFrame([("s3://foo/bar/foo_20050302_bar.tif",)], ["fn"])
+    dates = extracted_dates(F.col("fn"))
+    start, end = expand_range(F.element_at(dates, 1), "year")
+    row = df.select(start.alias("s"), end.alias("e")).collect()[0]
+    assert (row.s, row.e) == (D(2005, 1, 1), D(2005, 12, 31))
+
+
+def test_no_date_yields_empty_array(spark):
+    # Documented deviation: reference raises (regex.py:60-64); we yield []
+    # so the dataflow can route undateable files to a quarantine branch.
+    df = spark.createDataFrame([("s3://foo/bar/nodates.tif",)], ["fn"])
+    row = df.select(extracted_dates(F.col("fn")).alias("d")).collect()[0]
+    assert row.d == []
+
+
+def test_item_id_precedence(spark, sf_dir):
+    """id_regex (groups joined by '-') > product_id > stem."""
+    from maap_data_pipelines_spark.plans.stac import asset_catalog, item_id
+
+    cat = asset_catalog(spark, sf_dir).filter(F.col("ext") != "hdr")
+    ids = item_id(spark, sf_dir)
+    joined = {r["asset_id"]: r for r in ids.collect()}
+    for row in cat.collect():
+        got = joined[row.asset_id]["item_id"]
+        if row.asset_id % 3 == 0:
+            coll_n = row.collection.split("-")[1]
+            assert got == f"{coll_n}-{row.asset_id}"
+        elif row.product_id is not None:
+            assert got == row.product_id
+        else:
+            assert got == row.stem
+
+
+def test_transfer_plan_idempotent_and_filtered(spark, sf_dir):
+    from maap_data_pipelines_spark.plans.stac import asset_catalog, transfer_plan
+
+    plan = transfer_plan(spark, sf_dir)
+    rows = plan.collect()
+    cat = {
+        (r.asset_id, r.ext): r for r in asset_catalog(spark, sf_dir).collect()
+    }
+    for r in rows:
+        src = cat[(r.asset_id, r.ext)]
+        assert src.upload and not src.cogify  # eligibility rule
+        assert r.asset_id % 4 != 1  # skip-if-exists anti-join
+        bucket = "user-shared-store" if src.user_shared else "target-store"
+        assert r.target_url == f"s3://{bucket}/file-staging/{src.collection}/{src.filename}"
+
+
+def test_stac_item_json_is_valid_json(spark, sf_dir):
+    import json
+
+    from maap_data_pipelines_spark.plans.stac import stac_item_json
+
+    rows = stac_item_json(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r.item_json)
+        assert doc["type"] == "Feature"
+        assert doc["id"]
+        assert doc["assets"]["data"]["href"].startswith("s3://")

@@ -1,0 +1,72 @@
+"""Structured Streaming rollup: file source -> watermark -> windowed agg.
+
+Writes event JSON files into a temp landing dir (one file per
+micro-batch via maxFilesPerTrigger), drains with availableNow into a
+memory sink, and checks the windowed aggregates against a hand-computed
+batch result — including a late-arriving event admitted by the
+watermark.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def _write_events(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_hourly_rollup(spark, tmp_path):
+    from maap_data_pipelines_spark.streaming.rollup import run_available_now
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "view", "value": 1.25, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:45:00", "user_id": 2, "event_type": "view", "value": 2.50, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 1, "event_type": "click", "value": 0.75, "props": "{}"},
+    ]
+    # batch 2 includes a LATE event for hour 00 (within the 2h watermark)
+    batch2 = [
+        {"event_id": 4, "ts": "2024-01-01T02:00:30", "user_id": 3, "event_type": "view", "value": 4.00, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T00:59:59", "user_id": 3, "event_type": "view", "value": 1.00, "props": "{}"},
+    ]
+    _write_events(src / "batch1.json", batch1)
+    _write_events(src / "batch2.json", batch2)
+
+    q = run_available_now(spark, str(src), query_name="rollup_test")
+    q.awaitTermination(120)
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+
+    out = {
+        (r.hour.isoformat(), r.event_type): r
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    h0_view = out[("2024-01-01T00:00:00", "view")]
+    assert h0_view.n_events == 3  # late event admitted by watermark
+    assert h0_view.value_cents == 125 + 250 + 100
+    h1_click = out[("2024-01-01T01:00:00", "click")]
+    assert h1_click.n_events == 1 and h1_click.value_cents == 75
+    h2_view = out[("2024-01-01T02:00:00", "view")]
+    assert h2_view.n_events == 1 and h2_view.value_cents == 400
+
+
+def test_streaming_plan_is_stateful_windowed(spark, tmp_path):
+    from maap_data_pipelines_spark.streaming.rollup import streaming_hourly_rollup
+
+    src = tmp_path / "landing2"
+    src.mkdir()
+    _write_events(
+        src / "b.json",
+        [{"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"}],
+    )
+    df = streaming_hourly_rollup(spark, str(src))
+    assert df.isStreaming
+    cols = set(df.columns)
+    assert {"hour", "event_type", "n_events", "value_cents", "n_users_approx"} <= cols
