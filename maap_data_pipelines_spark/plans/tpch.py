@@ -331,16 +331,18 @@ GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
 
 
 def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 customers per nation by revenue — salted two-phase top-k.
+    """Top-3 customers per nation by revenue (rank-limited window).
 
-    Scale design: a plain ``Window.partitionBy(n_name)`` collapses to 25
-    sort partitions (one per nation) holding every customer of the nation —
-    a straggler at 100 TB. Instead: (1) salt customers into S shards per
-    nation, take local top-3 per (nation, salt) shard — the shard window
-    sees only ~1/S of a nation; (2) re-rank the <= 25*S*3 survivors per
-    nation. Because the ordering tiebreak (c_custkey) is unique, dense_rank
-    == row_number and any global top-3 row is necessarily in its shard's
-    top-3, so the pruning is lossless.
+    Scale design: only 25 nations, so a naive window would sort each
+    nation's full customer set in one partition. Spark's
+    InferWindowGroupLimit (asserted in tests/test_plans.py) inserts a
+    PARTIAL WindowGroupLimit before the shuffle: every map partition
+    forwards at most 3 rows per nation, so the per-nation sort sees
+    <= 3 * n_map_partitions rows regardless of customer count — the
+    two-phase top-k pattern, done by the optimizer in a single shuffle
+    (the hand-salted variant costs an extra shuffle for the same bound).
+    The unique c_custkey tiebreak makes dense_rank == row_number, which
+    is what enables the rank-limit pushdown.
     """
     from pyspark.sql.window import Window
 
@@ -355,21 +357,11 @@ def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "c_custkey")
         .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
     )
-    n_salt = 16
-    salted = rev.withColumn("salt", F.pmod(F.crc32(F.col("c_custkey").cast("string")), F.lit(n_salt)))
-    w_local = Window.partitionBy("n_name", "salt").orderBy(
-        F.desc("revenue_cents"), F.col("c_custkey")
-    )
-    survivors = (
-        salted.withColumn("local_rnk", F.row_number().over(w_local))
-        .filter(F.col("local_rnk") <= 3)
-        .drop("salt", "local_rnk")
-    )
-    w_final = Window.partitionBy("n_name").orderBy(
+    w = Window.partitionBy("n_name").orderBy(
         F.desc("revenue_cents"), F.col("c_custkey")
     )
     return (
-        survivors.withColumn("rnk", F.dense_rank().over(w_final).cast("long"))
+        rev.withColumn("rnk", F.dense_rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
 

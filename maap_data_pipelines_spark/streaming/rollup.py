@@ -70,6 +70,41 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession, source_dir: str, gap: str = "30 minutes", fmt: str = "json"
+) -> DataFrame:
+    """Streaming sessionization via the built-in session_window.
+
+    Streaming twin of ``plans.events.events_sessionize``: dynamic-gap
+    session windows per user, state bounded by the watermark. This is the
+    declarative form of the custom-stateful-operator pattern
+    (applyInPandasWithState) — Spark's session_window already implements
+    the gap-merge state machine natively, so no Python state handler is
+    needed.
+    """
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format(fmt)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def run_available_now(
     spark: SparkSession, source_dir: str, query_name: str = "rollup", fmt: str = "json"
 ):

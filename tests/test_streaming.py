@@ -57,6 +57,47 @@ def test_streaming_hourly_rollup(spark, tmp_path):
     assert h2_view.n_events == 1 and h2_view.value_cents == 400
 
 
+def test_streaming_sessionize_merges_gap_windows(spark, tmp_path):
+    from maap_data_pipelines_spark.streaming.rollup import streaming_sessionize
+
+    src = tmp_path / "sessions"
+    src.mkdir()
+    # user 1: two events 10 min apart (one session), then one 2h later
+    # within the SAME file; user 2: single event.
+    _write_events(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T02:10:00", "user_id": 1, "event_type": "view", "value": 4.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-01-01T00:30:00", "user_id": 2, "event_type": "view", "value": 8.0, "props": "{}"},
+        ],
+    )
+    df = streaming_sessionize(spark, str(src))
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    rows = spark.sql("SELECT * FROM sessions_test").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2  # gap merge: 2 sessions, not 3
+    s1 = sorted(by_user[1], key=lambda r: r.session_start)
+    assert s1[0].n_events == 2 and s1[0].value_cents == 300
+    assert s1[1].n_events == 1 and s1[1].value_cents == 400
+    assert len(by_user[2]) == 1 and by_user[2][0].n_events == 1
+
+
 def test_streaming_plan_is_stateful_windowed(spark, tmp_path):
     from maap_data_pipelines_spark.streaming.rollup import streaming_hourly_rollup
 
