@@ -41,6 +41,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "events_asof_attribution",
+    "orders_running_revenue",
     "build_stac_items",
     "transfer_plan",
 ]

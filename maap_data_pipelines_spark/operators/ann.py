@@ -270,8 +270,93 @@ WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {DEDUP_COS_THRESHO
 """
 
 
+IVF_K = 16
+IVF_TOPK = 5
+
+
+def ann_ivf_topk(emb: DataFrame) -> DataFrame:
+    """IVF-style ANN: coarse quantize into cells, search the query's cell.
+
+    Deterministic coarse quantizer: the first IVF_K vectors (vec_id <
+    IVF_K) are the centroids; every vector is assigned to its argmax-
+    cosine centroid (ties -> lowest centroid id). Queries (vec_id <
+    N_QUERIES) then search ONLY their own cell — at 100 TB the candidate
+    set shrinks by ~K before any exact scoring while the assignment pass
+    stays an embarrassingly parallel broadcast join (K tiny). nprobe=1 by
+    design; recall/latency trades by raising nprobe (union more cells).
+
+    Output: (query_id, vec_id, cosine, rnk) — top-IVF_TOPK within-cell
+    neighbors, self excluded.
+    """
+    from pyspark.sql.window import Window
+
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    )
+    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.round(cosine_udf(F.col("embedding"), F.col("cemb")), 6).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
+    )
+    c = assigned.select("vec_id", F.col("embedding").alias("ce"), "cell")
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_udf(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= IVF_TOPK)
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings WHERE vec_id < {IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         ROUND({cosine_sql('e.embedding', 'c.cemb')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM assigned WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND({cosine_sql('q.qe', 'c.embedding')}, 6) AS cosine
+  FROM assigned c JOIN q USING (cell)
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+FROM pairs
+QUALIFY rnk <= {IVF_TOPK}
+"""
+
+
 QUERY_SQL = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_dedup": EMBEDDING_DEDUP_SQL,
+    "ann_ivf_topk": ANN_IVF_TOPK_SQL,
 }

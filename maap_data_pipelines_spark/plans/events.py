@@ -216,11 +216,121 @@ GROUP BY c.user_id, c.t_view, c.t_click
 """
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the last prior click.
+
+    Spark has no native ASOF JOIN; the scalable formulation is a single
+    user-partitioned ordered window carrying the last-seen click
+    timestamp forward (ignoreNulls last_value over UNBOUNDED PRECEDING ..
+    1 PRECEDING) — one shuffle, one scan, no range cross join. Ties on
+    ts_us are broken by event_id in BOTH engines (a raw ASOF JOIN's
+    strict `<` would diverge on equal timestamps).
+    """
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts_us").alias("purchase_us"),
+            "last_click_us",
+            (F.col("ts_us") - F.col("last_click_us")).alias("latency_us"),
+        )
+    )
+
+
+ASOF_SQL = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+attributed AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+  FROM ev
+)
+SELECT user_id, event_id AS purchase_event_id, ts_us AS purchase_us,
+       last_click_us, ts_us - last_click_us AS latency_us
+FROM attributed
+WHERE event_type = 'purchase'
+"""
+
+
+def events_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (day x event_type hierarchy) in one pass.
+
+    GROUP BY ROLLUP computes (day, type), (day), () aggregates in a
+    single shuffle with partial aggregation — the hypertable-style
+    continuous-aggregate shape; grouping_id disambiguates grain.
+    """
+    ev = read_events(spark, sf_dir)
+    day = (F.col("ts_us") - F.col("ts_us") % (86400 * 1_000_000)).alias("day_us")
+    return (
+        ev.rollup(day, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.grouping_id().alias("grain"),
+        )
+    )
+
+
+MULTIGRAIN_SQL = """
+SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(GROUPING(epoch_us(ts) - epoch_us(ts) % 86400000000, event_type) AS BIGINT) AS grain
+FROM events
+GROUP BY ROLLUP(day_us, event_type)
+"""
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value_cents per event type.
+
+    Exact linear-interpolation percentiles over integer cents — both
+    engines implement the same lo + (hi-lo)*frac definition, so doubles
+    match (rounded to 6 dp defensively). At 100 TB swap in
+    approx_percentile (t-digest) and drop the oracle to rows-only.
+    """
+    ev = read_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile(cents, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(cents, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(cents, F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.9), 6) AS p90,
+       ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
+    "events_asof_attribution": events_asof_attribution,
+    "events_rollup_multigrain": events_rollup_multigrain,
+    "events_value_quantiles": events_value_quantiles,
 }
 
 ORACLES = {
@@ -228,4 +338,7 @@ ORACLES = {
     "events_sessionize": SESSIONIZE_SQL,
     "events_json_props": JSON_PROPS_SQL,
     "events_funnel": FUNNEL_SQL,
+    "events_asof_attribution": ASOF_SQL,
+    "events_rollup_multigrain": MULTIGRAIN_SQL,
+    "events_value_quantiles": QUANTILES_SQL,
 }

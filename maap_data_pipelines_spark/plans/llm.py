@@ -38,6 +38,7 @@ QUERIES = {
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),
     "embedding_dedup": _emb_plan(ann.embedding_dedup),
+    "ann_ivf_topk": _emb_plan(ann.ann_ivf_topk),
 }
 
 ORACLES = {**dedup.QUERY_SQL, **ann.QUERY_SQL}

@@ -419,6 +419,53 @@ GROUP BY cohort_month, months_since
 """
 
 
+def orders_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running total + 3-order moving average of order value.
+
+    Ordered-window analytics battery: cumulative sum (UNBOUNDED PRECEDING)
+    and a bounded moving frame (2 PRECEDING), one shuffle on the natural
+    key. The moving average is exact: integer-cent sum / count, single
+    double division.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    running = F.sum("price_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    moving = F.round(
+        F.avg("price_cents").over(w.rowsBetween(-2, Window.currentRow)), 6
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_date",
+        "price_cents",
+        running.alias("running_cents"),
+        moving.alias("moving_avg_cents"),
+    )
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+       ROUND(AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_cents
+FROM orders
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -430,6 +477,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "top_customers_window": top_customers_window,
     "order_cohort_retention": order_cohort_retention,
+    "orders_running_revenue": orders_running_revenue,
 }
 
 ORACLES = {
@@ -443,4 +491,5 @@ ORACLES = {
     "q18_large_orders": Q18_SQL,
     "top_customers_window": TOP_CUSTOMERS_SQL,
     "order_cohort_retention": COHORT_SQL,
+    "orders_running_revenue": RUNNING_REVENUE_SQL,
 }
