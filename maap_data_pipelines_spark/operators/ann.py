@@ -293,24 +293,34 @@ def ann_ivf_topk(emb: DataFrame) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
     )
-    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "centroid_id",
-        F.round(cosine_udf(F.col("embedding"), F.col("cemb")), 6).alias("ccos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.col("centroid_id")
-    )
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
-    )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+
+    def _assign(vecs):
+        scored = vecs.select("vec_id", "embedding").crossJoin(
+            F.broadcast(cents)
+        ).select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(cosine_udf(F.col("embedding"), F.col("cemb")), 6).alias("ccos"),
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.desc("ccos"), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w_assign))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        )
+
+    # The query branch recomputes assignment over ONLY the query vectors
+    # (pushed filter, N_QUERIES rows) instead of sharing/caching the full
+    # assignment — recompute-on-the-pruned-subset beats materializing the
+    # corpus-wide assignment twice, and the candidate branch stays a
+    # single full pass.
+    c = _assign(emb).select("vec_id", F.col("embedding").alias("ce"), "cell")
+    q = _assign(emb.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
     )
-    c = assigned.select("vec_id", F.col("embedding").alias("ce"), "cell")
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )

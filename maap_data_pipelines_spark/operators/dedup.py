@@ -105,23 +105,38 @@ GROUP BY 1
 
 
 def _minhash_sig(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m63) MinHash signature via explode + 64 partial mins."""
+    """(doc_id, sig array<long>) MinHash signature, explode + 64 partial mins.
+
+    Persisted (MEMORY_AND_DISK): the signature table feeds both sides of
+    the band self-join; without materialization Catalyst re-derives the
+    whole shingle->hash->64-min pipeline per consumer (measured: 4 file
+    scans, 0 reused exchanges) — at 100 TB that is 4 full passes over the
+    corpus instead of one. The cached row is just (doc_id, 64 longs).
+    """
+    from pyspark.storagelevel import StorageLevel
+
     hashed = _shingles_df(docs).select(
         "doc_id",
-        (F.expr(f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % MERSENNE_31).alias("hm"),
+        (F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % MERSENNE_31).alias("hm"),
     )
     mins = [
         F.min((F.col("hm") * F.lit(a) + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
         for j, (a, b) in enumerate(_COEFFS)
     ]
-    return hashed.groupBy("doc_id").agg(*mins)
+    sig = (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"m{j}" for j in range(NUM_PERM)]).alias("sig"))
+    )
+    return sig.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _band_key(band: int):
+    parts = ", ".join(
+        f"element_at(sig, {band * ROWS_PER_BAND + r + 1})" for r in range(ROWS_PER_BAND)
+    )
     return F.expr(
-        "CAST(conv(substring(md5(concat_ws('_', "
-        + ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ")), 1, 15), 16, 10) AS BIGINT)"
+        f"CAST(conv(substring(md5(concat_ws('_', {parts})), 1, 15), 16, 10) AS BIGINT)"
     )
 
 
@@ -129,7 +144,9 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     """MinHash (64 perms) + LSH banding (16x4) candidate pairs.
 
     Output: (doc_a, doc_b, est_jaccard) — distinct pairs sharing >= 1 band,
-    est_jaccard = fraction of the 64 permutation minima that agree.
+    est_jaccard = fraction of the 64 permutation minima that agree. The
+    signature array rides along the band rows, so the pair join yields
+    both signatures directly — no extra signature re-joins.
     """
     sig = _minhash_sig(docs)
     band_structs = F.array(
@@ -138,9 +155,12 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("bk")
-    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -150,23 +170,23 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
         .distinct()
     )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
-        for j in range(NUM_PERM)
-    )
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(float(NUM_PERM)), 6).alias("est_jaccard"),
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y), lambda m: m
         )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(matches / F.lit(float(NUM_PERM)), 6).alias("est_jaccard"),
     )
 
 
@@ -237,6 +257,10 @@ def _simhash_fp(docs: DataFrame) -> DataFrame:
         )
         for j in range(SIMHASH_BITS)
     )
+    # NOT persisted: the piece self-join recomputes this once per branch —
+    # two passes for a self-join is the standard Spark trade; caching was
+    # measured 2x slower locally (cache build + InMemoryTableScan beat the
+    # cheap codegen recompute) and only wins when the corpus scan dominates.
     return grouped.select("doc_id", fp.alias("fp"))
 
 
@@ -327,9 +351,14 @@ def ngram_jaccard(docs: DataFrame) -> DataFrame:
 
     Inverted-index join on shingle (never all-pairs); shingles appearing in
     more than NGRAM_MAX_DF docs are dropped in BOTH engines (hot-key guard:
-    one viral shingle at 100 TB is a quadratic blowup). Output pairs with
-    jaccard >= 0.5: (doc_a, doc_b, n_common, jaccard).
+    one viral shingle at 100 TB is a quadratic blowup). Each index row
+    carries its document's filtered set size via a doc_id window, so the
+    self-join yields |A| and |B| directly — no third pass over the index
+    and no post-join size lookups. Output pairs with jaccard >= 0.5:
+    (doc_a, doc_b, n_common, jaccard).
     """
+    from pyspark.sql.window import Window
+
     shd = _shingles_df(docs).distinct()
     df_ok = (
         shd.groupBy("s")
@@ -337,8 +366,9 @@ def ngram_jaccard(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= NGRAM_MAX_DF)
         .select("s")
     )
-    shf = shd.join(df_ok, "s", "left_semi")
-    sizes = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shf = shd.join(df_ok, "s", "left_semi").withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     a, b = shf.alias("a"), shf.alias("b")
     common = (
         a.join(
@@ -346,26 +376,21 @@ def ngram_jaccard(docs: DataFrame) -> DataFrame:
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.round(
-                F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
-    )
+    return common.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= NGRAM_MIN_JACCARD)
 
 
 NGRAM_JACCARD_SQL = f"""
