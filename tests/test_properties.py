@@ -1,0 +1,147 @@
+"""Property-based pins: differential tests against reference semantics.
+
+1. Date extraction: hypothesis-generated filenames checked against a
+   pure-Python reimplementation of the reference's strategy cascade
+   (build-stac/utils/regex.py:30-83).
+2. MinHash/LSH recall: every truly-high-Jaccard pair must surface as a
+   candidate (banding guarantee, probabilistic but overwhelming at 0.9+).
+3. SimHash completeness: the piece-blocking join must find EVERY pair
+   within the Hamming radius (pigeonhole — exact, not probabilistic).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# --- pure-Python reference reimplementation (regex.py:30-83) --------------
+
+_STRATEGIES = [
+    (r"(?:_|-)(\d{4}-\d{2}-\d{2})", "%Y-%m-%d"),
+    (r"(?:_|-)(\d{8})", "%Y%m%d"),
+    (r"(?:_|-)(\d{6})", "%Y%m"),
+    (r"(?:_|-)(\d{4})", "%Y"),
+]
+
+
+def _py_extract(filename: str) -> list[dt.date]:
+    for pattern, fmt in _STRATEGIES:
+        found = re.compile(pattern).findall(filename)
+        if not found:
+            continue
+        out = []
+        for s in found:
+            try:
+                out.append(dt.datetime.strptime(s, fmt).date())
+            except ValueError:
+                out.append(None)  # Spark to_date yields NULL here
+        return out
+    return []
+
+
+_WORD = st.from_regex(r"[a-z]{1,6}", fullmatch=True)
+_DATE = st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2099, 12, 28))
+_TOKEN = st.one_of(
+    _WORD,
+    _DATE.map(lambda d: d.strftime("%Y-%m-%d")),
+    _DATE.map(lambda d: d.strftime("%Y%m%d")),
+    _DATE.map(lambda d: d.strftime("%Y%m")),
+    _DATE.map(lambda d: d.strftime("%Y")),
+    st.integers(min_value=0, max_value=999).map(str),
+)
+
+
+@st.composite
+def _filenames(draw):
+    tokens = draw(st.lists(_TOKEN, min_size=1, max_size=5))
+    seps = [draw(st.sampled_from(["_", "-", "."])) for _ in tokens]
+    body = "".join(s + t for s, t in zip(seps, tokens))
+    return f"s3://bucket/prefix/file{body}.tif"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_filenames())
+def test_extracted_dates_matches_reference_python(spark, filename):
+    from maap_data_pipelines_spark.functions.dates import extracted_dates
+
+    got = (
+        spark.createDataFrame([(filename,)], ["fn"])
+        .select(extracted_dates(F.col("fn")).alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert got == _py_extract(filename), filename
+
+
+# --- MinHash recall (probabilistic guarantee at 16 bands x 4 rows) --------
+
+
+def _random_corpus(n_docs=40, seed=7):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(n_docs):
+        base = [rng.choice(vocab) for _ in range(30)]
+        docs.append((i, " ".join(base)))
+        if i % 4 == 0:  # plant a near-dup: mutate one word
+            mutated = list(base)
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(mutated)))
+    return docs
+
+
+def _true_jaccard(a: str, b: str) -> float:
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_recalls_high_jaccard_pairs(spark):
+    from maap_data_pipelines_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = _random_corpus()
+    truth = {
+        (min(i, j), max(i, j))
+        for (i, ta), (j, tb) in itertools.combinations(docs, 2)
+        if _true_jaccard(ta, tb) >= 0.85
+    }
+    assert truth  # the corpus really has planted near-dups
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    found = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(df).collect()
+    }
+    missed = truth - found
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_blocking_is_complete(spark):
+    from maap_data_pipelines_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        _simhash_fp,
+        dedup_simhash,
+    )
+
+    docs = _random_corpus(n_docs=30, seed=13)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = {r.doc_id: r.fp for r in _simhash_fp(df).collect()}
+    truth = {
+        (min(i, j), max(i, j))
+        for i, j in itertools.combinations(fps, 2)
+        if bin(fps[i] ^ fps[j]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    found = {(r.doc_a, r.doc_b) for r in dedup_simhash(df).collect()}
+    assert found == truth  # pigeonhole: exact, no misses AND no extras
