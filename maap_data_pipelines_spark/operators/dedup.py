@@ -413,9 +413,85 @@ WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= {NGRAM_MIN_JACCARD}
 """
 
 
+# --- duplicate clusters (connected components) ----------------------------
+
+
+def dedup_clusters(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over the MinHash candidate-pair graph.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own doc_id; each round every node takes the minimum label among
+    itself and its neighbors; fixpoint = components labeled by their
+    minimum doc_id. Iterations are fully distributed joins (O(diameter)
+    rounds — near-dup clusters are shallow, so a handful); lineage is
+    truncated per round with localCheckpoint so plans stay bounded. The
+    driver only checks the convergence counter — no data crosses it.
+
+    Output: (doc_id, cluster_id) for every doc in at least one candidate
+    pair (singletons are their own implicit cluster and omitted, like a
+    dedup survivor map).
+    """
+    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH pairs_full AS ({DEDUP_MINHASH_SQL}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs_full
+  UNION
+  SELECT doc_b, doc_a FROM pairs_full
+),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT u.a, r.lab FROM und u JOIN r ON r.node = u.b
+  )
+  SELECT node, lab FROM r
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 QUERY_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

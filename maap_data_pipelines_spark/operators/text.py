@@ -211,9 +211,90 @@ FROM w
 """
 
 
+QUALITY_MIN_WORDS = 10
+QUALITY_MAX_WORDS = 1000
+QUALITY_MIN_MEAN_WLEN = 2.0
+QUALITY_MAX_MEAN_WLEN = 12.0
+QUALITY_MAX_SYMBOL_RATIO = 0.1
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """C4/Gopher-style hard quality rules -> keep flag + first-fail reason.
+
+    Rules (all from exact integer counts, single divisions):
+      word_count   : QUALITY_MIN_WORDS <= n_words <= QUALITY_MAX_WORDS
+      mean_wlen    : 2.0 <= (n_chars - n_spaces) / n_words <= 12.0
+      has_stopword : >= 1 token from the stopword list
+      symbol_ratio : non-alnum-space chars / n_chars <= 0.1
+    Reason is the FIRST failing rule in that order ('ok' if kept) —
+    deterministic, so the filter's rejection histogram is itself a
+    monitorable table.
+    """
+    words = words_col(F.col("text"))
+    n_words = _size(words)
+    n_chars = F.length(F.col("text")).cast("long")
+    n_spaces = _size(F.regexp_extract_all(F.col("text"), F.lit(" "), 0))
+    n_sym = _size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[^a-z0-9 ]"), 0))
+    n_stop = _in_list_count(F.split(F.lower(F.col("text")), " "), STOPWORDS)
+    mean_wlen = F.round((n_chars - n_spaces) / n_words, 6)
+    symbol_ratio = F.round(n_sym / n_chars, 6)
+    ok_words = (n_words >= QUALITY_MIN_WORDS) & (n_words <= QUALITY_MAX_WORDS)
+    ok_wlen = (mean_wlen >= QUALITY_MIN_MEAN_WLEN) & (
+        mean_wlen <= QUALITY_MAX_MEAN_WLEN
+    )
+    ok_stop = n_stop >= 1
+    ok_sym = symbol_ratio <= QUALITY_MAX_SYMBOL_RATIO
+    reason = (
+        F.when(~ok_words, "word_count")
+        .when(~ok_wlen, "mean_wlen")
+        .when(~ok_stop, "no_stopword")
+        .when(~ok_sym, "symbol_ratio")
+        .otherwise("ok")
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+        (ok_words & ok_wlen & ok_stop & ok_sym).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+_Q_WORDS = "len(string_split(text, ' '))"
+_Q_CHARS = "length(text)"
+_Q_SPACES = "len(regexp_extract_all(text, ' '))"
+_Q_SYM = "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))"
+_Q_STOP = _in_list_count_sql("string_split(lower(text), ' ')", STOPWORDS)
+
+QUALITY_FILTER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         {_Q_WORDS} AS n_words,
+         ROUND(({_Q_CHARS} - {_Q_SPACES}) / {_Q_WORDS}, 6) AS mean_wlen,
+         ROUND({_Q_SYM} / {_Q_CHARS}, 6) AS symbol_ratio,
+         {_Q_STOP} AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words, mean_wlen, symbol_ratio, n_stopwords,
+       (n_words BETWEEN {QUALITY_MIN_WORDS} AND {QUALITY_MAX_WORDS})
+         AND (mean_wlen BETWEEN {QUALITY_MIN_MEAN_WLEN} AND {QUALITY_MAX_MEAN_WLEN})
+         AND (n_stopwords >= 1)
+         AND (symbol_ratio <= {QUALITY_MAX_SYMBOL_RATIO}) AS keep,
+       CASE WHEN NOT (n_words BETWEEN {QUALITY_MIN_WORDS} AND {QUALITY_MAX_WORDS}) THEN 'word_count'
+            WHEN NOT (mean_wlen BETWEEN {QUALITY_MIN_MEAN_WLEN} AND {QUALITY_MAX_MEAN_WLEN}) THEN 'mean_wlen'
+            WHEN n_stopwords < 1 THEN 'no_stopword'
+            WHEN symbol_ratio > {QUALITY_MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+            ELSE 'ok' END AS reason
+FROM m
+"""
+
+
 QUERY_SQL = {
     "token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "quality_filter": QUALITY_FILTER_SQL,
 }

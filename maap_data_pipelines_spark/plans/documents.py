@@ -28,6 +28,7 @@ QUERIES = {
     "text_quality": _wrap(text.text_quality),
     "lang_id": _wrap(text.lang_id),
     "doc_fingerprint": _wrap(text.doc_fingerprint),
+    "quality_filter": _wrap(text.quality_filter),
 }
 
 ORACLES = dict(text.QUERY_SQL)

@@ -69,3 +69,33 @@ def test_ngram_jaccard_exact_value(spark):
 def test_ngram_short_docs_have_no_shingles(spark):
     df = _docs(spark, [(1, "a b"), (2, "a b")])
     assert dedup.ngram_jaccard(df).collect() == []
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    # 1=2 and 2=3 (identical texts in overlapping pairs) must land in ONE
+    # cluster labeled by the minimum doc_id, even though (1,3) may only be
+    # connected transitively.
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta iota"
+    df = _docs(spark, [(1, t1), (2, t1), (3, t1), (7, t2), (9, "x y z w v u t s")])
+    labels = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(df).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    # doc 9 shares nothing: never a candidate, absent from the cluster map
+    assert 9 not in labels
+
+
+def test_quality_filter_reasons(spark):
+    from maap_data_pipelines_spark.operators.text import quality_filter
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog here now ok", "en"),
+        (2, "too short", "en"),
+        (3, "qqqqqqqqqqqqqqqqq " * 12, "en"),  # no stopwords, huge words
+        (4, "the !!! ??? ... ;;; ::: !!! ??? ... ;;; ::: !!!", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out[1].keep and out[1].reason == "ok"
+    assert not out[2].keep and out[2].reason == "word_count"
+    assert not out[3].keep and out[3].reason == "mean_wlen"
+    assert not out[4].keep and out[4].reason in ("no_stopword", "symbol_ratio", "mean_wlen")
