@@ -39,6 +39,9 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "ngram_jaccard",
+    "quality_filter",
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",

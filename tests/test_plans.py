@@ -44,3 +44,24 @@ def test_no_cartesian_products_in_battery(spark, sf_dir):
     for key in ("q3_shipping_priority", "q5_local_supplier", "q18_large_orders"):
         plan = _physical(spark, key, sf_dir)
         assert "CartesianProduct" not in plan, key
+
+
+# Queries whose plans legitimately contain a nested-loop join: the
+# quadratic brute-force baselines (documented scale path = LSH/IVF) and
+# the K-centroid broadcast cross join of IVF assignment (fan-out bounded
+# by IVF_K=16, broadcast side is 16 rows).
+_BNLJ_ALLOWED = {"embedding_dedup", "ann_cosine_topk", "ann_ivf_topk"}
+
+
+def test_plan_hygiene_all_queries(spark, sf_dir):
+    """Whole-registry plan battery: no cartesian products anywhere, and
+    nested-loop joins only where the operator is an intentional
+    quadratic baseline."""
+    problems = []
+    for key, fn in registry.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            problems.append(f"{key}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and key not in _BNLJ_ALLOWED:
+            problems.append(f"{key}: unexpected BroadcastNestedLoopJoin")
+    assert not problems, problems
