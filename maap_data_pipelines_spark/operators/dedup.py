@@ -107,14 +107,15 @@ GROUP BY 1
 def _minhash_sig(docs: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signature, explode + 64 partial mins.
 
-    Persisted (MEMORY_AND_DISK): the signature table feeds both sides of
-    the band self-join; without materialization Catalyst re-derives the
-    whole shingle->hash->64-min pipeline per consumer (measured: 4 file
-    scans, 0 reused exchanges) — at 100 TB that is 4 full passes over the
-    corpus instead of one. The cached row is just (doc_id, 64 longs).
+    NOT persisted here: a registered lazy query can never unpersist, and
+    Spark's cacheManager pins every cached run forever — measured as
+    session-wide GC degradation after repeated executions. The band
+    self-join therefore recomputes this pipeline once per side (two
+    corpus passes — down from four before the signature array rode the
+    band rows). A production job that OWNS its action should wrap the
+    call: persist -> action -> unpersist, or checkpoint the signature
+    table to parquet and self-join that.
     """
-    from pyspark.storagelevel import StorageLevel
-
     hashed = _shingles_df(docs).select(
         "doc_id",
         (F.expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % MERSENNE_31).alias("hm"),
@@ -123,12 +124,11 @@ def _minhash_sig(docs: DataFrame) -> DataFrame:
         F.min((F.col("hm") * F.lit(a) + F.lit(b)) % MERSENNE_31).alias(f"m{j}")
         for j, (a, b) in enumerate(_COEFFS)
     ]
-    sig = (
+    return (
         hashed.groupBy("doc_id")
         .agg(*mins)
         .select("doc_id", F.array(*[f"m{j}" for j in range(NUM_PERM)]).alias("sig"))
     )
-    return sig.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _band_key(band: int):
