@@ -1,0 +1,731 @@
+"""Analytic battery part 2: the remaining TPC-H query shapes (Q2-Q22).
+
+The synthetic star schema has no ``partsupp`` table and no commit/receipt
+dates, so Q2/Q4/Q11/Q16/Q17/Q20/Q21 are faithful *shape* analogues re-keyed
+to the available columns (lineitem serves as the part<->supplier link).
+Every money column is exact integer cents (see plans/tpch.py) and every
+comparison against an average is rewritten as an exact integer
+cross-multiplication (``k * qty * cnt < sum``) so membership never depends
+on float summation order — the classic last-ulp AVG() divergence between
+engines cannot flip a row in or out.
+
+Scale notes (verified in tests/test_plans.py):
+  * nation/region stay broadcast; supplier/part join shuffled (they grow
+    with SF).
+  * scalar-subquery queries (q11, q15, q22) recompute the shared subtree
+    once per consumer — the TPC-H-spec formulation; at 100 TB the second
+    pass is a map-side-aggregating rescan, not a shuffle. A deployment
+    that owns the action can persist-around-action instead (round-2
+    lesson: never persist inside a lazy registered query).
+  * q20/q21 use per-group windows (partition key = partkey / orderkey)
+    whose partition cardinality is bounded by suppliers-per-part /
+    lines-per-order, not by SF — no single-partition collapse at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.catalog import read_table
+from .tpch import REVENUE_SQL, _cents, _revenue_cents
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per-part arg-min supplier (struct-min, no window shuffle).
+
+    For every LARGE part of size >= 40 shipped by a EUROPE supplier, pick
+    the supplier with the lowest account balance (suppkey tiebreak). The
+    arg-min is a single struct-min aggregation — lexicographic struct
+    ordering with a unique tiebreak makes it deterministic and it
+    partial-aggregates map-side (no per-part window sort).
+    """
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            _cents(F.col("s_acctbal")).alias("acct_cents"),
+            "n_name",
+        )
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "LARGE")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    best = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("acct_cents"), F.col("s_suppkey"), F.col("s_name"), F.col("n_name")
+                )
+            ).alias("b")
+        )
+    )
+    return (
+        best.select(
+            "p_partkey",
+            "p_name",
+            F.col("b.acct_cents").alias("supp_acctbal_cents"),
+            F.col("b.s_suppkey").alias("s_suppkey"),
+            F.col("b.s_name").alias("s_name"),
+            F.col("b.n_name").alias("n_name"),
+        )
+        .orderBy("supp_acctbal_cents", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acct_cents, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cand AS (
+  SELECT p_partkey, p_name, acct_cents, s_suppkey, s_name, n_name,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY acct_cents, s_suppkey) AS rn
+  FROM lineitem
+  JOIN supp ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 40 AND p_type = 'LARGE'
+)
+SELECT p_partkey, p_name, acct_cents AS supp_acctbal_cents, s_suppkey, s_name, n_name
+FROM cand WHERE rn = 1
+ORDER BY supp_acctbal_cents, p_partkey
+LIMIT 100
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS over a correlated date condition -> left-semi join.
+
+    Orders of 1996Q3 with at least one lineitem shipped > 60 days after
+    the order date, counted per priority. The EXISTS becomes a left-semi
+    join with the correlated predicate in the join condition — no
+    subquery re-evaluation per row, one shuffle on orderkey.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bidirectional nation-pair trade volume per ship year."""
+    n1 = F.broadcast(
+        read_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        read_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("s_nkey"))
+        .join(n2, cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM({REVENUE_SQL}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's part-type revenue per year.
+
+    The share is an exact int/int division of two BIGINT cent sums —
+    conditional aggregation, single pass, no self-join.
+    """
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    n_c = F.broadcast(
+        read_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+        )
+    )
+    n_s = F.broadcast(
+        read_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(
+        read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    rev = _revenue_cents()
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_c, cust.c_nationkey == F.col("c_nkey"))
+        .join(region, F.col("c_rkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n_s, supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+            ).alias("nation_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+        .withColumn(
+            "mkt_share", F.round(F.col("nation_cents") / F.col("total_cents"), 6)
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {REVENUE_SQL} ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM({REVENUE_SQL}) AS BIGINT) AS total_cents,
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {REVENUE_SQL} ELSE 0 END) AS BIGINT)
+             / CAST(SUM({REVENUE_SQL}) AS BIGINT), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: revenue by supplier nation x order year for a part family."""
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_revenue_cents()).alias("profit_cents"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM({REVENUE_SQL}) AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose NATION_7-supplied value exceeds 0.1% of total.
+
+    The threshold test is the exact integer cross-multiplication
+    ``value_cents * 1000 > total_cents`` (no float division). The scalar
+    total is a broadcast single-row join; its lineage re-aggregates the
+    same filtered scan — the TPC-H-spec double-pass, map-side combined.
+    """
+    nation = F.broadcast(
+        read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    )
+    supp = read_table(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == nation.n_nationkey, "left_semi"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    value = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = value.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        value.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+Q11_SQL = """
+WITH value AS (
+  SELECT l_partkey, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+  )
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents
+FROM value
+WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM value)
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: order-count histogram via left outer join + double agg.
+
+    ``COUNT(o_orderkey)`` counts matched rows only, so never-ordered
+    customers land in the c_count=0 bucket — outer-join semantics the
+    oracle mirrors exactly.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the max quarterly revenue.
+
+    max-equality via a broadcast single-row join against the aggregated
+    maximum (ties all surface, per spec). Exact BIGINT equality — no
+    float max hazard.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_revenue_cents()).alias("total_revenue_cents"))
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue_cents == F.col("mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, CAST(SUM({REVENUE_SQL}) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+"""
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part spec (lineitem as link)."""
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from below-avg-quantity lines of one brand.
+
+    The correlated ``l_quantity < 0.2 * AVG(l_quantity)`` becomes the
+    exact integer test ``5 * qty * cnt < sum_qty`` (quantities are
+    integral) — immune to cross-engine AVG last-ulp drift. Per-part
+    stats join back on partkey: the standard two-scan Q17 plan.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 10)
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(stats, li.l_partkey == F.col("sp_partkey"))
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sum_qty")
+        )
+    )
+    return joined.agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("total_cents")
+    ).withColumn("avg_yearly", F.round(F.col("total_cents") / F.lit(700.0), 4))
+
+
+Q17_SQL = """
+WITH stats AS (
+  SELECT l_partkey AS sp_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 700.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN stats ON l_partkey = sp_partkey
+WHERE p_brand = 'Brand#13' AND p_size < 10
+  AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs bracket predicate (pushdown/pruning showcase)."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({REVENUE_SQL}) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers shipping the majority of a part's 1996 volume.
+
+    The per-part total rides a window partitioned by partkey — partition
+    size is bounded by suppliers-per-part, not SF, so the single extra
+    sort never collapses to one task. ``2 * supp_qty > part_total`` is
+    the exact majority test.
+    """
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("cold"))
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = F.broadcast(
+        read_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    )
+    supp = read_table(spark, sf_dir, "supplier").join(
+        nation, F.col("s_nationkey") == nation.n_nationkey, "left_semi"
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+  GROUP BY l_partkey, l_suppkey
+), dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM (
+    SELECT l_suppkey, supp_qty,
+           CAST(SUM(supp_qty) OVER (PARTITION BY l_partkey) AS BIGINT) AS part_qty
+    FROM shipped
+  ) WHERE supp_qty * 2 > part_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: sole-late supplier on multi-supplier finished orders.
+
+    EXISTS/NOT-EXISTS pair folded into one pass: per (order, supplier)
+    lateness flags, then per-order counts via a window partitioned by
+    orderkey (bounded by suppliers-per-order). A supplier qualifies when
+    it is late, the order has >1 supplier, and no one else is late.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    flags = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+                ).cast("long")
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    hits = (
+        flags.withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn("nlate", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+        )
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        hits.join(supp, hits.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH flags AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), counted AS (
+  SELECT l_suppkey, late,
+         COUNT(*)  OVER (PARTITION BY l_orderkey) AS nsupp,
+         SUM(late) OVER (PARTITION BY l_orderkey) AS nlate
+  FROM flags
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM counted JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND nsupp > 1 AND nlate = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: rich never-ordered customers per country code.
+
+    ``c_acctbal > AVG(positive balances)`` is the exact integer test
+    ``acct_cents * cnt > sum_cents`` (BIGINT cross-multiplication; at
+    100 TB the product stays < 2^63). NOT EXISTS(orders) is a left-anti
+    join. The scalar stats row is broadcast.
+    """
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    cents = _cents(F.col("c_acctbal"))
+    stats = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(cents).alias("sum_cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    rich = (
+        cust.withColumn("acct_cents", cents)
+        .join(F.broadcast(stats))
+        .filter(F.col("acct_cents") * F.col("cnt") > F.col("sum_cents"))
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("acct_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_cents, c_acctbal
+  FROM customer WHERE c_nationkey < 10
+), stats AS (
+  SELECT CAST(SUM(acct_cents) AS BIGINT) AS sum_cents, COUNT(*) AS cnt
+  FROM cust WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(acct_cents) AS BIGINT) AS totacctbal_cents
+FROM cust, stats
+WHERE acct_cents * cnt > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_diversity": q16_supplier_diversity,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+}
+
+ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_type_profit": Q9_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_diversity": Q16_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q20_dominant_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+    "q22_global_sales_opportunity": Q22_SQL,
+}
