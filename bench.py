@@ -49,6 +49,13 @@ HEADLINE = [
     "orders_running_revenue",
     "build_stac_items",
     "transfer_plan",
+    # tpch2 battery representatives: multi-join profit, outer-join count
+    # distribution, per-part avg compare, per-order window, anti-join
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
 ]
 
 

@@ -270,6 +270,53 @@ WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {DEDUP_COS_THRESHO
 """
 
 
+def embedding_dedup_lsh(emb: DataFrame) -> DataFrame:
+    """Bucketed embedding near-dup pairs: the 100 TB scale path, realized.
+
+    Composes the hyperplane bucket key into the pair join that
+    ``embedding_dedup`` does quadratically: both sides compute the 16-bit
+    bucket, the self-join is an EQUI-join on bucket (shuffle hash join,
+    fan-out bounded by bucket occupancy ~ N/2^16), and exact cosine runs
+    only within buckets. Recall trade (documented): pairs whose vectors
+    disagree on any hyperplane sign are missed — raise recall by unioning
+    rotated plane sets, same shape.
+
+    Output: (bucket, vec_a, vec_b, cosine) for within-bucket cosine >=
+    DEDUP_COS_THRESHOLD.
+    """
+    withb = emb.select(
+        "vec_id", "embedding", bucket_col("embedding").alias("bucket")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "bucket",
+            "vec_a",
+            "vec_b",
+            F.round(cosine_cols("ea", "eb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DEDUP_COS_THRESHOLD)
+    )
+
+
+EMBEDDING_DEDUP_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_sql('embedding')}) AS bucket FROM embeddings
+)
+SELECT a.bucket, a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       ROUND({cosine_sql('a.embedding', 'b2.embedding')}, 6) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE ROUND({cosine_sql('a.embedding', 'b2.embedding')}, 6) >= {DEDUP_COS_THRESHOLD}
+"""
+
+
 IVF_K = 16
 IVF_TOPK = 5
 
@@ -368,5 +415,6 @@ QUERY_SQL = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_dedup": EMBEDDING_DEDUP_SQL,
+    "embedding_dedup_lsh": EMBEDDING_DEDUP_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
 }

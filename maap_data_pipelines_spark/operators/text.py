@@ -291,10 +291,142 @@ FROM m
 """
 
 
+TOPK_TERMS = 20
+TFIDF_TOPK = 3
+
+
+def term_topk(docs: DataFrame) -> DataFrame:
+    """Global top-20 terms by occurrence count (term asc tiebreak).
+
+    Scale shape: explode -> hash-agg on term (map-side combine collapses
+    each partition's counts before the shuffle), then a global top-k via
+    ``orderBy().limit()`` — Spark plans TakeOrderedAndProject: each
+    partition keeps its local top-20, only ~partitions*20 rows reach the
+    driver-side merge. No single partition ever sorts the whole vocab.
+    """
+    from pyspark.sql.window import Window
+
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    counts = (
+        docs.select(word)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(TOPK_TERMS)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "term")
+    return counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+TERM_TOPK_SQL = f"""
+WITH c AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS n_occurrences FROM c GROUP BY term
+  ORDER BY n_occurrences DESC, term LIMIT {TOPK_TERMS}
+)
+SELECT term, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, term) AS rnk
+FROM counts
+"""
+
+
+def bigram_topk(docs: DataFrame) -> DataFrame:
+    """Global top-20 adjacent-word bigrams.
+
+    The bigram list is built with ``arrays_zip(slice(w,1,n-1),
+    slice(w,2,n-1))`` — all built-in array expressions, no higher-order
+    lambdas (those run interpreted, measured 10-100x slower; see
+    doc_fingerprint history) — then explode + hash-agg + the same
+    TakeOrderedAndProject top-k as :func:`term_topk`.
+    """
+    from pyspark.sql.window import Window
+
+    words = words_col(F.lower(F.col("text")))
+    n = F.size(words)
+    z = F.arrays_zip(
+        F.slice(words, 1, n - 1).alias("w1"), F.slice(words, 2, n - 1).alias("w2")
+    )
+    counts = (
+        docs.select(F.explode(z).alias("bg"))
+        .select(F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(TOPK_TERMS)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "bigram")
+    return counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+BIGRAM_TOPK_SQL = f"""
+WITH w AS (
+  SELECT string_split(lower(text), ' ') AS ws FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w
+),
+counts AS (
+  SELECT bigram, COUNT(*) AS n_occurrences FROM b GROUP BY bigram
+  ORDER BY n_occurrences DESC, bigram LIMIT {TOPK_TERMS}
+)
+SELECT bigram, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, bigram) AS rnk
+FROM counts
+"""
+
+
+def tfidf_top_terms(docs: DataFrame) -> DataFrame:
+    """Per-document top-3 distinctive terms, integer-exact TF-IDF ranking.
+
+    Ranks by (tf desc, df asc, term asc) — the same ordering tf*log(N/df)
+    induces for fixed tf, with no float logarithm to diverge between
+    engines. Two hash-aggs (doc-term tf, then term df) + a shuffle join on
+    term + a per-doc window whose partition size is bounded by distinct
+    terms per document, not by corpus size. The term join key is skewed
+    toward stopwords at web scale — AQE skew-join splits those reducers.
+    """
+    from pyspark.sql.window import Window
+
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    tf = (
+        docs.select("doc_id", word)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "df", "term")
+    return (
+        tf.join(df_, "term")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rnk
+FROM tf JOIN df USING (term)
+QUALIFY rnk <= {TFIDF_TOPK}
+"""
+
+
 QUERY_SQL = {
     "token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "quality_filter": QUALITY_FILTER_SQL,
+    "term_topk": TERM_TOPK_SQL,
+    "bigram_topk": BIGRAM_TOPK_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
 }

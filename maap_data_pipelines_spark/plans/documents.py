@@ -29,6 +29,9 @@ QUERIES = {
     "lang_id": _wrap(text.lang_id),
     "doc_fingerprint": _wrap(text.doc_fingerprint),
     "quality_filter": _wrap(text.quality_filter),
+    "term_topk": _wrap(text.term_topk),
+    "bigram_topk": _wrap(text.bigram_topk),
+    "tfidf_top_terms": _wrap(text.tfidf_top_terms),
 }
 
 ORACLES = dict(text.QUERY_SQL)

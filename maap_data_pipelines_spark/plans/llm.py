@@ -39,6 +39,7 @@ QUERIES = {
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),
     "embedding_dedup": _emb_plan(ann.embedding_dedup),
+    "embedding_dedup_lsh": _emb_plan(ann.embedding_dedup_lsh),
     "ann_ivf_topk": _emb_plan(ann.ann_ivf_topk),
 }
 
