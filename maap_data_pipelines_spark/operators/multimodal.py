@@ -101,6 +101,54 @@ def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
     return media.mapInPandas(_batches, schema=schema)
 
 
+FRAME_BYTES = 64
+FRAME_SAMPLE_EVERY = 4
+
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """Sample every 4th fixed-size frame from each payload (fan-out).
+
+    The video-pipeline plumbing shape: one binary row in, one row per
+    SAMPLED frame out, via Arrow-batched ``mapInPandas`` — zero shuffle,
+    embarrassingly parallel, output partitioning inherited from the scan.
+    The stub "decode" treats the payload as a flat byte stream chopped
+    into FRAME_BYTES-byte frames (a real deployment swaps in an ffmpeg
+    keyframe reader with the identical signature); the checksum is the
+    exact int64 sum of frame bytes, so the whole fan-out is
+    oracle-checkable (payloads are ASCII text bytes, so byte slices ==
+    char slices in the SQL rendering).
+    """
+    import numpy as np
+
+    schema = "doc_id bigint, frame_idx bigint, n_frame_bytes bigint, checksum bigint"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            sums: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_frames = -(-len(arr) // FRAME_BYTES)  # ceil
+                for k in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                    fr = arr[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    doc_ids.append(int(doc_id))
+                    idxs.append(k)
+                    sizes.append(len(fr))
+                    sums.append(int(fr.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_batches, schema=schema)
+
+
 def media_metadata_summary(media: DataFrame) -> DataFrame:
     """Metadata-only rollup — never touches the payload column.
 

@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import extract_features, make_media_df, media_metadata_summary
+from ..operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_SAMPLE_EVERY,
+    extract_features,
+    frame_sample,
+    make_media_df,
+    media_metadata_summary,
+)
 from ..sources.catalog import read_table
 
 
@@ -45,12 +52,38 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(make_media_df(docs), allow_stub=True)
 
 
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_sample(make_media_df(docs))
+
+
+# Payloads are the UTF-8 text bytes and the corpus is ASCII, so a byte
+# frame is a char substring and the byte checksum is the codepoint sum.
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+f AS (
+  SELECT doc_id, k AS frame_idx,
+         substring(text, CAST(k * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}) AS frame
+  FROM m, UNNEST(range(0, CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT))) AS t(k)
+  WHERE k % {FRAME_SAMPLE_EVERY} = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(length(frame) AS BIGINT) AS n_frame_bytes,
+       CAST(list_sum(list_transform(range(1, length(frame) + 1),
+                                    i -> ord(substring(frame, CAST(i AS INT), 1))))
+            AS BIGINT) AS checksum
+FROM f
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
+    "media_frame_sample": media_frame_sample,
 }
 
 ORACLES = {
     "media_metadata": MEDIA_METADATA_SQL,
     # media_features: rows-only (binary histogram not SQL-expressible)
+    "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
 }

@@ -51,3 +51,18 @@ def test_metadata_summary_prunes_payload(spark):
     # payload must not survive into the aggregation plan's input columns
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan.split("Aggregate")[0] or True  # plan text sanity
+
+
+def test_frame_sample_fanout_and_checksums(spark):
+    # 150-char payload -> ceil(150/64)=3 frames, sampled every 4 -> frame 0 only;
+    # 300-char payload -> 5 frames -> frames 0 and 4 (4 is the 44-byte tail)
+    docs = _docs(spark, [(1, "a" * 150), (2, "b" * 300)])
+    media = multimodal.make_media_df(docs)
+    rows = {
+        (r.doc_id, r.frame_idx): r for r in multimodal.frame_sample(media).collect()
+    }
+    assert set(rows) == {(1, 0), (2, 0), (2, 4)}
+    assert rows[(1, 0)].n_frame_bytes == 64
+    assert rows[(1, 0)].checksum == 64 * ord("a")
+    assert rows[(2, 4)].n_frame_bytes == 300 - 4 * 64
+    assert rows[(2, 4)].checksum == (300 - 4 * 64) * ord("b")

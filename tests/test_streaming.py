@@ -98,6 +98,72 @@ def test_streaming_sessionize_merges_gap_windows(spark, tmp_path):
     assert len(by_user[2]) == 1 and by_user[2][0].n_events == 1
 
 
+def test_stateful_sessionize_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState: gap-close within data, timeout via watermark.
+
+    user 1: events at 00:00/00:10 then 02:10 — the 02:10 event closes the
+    first session ('gap'); the second session must then be closed by
+    TIMEOUT once the watermark (max_ts - 2h) passes 02:10 + 30min, which
+    the user-99 sentinel at 10:00 provides. A final empty-ish batch (user
+    99 at 10:01) runs the timeout sweep. user 99's own session stays open
+    (watermark never reaches 10:31) and must NOT be emitted.
+    """
+    import os
+
+    from maap_data_pipelines_spark.streaming.stateful import (
+        streaming_sessionize_stateful,
+    )
+
+    src = tmp_path / "stateful"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T02:10:00", "user_id": 1, "event_type": "view", "value": 4.0, "props": "{}"},
+        ],
+    )
+    _write_events(
+        src / "b2.json",
+        [{"event_id": 4, "ts": "2024-01-01T10:00:00", "user_id": 99, "event_type": "view", "value": 8.0, "props": "{}"}],
+    )
+    _write_events(
+        src / "b3.json",
+        [{"event_id": 5, "ts": "2024-01-01T10:01:00", "user_id": 99, "event_type": "view", "value": 1.0, "props": "{}"}],
+    )
+    # file source orders micro-batches by mtime: force b1 < b2 < b3
+    base = time.time() - 100
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json"]):
+        os.utime(src / name, (base + i, base + i))
+
+    df = streaming_sessionize_stateful(spark, str(src))
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("stateful_sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    rows = spark.sql(
+        "SELECT * FROM stateful_sessions_test ORDER BY user_id, session_start"
+    ).collect()
+    assert [r.user_id for r in rows] == [1, 1]  # user 99 still open
+    gap_sess, timeout_sess = rows
+    assert gap_sess.closed_by == "gap"
+    assert gap_sess.n_events == 2 and gap_sess.value_cents == 300
+    assert gap_sess.session_start.isoformat() == "2024-01-01T00:00:00"
+    assert gap_sess.session_end.isoformat() == "2024-01-01T00:10:00"
+    assert timeout_sess.closed_by == "timeout"
+    assert timeout_sess.n_events == 1 and timeout_sess.value_cents == 400
+
+
 def test_streaming_plan_is_stateful_windowed(spark, tmp_path):
     from maap_data_pipelines_spark.streaming.rollup import streaming_hourly_rollup
 
