@@ -56,6 +56,9 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    # warehouse ETL + pivot
+    "orders_scd2",
+    "events_type_pivot",
 ]
 
 

@@ -323,6 +323,46 @@ GROUP BY event_type
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity matrix: event types pivoted to columns.
+
+    ``pivot`` with the EXPLICIT value list — omitting it costs an extra
+    distinct-scan job to discover the types, and an unbounded type set
+    would make the schema data-dependent (a 100 TB anti-pattern). With
+    fixed values the plan is a single hash-agg over (user, day), map-side
+    combined, identical in shape to a conditional-sum rollup.
+    """
+    ev = read_events(spark, sf_dir)
+    day_us = (F.col("ts_us") - F.col("ts_us") % (24 * _HOUR_US)).alias("day_us")
+    piv = (
+        ev.groupBy(F.col("user_id"), day_us)
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    zeroed = [
+        F.coalesce(F.col(t).cast("long"), F.lit(0).cast("long")).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return piv.select("user_id", "day_us", *zeroed)
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in EVENT_TYPES
+)
+
+PIVOT_SQL = f"""
+SELECT user_id,
+       (epoch_us(ts) - epoch_us(ts) % {24 * _HOUR_US}) AS day_us,
+       {_PIVOT_COLS}
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
@@ -331,6 +371,7 @@ QUERIES = {
     "events_asof_attribution": events_asof_attribution,
     "events_rollup_multigrain": events_rollup_multigrain,
     "events_value_quantiles": events_value_quantiles,
+    "events_type_pivot": events_type_pivot,
 }
 
 ORACLES = {
@@ -341,4 +382,5 @@ ORACLES = {
     "events_asof_attribution": ASOF_SQL,
     "events_rollup_multigrain": MULTIGRAIN_SQL,
     "events_value_quantiles": QUANTILES_SQL,
+    "events_type_pivot": PIVOT_SQL,
 }

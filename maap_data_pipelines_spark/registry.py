@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import documents, events, llm, multimodal, stac, tpch, tpch2
+from .plans import documents, etl, events, llm, multimodal, stac, tpch, tpch2
 
-_MODULES = [tpch, tpch2, events, documents, llm, stac, multimodal]
+_MODULES = [tpch, tpch2, events, documents, llm, stac, multimodal, etl]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
