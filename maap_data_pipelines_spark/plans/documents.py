@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import text
+from ..operators import bpe, text
 from ..sources.catalog import read_table
 
 
@@ -32,6 +32,9 @@ QUERIES = {
     "term_topk": _wrap(text.term_topk),
     "bigram_topk": _wrap(text.bigram_topk),
     "tfidf_top_terms": _wrap(text.tfidf_top_terms),
+    "bpe_token_stats": _wrap(bpe.bpe_token_stats),
 }
 
+# bpe_token_stats: rows-only (iterative merge application is not
+# SQL-expressible; exact tokenizations pinned in tests/test_bpe.py)
 ORACLES = dict(text.QUERY_SQL)
