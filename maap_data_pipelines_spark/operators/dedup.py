@@ -101,6 +101,47 @@ GROUP BY 1
 """
 
 
+INCREMENTAL_BATCH_SOURCE = "src19"
+
+
+def dedup_incremental(docs: DataFrame) -> DataFrame:
+    """Incremental dedup: admit only batch docs new to the corpus.
+
+    The steady-state ingest shape: an incoming batch (here: source =
+    INCREMENTAL_BATCH_SOURCE) is first deduped WITHIN the batch (min
+    doc_id per content hash), then anti-joined against the existing
+    corpus's hash set. Both joins shuffle on the content hash — at
+    100 TB the anti-join probe side is one row per distinct incoming
+    text, and the corpus side one row per distinct existing text, both
+    far smaller than their doc counts.
+    """
+    is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
+    incoming = (
+        docs.filter(is_batch)
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    existing = docs.filter(~is_batch).select(F.md5(F.col("text")).alias("text_md5"))
+    return incoming.join(existing, "text_md5", "left_anti").select(
+        "doc_id", "text_md5"
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH inc AS (
+  SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id
+  FROM documents WHERE source = '{INCREMENTAL_BATCH_SOURCE}'
+  GROUP BY 1
+)
+SELECT doc_id, text_md5
+FROM inc
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents d
+  WHERE d.source <> '{INCREMENTAL_BATCH_SOURCE}' AND md5(d.text) = inc.text_md5
+)
+"""
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 
@@ -490,6 +531,7 @@ FROM reach GROUP BY node
 
 QUERY_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,

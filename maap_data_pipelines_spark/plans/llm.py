@@ -32,6 +32,7 @@ def _emb_plan(op):
 
 QUERIES = {
     "dedup_exact": _doc_plan(dedup.dedup_exact),
+    "dedup_incremental": _doc_plan(dedup.dedup_incremental),
     "dedup_minhash_lsh": _doc_plan(dedup.dedup_minhash_lsh),
     "dedup_simhash": _doc_plan(dedup.dedup_simhash),
     "ngram_jaccard": _doc_plan(dedup.ngram_jaccard),
