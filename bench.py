@@ -56,9 +56,10 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
-    # warehouse ETL + pivot
+    # warehouse ETL + pivot + banded range join
     "orders_scd2",
     "events_type_pivot",
+    "events_purchase_context",
 ]
 
 

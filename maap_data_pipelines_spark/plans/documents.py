@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import bpe, text
+from ..operators.profile import profile_columns, profile_sql
 from ..sources.catalog import read_table
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(read_table(spark, sf_dir, "documents"), DOC_COLS)
 
 
 def _wrap(op):
@@ -33,8 +40,10 @@ QUERIES = {
     "bigram_topk": _wrap(text.bigram_topk),
     "tfidf_top_terms": _wrap(text.tfidf_top_terms),
     "bpe_token_stats": _wrap(bpe.bpe_token_stats),
+    "documents_profile": documents_profile,
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not
 # SQL-expressible; exact tokenizations pinned in tests/test_bpe.py)
 ORACLES = dict(text.QUERY_SQL)
+ORACLES["documents_profile"] = profile_sql("documents", DOC_COLS)

@@ -323,6 +323,63 @@ GROUP BY event_type
 """
 
 
+RANGE_WINDOW_US = 5 * 60 * 1_000_000  # ±5 minutes
+
+
+def events_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: events within ±5 min of each purchase (same user).
+
+    A naive range join (``ON a.user=b.user AND abs(a.ts-b.ts)<=W``) has no
+    equi-condition on time, so engines fall back to a per-user nested
+    loop — quadratic in events-per-user. The scale-safe formulation
+    BANDS time into W-sized buckets and turns the range predicate into an
+    equi-join: each purchase probes exactly 3 bucket keys (its own and
+    both neighbors, exploded on the build side), then the exact |dt| <= W
+    filter runs on the bounded candidate set. Join key (user_id, bucket)
+    — fan-out is events-per-user-per-10min, never events-per-user².
+    """
+    ev = read_events(spark, sf_dir)
+    # integer div, not float: a float quotient could round across a bucket
+    # boundary and break the 3-bucket completeness guarantee
+    bucket = F.expr(f"ts_us div {RANGE_WINDOW_US}")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts_us").alias("purchase_us"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    others = ev.select(
+        "user_id",
+        F.col("event_id").alias("ctx_event_id"),
+        F.col("ts_us").alias("ctx_us"),
+        bucket.alias("bucket"),
+    )
+    return (
+        purchases.join(others, ["user_id", "bucket"])
+        .filter(
+            (F.abs(F.col("ctx_us") - F.col("purchase_us")) <= RANGE_WINDOW_US)
+            & (F.col("ctx_event_id") != F.col("purchase_event_id"))
+        )
+        .groupBy("user_id", "purchase_event_id", "purchase_us")
+        .agg(F.count(F.lit(1)).alias("n_context_events"))
+    )
+
+
+PURCHASE_CONTEXT_SQL = f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)
+SELECT p.user_id, p.event_id AS purchase_event_id, p.ts_us AS purchase_us,
+       COUNT(*) AS n_context_events
+FROM ev p JOIN ev c
+  ON p.user_id = c.user_id
+ AND abs(c.ts_us - p.ts_us) <= {RANGE_WINDOW_US}
+ AND c.event_id <> p.event_id
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -372,6 +429,7 @@ QUERIES = {
     "events_rollup_multigrain": events_rollup_multigrain,
     "events_value_quantiles": events_value_quantiles,
     "events_type_pivot": events_type_pivot,
+    "events_purchase_context": events_purchase_context,
 }
 
 ORACLES = {
@@ -383,4 +441,5 @@ ORACLES = {
     "events_rollup_multigrain": MULTIGRAIN_SQL,
     "events_value_quantiles": QUANTILES_SQL,
     "events_type_pivot": PIVOT_SQL,
+    "events_purchase_context": PURCHASE_CONTEXT_SQL,
 }
