@@ -47,6 +47,35 @@ def write_items_partitioned(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key.
+
+    Bucketing is the 100 TB co-location lever: every table bucketed the
+    same way on the same key joins with ZERO exchange on either side —
+    the shuffle is paid once at write time instead of once per query.
+    Fact-to-fact joins (orders x lineitem on orderkey) are where this
+    wins; broadcast already covers the small-dim case. Requires a
+    metastore table (saveAsTable), not a bare path — bucket metadata
+    lives in the catalog.
+    """
+    w = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path is not None:  # external table (explicit location)
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def dry_run_transport(payload: list[str], endpoint: str) -> int:
     """Default transport: no network in this environment — pretend 200.
 
