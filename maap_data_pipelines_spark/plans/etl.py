@@ -131,14 +131,148 @@ WHERE {_GATE_SQL} < {SAMPLE_PER_MILLE}
 """
 
 
+SAMPLE_K_PER_STRATUM = 5
+
+
+def doc_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (hash-ranked).
+
+    Rate gates (above) keep ~p% but the count per stratum varies; eval
+    sets usually need EXACTLY k per stratum. Ranking by a per-row hash
+    inside each stratum gives a uniform, reproducible choice; the window
+    partition is one stratum, whose candidate count is bounded by the
+    stratum size — and rank-limit pushdown (WindowGroupLimit) keeps only
+    k rows per map partition before the shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    rank_hash = md5_long(F.concat(F.lit("k:"), F.col("doc_id")))
+    w = Window.partitionBy("source").orderBy(rank_hash.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", rank_hash.alias("rank_hash"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= SAMPLE_K_PER_STRATUM)
+    )
+
+
+_k_hash = md5_long_sql("'k:' || doc_id")
+
+DOC_SAMPLE_K_SQL = f"""
+SELECT doc_id, source, {_k_hash} AS rank_hash,
+       row_number() OVER (PARTITION BY source ORDER BY {_k_hash}, doc_id) AS rnk
+FROM documents
+QUALIFY rnk <= {SAMPLE_K_PER_STRATUM}
+"""
+
+
+def documents_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-source integrity checksum.
+
+    Sum-of-row-hashes mod 2^31-1 plus row count: any changed, added, or
+    dropped row flips the digest, and the commutative sum makes the
+    result independent of partitioning/order — the cheap cross-cluster
+    "did the copy land intact" check. One scan, map-side combine.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    row_hash = md5_long(
+        F.concat_ws("\x1f", F.col("doc_id"), F.col("text"), F.col("lang"))
+    ) % F.lit(2_147_483_647)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(row_hash), F.lit(2_147_483_647).cast("long")).alias("digest"),
+    )
+
+
+_row_hash = md5_long_sql(
+    "doc_id || chr(31) || text || chr(31) || lang"
+)
+
+DOC_CHECKSUM_SQL = f"""
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(({_row_hash}) % 2147483647) % 2147483647 AS BIGINT) AS digest
+FROM documents
+GROUP BY source
+"""
+
+
+SNAPSHOT_SPLIT_DATE = "1998-01-01"
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: per customer, old state vs new state.
+
+    Old snapshot = latest order before SNAPSHOT_SPLIT_DATE per customer,
+    new snapshot = latest order overall; full-outer join on the entity
+    key classifies each customer as added / changed / unchanged. The two
+    snapshot builds are struct-max aggregations (map-side combined, no
+    window sort); the diff is one co-partitioned join on custkey.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    pick = F.max(
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    ).alias("latest")
+
+    def snap(df):
+        return df.groupBy("o_custkey").agg(pick).select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("latest.o_orderkey").alias("orderkey"),
+        )
+
+    old = snap(orders.filter(F.col("o_orderdate") < SNAPSHOT_SPLIT_DATE))
+    new = snap(orders)
+    status = (
+        F.when(F.col("o_old.orderkey").isNull(), "added")
+        .when(F.col("o_old.orderkey") != F.col("o_new.orderkey"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.alias("o_old")
+        .join(new.alias("o_new"), F.col("o_old.custkey") == F.col("o_new.custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("o_new.custkey"), F.col("o_old.custkey")).alias("custkey"),
+            F.col("o_old.orderkey").alias("old_orderkey"),
+            F.col("o_new.orderkey").alias("new_orderkey"),
+            status.alias("status"),
+        )
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey
+  FROM orders WHERE o_orderdate < '{SNAPSHOT_SPLIT_DATE}'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+new AS (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+)
+SELECT COALESCE(new.custkey, old.custkey) AS custkey,
+       old.orderkey AS old_orderkey,
+       new.orderkey AS new_orderkey,
+       CASE WHEN old.orderkey IS NULL THEN 'added'
+            WHEN old.orderkey <> new.orderkey THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.custkey = new.custkey
+"""
+
+
 QUERIES = {
     "orders_scd2": orders_scd2,
     "doc_split_assign": doc_split_assign,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_sample_exact_k": doc_sample_exact_k,
+    "documents_checksum": documents_checksum,
+    "orders_snapshot_diff": orders_snapshot_diff,
 }
 
 ORACLES = {
     "orders_scd2": ORDERS_SCD2_SQL,
     "doc_split_assign": DOC_SPLIT_SQL,
     "doc_stratified_sample": DOC_SAMPLE_SQL,
+    "doc_sample_exact_k": DOC_SAMPLE_K_SQL,
+    "documents_checksum": DOC_CHECKSUM_SQL,
+    "orders_snapshot_diff": SNAPSHOT_DIFF_SQL,
 }
