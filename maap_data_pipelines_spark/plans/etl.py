@@ -259,6 +259,114 @@ FROM old FULL OUTER JOIN new ON old.custkey = new.custkey
 """
 
 
+COMPACTION_TARGET_BYTES = 4000
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: pack files into target-size bins.
+
+    The catalog-maintenance op a 100 TB lake needs continuously: within
+    each partition (source), order files deterministically, take the
+    running byte total, and assign bin = floor(cumulative_before /
+    target). Greedy-by-running-sum packs every bin to >= target except
+    the last, in ONE window pass — no driver-side loop over files. The
+    window partitions by source, so parallelism = partition count and no
+    single task sees the whole listing.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("long")
+    return docs.select(
+        "source",
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("n_bytes"),
+        (cum_before / COMPACTION_TARGET_BYTES).cast("long").alias("bin_id"),
+    )
+
+
+COMPACTION_SQL = f"""
+SELECT source, doc_id AS file_id, n_chars AS n_bytes,
+       CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {COMPACTION_TARGET_BYTES}.0) AS BIGINT) AS bin_id
+FROM documents
+"""
+
+
+DQ_MAX_PRICE_CENTS = 60_000_000  # plausibility ceiling for o_totalprice
+
+
+def orders_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations → violations-per-rule table.
+
+    The pre-promotion gate: each rule is one conditional aggregate over a
+    single shared scan (map-side combined), except referential integrity
+    which is an anti-join against the customer keys. Output one row per
+    rule with its violation count — zero rows violated == promote.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rules = orders.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_orderkey"),
+        F.sum(F.when(cents <= 0, 1).otherwise(0)).cast("long").alias("nonpos_price"),
+        F.sum(F.when(cents > DQ_MAX_PRICE_CENTS, 1).otherwise(0))
+        .cast("long")
+        .alias("price_above_cap"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_status"),
+    )
+    orphan = (
+        orders.join(cust, orders.o_custkey == cust.ck, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orphan_custkey").alias("rule"), "n_violations")
+    )
+    stack = ", ".join(
+        f"'{r}', {r}"
+        for r in ("null_orderkey", "nonpos_price", "price_above_cap", "bad_status")
+    )
+    stacked = rules.select(
+        F.expr(f"stack(4, {stack}) AS (rule, n_violations)")
+    )
+    return stacked.unionByName(orphan)
+
+
+DQ_SQL = f"""
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+    CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+    CAST(SUM(CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) > {DQ_MAX_PRICE_CENTS} THEN 1 ELSE 0 END) AS BIGINT) AS price_above_cap,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+  FROM orders
+),
+orph AS (
+  SELECT COUNT(*) AS orphan_custkey
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT r.rule, r.n_violations
+FROM agg, orph,
+LATERAL (VALUES ('null_orderkey', null_orderkey),
+                ('nonpos_price', nonpos_price),
+                ('price_above_cap', price_above_cap),
+                ('bad_status', bad_status),
+                ('orphan_custkey', orphan_custkey)) AS r(rule, n_violations)
+"""
+
+
 QUERIES = {
     "orders_scd2": orders_scd2,
     "doc_split_assign": doc_split_assign,
@@ -266,6 +374,8 @@ QUERIES = {
     "doc_sample_exact_k": doc_sample_exact_k,
     "documents_checksum": documents_checksum,
     "orders_snapshot_diff": orders_snapshot_diff,
+    "compaction_plan": compaction_plan,
+    "orders_dq_expectations": orders_dq_expectations,
 }
 
 ORACLES = {
@@ -275,4 +385,6 @@ ORACLES = {
     "doc_sample_exact_k": DOC_SAMPLE_K_SQL,
     "documents_checksum": DOC_CHECKSUM_SQL,
     "orders_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "compaction_plan": COMPACTION_SQL,
+    "orders_dq_expectations": DQ_SQL,
 }
