@@ -420,6 +420,82 @@ QUALIFY rnk <= {TFIDF_TOPK}
 """
 
 
+VOCAB_SRC_A = "src0"
+VOCAB_SRC_B = "src1"
+
+
+def vocab_diff(docs: DataFrame) -> DataFrame:
+    """Set difference of vocabularies: terms in src0 docs but not src1.
+
+    EXCEPT (DISTINCT) between the two per-source vocabularies — both
+    sides collapse to distinct terms BEFORE the set op, so the anti-join
+    shuffle carries vocab-sized, not corpus-sized, rows.
+    """
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    va = docs.filter(F.col("source") == VOCAB_SRC_A).select(word).distinct()
+    vb = docs.filter(F.col("source") == VOCAB_SRC_B).select(word).distinct()
+    return va.exceptAll(vb).distinct()
+
+
+VOCAB_DIFF_SQL = f"""
+SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term
+FROM documents WHERE source = '{VOCAB_SRC_A}'
+EXCEPT
+SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term
+FROM documents WHERE source = '{VOCAB_SRC_B}'
+"""
+
+
+def fuzzy_word_pairs(docs: DataFrame) -> DataFrame:
+    """Edit-distance-1 word pairs via deletion-neighborhood blocking.
+
+    The SymSpell trick makes fuzzy matching an EQUI-join: every word
+    emits itself plus its 1-deletion variants as block keys; any pair
+    within Levenshtein 1 (insert/delete/substitute) shares at least one
+    key, so candidates come from a key self-join — never an all-pairs
+    cross join — and the exact ``levenshtein() <= 1`` filter runs on the
+    bounded candidate set only. The interpreted ``transform`` lambda that
+    generates variants runs on the DISTINCT-vocab table (tiny relative to
+    the corpus), not per occurrence — the same vocabulary-first pattern
+    as the BPE tokenizer.
+    """
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("word")
+    vocab = docs.select(word).distinct()
+    variants = vocab.select(
+        "word",
+        F.explode(
+            F.concat(
+                F.array(F.col("word")),
+                F.expr(
+                    "transform(sequence(1, length(word)), "
+                    "i -> concat(substring(word, 1, i - 1), substring(word, i + 1, length(word))))"
+                ),
+            )
+        ).alias("vkey"),
+    ).distinct()
+    a = variants.select(F.col("word").alias("word_a"), "vkey")
+    b = variants.select(F.col("word").alias("word_b"), "vkey")
+    return (
+        a.join(b, "vkey")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("word_a", "word_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+    )
+
+
+FUZZY_WORD_PAIRS_SQL = """
+WITH v AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word FROM documents
+)
+SELECT a.word AS word_a, b.word AS word_b,
+       CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) <= 1
+"""
+
+
 QUERY_SQL = {
     "token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
@@ -429,4 +505,6 @@ QUERY_SQL = {
     "term_topk": TERM_TOPK_SQL,
     "bigram_topk": BIGRAM_TOPK_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "vocab_diff": VOCAB_DIFF_SQL,
+    "fuzzy_word_pairs": FUZZY_WORD_PAIRS_SQL,
 }

@@ -40,6 +40,8 @@ QUERIES = {
     "bigram_topk": _wrap(text.bigram_topk),
     "tfidf_top_terms": _wrap(text.tfidf_top_terms),
     "bpe_token_stats": _wrap(bpe.bpe_token_stats),
+    "vocab_diff": _wrap(text.vocab_diff),
+    "fuzzy_word_pairs": _wrap(text.fuzzy_word_pairs),
     "documents_profile": documents_profile,
 }
 

@@ -420,6 +420,37 @@ GROUP BY 1, 2
 """
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping sets in one pass.
+
+    Complements `events_rollup_multigrain` (ROLLUP = the hierarchy
+    prefixes) with the full lattice; grouping_id disambiguates subtotal
+    rows from genuine NULL keys. One Expand + one shuffle.
+    """
+    ev = read_events(spark, sf_dir)
+    day_us = (F.col("ts_us") - F.col("ts_us") % (24 * _HOUR_US)).alias("day_us")
+    return (
+        ev.select("event_type", day_us, "value")
+        .cube("event_type", "day_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT event_type,
+       (epoch_us(ts) - epoch_us(ts) % {24 * _HOUR_US}) AS day_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day_us) AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE (event_type, day_us)
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sessionize": events_sessionize,
@@ -430,6 +461,7 @@ QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "events_type_pivot": events_type_pivot,
     "events_purchase_context": events_purchase_context,
+    "events_cube": events_cube,
 }
 
 ORACLES = {
@@ -442,4 +474,5 @@ ORACLES = {
     "events_value_quantiles": QUANTILES_SQL,
     "events_type_pivot": PIVOT_SQL,
     "events_purchase_context": PURCHASE_CONTEXT_SQL,
+    "events_cube": CUBE_SQL,
 }

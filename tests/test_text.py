@@ -50,3 +50,46 @@ def test_doc_fingerprint_order_sensitive(spark):
     df2 = _docs(spark, [(3, "alpha beta", "en")])
     again = text.doc_fingerprint(df2).collect()[0].fingerprint
     assert again == rows[1]  # deterministic
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_vocab_diff_set_semantics(spark):
+    df = _docs_src(
+        spark,
+        [
+            (1, "apple banana cherry", "src0"),
+            (2, "banana date", "src0"),
+            (3, "banana cherry elder", "src1"),
+        ],
+    )
+    terms = {r.term for r in text.vocab_diff(df).collect()}
+    assert terms == {"apple", "date"}  # in src0, absent from src1
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_word_pairs_blocking_complete(spark):
+    words = ["cat", "cot", "coat", "cart", "act", "dog", "dot", "spark"]
+    df = _docs_src(spark, [(0, " ".join(words), "src0")])
+    got = {(r.word_a, r.word_b) for r in text.fuzzy_word_pairs(df).collect()}
+    expected = {
+        (a, b)
+        for i, a in enumerate(sorted(words))
+        for b in sorted(words)[i + 1 :]
+        if _lev(a, b) <= 1
+    }
+    assert got == expected
+    assert ("cat", "cot") in got  # substitution
+    assert ("cat", "coat") in got  # insertion
+    assert ("coat", "cot") in got  # deletion
