@@ -105,6 +105,42 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    spark: SparkSession, source_dir: str, fmt: str = "json"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence wins within the watermark.
+
+    Streaming twin of the batch ``dedup_exact`` / ``dedup_incremental``
+    family: the content key is hashed and
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded state (keys seen in the last 2 h), exactly
+    the replay/at-least-once-delivery guard an ingest topic needs.
+    Duplicates further apart than the watermark are deliberately let
+    through (they belong to batch reconciliation, e.g.
+    ``dedup_incremental``).
+    """
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format(fmt)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    content_hash = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+        )
+    )
+    return (
+        stream.withColumn("content_hash", content_hash)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def run_available_now(
     spark: SparkSession, source_dir: str, query_name: str = "rollup", fmt: str = "json"
 ):

@@ -164,6 +164,36 @@ def test_stateful_sessionize_gap_and_timeout(spark, tmp_path):
     assert timeout_sess.n_events == 1 and timeout_sess.value_cents == 400
 
 
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """A replayed event (same content, later file) is emitted only once."""
+    from maap_data_pipelines_spark.streaming.rollup import streaming_dedup
+
+    src = tmp_path / "dedup"
+    src.mkdir()
+    e1 = {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"}
+    e2 = {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 2, "event_type": "click", "value": 2.0, "props": "{}"}
+    replay = dict(e1, event_id=3, ts="2024-01-01T00:30:00")  # same content
+    _write_events(src / "b1.json", [e1, e2])
+    _write_events(src / "b2.json", [replay])
+
+    q = (
+        streaming_dedup(spark, str(src))
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    rows = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    assert len(rows) == 2  # replay suppressed
+    assert {r.user_id for r in rows} == {1, 2}
+
+
 def test_streaming_plan_is_stateful_windowed(spark, tmp_path):
     from maap_data_pipelines_spark.streaming.rollup import streaming_hourly_rollup
 
