@@ -411,10 +411,52 @@ QUALIFY rnk <= {IVF_TOPK}
 """
 
 
+def ann_ivf_recall(emb: DataFrame) -> DataFrame:
+    """Recall@5 of the IVF index vs brute-force ground truth, per query.
+
+    The approximation-quality metric every ANN deployment must monitor:
+    the brute-force top-5 (exact truth) left-joined against the IVF
+    candidate list; recall = hits/5. Composes the two existing operators
+    unchanged — measuring the index costs one extra small join, no new
+    scoring code.
+    """
+    truth = ann_cosine_topk(emb).filter(F.col("rnk") <= IVF_TOPK).select(
+        "query_id", "vec_id"
+    )
+    approx = ann_ivf_topk(emb).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return (
+        truth.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            n_hits.alias("n_hits"),
+        )
+        .withColumn("recall", F.round(F.col("n_hits") / IVF_TOPK, 6))
+    )
+
+
+ANN_IVF_RECALL_SQL = f"""
+WITH brute AS (
+  SELECT query_id, vec_id FROM ({ANN_COSINE_TOPK_SQL}) WHERE rnk <= {IVF_TOPK}
+),
+appr AS (
+  SELECT query_id, vec_id, 1 AS hit FROM ({ANN_IVF_TOPK_SQL})
+)
+SELECT b.query_id,
+       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) / {IVF_TOPK}, 6) AS recall
+FROM brute b LEFT JOIN appr a ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+GROUP BY b.query_id
+"""
+
+
 QUERY_SQL = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_dedup": EMBEDDING_DEDUP_SQL,
     "embedding_dedup_lsh": EMBEDDING_DEDUP_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
+    "ann_ivf_recall": ANN_IVF_RECALL_SQL,
 }
