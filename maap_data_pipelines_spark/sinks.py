@@ -76,6 +76,32 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def start_idempotent_stream_sink(
+    stream_df: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """Exactly-once streaming parquet sink via foreachBatch.
+
+    The production pattern for arbitrary sinks: Structured Streaming
+    guarantees each micro-batch id is replayed with identical contents
+    after a failure, so writing every batch to its own
+    ``batch_id=<id>`` directory with overwrite semantics makes retries
+    and restarts idempotent — a replayed batch clobbers its own previous
+    (possibly partial) output and can never double-write. The checkpoint
+    dir carries source offsets; restarting with the same checkpoint
+    resumes, not re-ingests.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{target_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dry_run_transport(payload: list[str], endpoint: str) -> int:
     """Default transport: no network in this environment — pretend 200.
 

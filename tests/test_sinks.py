@@ -47,3 +47,51 @@ def test_submit_items_custom_transport_failure(spark, sf_dir):
         transport=failing_transport,
     )
     assert {r.status for r in receipts.collect()} == {503}
+
+
+def test_idempotent_stream_sink_resume_no_duplicates(spark, tmp_path):
+    """availableNow drain writes all rows; resume with same checkpoint adds none."""
+    import json
+    import time as _time
+
+    from maap_data_pipelines_spark.sinks import start_idempotent_stream_sink
+    from maap_data_pipelines_spark.streaming.rollup import EVENT_SCHEMA
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:{i:02d}:00", "user_id": i % 3,
+         "event_type": "view", "value": 1.0, "props": "{}"}
+        for i in range(6)
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows[:3]:
+            f.write(json.dumps(r) + "\n")
+    with open(src / "b.json", "w") as f:
+        for r in rows[3:]:
+            f.write(json.dumps(r) + "\n")
+
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .format("json")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = start_idempotent_stream_sink(stream, target, ckpt)
+        q.awaitTermination(120)
+        for _ in range(50):
+            if not q.isActive:
+                break
+            _time.sleep(0.2)
+
+    _drain()
+    got = spark.read.parquet(target)
+    assert got.count() == 6
+    assert {r.event_id for r in got.select("event_id").collect()} == set(range(6))
+
+    _drain()  # resume with same checkpoint: no new batches, no duplicates
+    assert spark.read.parquet(target).count() == 6

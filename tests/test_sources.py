@@ -43,3 +43,29 @@ def test_read_json_granules(spark, tmp_path):
     assert out["G1"].data_url == "s3://b/a.tif"
     assert out["G1"].n_links == 2
     assert out["G2"].data_url == "s3://b/b.tif"
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """A lake ingests files whose schema grew a column; mergeSchema unifies.
+
+    Old files surface the new column as NULL; at 100 TB the footer merge
+    is the only extra cost (and can be pinned off once the catalog owns
+    the canonical schema).
+    """
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id").alias("asset_id"), F.lit("c0").alias("collection")
+    ).write.parquet(base + "/day=1")
+    spark.range(3, 5).select(
+        F.col("id").alias("asset_id"),
+        F.lit("c1").alias("collection"),
+        F.lit("tif").alias("ext"),  # new column added later
+    ).write.parquet(base + "/day=2")
+
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) >= {"asset_id", "collection", "ext"}
+    rows = {r.asset_id: r.ext for r in df.collect()}
+    assert rows[0] is None and rows[4] == "tif"
+    assert df.count() == 5
