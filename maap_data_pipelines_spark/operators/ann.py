@@ -321,7 +321,7 @@ IVF_K = 16
 IVF_TOPK = 5
 
 
-def ann_ivf_topk(emb: DataFrame) -> DataFrame:
+def ann_ivf_topk(emb: DataFrame, nprobe: int = 1) -> DataFrame:
     """IVF-style ANN: coarse quantize into cells, search the query's cell.
 
     Deterministic coarse quantizer: the first IVF_K vectors (vec_id <
@@ -341,7 +341,7 @@ def ann_ivf_topk(emb: DataFrame) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
     )
 
-    def _assign(vecs):
+    def _assign(vecs, k_cells=1):
         scored = vecs.select("vec_id", "embedding").crossJoin(
             F.broadcast(cents)
         ).select(
@@ -355,7 +355,7 @@ def ann_ivf_topk(emb: DataFrame) -> DataFrame:
         )
         return (
             scored.withColumn("r", F.row_number().over(w_assign))
-            .filter(F.col("r") == 1)
+            .filter(F.col("r") <= k_cells)
             .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
         )
 
@@ -365,7 +365,7 @@ def ann_ivf_topk(emb: DataFrame) -> DataFrame:
     # corpus-wide assignment twice, and the candidate branch stays a
     # single full pass.
     c = _assign(emb).select("vec_id", F.col("embedding").alias("ce"), "cell")
-    q = _assign(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+    q = _assign(emb.filter(F.col("vec_id") < N_QUERIES), k_cells=nprobe).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
     )
     pairs = c.join(F.broadcast(q), "cell").filter(
@@ -383,7 +383,8 @@ def ann_ivf_topk(emb: DataFrame) -> DataFrame:
     )
 
 
-ANN_IVF_TOPK_SQL = f"""
+def _ivf_sql(nprobe: int) -> str:
+    return f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings WHERE vec_id < {IVF_K}
 ),
@@ -397,7 +398,11 @@ assigned AS (
   FROM scored
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) = 1
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM assigned WHERE vec_id < {N_QUERIES}),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS cell
+  FROM scored WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) <= {nprobe}
+),
 pairs AS (
   SELECT q.query_id, c.vec_id,
          ROUND({cosine_sql('q.qe', 'c.embedding')}, 6) AS cosine
@@ -411,7 +416,23 @@ QUALIFY rnk <= {IVF_TOPK}
 """
 
 
-def ann_ivf_recall(emb: DataFrame) -> DataFrame:
+ANN_IVF_TOPK_SQL = _ivf_sql(1)
+ANN_IVF_TOPK2_SQL = _ivf_sql(2)
+
+
+def ann_ivf_topk2(emb: DataFrame) -> DataFrame:
+    """IVF with nprobe=2: union the query's two nearest cells.
+
+    The recall/latency dial: measured recall@5 (sf0.01) rises from 0.90
+    (nprobe=1) to 0.92 while the candidate set doubles — still ~2N/K of
+    the corpus, far from brute force. (A modest gain: these uniform
+    synthetic embeddings have weak cluster structure, so misses sit
+    near cell boundaries in many directions.)
+    """
+    return ann_ivf_topk(emb, nprobe=2)
+
+
+def ann_ivf_recall(emb: DataFrame, nprobe: int = 1) -> DataFrame:
     """Recall@5 of the IVF index vs brute-force ground truth, per query.
 
     The approximation-quality metric every ANN deployment must monitor:
@@ -423,7 +444,7 @@ def ann_ivf_recall(emb: DataFrame) -> DataFrame:
     truth = ann_cosine_topk(emb).filter(F.col("rnk") <= IVF_TOPK).select(
         "query_id", "vec_id"
     )
-    approx = ann_ivf_topk(emb).select(
+    approx = ann_ivf_topk(emb, nprobe=nprobe).select(
         "query_id", "vec_id", F.lit(1).alias("hit")
     )
     n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
@@ -437,12 +458,13 @@ def ann_ivf_recall(emb: DataFrame) -> DataFrame:
     )
 
 
-ANN_IVF_RECALL_SQL = f"""
+def _recall_sql(approx_sql: str) -> str:
+    return f"""
 WITH brute AS (
   SELECT query_id, vec_id FROM ({ANN_COSINE_TOPK_SQL}) WHERE rnk <= {IVF_TOPK}
 ),
 appr AS (
-  SELECT query_id, vec_id, 1 AS hit FROM ({ANN_IVF_TOPK_SQL})
+  SELECT query_id, vec_id, 1 AS hit FROM ({approx_sql})
 )
 SELECT b.query_id,
        CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
@@ -452,11 +474,22 @@ GROUP BY b.query_id
 """
 
 
+ANN_IVF_RECALL_SQL = _recall_sql(ANN_IVF_TOPK_SQL)
+ANN_IVF_RECALL2_SQL = _recall_sql(ANN_IVF_TOPK2_SQL)
+
+
+def ann_ivf_recall2(emb: DataFrame) -> DataFrame:
+    """Recall@5 at nprobe=2 — the other end of the recall/latency dial."""
+    return ann_ivf_recall(emb, nprobe=2)
+
+
 QUERY_SQL = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_dedup": EMBEDDING_DEDUP_SQL,
     "embedding_dedup_lsh": EMBEDDING_DEDUP_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
+    "ann_ivf_topk2": ANN_IVF_TOPK2_SQL,
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
+    "ann_ivf_recall2": ANN_IVF_RECALL2_SQL,
 }

@@ -42,7 +42,9 @@ QUERIES = {
     "embedding_dedup": _emb_plan(ann.embedding_dedup),
     "embedding_dedup_lsh": _emb_plan(ann.embedding_dedup_lsh),
     "ann_ivf_topk": _emb_plan(ann.ann_ivf_topk),
+    "ann_ivf_topk2": _emb_plan(ann.ann_ivf_topk2),
     "ann_ivf_recall": _emb_plan(ann.ann_ivf_recall),
+    "ann_ivf_recall2": _emb_plan(ann.ann_ivf_recall2),
 }
 
 ORACLES = {**dedup.QUERY_SQL, **ann.QUERY_SQL}

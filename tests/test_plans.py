@@ -55,8 +55,11 @@ _BNLJ_ALLOWED = {
     "embedding_dedup",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    # recall metric composes the two queries above, inheriting their plans
+    # recall metrics + nprobe variant compose the queries above,
+    # inheriting their (allowlisted) plans
     "ann_ivf_recall",
+    "ann_ivf_topk2",
+    "ann_ivf_recall2",
     # single-row scalar-subquery broadcasts (TPC-H Q11/Q15/Q22 shape):
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",
