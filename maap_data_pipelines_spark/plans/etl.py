@@ -367,6 +367,120 @@ LATERAL (VALUES ('null_orderkey', null_orderkey),
 """
 
 
+def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS revenue slope per order priority — regression as aggregation.
+
+    The per-segment trend every revenue dashboard wants, computed with
+    the closed-form OLS slope over (month index, monthly cents):
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every Σ is an exact
+    int64 sum (x is a small month ordinal, y integer cents), so both
+    engines produce identical integers and the single final division is
+    the only float — engine-parity by construction. Two hash-aggs, no
+    window, no UDF; scales as a pure map-side-combining pipeline.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("month_idx"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    x, y = F.col("month_idx"), F.col("cents")
+    agg = monthly.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "priority",
+        "n_months",
+        F.round(num / den, 6).alias("slope_cents_per_month"),
+    )
+
+
+TREND_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+agg AS (
+  SELECT priority, COUNT(*) AS n_months,
+         CAST(SUM(month_idx) AS BIGINT) AS sx,
+         CAST(SUM(cents) AS BIGINT) AS sy,
+         CAST(SUM(month_idx * cents) AS BIGINT) AS sxy,
+         CAST(SUM(month_idx * month_idx) AS BIGINT) AS sxx
+  FROM monthly GROUP BY 1
+)
+SELECT priority, n_months,
+       ROUND((n_months * sxy - sx * sy) / (n_months * sxx - sx * sx), 6)
+         AS slope_cents_per_month
+FROM agg
+"""
+
+
+def orders_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense monthly revenue series per priority: spine join + zero fill.
+
+    Time-series consumers need a row for EVERY month, including zero
+    months. The month spine is generated from the data's own min/max
+    (sequence + explode — no driver-side date math), cross-joined with
+    the tiny priority dimension (5 rows, broadcast), then left-joined
+    with actual monthly revenue. The spine side is (months × priorities)
+    rows — trivially small at any SF; the fact side aggregates before
+    the join, so the join carries aggregate rows only.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    month_idx = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        month_idx.alias("month_idx"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    bounds = monthly.groupBy().agg(
+        F.min("month_idx").alias("lo"), F.max("month_idx").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("month_idx")
+    )
+    prios = monthly.select("priority").distinct()
+    dense = spine.join(F.broadcast(prios))
+    return (
+        dense.join(monthly, ["priority", "month_idx"], "left")
+        .select(
+            "priority",
+            "month_idx",
+            F.coalesce(F.col("cents"), F.lit(0).cast("long")).alias("cents"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+spine AS (
+  SELECT UNNEST(range(MIN(month_idx), MAX(month_idx) + 1)) AS month_idx FROM monthly
+),
+prios AS (SELECT DISTINCT priority FROM monthly)
+SELECT p.priority, s.month_idx, COALESCE(m.cents, 0) AS cents
+FROM spine s CROSS JOIN prios p
+LEFT JOIN monthly m ON m.priority = p.priority AND m.month_idx = s.month_idx
+"""
+
+
 QUERIES = {
     "orders_scd2": orders_scd2,
     "doc_split_assign": doc_split_assign,
@@ -376,6 +490,8 @@ QUERIES = {
     "orders_snapshot_diff": orders_snapshot_diff,
     "compaction_plan": compaction_plan,
     "orders_dq_expectations": orders_dq_expectations,
+    "orders_revenue_trend": orders_revenue_trend,
+    "orders_monthly_gapfill": orders_monthly_gapfill,
 }
 
 ORACLES = {
@@ -387,4 +503,6 @@ ORACLES = {
     "orders_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "compaction_plan": COMPACTION_SQL,
     "orders_dq_expectations": DQ_SQL,
+    "orders_revenue_trend": TREND_SQL,
+    "orders_monthly_gapfill": GAPFILL_SQL,
 }
