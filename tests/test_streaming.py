@@ -207,3 +207,72 @@ def test_streaming_plan_is_stateful_windowed(spark, tmp_path):
     assert df.isStreaming
     cols = set(df.columns)
     assert {"hour", "event_type", "n_events", "value_cents", "n_users_approx"} <= cols
+
+
+def test_batch_and_streaming_sessionize_agree(spark, tmp_path):
+    """The lag/cumsum batch formulation and session_window agree on
+    session starts, event counts, and cents for identical input.
+
+    (Ends differ by definition: session_window extends end by the gap;
+    the batch rollup uses last event time — both are pinned elsewhere.)
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from maap_data_pipelines_spark.streaming.rollup import (
+        EVENT_SCHEMA,
+        streaming_sessionize,
+    )
+
+    src = tmp_path / "agree"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:30:00", "user_id": 1, "event_type": "view", "value": 4.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:10:00", "user_id": 2, "event_type": "view", "value": 8.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T00:39:00", "user_id": 2, "event_type": "view", "value": 16.0, "props": "{}"},
+    ]
+    _write_events(src / "all.json", rows)
+
+    # streaming: session_window gap merge
+    q = (
+        streaming_sessionize(spark, str(src))
+        .writeStream.format("memory")
+        .queryName("agree_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    stream_sessions = {
+        (r.user_id, r.session_start.isoformat(), r.n_events, r.value_cents)
+        for r in spark.sql("SELECT * FROM agree_stream").collect()
+    }
+
+    # batch: lag + running-sum over the same files
+    ev = spark.read.schema(EVENT_SCHEMA).json(str(src))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us, 1
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(w))
+    batch_sessions = {
+        (r.user_id, r.session_start.isoformat(), r.n_events, r.value_cents)
+        for r in flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert stream_sessions == batch_sessions
+    assert len(stream_sessions) == 3  # user1 x2, user2 x1 (39min gap splits? no: 29min)
