@@ -188,8 +188,16 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     est_jaccard = fraction of the 64 permutation minima that agree. The
     signature array rides along the band rows, so the pair join yields
     both signatures directly — no extra signature re-joins.
+
+    The signature table is localCheckpoint-ed: without it the band
+    SELF-join recomputes the whole explode+64-min pipeline once per side
+    (AQE's broadcast choice defeats ReusedExchange), measured 2.5x
+    slower at sf0.1. Unlike cacheManager persist (which leaks — see
+    _minhash_sig), checkpoint blocks are freed when the DataFrame is
+    garbage-collected, the same lifecycle dedup_clusters already relies
+    on for its edge list.
     """
-    sig = _minhash_sig(docs)
+    sig = _minhash_sig(docs).localCheckpoint()
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
