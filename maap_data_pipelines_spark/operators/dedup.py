@@ -191,11 +191,13 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
 
     The signature table is localCheckpoint-ed: without it the band
     SELF-join recomputes the whole explode+64-min pipeline once per side
-    (AQE's broadcast choice defeats ReusedExchange), measured 2.5x
-    slower at sf0.1. Unlike cacheManager persist (which leaks — see
-    _minhash_sig), checkpoint blocks are freed when the DataFrame is
-    garbage-collected, the same lifecycle dedup_clusters already relies
-    on for its edge list.
+    (AQE's broadcast choice defeats ReusedExchange here). Honest
+    accounting: build+single-action cost is ~unchanged (the checkpoint
+    pays the pass the join no longer repeats), but every FURTHER action
+    on the same DataFrame — the deployment norm, and what dedup_clusters
+    does with the edges — runs 2.5x faster (0.55 s vs 1.37 s at sf0.1).
+    Unlike cacheManager persist (which leaks — see _minhash_sig),
+    checkpoint blocks are freed when the DataFrame is garbage-collected.
     """
     sig = _minhash_sig(docs).localCheckpoint()
     band_structs = F.array(
@@ -408,6 +410,9 @@ def ngram_jaccard(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    # No checkpoint here (measured neutral): the pair self-join shuffles
+    # both sides on `s`, so ReusedExchange already shares the index
+    # subtree; a checkpoint would only trade that for materialization.
     shd = _shingles_df(docs).distinct()
     df_ok = (
         shd.groupBy("s")
