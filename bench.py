@@ -60,6 +60,14 @@ HEADLINE = [
     "orders_scd2",
     "events_type_pivot",
     "events_purchase_context",
+    # text/IR + dedup scale paths + profiling + regression-as-agg
+    "term_topk",
+    "tfidf_top_terms",
+    "dedup_incremental",
+    "embedding_dedup_lsh",
+    "documents_profile",
+    "orders_revenue_trend",
+    "media_frame_sample",
 ]
 
 
