@@ -149,6 +149,55 @@ def frame_sample(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_batches, schema=schema)
 
 
+RESIZE_FACTOR = 2
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Stub 2x downsample per payload (mapInPandas, zero shuffle).
+
+    The image-resize plumbing shape: payload in, reduced payload stats +
+    halved metadata out. The stub "resample" keeps every RESIZE_FACTOR-th
+    byte (a real deployment swaps in PIL/opencv with this exact
+    signature); the resized byte count and checksum are exact integers,
+    so the whole op is oracle-checkable through the ASCII byte==char
+    identity.
+    """
+    import numpy as np
+
+    schema = (
+        "doc_id bigint, new_width int, new_height int, "
+        "n_resized_bytes bigint, resized_checksum bigint"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "new_width", "new_height",
+                                   "n_resized_bytes", "resized_checksum")}
+            for doc_id, w, h, payload in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                kept = arr[::RESIZE_FACTOR]
+                out["doc_id"].append(int(doc_id))
+                out["new_width"].append(int(w) // RESIZE_FACTOR)
+                out["new_height"].append(int(h) // RESIZE_FACTOR)
+                out["n_resized_bytes"].append(len(kept))
+                out["resized_checksum"].append(int(kept.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "new_width": pd.Series(out["new_width"], dtype="int32"),
+                    "new_height": pd.Series(out["new_height"], dtype="int32"),
+                    "n_resized_bytes": pd.Series(out["n_resized_bytes"], dtype="int64"),
+                    "resized_checksum": pd.Series(out["resized_checksum"], dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "width", "height", "payload").mapInPandas(
+        _batches, schema=schema
+    )
+
+
 def media_metadata_summary(media: DataFrame) -> DataFrame:
     """Metadata-only rollup — never touches the payload column.
 

@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.multimodal import (
     FRAME_BYTES,
     FRAME_SAMPLE_EVERY,
+    RESIZE_FACTOR,
     extract_features,
     frame_sample,
     make_media_df,
     media_metadata_summary,
+    resize_media,
 )
 from ..sources.catalog import read_table
 
@@ -76,14 +78,35 @@ FROM f
 """
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_media(make_media_df(docs))
+
+
+# Stub resample keeps chars at positions 1, 1+F, 1+2F, ... (ASCII byte ==
+# char, so checksum is the codepoint sum over the kept positions).
+MEDIA_RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST((doc_id % 16 + 1) * 64 AS INT) // {RESIZE_FACTOR} AS new_width,
+       CAST((doc_id % 9 + 1) * 64 AS INT) // {RESIZE_FACTOR} AS new_height,
+       CAST(ceil(length(text) / {RESIZE_FACTOR}.0) AS BIGINT) AS n_resized_bytes,
+       CAST(list_sum(list_transform(range(1, length(text) + 1, {RESIZE_FACTOR}),
+                                    i -> ord(substring(text, CAST(i AS INT), 1))))
+            AS BIGINT) AS resized_checksum
+FROM documents
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
     "media_frame_sample": media_frame_sample,
+    "media_resize": media_resize,
 }
 
 ORACLES = {
     "media_metadata": MEDIA_METADATA_SQL,
     # media_features: rows-only (binary histogram not SQL-expressible)
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
+    "media_resize": MEDIA_RESIZE_SQL,
 }

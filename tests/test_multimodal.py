@@ -66,3 +66,15 @@ def test_frame_sample_fanout_and_checksums(spark):
     assert rows[(1, 0)].checksum == 64 * ord("a")
     assert rows[(2, 4)].n_frame_bytes == 300 - 4 * 64
     assert rows[(2, 4)].checksum == (300 - 4 * 64) * ord("b")
+
+
+def test_resize_media_halves_and_checksums(spark):
+    docs = _docs(spark, [(2, "abcd"), (4, "abcde")])
+    media = multimodal.make_media_df(docs)
+    rows = {r.doc_id: r for r in multimodal.resize_media(media).collect()}
+    # every 2nd byte kept: "abcd" -> "ac", "abcde" -> "ace"
+    assert rows[2].n_resized_bytes == 2
+    assert rows[2].resized_checksum == ord("a") + ord("c")
+    assert rows[4].n_resized_bytes == 3
+    assert rows[4].resized_checksum == ord("a") + ord("c") + ord("e")
+    assert rows[2].new_width == (2 % 16 + 1) * 64 // 2
