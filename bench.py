@@ -68,6 +68,8 @@ HEADLINE = [
     "documents_profile",
     "orders_revenue_trend",
     "media_frame_sample",
+    # the flagship composition: quality + exact-dup + near-dup cascade
+    "corpus_curation",
 ]
 
 

@@ -1,14 +1,17 @@
 """Registered LLM-data-pipeline plans: dedup + similarity search.
 
 Thin ``(spark, sf_dir)`` adapters over operators/dedup.py (documents) and
-operators/ann.py (embeddings).
+operators/ann.py (embeddings), plus ``corpus_curation`` — the end-to-end
+keep/reject decision that composes quality filtering with exact and
+near-duplicate removal into the pipeline's final artifact.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..operators import ann, dedup
+from ..operators import ann, dedup, text
 from ..sources.catalog import read_table
 
 
@@ -30,7 +33,84 @@ def _emb_plan(op):
     return plan
 
 
+CURATION_NEAR_DUP_JACCARD = 0.5
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final artifact: per-doc keep flag + first-fail reason.
+
+    Rejection cascade (deterministic order, so the reason histogram is a
+    monitorable table):
+      1. quality   — fails the C4/Gopher hard rules (quality_filter);
+      2. exact_dup — not the min-doc_id survivor of its text hash;
+      3. near_dup  — appears as the HIGHER id in a MinHash candidate
+                     pair with est_jaccard >= 0.5 (min-id canonical
+                     survives, its near-copies drop);
+      4. ok        — kept.
+    Composes three existing operators via two hash-key joins; every
+    building block keeps its own oracle, and the composition has one.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    quality = text.quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("q_ok")
+    )
+    exact_survivor = dedup.dedup_exact(docs).select(
+        F.col("canonical_doc_id").alias("doc_id"), F.lit(True).alias("is_survivor")
+    )
+    near_rejects = (
+        dedup.dedup_minhash_lsh(docs)
+        .filter(F.col("est_jaccard") >= CURATION_NEAR_DUP_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    reason = (
+        F.when(~F.col("q_ok"), "quality")
+        .when(F.col("is_survivor").isNull(), "exact_dup")
+        .when(F.col("near_dup").isNotNull(), "near_dup")
+        .otherwise("ok")
+    )
+    return (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(exact_survivor, "doc_id", "left")
+        .join(near_rejects, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "ok")
+    )
+
+
+CORPUS_CURATION_SQL = f"""
+WITH quality AS (
+  SELECT doc_id, keep AS q_ok FROM ({text.QUALITY_FILTER_SQL})
+),
+surv AS (
+  SELECT canonical_doc_id AS doc_id, TRUE AS is_survivor
+  FROM ({dedup.DEDUP_EXACT_SQL})
+),
+near AS (
+  SELECT DISTINCT doc_b AS doc_id, TRUE AS near_dup
+  FROM ({dedup.DEDUP_MINHASH_SQL})
+  WHERE est_jaccard >= {CURATION_NEAR_DUP_JACCARD}
+)
+SELECT d.doc_id,
+       CASE WHEN NOT q.q_ok THEN 'quality'
+            WHEN s.is_survivor IS NULL THEN 'exact_dup'
+            WHEN n.near_dup IS NOT NULL THEN 'near_dup'
+            ELSE 'ok' END AS reason,
+       (CASE WHEN NOT q.q_ok THEN 'quality'
+             WHEN s.is_survivor IS NULL THEN 'exact_dup'
+             WHEN n.near_dup IS NOT NULL THEN 'near_dup'
+             ELSE 'ok' END) = 'ok' AS keep
+FROM documents d
+JOIN quality q USING (doc_id)
+LEFT JOIN surv s USING (doc_id)
+LEFT JOIN near n USING (doc_id)
+"""
+
+
 QUERIES = {
+    "corpus_curation": corpus_curation,
     "dedup_exact": _doc_plan(dedup.dedup_exact),
     "dedup_incremental": _doc_plan(dedup.dedup_incremental),
     "dedup_minhash_lsh": _doc_plan(dedup.dedup_minhash_lsh),
@@ -47,4 +127,8 @@ QUERIES = {
     "ann_ivf_recall2": _emb_plan(ann.ann_ivf_recall2),
 }
 
-ORACLES = {**dedup.QUERY_SQL, **ann.QUERY_SQL}
+ORACLES = {
+    **dedup.QUERY_SQL,
+    **ann.QUERY_SQL,
+    "corpus_curation": CORPUS_CURATION_SQL,
+}
