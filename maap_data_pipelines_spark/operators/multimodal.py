@@ -149,6 +149,46 @@ def frame_sample(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_batches, schema=schema)
 
 
+AUDIO_WINDOW_BYTES = 128
+AUDIO_HOP_BYTES = 64
+
+
+def audio_windows(media: DataFrame) -> DataFrame:
+    """Overlapping sliding windows over audio payloads (STFT-frame shape).
+
+    Unlike :func:`frame_sample` (disjoint frames), windows OVERLAP:
+    window k covers bytes [k*hop, k*hop + window), hop < window — the
+    frame layout every spectral feature (STFT/MFCC) consumes. Only
+    windows that fit entirely are emitted (standard truncation). The
+    stub "signal" is the byte stream; sum and peak per window are exact
+    integers, so the fan-out is fully oracle-checkable. Zero shuffle,
+    output partitioning inherited from the scan.
+    """
+    import numpy as np
+
+    schema = (
+        "doc_id bigint, window_idx bigint, window_sum bigint, window_peak bigint"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "window_idx", "window_sum", "window_peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_win = (len(arr) - AUDIO_WINDOW_BYTES) // AUDIO_HOP_BYTES + 1
+                for k in range(max(n_win, 0)):
+                    w = arr[k * AUDIO_HOP_BYTES : k * AUDIO_HOP_BYTES + AUDIO_WINDOW_BYTES]
+                    out["doc_id"].append(int(doc_id))
+                    out["window_idx"].append(k)
+                    out["window_sum"].append(int(w.sum()))
+                    out["window_peak"].append(int(w.max()))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_batches, schema=schema)
+
+
 RESIZE_FACTOR = 2
 
 

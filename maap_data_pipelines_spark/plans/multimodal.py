@@ -12,9 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
+    AUDIO_HOP_BYTES,
+    AUDIO_WINDOW_BYTES,
     FRAME_BYTES,
     FRAME_SAMPLE_EVERY,
     RESIZE_FACTOR,
+    audio_windows,
     extract_features,
     frame_sample,
     make_media_df,
@@ -97,11 +100,40 @@ FROM documents
 """
 
 
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_windows(make_media_df(docs))
+
+
+# Overlapping windows: window k = chars [k*hop+1, k*hop+window]; only
+# complete windows emitted ((len-window)//hop + 1 of them).
+MEDIA_AUDIO_WINDOWS_SQL = f"""
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+w AS (
+  SELECT doc_id, k AS window_idx,
+         substring(text, CAST(k * {AUDIO_HOP_BYTES} + 1 AS INT), {AUDIO_WINDOW_BYTES}) AS win
+  FROM m, UNNEST(range(0,
+      CASE WHEN n >= {AUDIO_WINDOW_BYTES}
+           THEN (n - {AUDIO_WINDOW_BYTES}) // {AUDIO_HOP_BYTES} + 1
+           ELSE 0 END)) AS t(k)
+)
+SELECT doc_id, window_idx,
+       CAST(list_sum(list_transform(range(1, {AUDIO_WINDOW_BYTES} + 1),
+                                    i -> ord(substring(win, CAST(i AS INT), 1))))
+            AS BIGINT) AS window_sum,
+       CAST(list_max(list_transform(range(1, {AUDIO_WINDOW_BYTES} + 1),
+                                    i -> ord(substring(win, CAST(i AS INT), 1))))
+            AS BIGINT) AS window_peak
+FROM w
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
     "media_frame_sample": media_frame_sample,
     "media_resize": media_resize,
+    "media_audio_windows": media_audio_windows,
 }
 
 ORACLES = {
@@ -109,4 +141,5 @@ ORACLES = {
     # media_features: rows-only (binary histogram not SQL-expressible)
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
+    "media_audio_windows": MEDIA_AUDIO_WINDOWS_SQL,
 }

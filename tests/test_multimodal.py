@@ -78,3 +78,14 @@ def test_resize_media_halves_and_checksums(spark):
     assert rows[4].n_resized_bytes == 3
     assert rows[4].resized_checksum == ord("a") + ord("c") + ord("e")
     assert rows[2].new_width == (2 % 16 + 1) * 64 // 2
+
+
+def test_audio_windows_overlap_and_truncation(spark):
+    # 200 chars: windows at offsets 0 and 64 fit (0+128, 64+128=192<=200);
+    # offset 128 would need 256 -> truncated. 100 chars: no complete window.
+    docs = _docs(spark, [(1, "a" * 200), (2, "b" * 100)])
+    media = multimodal.make_media_df(docs)
+    rows = {(r.doc_id, r.window_idx): r for r in multimodal.audio_windows(media).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)].window_sum == 128 * ord("a")
+    assert rows[(1, 1)].window_peak == ord("a")
