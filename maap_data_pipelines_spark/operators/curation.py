@@ -1,0 +1,368 @@
+"""Corpus-curation operators: decontamination, repetition, PII, mixture.
+
+The four signals every LLM training-data pipeline computes before a corpus
+ships, complementing operators/text.py (quality) and operators/dedup.py
+(duplicates):
+
+- :func:`decontaminate` — benchmark-overlap detection (the n-gram membership
+  join used to keep eval sets out of training data);
+- :func:`repetition_stats` — Gopher-style within-document repetition
+  signals (duplicate-word mass, dominant-bigram share);
+- :func:`pii_scan` — regex PII detection + redaction with an auditable
+  count per category;
+- :func:`domain_mixture` — per-source token accounting vs a target mixture,
+  yielding the sampling factor each domain needs.
+
+All pure column expressions (JVM codegen, zero UDFs), each with a
+structurally identical DuckDB rendering. Floats only ever come from one
+division over exact integer counts, rounded to 6dp on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap against a held-out benchmark slice.
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+# Deterministic eval slice: every 11th doc plays the "benchmark" role so the
+# check is self-contained on the test tables (no external eval file in env).
+DECON_EVAL_MOD = 11
+
+
+def _shingle_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) rows: arrays_zip of shifted slices, exploded, then
+    concat — concat runs codegen'd AFTER the explode; a higher-order
+    ``transform`` lambda would run interpreted (10-100x slower, see
+    operators/text.py history)."""
+    words = F.split(F.col("text"), " ")
+    cnt = F.size(words) - (n - 1)
+    z = F.arrays_zip(*[F.slice(words, i + 1, cnt).alias(f"w{i}") for i in range(n)])
+    return docs.select("doc_id", F.explode(z).alias("s")).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"s.w{i}") for i in range(n)]).alias("shingle"),
+    )
+
+
+def decontaminate(docs: DataFrame) -> DataFrame:
+    """Training docs contaminated by benchmark n-grams (membership join).
+
+    Eval slice = ``doc_id % DECON_EVAL_MOD == 0``; a training doc is
+    contaminated when any of its 5-word shingles appears in any eval doc.
+    Output per contaminated doc: how many of its shingle occurrences hit
+    (``n_overlap``) and how many distinct eval docs it collides with
+    (``n_eval_docs``).
+
+    Scale shape: this is the canonical inverted-index equi-join — the eval
+    side collapses to DISTINCT (shingle-hash, eval-doc) pairs first, and
+    the join key is a 60-bit md5 of the shingle, so the shuffle carries
+    8-byte keys instead of repeated 5-word strings. The eval set is
+    typically tiny vs the corpus (benchmarks are MBs, corpora are TBs) —
+    at scale Spark's AQE broadcasts it; the training side streams through
+    map-side without a shuffle at all.
+
+    Reference analogue: none (the reference pipeline has no text ops);
+    this is the standard eval-decontamination pass (GPT-3 appendix C
+    style) re-expressed as a DataFrame join.
+    """
+    shingled = _shingle_rows(docs, DECON_NGRAM).select(
+        "doc_id", md5_long(F.col("shingle")).alias("g")
+    )
+    ev = (
+        shingled.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "g")
+        .distinct()
+    )
+    tr = shingled.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return (
+        tr.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
+_DECON_SHINGLES = f"""
+  SELECT doc_id,
+         {md5_long_sql(
+             "array_to_string(ws[i:i+" + str(DECON_NGRAM - 1) + "], ' ')"
+         )} AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
+"""
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS ({_DECON_SHINGLES}),
+ev AS (
+  SELECT DISTINCT doc_id AS eval_doc_id, g FROM sh
+  WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+tr AS (SELECT doc_id, g FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+SELECT tr.doc_id,
+       COUNT(*) AS n_overlap,
+       COUNT(DISTINCT ev.eval_doc_id) AS n_eval_docs
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style signals).
+# ---------------------------------------------------------------------------
+
+REP_DUP_WORD_MAX = 0.9  # fraction of word mass in repeated words
+REP_TOP_BIGRAM_MAX = 0.08  # share of bigram slots taken by the top bigram
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals + keep flag per document.
+
+    - ``dup_word_frac``: fraction of the document's word occurrences whose
+      word appears more than once (mass of repeated words);
+    - ``top_bigram_frac``: share of adjacent-bigram slots occupied by the
+      single most frequent bigram;
+    - ``keep`` fails when either exceeds its threshold. The bigram rule
+      only applies when the top bigram actually repeats (cnt > 1) — in a
+      short all-distinct doc the top bigram occupies 1/(n-1) of the slots
+      without being repetition.
+
+    Scale shape: two hash-aggregations keyed by (doc_id, token) — map-side
+    combine collapses each partition's counts before the shuffle, and the
+    second-stage groupBy(doc_id) rides the same hash partitioning. The
+    per-doc state is bounded by distinct tokens per document, never corpus
+    size. The word side and bigram side join on doc_id (both already
+    shuffled by a doc_id-prefixed key, so AQE coalesces them cheaply).
+    """
+    words = F.split(F.col("text"), " ")
+    wc = (
+        docs.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    word_side = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("n_dup_mass"),
+    )
+    bc = (
+        _shingle_rows(docs, 2)
+        .groupBy("doc_id", F.col("shingle").alias("bg"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bigram_side = bc.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_bigram_cnt"), F.sum("cnt").alias("n_bigrams")
+    )
+    dup_frac = F.round(F.col("n_dup_mass") / F.col("n_words"), 6)
+    top_frac = F.round(F.col("top_bigram_cnt") / F.col("n_bigrams"), 6)
+    return (
+        word_side.join(bigram_side, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            dup_frac.alias("dup_word_frac"),
+            "top_bigram_cnt",
+            top_frac.alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_word_frac") <= REP_DUP_WORD_MAX)
+            & (
+                (F.col("top_bigram_cnt") == 1)
+                | (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
+            ),
+        )
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+wc AS (
+  SELECT doc_id, wd, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY 1, 2
+),
+word_side AS (
+  SELECT doc_id, SUM(cnt) AS n_words,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_mass
+  FROM wc GROUP BY 1
+),
+bc AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM w)
+  GROUP BY 1, 2
+),
+bigram_side AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
+  FROM bc GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(n_dup_mass / n_words, 6) AS dup_word_frac,
+       CAST(top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+       ROUND(top_bigram_cnt / n_bigrams, 6) AS top_bigram_frac,
+       (ROUND(n_dup_mass / n_words, 6) <= {REP_DUP_WORD_MAX}
+         AND (top_bigram_cnt = 1
+              OR ROUND(top_bigram_cnt / n_bigrams, 6) <= {REP_TOP_BIGRAM_MAX})) AS keep
+FROM word_side JOIN bigram_side USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction over a deterministically derived contact column.
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no real PII, so — same pattern as the derived STAC
+# asset catalog (plans/stac.py) — both engines append identical synthetic
+# contact strings first, then the operator under test detects/redacts them.
+# Spark regexp_* is Java regex, DuckDB is RE2: patterns below stay inside the
+# common subset (char classes, +, literal escapes).
+PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PII_PHONE_RE = "\\+1-555-[0-9]+"
+
+
+def _with_contacts(docs: DataFrame) -> DataFrame:
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" reach u"), F.col("doc_id").cast("string"), F.lit("@example.com")
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone).alias("raw_text")
+    )
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Detect + redact email/phone PII; emit auditable per-doc counts.
+
+    Output: per-doc email/phone hit counts, a ``has_pii`` flag, and the
+    md5 of the redacted text (emails → ``<EMAIL>``, phones → ``<PHONE>``)
+    so the redaction itself is value-checked without shipping wide text
+    through the comparator.
+
+    Scale shape: one narrow projection — regex count + regexp_replace are
+    whole-stage-codegen'd per row, no shuffle at all until the driver's
+    display. At 100 TB this runs at scan speed; the md5 keeps the output
+    row fixed-width.
+    """
+    t = _with_contacts(docs)
+    n_emails = F.size(
+        F.regexp_extract_all(F.col("raw_text"), F.lit(PII_EMAIL_RE), 0)
+    ).cast("long")
+    n_phones = F.size(
+        F.regexp_extract_all(F.col("raw_text"), F.lit(PII_PHONE_RE), 0)
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw_text"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_PII_RAW = (
+    "text || (CASE WHEN doc_id % 3 = 0 "
+    "THEN ' reach u' || doc_id || '@example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 5 = 0 "
+    "THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "ELSE '' END)"
+)
+
+PII_SCAN_SQL = f"""
+WITH t AS (SELECT doc_id, {_PII_RAW} AS raw_text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(raw_text, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(raw_text, '{PII_PHONE_RE}')) AS n_phones,
+       (len(regexp_extract_all(raw_text, '{PII_EMAIL_RE}')) > 0
+         OR len(regexp_extract_all(raw_text, '{PII_PHONE_RE}')) > 0) AS has_pii,
+       md5(regexp_replace(regexp_replace(raw_text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# Domain mixture: per-source token accounting vs a target mixture.
+# ---------------------------------------------------------------------------
+
+
+def domain_mixture(docs: DataFrame) -> DataFrame:
+    """Per-source token share vs a uniform target mixture → sampling factor.
+
+    For each source: document count, token count, observed token share,
+    and the sampling factor (``target_share / observed_share``) a sampler
+    must apply to hit the target mixture (>1 = upsample/epochs, <1 =
+    downsample). Target here is uniform across sources; a weights table
+    would broadcast-join in the same plan shape.
+
+    Scale shape: one hash-agg keyed by source (map-side combine → ~#sources
+    rows), then the corpus total joins back as a single-row broadcast.
+    Exactness: shares are one division over exact int64 token counts; the
+    sampling factor multiplies integers before its single division so both
+    engines round the same quotient.
+    """
+    words = F.split(F.col("text"), " ")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words).cast("long")).alias("n_tokens"),
+    )
+    totals = per_src.select(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.round(F.col("n_tokens") / F.col("total_tokens"), 6)
+    # target/observed = (total/n_sources)/n_tokens — integer numerator first
+    factor = F.round(F.col("total_tokens") / (F.col("n_sources") * F.col("n_tokens")), 6)
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            factor.alias("sampling_factor"),
+        )
+    )
+
+
+DOMAIN_MIXTURE_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / total_tokens, 6) AS token_share,
+       ROUND(total_tokens / (n_sources * n_tokens), 6) AS sampling_factor
+FROM per_src, tot
+"""
+
+QUERY_SQL = {
+    "decontaminate": DECONTAMINATE_SQL,
+    "repetition_stats": REPETITION_STATS_SQL,
+    "pii_scan": PII_SCAN_SQL,
+    "domain_mixture": DOMAIN_MIXTURE_SQL,
+}

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import bpe, text
+from ..operators import bpe, curation, text
 from ..operators.profile import profile_columns, profile_sql
 from ..sources.catalog import read_table
 
@@ -43,9 +43,14 @@ QUERIES = {
     "vocab_diff": _wrap(text.vocab_diff),
     "fuzzy_word_pairs": _wrap(text.fuzzy_word_pairs),
     "documents_profile": documents_profile,
+    "decontaminate": _wrap(curation.decontaminate),
+    "repetition_stats": _wrap(curation.repetition_stats),
+    "pii_scan": _wrap(curation.pii_scan),
+    "domain_mixture": _wrap(curation.domain_mixture),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not
 # SQL-expressible; exact tokenizations pinned in tests/test_bpe.py)
 ORACLES = dict(text.QUERY_SQL)
+ORACLES.update(curation.QUERY_SQL)
 ORACLES["documents_profile"] = profile_sql("documents", DOC_COLS)

@@ -1,0 +1,81 @@
+"""Behavioral pins for the corpus-curation operators (curation.py)."""
+
+from __future__ import annotations
+
+from maap_data_pipelines_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_decontaminate_flags_copied_eval_text(spark):
+    # doc 0 is in the eval slice (0 % 11 == 0); doc 1 copies a 5-gram from it
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    df = _docs(
+        spark,
+        [
+            (0, eval_text, "en", "s"),
+            (1, "x y alpha beta gamma delta epsilon w", "en", "s"),
+            (2, "totally unrelated words here nothing shared", "en", "s"),
+        ],
+    )
+    rows = {r.doc_id: r for r in curation.decontaminate(df).collect()}
+    assert 1 in rows and rows[1].n_overlap == 1 and rows[1].n_eval_docs == 1
+    assert 2 not in rows  # clean doc produces no row
+
+
+def test_decontaminate_eval_slice_excluded_from_output(spark):
+    # an eval doc overlapping another eval doc must not appear as "train"
+    t = "one two three four five six"
+    df = _docs(spark, [(0, t, "en", "s"), (11, t, "en", "s")])
+    assert curation.decontaminate(df).count() == 0
+
+
+def test_repetition_stats_flags_repeated_doc(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam ham " * 50 + "spam ham", "en", "s"),  # one dominant bigram
+            (2, "a b c d e f g h i j", "en", "s"),  # all distinct
+        ],
+    )
+    rows = {r.doc_id: r for r in curation.repetition_stats(df).collect()}
+    assert not rows[1].keep
+    assert rows[1].dup_word_frac == 1.0  # every word repeats
+    assert rows[2].keep
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[2].top_bigram_cnt == 1
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    # doc 15: 15%3==0 -> email, 15%5==0 -> phone; doc 1: neither
+    df = _docs(spark, [(15, "hello world", "en", "s"), (1, "plain", "en", "s")])
+    rows = {r.doc_id: r for r in curation.pii_scan(df).collect()}
+    assert rows[15].n_emails == 1 and rows[15].n_phones == 1 and rows[15].has_pii
+    assert rows[1].n_emails == 0 and not rows[1].has_pii
+    import hashlib
+
+    expected = "hello world reach u15@example.com call +1-555-0015"
+    expected_red = expected.replace("u15@example.com", "<EMAIL>").replace(
+        "+1-555-0015", "<PHONE>"
+    )
+    assert rows[15].redacted_md5 == hashlib.md5(expected_red.encode()).hexdigest()
+
+
+def test_domain_mixture_uniform_target(spark):
+    # src0 has 3x the tokens of src1 -> downsample src0, upsample src1
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f", "en", "src0"),
+            (2, "a b c d e f", "en", "src0"),
+            (3, "a b c d e f", "en", "src0"),
+            (4, "a b c d e f", "en", "src1"),
+        ],
+    )
+    rows = {r.source: r for r in curation.domain_mixture(df).collect()}
+    assert rows["src0"].n_docs == 3 and rows["src0"].n_tokens == 18
+    assert abs(rows["src0"].token_share - 0.75) < 1e-9
+    assert abs(rows["src0"].sampling_factor - round(24 / (2 * 18), 6)) < 1e-9
+    assert abs(rows["src1"].sampling_factor - round(24 / (2 * 6), 6)) < 1e-9

@@ -64,6 +64,8 @@ _BNLJ_ALLOWED = {
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",
     "q22_global_sales_opportunity",
+    # corpus-total single row joined back to per-source rows (same shape)
+    "domain_mixture",
     # month-spine x 5-row priority dim: both sides aggregate-sized
     "orders_monthly_gapfill",
 }
