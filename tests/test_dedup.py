@@ -99,3 +99,25 @@ def test_quality_filter_reasons(spark):
     assert not out[2].keep and out[2].reason == "word_count"
     assert not out[3].keep and out[3].reason == "mean_wlen"
     assert not out[4].keep and out[4].reason in ("no_stopword", "symbol_ratio", "mean_wlen")
+
+
+def test_connected_components_pointer_jumping_on_chain(spark):
+    # 33-node path graph: plain min-label propagation needs ~32 rounds;
+    # pointer jumping must converge in O(log n) (incl. the stable-check
+    # round). Labels must all collapse to the chain minimum.
+    edges = [(i, i + 1) for i in range(32)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    und = df.union(df.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    labels, rounds = dedup.connected_components(und, max_iter=40)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(33)}
+    assert rounds <= 8, rounds
+
+
+def test_connected_components_two_components(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    und = df.union(df.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    labels, _ = dedup.connected_components(und, max_iter=10)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
