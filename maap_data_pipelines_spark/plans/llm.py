@@ -121,6 +121,9 @@ QUERIES = {
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),
     "embedding_dedup": _emb_plan(ann.embedding_dedup),
     "embedding_dedup_lsh": _emb_plan(ann.embedding_dedup_lsh),
+    "embedding_dedup_mp": _emb_plan(ann.embedding_dedup_mp),
+    "embedding_dedup_banded": _emb_plan(ann.embedding_dedup_banded),
+    "embedding_dedup_recall": _emb_plan(ann.embedding_dedup_recall),
     "ann_ivf_topk": _emb_plan(ann.ann_ivf_topk),
     "ann_ivf_topk2": _emb_plan(ann.ann_ivf_topk2),
     "ann_ivf_recall": _emb_plan(ann.ann_ivf_recall),

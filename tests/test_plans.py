@@ -60,6 +60,8 @@ _BNLJ_ALLOWED = {
     "ann_ivf_recall",
     "ann_ivf_topk2",
     "ann_ivf_recall2",
+    # composes the quadratic embedding_dedup baseline as its truth side
+    "embedding_dedup_recall",
     # single-row scalar-subquery broadcasts (TPC-H Q11/Q15/Q22 shape):
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",
