@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.zorder import zorder_key, zorder_key_sql
 from ..sources.catalog import read_table
 
 
@@ -481,8 +482,67 @@ LEFT JOIN monthly m ON m.priority = p.priority AND m.month_idx = s.month_idx
 """
 
 
+ZORDER_EPOCH = "1995-01-01"
+ZORDER_BUCKET_SHIFT = 26  # 32-bit key >> 26 = 64 layout buckets
+
+
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: per-key-range spans in BOTH clustered dims.
+
+    Computes the Morton key over (o_custkey, order-day) and groups orders
+    into 64 contiguous key ranges — the files a z-ordered write would
+    produce. Per range: row count and the min/max of each dimension. The
+    point of the audit: every range is a bounded rectangle (narrow custkey
+    span AND narrow day span), so min/max file stats prune scans filtered
+    on EITHER column — a single-column sort gives narrow spans in one dim
+    and full-width spans in the other (pinned in tests/test_zorder.py).
+
+    Scale shape: the key is 8 codegen'd integer ops per row; the rollup
+    is one hash-agg on a 6-bit key. The write-side twin is
+    ``sinks.write_zordered`` (repartitionByRange + sortWithinPartitions
+    on the same expression).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit(ZORDER_EPOCH)).cast("long")
+    z = zorder_key(F.col("o_custkey"), day)
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"), day.alias("day_idx"), z.alias("zkey")
+        )
+        .groupBy(F.shiftright(F.col("zkey"), ZORDER_BUCKET_SHIFT).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("custkey").alias("min_cust"),
+            F.max("custkey").alias("max_cust"),
+            F.min("day_idx").alias("min_day"),
+            F.max("day_idx").alias("max_day"),
+        )
+    )
+
+
+_Z_DAY = f"date_diff('day', DATE '{ZORDER_EPOCH}', o_orderdate)"
+
+ZORDER_LAYOUT_SQL = f"""
+WITH z AS (
+  SELECT o_custkey AS custkey,
+         CAST({_Z_DAY} AS BIGINT) AS day_idx,
+         {zorder_key_sql("o_custkey", _Z_DAY)} AS zkey
+  FROM orders
+)
+SELECT zkey >> {ZORDER_BUCKET_SHIFT} AS zbucket,
+       COUNT(*) AS n_orders,
+       MIN(custkey) AS min_cust,
+       MAX(custkey) AS max_cust,
+       MIN(day_idx) AS min_day,
+       MAX(day_idx) AS max_day
+FROM z
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "orders_scd2": orders_scd2,
+    "orders_zorder_layout": orders_zorder_layout,
     "doc_split_assign": doc_split_assign,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_sample_exact_k": doc_sample_exact_k,
@@ -496,6 +556,7 @@ QUERIES = {
 
 ORACLES = {
     "orders_scd2": ORDERS_SCD2_SQL,
+    "orders_zorder_layout": ZORDER_LAYOUT_SQL,
     "doc_split_assign": DOC_SPLIT_SQL,
     "doc_stratified_sample": DOC_SAMPLE_SQL,
     "doc_sample_exact_k": DOC_SAMPLE_K_SQL,

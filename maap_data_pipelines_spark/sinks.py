@@ -76,6 +76,36 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet z-ordered on two columns (Morton-key range layout).
+
+    ``repartitionByRange`` on the interleaved key splits the keyspace
+    into quadtree-cell ranges (one output file each), and the within-
+    partition sort lays rows out key-contiguously — so every file's
+    min/max stats cover a bounded RECTANGLE in (col_a, col_b) and scans
+    filtered on either column can skip most files. A single-column sort
+    only prunes on that column; this pays the same one shuffle.
+    """
+    from .functions.zorder import zorder_key
+
+    z = zorder_key(F.col(col_a), F.col(col_b)).alias("__zkey")
+    (
+        df.select("*", z)
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def start_idempotent_stream_sink(
     stream_df: DataFrame, target_dir: str, checkpoint_dir: str
 ):
