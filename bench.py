@@ -70,6 +70,14 @@ HEADLINE = [
     "media_frame_sample",
     # the flagship composition: quality + exact-dup + near-dup cascade
     "corpus_curation",
+    # curation signals: benchmark-overlap join, repetition, PII, mixture
+    "decontaminate",
+    "repetition_stats",
+    "pii_scan",
+    "domain_mixture",
+    # banded LSH (the measured-recall embedding scale path) + z-order audit
+    "embedding_dedup_banded",
+    "orders_zorder_layout",
 ]
 
 
