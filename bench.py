@@ -78,6 +78,8 @@ HEADLINE = [
     # banded LSH (the measured-recall embedding scale path) + z-order audit
     "embedding_dedup_banded",
     "orders_zorder_layout",
+    # 2D grid-cell blocked spatial self-join
+    "assets_neighbor_join",
 ]
 
 

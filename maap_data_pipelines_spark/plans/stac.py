@@ -846,7 +846,99 @@ FROM g
 """
 
 
+# --- 15. spatial neighbor join (grid-cell blocking) -----------------------
+
+NEIGHBOR_DIST = 0.5  # degrees; grid cell edge == dist so Hamming-1 cells cover
+_CELL_TENTHS = int(NEIGHBOR_DIST * 10)  # coords are integer tenth-degrees
+
+
+def assets_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All asset pairs within 0.5 deg (euclidean), via grid-cell blocking.
+
+    The geospatial twin of the banded joins: each asset gets a
+    deterministic point (same tenth-degree arithmetic as :func:`bbox`),
+    the plane is cut into dist-sized grid cells computed in INTEGER
+    tenth-degrees (no float-boundary ambiguity), and one side probes its
+    3x3 cell neighborhood while the other keeps its own cell — so the
+    candidate join is an EQUI-join on (cell_x, cell_y) with fan-out
+    bounded by cell occupancy, never all pairs. Any pair within dist is
+    at most one cell apart in each dim (cell edge == dist), so blocking
+    is COMPLETE — and the oracle is the brute-force cross join, which
+    re-proves completeness on every driver run. Exact distance then
+    filters candidates; each qualifying pair matches exactly one probe
+    offset, so no dedup pass is needed.
+
+    Scale shape: x9 map-side explode on one side into a shuffle hash
+    join on the cell key — the same constant-fan-out trade as
+    events_purchase_context (1D banded) and embedding_dedup_mp (bit
+    probes). Skewed cells (dense regions) split under AQE skew-join.
+    """
+    cat = asset_catalog(spark, sf_dir).filter(F.col("ext") != "hdr")
+    k = F.col("asset_id")
+    pts = cat.select(
+        "asset_id",
+        (k * 7 % 3600).alias("xi"),
+        (k * 7 % 1700).alias("yi"),
+    ).select(
+        "asset_id",
+        ((F.col("xi") - 1800).cast("double") / 10).alias("x"),
+        ((F.col("yi") - 850).cast("double") / 10).alias("y"),
+        F.floor(F.col("xi") / _CELL_TENTHS).alias("cx"),
+        F.floor(F.col("yi") / _CELL_TENTHS).alias("cy"),
+    )
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("p")
+    a = pts.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        probes,
+    ).select("asset_a", "xa", "ya", F.col("p.cx").alias("cx"), F.col("p.cy").alias("cy"))
+    b = pts.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b", F.round(d2, 6).alias("dist_sq"))
+        .filter(F.col("dist_sq") <= NEIGHBOR_DIST * NEIGHBOR_DIST)
+    )
+
+
+NEIGHBOR_JOIN_SQL = f"""
+WITH {CATALOG_SQL},
+pts AS (
+  SELECT asset_id,
+         CAST((asset_id * 7 % 3600) - 1800 AS DOUBLE) / 10 AS x,
+         CAST((asset_id * 7 % 1700) - 850 AS DOUBLE) / 10 AS y
+  FROM catalog WHERE ext != 'hdr'
+)
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       ROUND((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6) AS dist_sq
+FROM pts a JOIN pts b ON a.asset_id < b.asset_id
+WHERE ROUND((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6)
+      <= {NEIGHBOR_DIST * NEIGHBOR_DIST}
+"""
+
+
 QUERIES = {
+    "assets_neighbor_join": assets_neighbor_join,
     "s3_discovery": s3_discovery,
     "inventory_discovery": inventory_discovery,
     "item_id": item_id,
@@ -864,6 +956,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "assets_neighbor_join": NEIGHBOR_JOIN_SQL,
     "s3_discovery": S3_DISCOVERY_SQL,
     "inventory_discovery": INVENTORY_DISCOVERY_SQL,
     "item_id": ITEM_ID_SQL,
