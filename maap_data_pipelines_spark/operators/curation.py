@@ -360,9 +360,191 @@ SELECT source, n_docs, n_tokens,
 FROM per_src, tot
 """
 
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span mass (suffix-dedup signal).
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_NGRAM = 10
+
+
+def dup_ngram_mass(docs: DataFrame) -> DataFrame:
+    """Per-doc mass of 10-gram spans that also appear in OTHER documents.
+
+    The practical distributed stand-in for suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a long shingle shared across documents marks boilerplate /
+    copied spans. Within-doc repetition is deliberately excluded (that is
+    :func:`repetition_stats`) by counting document-frequency over
+    DISTINCT (shingle, doc) pairs.
+
+    Output per doc with >= 1 shingle: total shingle occurrences, how many
+    of them lie on a cross-doc-duplicated shingle, and the mass fraction.
+
+    Scale shape: shingle -> 8-byte md5 key immediately (narrow shuffles);
+    df is a two-stage agg (distinct doc set collapses map-side); the join
+    back to occurrences is an equi-join on the hash. The df side is
+    vocabulary-sized, not corpus-sized. Boilerplate shingles are the skew
+    hazard at web scale — AQE skew-join splits those keys.
+    """
+    occ = _shingle_rows(docs, DUP_SPAN_NGRAM).select(
+        "doc_id", md5_long(F.col("shingle")).alias("g")
+    )
+    df_ = (
+        occ.distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("ddf"))
+    )
+    return (
+        occ.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("ddf") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_mass", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+        )
+    )
+
+
+_DUP_SHINGLES = f"""
+  SELECT doc_id,
+         {md5_long_sql(
+             "array_to_string(ws[i:i+" + str(DUP_SPAN_NGRAM - 1) + "], ' ')"
+         )} AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws) - {DUP_SPAN_NGRAM - 2})) AS t(i)
+"""
+
+DUP_NGRAM_MASS_SQL = f"""
+WITH occ AS ({_DUP_SHINGLES}),
+df AS (
+  SELECT g, COUNT(*) AS ddf FROM (SELECT DISTINCT doc_id, g FROM occ) GROUP BY g
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS dup_mass
+FROM occ JOIN df USING (g)
+GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate-and-split context-window assignment.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per context window
+
+
+def doc_pack_assign(docs: DataFrame) -> DataFrame:
+    """Assign each doc its context window under concatenate-and-split packing.
+
+    The GPT-style pretraining layout: within a source, documents are
+    concatenated in deterministic (doc_id) order and the token stream is
+    cut every PACK_BUDGET tokens; a doc's pack is where its first token
+    lands, and ``straddles`` marks docs crossing a cut (the ones needing
+    cross-boundary attention masking). Pure window arithmetic — exact,
+    reshuffle-stable, no RNG — unlike greedy bin packing, which needs
+    sequential state and would serialize the corpus.
+
+    Scale shape: one running-sum window per source partition (the same
+    shape as compaction_plan's bin packing); partition size = docs per
+    source. At 100 TB, sources are themselves sharded (source, shard-id)
+    to bound window partitions — packing is per-shard by construction
+    since shards train independently.
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum_before", cum_before)
+        .withColumn(
+            "pack_id", F.floor(F.col("cum_before") / PACK_BUDGET).cast("long")
+        )
+        .withColumn(
+            "straddles",
+            F.col("cum_before") + F.col("n_tokens")
+            > (F.col("pack_id") + 1) * PACK_BUDGET,
+        )
+    )
+
+
+DOC_PACK_ASSIGN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before,
+       cum_before // {PACK_BUDGET} AS pack_id,
+       (cum_before + n_tokens) > ((cum_before // {PACK_BUDGET}) + 1) * {PACK_BUDGET}
+         AS straddles
+FROM c
+"""
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (power-of-two buckets, integer-exact).
+# ---------------------------------------------------------------------------
+
+
+def doc_length_histogram(docs: DataFrame) -> DataFrame:
+    """Doc-length distribution in power-of-two buckets.
+
+    Bucket = bit length of the word count (computed as the LENGTH of the
+    binary string — pure integer/string ops, no float log2 whose
+    last-ulp behavior could differ between engines). One hash-agg over
+    ~60 tiny groups; the monitoring table behind batch-size and packing
+    decisions.
+    """
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = F.length(F.bin(n_words)).cast("long")
+    return (
+        docs.select(n_words.alias("n_words"), bucket.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_words").alias("min_words"),
+            F.max("n_words").alias("max_words"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents
+)
+SELECT CAST(length(bin(n_words)) AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_words) AS min_words,
+       MAX(n_words) AS max_words,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM t
+GROUP BY 1
+"""
+
 QUERY_SQL = {
     "decontaminate": DECONTAMINATE_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "pii_scan": PII_SCAN_SQL,
     "domain_mixture": DOMAIN_MIXTURE_SQL,
+    "dup_ngram_mass": DUP_NGRAM_MASS_SQL,
+    "doc_pack_assign": DOC_PACK_ASSIGN_SQL,
+    "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
 }

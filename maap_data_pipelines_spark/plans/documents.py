@@ -47,6 +47,9 @@ QUERIES = {
     "repetition_stats": _wrap(curation.repetition_stats),
     "pii_scan": _wrap(curation.pii_scan),
     "domain_mixture": _wrap(curation.domain_mixture),
+    "dup_ngram_mass": _wrap(curation.dup_ngram_mass),
+    "doc_pack_assign": _wrap(curation.doc_pack_assign),
+    "doc_length_histogram": _wrap(curation.doc_length_histogram),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

@@ -79,3 +79,45 @@ def test_domain_mixture_uniform_target(spark):
     assert abs(rows["src0"].token_share - 0.75) < 1e-9
     assert abs(rows["src0"].sampling_factor - round(24 / (2 * 18), 6)) < 1e-9
     assert abs(rows["src1"].sampling_factor - round(24 / (2 * 6), 6)) < 1e-9
+
+
+def test_dup_ngram_mass_cross_doc_only(spark):
+    shared = " ".join(f"w{i}" for i in range(10))  # one shared 10-gram
+    df = _docs(
+        spark,
+        [
+            (1, shared + " tail one", "en", "s"),
+            (2, "head two " + shared, "en", "s"),
+            (3, "self self self self self self self self self self self", "en", "s"),
+        ],
+    )
+    rows = {r.doc_id: r for r in curation.dup_ngram_mass(df).collect()}
+    assert rows[1].n_dup_spans == 1 and rows[1].n_spans == 3
+    assert rows[2].n_dup_spans == 1
+    # doc 3 repeats WITHIN itself only: ddf counts distinct docs -> no dup
+    assert rows[3].n_dup_spans == 0
+
+
+def test_doc_pack_assign_concat_and_split(spark):
+    # 3 docs of 100 tokens in one source: budget 256 -> doc 3 starts at
+    # offset 200 in pack 0 and straddles into pack 1
+    text = " ".join(["w"] * 100)
+    df = _docs(spark, [(i, text, "en", "s") for i in (1, 2, 3)])
+    rows = {r.doc_id: r for r in curation.doc_pack_assign(df).collect()}
+    assert [rows[i].cum_before for i in (1, 2, 3)] == [0, 100, 200]
+    assert [rows[i].pack_id for i in (1, 2, 3)] == [0, 0, 0]
+    assert [rows[i].straddles for i in (1, 2, 3)] == [False, False, True]
+
+
+def test_doc_length_histogram_buckets(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a", "en", "s"),          # 1 word  -> bucket 1
+            (2, "a b c", "en", "s"),      # 3 words -> bucket 2
+            (3, "a b c d", "en", "s"),    # 4 words -> bucket 3
+        ],
+    )
+    rows = {r.len_bucket: r for r in curation.doc_length_histogram(df).collect()}
+    assert rows[1].n_docs == 1 and rows[2].n_docs == 1 and rows[3].n_docs == 1
+    assert rows[2].min_words == 3 and rows[2].max_words == 3
