@@ -157,3 +157,71 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def streaming_click_attribution(
+    spark: SparkSession, source_dir: str, fmt: str = "json"
+) -> DataFrame:
+    """Stream-stream interval join: purchases <- clicks within 30 minutes.
+
+    Streaming twin of the batch ``events_asof_attribution``: two streams
+    derived from the same landing source (at-scale these are two topics),
+    each with its own watermark, joined per user with the click required
+    inside [purchase_ts - 30 min, purchase_ts]. Spark's symmetric hash
+    join buffers each side ONLY until its watermark plus the interval
+    passes — state is bounded by (event rate x horizon), never stream
+    length, and the time-range predicate is what makes eviction possible.
+    Inner join = unattributed purchases drop (the batch as-of twin keeps
+    them as NULL attribution; documented deviation — streaming outer
+    interval joins emit only at watermark expiry, which availableNow
+    drains do not reach deterministically).
+
+    Output (append mode): one row per (purchase, qualifying click) pair;
+    downstream pick-latest dedup is a batch concern
+    (``events_asof_attribution`` semantics).
+    """
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format(fmt)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.round(F.col("value") * 100).cast("long").alias("purchase_cents"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_cents",
+        "click_id",
+        "click_ts",
+    )

@@ -276,3 +276,49 @@ def test_batch_and_streaming_sessionize_agree(spark, tmp_path):
     }
     assert stream_sessions == batch_sessions
     assert len(stream_sessions) == 3  # user1 x2, user2 x1 (39min gap splits? no: 29min)
+
+
+def test_streaming_click_attribution_interval_join(spark, tmp_path):
+    from maap_data_pipelines_spark.streaming.rollup import (
+        streaming_click_attribution,
+    )
+
+    src = tmp_path / "attr_landing"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:06:00", "user_id": 2, "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "purchase", "value": 9.99, "props": "{}"},
+        ],
+    )
+    _write_events(
+        src / "b2.json",
+        [
+            # purchase >30min after user 2's click: out of the interval
+            {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 2, "event_type": "purchase", "value": 5.00, "props": "{}"},
+            # purchase with no prior click at all
+            {"event_id": 5, "ts": "2024-01-01T01:10:00", "user_id": 3, "event_type": "purchase", "value": 1.00, "props": "{}"},
+        ],
+    )
+    df = streaming_click_attribution(spark, str(src))
+    q = (
+        df.writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    rows = spark.sql("SELECT * FROM attr_test").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.purchase_id == 3 and r.click_id == 1 and r.purchase_cents == 999
+    # both sides must carry watermarks (what bounds the join state)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2
