@@ -360,6 +360,65 @@ SELECT source, n_docs, n_tokens,
 FROM per_src, tot
 """
 
+REBALANCE_SCALE = 1_000_000
+
+
+def domain_rebalance(docs: DataFrame) -> DataFrame:
+    """Materialize the target mixture: per-doc copy count + exploded copies.
+
+    Applies :func:`domain_mixture`'s sampling factor deterministically:
+    every doc gets ``floor(factor)`` guaranteed copies (epochs) plus one
+    more iff its stable hash falls under the fractional part — so the
+    materialized corpus hits the target mixture in expectation with ZERO
+    RNG: reruns, retries, and backfills produce byte-identical output
+    (the property ``df.sample`` does not have). Output is one row per
+    materialized copy (doc_id, source, copy_idx, n_copies); docs hashed
+    out of a downsampled source emit no rows.
+
+    Scale shape: the per-source factor table is tiny (broadcast); the
+    explode is ``sequence(1, n_copies)`` — fan-out bounded by
+    ceil(factor), and the decision is a pure column hash at scan speed.
+    """
+    factors = domain_mixture(docs).select("source", "sampling_factor")
+    base = F.floor(F.col("sampling_factor")).cast("long")
+    frac = F.col("sampling_factor") - base
+    extra = (
+        md5_long(F.concat(F.lit("rebal"), F.col("doc_id").cast("string")))
+        % REBALANCE_SCALE
+        < frac * REBALANCE_SCALE
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(factors), "source")
+        .withColumn("n_copies", base + extra)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+    )
+
+
+DOMAIN_REBALANCE_SQL = f"""
+WITH mix AS ({DOMAIN_MIXTURE_SQL}),
+d AS (
+  SELECT doc_id, documents.source, sampling_factor,
+         CAST(FLOOR(sampling_factor) AS BIGINT)
+         + CASE WHEN ({md5_long_sql("'rebal' || CAST(doc_id AS VARCHAR)")}
+                      % {REBALANCE_SCALE})
+                < (sampling_factor - FLOOR(sampling_factor)) * {REBALANCE_SCALE}
+           THEN 1 ELSE 0 END AS n_copies
+  FROM documents JOIN mix ON documents.source = mix.source
+)
+SELECT doc_id, source, n_copies, copy_idx
+FROM d, UNNEST(range(1, n_copies + 1)) AS t(copy_idx)
+WHERE n_copies >= 1
+"""
+
 # ---------------------------------------------------------------------------
 # Cross-document duplicated-span mass (suffix-dedup signal).
 # ---------------------------------------------------------------------------
@@ -547,4 +606,5 @@ QUERY_SQL = {
     "dup_ngram_mass": DUP_NGRAM_MASS_SQL,
     "doc_pack_assign": DOC_PACK_ASSIGN_SQL,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
+    "domain_rebalance": DOMAIN_REBALANCE_SQL,
 }

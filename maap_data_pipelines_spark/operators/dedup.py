@@ -467,6 +467,59 @@ WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= {NGRAM_MIN_JACCARD}
 """
 
 
+# --- MinHash estimation-quality monitor -----------------------------------
+
+_CAL_SCALE = 1_000_000
+
+
+def minhash_calibration(docs: DataFrame) -> DataFrame:
+    """MinHash estimator quality vs exact Jaccard, one auditable row.
+
+    Joins the MinHash candidate pairs (est_jaccard from 64 permutations)
+    against the exact inverted-index Jaccard on the pairs both emit, and
+    reports mean absolute error and mean signed error (bias). Both
+    metrics are accumulated as exact micro-unit int64 sums — a float AVG
+    would be partition-order-dependent and engine-divergent — with one
+    final division. The monitor that sizes the permutation count: MAE
+    shrinks ~1/sqrt(num_perm).
+    """
+    est = dedup_minhash_lsh(docs).select("doc_a", "doc_b", "est_jaccard")
+    exact = ngram_jaccard(docs).select("doc_a", "doc_b", "jaccard")
+    j = est.join(exact, ["doc_a", "doc_b"])
+    err_e6 = (F.col("est_jaccard") * _CAL_SCALE).cast("long") - (
+        F.col("jaccard") * _CAL_SCALE
+    ).cast("long")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.abs(err_e6)).alias("sum_abs_e6"),
+        F.sum(err_e6).alias("sum_err_e6"),
+    )
+    return agg.select(
+        "n_pairs",
+        F.round(F.col("sum_abs_e6") / (F.col("n_pairs") * _CAL_SCALE), 6).alias(
+            "mae"
+        ),
+        F.round(F.col("sum_err_e6") / (F.col("n_pairs") * _CAL_SCALE), 6).alias(
+            "bias"
+        ),
+    )
+
+
+MINHASH_CALIBRATION_SQL = f"""
+WITH est AS (SELECT doc_a, doc_b, est_jaccard FROM ({DEDUP_MINHASH_SQL})),
+ex AS (SELECT doc_a, doc_b, jaccard FROM ({NGRAM_JACCARD_SQL})),
+j AS (
+  SELECT CAST(est_jaccard * {_CAL_SCALE} AS BIGINT)
+         - CAST(jaccard * {_CAL_SCALE} AS BIGINT) AS err_e6
+  FROM est JOIN ex USING (doc_a, doc_b)
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(ABS(err_e6)) AS BIGINT) / (COUNT(*) * {_CAL_SCALE}), 6) AS mae,
+       ROUND(CAST(SUM(err_e6) AS BIGINT) / (COUNT(*) * {_CAL_SCALE}), 6) AS bias
+FROM j
+"""
+
+
 # --- duplicate clusters (connected components) ----------------------------
 
 
@@ -584,4 +637,5 @@ QUERY_SQL = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "minhash_calibration": MINHASH_CALIBRATION_SQL,
 }

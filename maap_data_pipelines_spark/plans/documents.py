@@ -50,6 +50,7 @@ QUERIES = {
     "dup_ngram_mass": _wrap(curation.dup_ngram_mass),
     "doc_pack_assign": _wrap(curation.doc_pack_assign),
     "doc_length_histogram": _wrap(curation.doc_length_histogram),
+    "domain_rebalance": _wrap(curation.domain_rebalance),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

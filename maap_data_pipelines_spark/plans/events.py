@@ -451,8 +451,74 @@ GROUP BY CUBE (event_type, day_us)
 """
 
 
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomalies per type: exact z-scores, |z| > 2 flag.
+
+    The monitoring query a pipeline runs over its own ingest: hourly
+    counts per type scored against that type's own distribution. The
+    z-score algebra stays in int64 until one final division —
+    z = (c·n − Σc) / sqrt(n·Σc² − (Σc)²) — so both engines compute the
+    identical double (integer-valued doubles + correctly-rounded sqrt),
+    no float accumulation order anywhere. σ = 0 (constant counts) maps
+    to z = 0 by convention.
+
+    Scale shape: two stacked aggs (hour × type, then type) with map-side
+    combine; the per-type stats table is tiny and broadcast back onto
+    the hourly rows.
+    """
+    ev = read_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    var_term = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    num = F.col("c") * F.col("n") - F.col("s1")
+    z = F.when(var_term > 0, F.round(num / F.sqrt(var_term), 6)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "hour_us",
+            "event_type",
+            F.col("c").alias("n_events"),
+            z.alias("zscore"),
+        )
+        .withColumn("is_anomaly", F.abs(F.col("zscore")) > 2.0)
+    )
+
+
+ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM hourly GROUP BY 1
+)
+SELECT hour_us, event_type, c AS n_events,
+       CASE WHEN n * s2 - s1 * s1 > 0
+            THEN ROUND((c * n - s1) / sqrt(n * s2 - s1 * s1), 6)
+            ELSE 0.0 END AS zscore,
+       ABS(CASE WHEN n * s2 - s1 * s1 > 0
+                THEN ROUND((c * n - s1) / sqrt(n * s2 - s1 * s1), 6)
+                ELSE 0.0 END) > 2.0 AS is_anomaly
+FROM hourly JOIN stats USING (event_type)
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
+    "events_hourly_anomaly": events_hourly_anomaly,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
@@ -466,6 +532,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly_rollup": HOURLY_SQL,
+    "events_hourly_anomaly": ANOMALY_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_json_props": JSON_PROPS_SQL,
     "events_funnel": FUNNEL_SQL,

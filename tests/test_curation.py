@@ -121,3 +121,25 @@ def test_doc_length_histogram_buckets(spark):
     rows = {r.len_bucket: r for r in curation.doc_length_histogram(df).collect()}
     assert rows[1].n_docs == 1 and rows[2].n_docs == 1 and rows[3].n_docs == 1
     assert rows[2].min_words == 3 and rows[2].max_words == 3
+
+
+def test_domain_rebalance_deterministic_epochs(spark):
+    # src0: 3 docs x 6 tokens = 18; src1: 1 doc x 6 = 6; total 24, 2 sources
+    # factor(src0) = 24/(2*18) = 0.667 -> 0 or 1 copies per doc
+    # factor(src1) = 24/(2*6)  = 2.0   -> exactly 2 copies, no hash draw
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f", "en", "src0"),
+            (2, "a b c d e f", "en", "src0"),
+            (3, "a b c d e f", "en", "src0"),
+            (4, "a b c d e f", "en", "src1"),
+        ],
+    )
+    r1 = sorted((r.doc_id, r.copy_idx) for r in curation.domain_rebalance(df).collect())
+    r2 = sorted((r.doc_id, r.copy_idx) for r in curation.domain_rebalance(df).collect())
+    assert r1 == r2  # byte-identical across reruns (no RNG)
+    assert [c for d, c in r1 if d == 4] == [1, 2]  # integer factor -> 2 epochs
+    src0_copies = [d for d, _ in r1 if d != 4]
+    assert all(c == 1 for d, c in r1 if d != 4)  # frac factor -> 0/1 copies
+    assert len(src0_copies) <= 3
