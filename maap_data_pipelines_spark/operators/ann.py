@@ -90,6 +90,16 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (np.sqrt(sa) * np.sqrt(sb)))
 
 
+# Both UDFs ARE pure functions of their input; asNondeterministic is plan
+# control, not semantics: it forbids Catalyst from substituting the call
+# through a Filter/Project boundary, which otherwise duplicates the Arrow
+# eval (`filter(cosine >= t)` over `select(cosine)` ran the UDF TWICE per
+# pair — once for the pushed predicate, once for the output; same for the
+# join-key null check on bucket_udf). Measured: every embedding pair query
+# plan dropped to exactly one ArrowEvalPython per UDF per side.
+cosine_udf = cosine_udf.asNondeterministic()
+
+
 def cosine_cols(a: str, b: str) -> F.Column:
     return cosine_udf(F.col(a), F.col(b))
 
@@ -117,6 +127,9 @@ def bucket_udf(a: pd.Series) -> pd.Series:
             d = d + V[:, i] * W[i, j]
         bucket |= (d > 0).astype(np.int64) << j
     return pd.Series(bucket)
+
+
+bucket_udf = bucket_udf.asNondeterministic()  # same plan-control rationale
 
 
 def bucket_col(a: str) -> F.Column:

@@ -68,6 +68,8 @@ _BNLJ_ALLOWED = {
     "q22_global_sales_opportunity",
     # corpus-total single row joined back to per-source rows (same shape)
     "domain_mixture",
+    # composes domain_mixture, inheriting its single-row broadcast
+    "domain_rebalance",
     # month-spine x 5-row priority dim: both sides aggregate-sized
     "orders_monthly_gapfill",
 }
