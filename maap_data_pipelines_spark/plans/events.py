@@ -451,6 +451,75 @@ GROUP BY CUBE (event_type, day_us)
 """
 
 
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency profile: active sessions & users per hour.
+
+    The interval-coverage aggregation (capacity planning's core query):
+    each 30-min-gap session span [start, end] is exploded onto the hour
+    buckets it covers, then one hash-agg counts active sessions and
+    distinct users per hour. The explode fan-out is bounded by session
+    duration / 1h (sessions are gap-bounded, so small constant) — this is
+    the interval-join-free formulation; a range join against an hour
+    spine would shuffle the spine times sessions instead.
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag(F.col("ts_us"), 1).over(w) > _GAP_US, 1
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(w) + 1)
+    sessions = flagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us")
+    )
+    hour = F.explode(
+        F.sequence(
+            F.col("s_us") - F.col("s_us") % _HOUR_US,
+            F.col("e_us") - F.col("e_us") % _HOUR_US,
+            F.lit(_HOUR_US).cast("long"),
+        )
+    )
+    return (
+        sessions.select("user_id", hour.alias("hour_us"))
+        .groupBy("hour_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_sessions"),
+            F.countDistinct("user_id").alias("n_active_users"),
+        )
+    )
+
+
+CONCURRENCY_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) + 1
+           AS session_seq,
+         ts_us
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, session_seq, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT hour_us,
+       COUNT(*) AS n_active_sessions,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM spans,
+     UNNEST(generate_series(s_us - s_us % {_HOUR_US},
+                            e_us - e_us % {_HOUR_US},
+                            {_HOUR_US})) AS t(hour_us)
+GROUP BY 1
+"""
+
+
 def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event-count anomalies per type: exact z-scores, |z| > 2 flag.
 
@@ -519,6 +588,7 @@ FROM hourly JOIN stats USING (event_type)
 QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_hourly_anomaly": events_hourly_anomaly,
+    "events_concurrency": events_concurrency,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
@@ -533,6 +603,7 @@ QUERIES = {
 ORACLES = {
     "events_hourly_rollup": HOURLY_SQL,
     "events_hourly_anomaly": ANOMALY_SQL,
+    "events_concurrency": CONCURRENCY_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_json_props": JSON_PROPS_SQL,
     "events_funnel": FUNNEL_SQL,

@@ -16,10 +16,13 @@ def test_write_items_partitioned(spark, sf_dir, tmp_path):
     assert len(parts) == 7  # coll-0 .. coll-6
     back = spark.read.parquet(out)
     assert back.count() == items.count()
-    # partition pruning: reading one collection only lists that directory
+    # partition pruning: the filter must land in PartitionFilters (directory
+    # skip at planning time), not just DataFilters (row skip at read time)
     one = spark.read.parquet(out).filter("collection = 'coll-3'")
     n3 = items.filter("collection = 'coll-3'").count()
     assert one.count() == n3
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(collection" in plan, plan
 
 
 def test_submit_items_receipts(spark, sf_dir):
