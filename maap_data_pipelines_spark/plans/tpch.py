@@ -466,6 +466,66 @@ FROM orders
 """
 
 
+CONCENTRATION_KS = (10, 100)
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: share held by the top-10 / top-100 customers.
+
+    The Pareto question without the Pareto anti-pattern: a naive ABC
+    classification needs a GLOBAL ordered cumulative sum — one sort
+    partition holding every customer. Instead: per-customer revenue
+    (hash-agg), top-k via TakeOrderedAndProject (each partition keeps a
+    local top-k), and a single-row total broadcast for the shares. No
+    global sort ever materializes; ties break on custkey so the top-k
+    set is deterministic.
+
+    Output one row: total + top-k cents and exact integer-cent shares
+    (single division, 6dp).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    total = per_cust.agg(F.sum("cents").alias("total_cents"))
+    out = total
+    for k in CONCENTRATION_KS:
+        topk = (
+            per_cust.orderBy(F.desc("cents"), "o_custkey")
+            .limit(k)
+            .agg(F.sum("cents").alias(f"top{k}_cents"))
+        )
+        out = out.join(F.broadcast(topk))
+    for k in CONCENTRATION_KS:
+        out = out.withColumn(
+            f"top{k}_share",
+            F.round(F.col(f"top{k}_cents") / F.col("total_cents"), 6),
+        )
+    return out
+
+
+REVENUE_CONCENTRATION_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM per_cust),
+t10 AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS top10_cents
+  FROM (SELECT cents FROM per_cust ORDER BY cents DESC, o_custkey LIMIT 10)
+),
+t100 AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS top100_cents
+  FROM (SELECT cents FROM per_cust ORDER BY cents DESC, o_custkey LIMIT 100)
+)
+SELECT total_cents, top10_cents, top100_cents,
+       ROUND(top10_cents / total_cents, 6) AS top10_share,
+       ROUND(top100_cents / total_cents, 6) AS top100_share
+FROM tot, t10, t100
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -478,6 +538,7 @@ QUERIES = {
     "top_customers_window": top_customers_window,
     "order_cohort_retention": order_cohort_retention,
     "orders_running_revenue": orders_running_revenue,
+    "revenue_concentration": revenue_concentration,
 }
 
 ORACLES = {
@@ -492,4 +553,5 @@ ORACLES = {
     "top_customers_window": TOP_CUSTOMERS_SQL,
     "order_cohort_retention": COHORT_SQL,
     "orders_running_revenue": RUNNING_REVENUE_SQL,
+    "revenue_concentration": REVENUE_CONCENTRATION_SQL,
 }

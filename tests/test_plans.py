@@ -65,6 +65,7 @@ _BNLJ_ALLOWED = {
     # single-row scalar-subquery broadcasts (TPC-H Q11/Q15/Q22 shape):
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",
+    "revenue_concentration",
     "q22_global_sales_opportunity",
     # corpus-total single row joined back to per-source rows (same shape)
     "domain_mixture",

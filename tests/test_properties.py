@@ -145,3 +145,83 @@ def test_simhash_blocking_is_complete(spark):
     }
     found = {(r.doc_a, r.doc_b) for r in dedup_simhash(df).collect()}
     assert found == truth  # pigeonhole: exact, no misses AND no extras
+
+
+# --- z-order key: pure-Python differential + structural properties --------
+
+
+def _py_zorder(a: int, b: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(deadline=None, max_examples=20, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=0xFFFF),
+            st.integers(min_value=0, max_value=0xFFFF),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_key_matches_per_bit_reference(spark, pairs):
+    from maap_data_pipelines_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(pairs, ["a", "b"]).select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _py_zorder(r.a, r.b)
+
+
+def test_pack_assign_partitions_token_stream(spark):
+    # invariant: within a source, packs tile the concatenated token stream:
+    # doc k's cum_before == sum of previous docs' n_tokens, and pack_id is
+    # nondecreasing in doc order
+    from maap_data_pipelines_spark.operators.curation import doc_pack_assign
+
+    random.seed(7)
+    rows = [
+        (i, " ".join(["w"] * random.randint(1, 300)), "en", f"src{i % 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = sorted(
+        doc_pack_assign(df).collect(), key=lambda r: (r.source, r.doc_id)
+    )
+    for src in {r.source for r in out}:
+        docs = [r for r in out if r.source == src]
+        cum = 0
+        prev_pack = 0
+        for r in docs:
+            assert r.cum_before == cum
+            assert r.pack_id == cum // 256
+            assert r.pack_id >= prev_pack
+            cum += r.n_tokens
+            prev_pack = r.pack_id
+
+
+def test_rebalance_copies_bounded_by_factor(spark):
+    # n_copies is always floor(factor) or ceil(factor)
+    from maap_data_pipelines_spark.operators.curation import (
+        domain_mixture,
+        domain_rebalance,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, " ".join(["w"] * random.randint(1, 40)), "en", f"src{i % 4}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    factors = {r.source: r.sampling_factor for r in domain_mixture(df).collect()}
+    copies = {}
+    for r in domain_rebalance(df).collect():
+        copies[r.doc_id] = max(copies.get(r.doc_id, 0), r.copy_idx)
+        src = r.source
+        f = factors[src]
+        assert int(f) <= r.n_copies <= int(f) + 1
