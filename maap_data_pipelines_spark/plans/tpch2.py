@@ -696,7 +696,91 @@ GROUP BY c_nationkey
 """
 
 
+LIFT_SCALE = 6  # round lift to 6dp
+
+
+def market_basket_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: part-type pairs bought in the same order.
+
+    The market-basket core: per-order DISTINCT type set (bounded — types
+    per order ≤ lines per order), unordered pairs via a self-join on
+    orderkey with ``type_a < type_b``, then support counts and lift.
+    Lift's division is the only float op; its operands are exact int64
+    products (n_pair·n_orders and n_a·n_b), so both engines round the
+    same quotient.
+
+    Scale shape: the part dim broadcasts into the lineitem scan; the
+    distinct and the pair self-join shuffle on orderkey (pair fan-out
+    bounded per order by distinct-types², never cross-order); the final
+    rollup is a tiny hash-agg. The single-row order-count broadcast is
+    the allowlisted Q11 shape.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = F.broadcast(
+        read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    ot = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n_orders = ot.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_type = ot.groupBy(F.col("p_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    a = ot.select("l_orderkey", F.col("p_type").alias("type_a"))
+    b = ot.select("l_orderkey", F.col("p_type").alias("type_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    na = per_type.select(F.col("t").alias("type_a"), F.col("n_t").alias("n_a"))
+    nb = per_type.select(F.col("t").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "type_a",
+            "type_b",
+            "n_pair",
+            F.round(
+                (F.col("n_pair") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                LIFT_SCALE,
+            ).alias("lift"),
+        )
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH ot AS (
+  SELECT DISTINCT l_orderkey, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ot),
+per_type AS (SELECT p_type AS t, COUNT(*) AS n_t FROM ot GROUP BY 1),
+pairs AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS n_pair
+  FROM ot a JOIN ot b
+    ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_pair,
+       ROUND((n_pair * n_orders) / (na.n_t * nb.n_t), {LIFT_SCALE}) AS lift
+FROM pairs
+JOIN per_type na ON na.t = type_a
+JOIN per_type nb ON nb.t = type_b
+CROSS JOIN n_orders
+"""
+
+
 QUERIES = {
+    "market_basket_types": market_basket_types,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
@@ -714,6 +798,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "market_basket_types": MARKET_BASKET_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,
     "q7_volume_shipping": Q7_SQL,

@@ -66,6 +66,7 @@ _BNLJ_ALLOWED = {
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",
     "revenue_concentration",
+    "market_basket_types",
     "q22_global_sales_opportunity",
     # corpus-total single row joined back to per-source rows (same shape)
     "domain_mixture",
