@@ -558,6 +558,69 @@ FROM c
 """
 
 # ---------------------------------------------------------------------------
+# Overlapping chunking (context-window preparation for RAG/training).
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def doc_chunks(docs: DataFrame) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks.
+
+    Chunks start every STRIDE (=48) tokens and span up to CHUNK_TOKENS
+    (=64), so consecutive chunks share CHUNK_OVERLAP (=16) tokens — the
+    standard long-document windowing for retrieval/training. Start
+    positions stop at ``max(n - OVERLAP, 1)`` so a tail that is entirely
+    contained in the previous chunk's overlap is never emitted as its
+    own chunk. The chunk text crosses the comparator as an md5 so rows
+    stay fixed-width.
+
+    Scale shape: sequence + explode (fan-out = n_tokens/STRIDE, linear
+    in document size) and per-row slicing — no shuffle at all; runs at
+    scan speed like pii_scan.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("long")
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        F.greatest(n - CHUNK_OVERLAP, F.lit(1).cast("long")),
+        F.lit(CHUNK_STRIDE).cast("long"),
+    )
+    exploded = docs.select(
+        "doc_id", words.alias("ws"), F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice(F.col("ws"), F.col("start"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "start",
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id, ws,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         unnest(starts) AS start
+  FROM (SELECT doc_id, ws,
+               range(1, GREATEST(len(ws) - {CHUNK_OVERLAP}, 1) + 1,
+                     {CHUNK_STRIDE}) AS starts
+        FROM w)
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       CAST(len(ws[start:start + {CHUNK_TOKENS - 1}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(ws[start:start + {CHUNK_TOKENS - 1}], ' ')) AS chunk_md5
+FROM st
+"""
+
+# ---------------------------------------------------------------------------
 # Token-length histogram (power-of-two buckets, integer-exact).
 # ---------------------------------------------------------------------------
 
@@ -607,4 +670,5 @@ QUERY_SQL = {
     "doc_pack_assign": DOC_PACK_ASSIGN_SQL,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
     "domain_rebalance": DOMAIN_REBALANCE_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
 }

@@ -51,6 +51,7 @@ QUERIES = {
     "doc_pack_assign": _wrap(curation.doc_pack_assign),
     "doc_length_histogram": _wrap(curation.doc_length_histogram),
     "domain_rebalance": _wrap(curation.domain_rebalance),
+    "doc_chunks": _wrap(curation.doc_chunks),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

@@ -520,6 +520,61 @@ GROUP BY 1
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day.
+
+    Exact distinct counts over a SLIDING window without unbounded state:
+    each (user, day) pair contributes to the 7 target days it is inside,
+    via a bounded x7 explode, then one hash-agg per target day — the
+    explode-to-equi-key trick again (a window-frame countDistinct over
+    days would put each user's whole history in one frame; a range join
+    against a day spine would shuffle spine x activity). Only days that
+    actually have activity are reported (inner join with the DAU side).
+    Stickiness = DAU/WAU, single division over exact counts.
+    """
+    ev = read_events(spark, sf_dir)
+    daily = ev.select(
+        F.floor(F.col("ts_us") / _DAY_US).cast("long").alias("day"), "user_id"
+    ).distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        daily.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+DAU_WAU_SQL = f"""
+WITH daily AS (
+  SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY 1),
+wau AS (
+  SELECT t.day, COUNT(DISTINCT d.user_id) AS wau
+  FROM daily d, UNNEST(range(d.day, d.day + 7)) AS t(day)
+  GROUP BY 1
+)
+SELECT day, dau, wau, ROUND(dau / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
 def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event-count anomalies per type: exact z-scores, |z| > 2 flag.
 
@@ -589,6 +644,7 @@ QUERIES = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_hourly_anomaly": events_hourly_anomaly,
     "events_concurrency": events_concurrency,
+    "events_dau_wau": events_dau_wau,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
@@ -604,6 +660,7 @@ ORACLES = {
     "events_hourly_rollup": HOURLY_SQL,
     "events_hourly_anomaly": ANOMALY_SQL,
     "events_concurrency": CONCURRENCY_SQL,
+    "events_dau_wau": DAU_WAU_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_json_props": JSON_PROPS_SQL,
     "events_funnel": FUNNEL_SQL,

@@ -50,3 +50,14 @@ def test_running_revenue_monotone_per_customer(spark, sf_dir):
             assert r.running_cents == run
         some += 1
     assert some > 0
+
+
+def test_events_dau_wau_window(spark, sf_dir):
+    # WAU on day D counts users active in [D-6, D]; stickiness = dau/wau
+    from maap_data_pipelines_spark.plans.events import events_dau_wau
+
+    rows = {r.day: r for r in events_dau_wau(spark, sf_dir).collect()}
+    assert rows  # non-degenerate
+    for r in rows.values():
+        assert 0 < r.dau <= r.wau
+        assert abs(r.stickiness - round(r.dau / r.wau, 6)) < 1e-9

@@ -143,3 +143,24 @@ def test_domain_rebalance_deterministic_epochs(spark):
     src0_copies = [d for d, _ in r1 if d != 4]
     assert all(c == 1 for d, c in r1 if d != 4)  # frac factor -> 0/1 copies
     assert len(src0_copies) <= 3
+
+
+def test_doc_chunks_overlap_and_tail(spark):
+    # 100 tokens, chunk 64, stride 48: starts 1 and 49; chunk 2 is 52 long
+    words = [f"w{i}" for i in range(100)]
+    df = _docs(spark, [(1, " ".join(words), "en", "s")])
+    rows = sorted(curation.doc_chunks(df).collect(), key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.start, r.n_chunk_tokens) for r in rows] == [
+        (0, 1, 64),
+        (1, 49, 52),
+    ]
+    import hashlib
+
+    assert rows[1].chunk_md5 == hashlib.md5(" ".join(words[48:]).encode()).hexdigest()
+    # short doc: single chunk, no tail chunk inside the overlap
+    short = _docs(spark, [(2, " ".join(words[:70]), "en", "s")])
+    srows = curation.doc_chunks(short).collect()
+    assert [(r.chunk_idx, r.n_chunk_tokens) for r in sorted(srows, key=lambda r: r.chunk_idx)] == [
+        (0, 64),
+        (1, 22),
+    ]
