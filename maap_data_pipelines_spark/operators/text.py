@@ -496,7 +496,45 @@ WHERE levenshtein(a.word, b.word) <= 1
 """
 
 
+def text_normalize(docs: DataFrame) -> DataFrame:
+    """Canonicalize text ahead of exact dedup: case/punct/whitespace.
+
+    lower -> strip non-[a-z0-9 ] -> collapse runs of spaces -> trim; the
+    normalized text crosses as md5 plus an exact changed flag. This is
+    the step that turns 'Hello,  World!' and 'hello world' into the
+    same dedup key — exact dedup without it undercounts duplicates.
+    Pure row-local regex work, zero shuffle, scan speed.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       length(norm) AS n_chars_norm,
+       norm <> text AS changed,
+       md5(norm) AS norm_md5
+FROM n
+"""
+
+
 QUERY_SQL = {
+    "text_normalize": TEXT_NORMALIZE_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_id": LANG_ID_SQL,

@@ -52,6 +52,7 @@ QUERIES = {
     "doc_length_histogram": _wrap(curation.doc_length_histogram),
     "domain_rebalance": _wrap(curation.domain_rebalance),
     "doc_chunks": _wrap(curation.doc_chunks),
+    "text_normalize": _wrap(text.text_normalize),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

@@ -482,6 +482,91 @@ LEFT JOIN monthly m ON m.priority = p.priority AND m.month_idx = s.month_idx
 """
 
 
+RFM_R_DAYS = (180, 540)  # recency: <=180d -> 3, <=540d -> 2, else 1
+RFM_F_ORDERS = (20, 10)  # frequency: >=20 -> 3, >=10 -> 2, else 1
+# monetary cuts near the per-customer terciles (orders/customer and order
+# value are SF-invariant in this schema, so the split holds across SFs)
+RFM_M_CENTS = (280_000_000, 200_000_000)
+
+
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with fixed thresholds: segment sizes + value.
+
+    Recency (days since last order, measured against the data's own max
+    date so backfills are reproducible), frequency (order count), and
+    monetary (exact cents) each score 1-3 by FIXED thresholds — no
+    global quantile sort, so the segmentation is stable under reshards
+    and incremental appends (a tercile cut would reshuffle every
+    customer's label whenever the distribution drifts). Output: one row
+    per (r, f, m) cell with customer count and total cents.
+
+    Scale shape: one per-customer hash-agg, a single-row max-date
+    broadcast (allowlisted Q11 shape), then a tiny 27-cell rollup.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+    ).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    max_day = per_cust.agg(F.max("last_day").alias("max_day"))
+    recency = F.col("max_day") - F.col("last_day")
+    r_score = (
+        F.when(recency <= RFM_R_DAYS[0], 3)
+        .when(recency <= RFM_R_DAYS[1], 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("n_orders") >= RFM_F_ORDERS[0], 3)
+        .when(F.col("n_orders") >= RFM_F_ORDERS[1], 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("cents") >= RFM_M_CENTS[0], 3)
+        .when(F.col("cents") >= RFM_M_CENTS[1], 2)
+        .otherwise(1)
+    )
+    return (
+        per_cust.join(F.broadcast(max_day))
+        .select(
+            r_score.cast("long").alias("r_score"),
+            f_score.cast("long").alias("f_score"),
+            m_score.cast("long").alias("m_score"),
+            "cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+ORDERS_RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+md AS (SELECT MAX(last_day) AS max_day FROM per_cust)
+SELECT CAST(CASE WHEN max_day - last_day <= {RFM_R_DAYS[0]} THEN 3
+            WHEN max_day - last_day <= {RFM_R_DAYS[1]} THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+       CAST(CASE WHEN n_orders >= {RFM_F_ORDERS[0]} THEN 3
+            WHEN n_orders >= {RFM_F_ORDERS[1]} THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+       CAST(CASE WHEN cents >= {RFM_M_CENTS[0]} THEN 3
+            WHEN cents >= {RFM_M_CENTS[1]} THEN 2 ELSE 1 END AS BIGINT) AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM per_cust, md
+GROUP BY 1, 2, 3
+"""
+
+
 ZORDER_EPOCH = "1995-01-01"
 ZORDER_BUCKET_SHIFT = 26  # 32-bit key >> 26 = 64 layout buckets
 
@@ -543,6 +628,7 @@ GROUP BY 1
 QUERIES = {
     "orders_scd2": orders_scd2,
     "orders_zorder_layout": orders_zorder_layout,
+    "orders_rfm": orders_rfm,
     "doc_split_assign": doc_split_assign,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_sample_exact_k": doc_sample_exact_k,
@@ -557,6 +643,7 @@ QUERIES = {
 ORACLES = {
     "orders_scd2": ORDERS_SCD2_SQL,
     "orders_zorder_layout": ZORDER_LAYOUT_SQL,
+    "orders_rfm": ORDERS_RFM_SQL,
     "doc_split_assign": DOC_SPLIT_SQL,
     "doc_stratified_sample": DOC_SAMPLE_SQL,
     "doc_sample_exact_k": DOC_SAMPLE_K_SQL,

@@ -67,6 +67,8 @@ _BNLJ_ALLOWED = {
     "q11_important_stock",
     "revenue_concentration",
     "market_basket_types",
+    # single-row max-date broadcast (Q11 shape)
+    "orders_rfm",
     "q22_global_sales_opportunity",
     # corpus-total single row joined back to per-source rows (same shape)
     "domain_mixture",
