@@ -31,15 +31,24 @@ _HOUR_US = 3600 * 1_000_000
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with an exact epoch-microsecond ``ts_us`` column.
 
-    The driver's events parquet stores TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; ``nanosAsLong`` reads it as raw int64 nanos
-    (lossless). DuckDB's parquet reader *truncates* ns -> us, so we floor-
-    divide by 1000 to agree bit-for-bit (all epochs positive => `div` is
-    truncation on both engines).
+    Robust to either physical layout the driver has shipped:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+      ``nanosAsLong`` reads the raw int64 nanos (lossless); DuckDB's parquet
+      reader *truncates* ns -> us, so we floor-divide by 1000 to agree
+      bit-for-bit (all epochs positive => `div` is truncation on both).
+    - TIMESTAMP(MICROS) (naive): Spark reads TIMESTAMP_NTZ; with the session
+      timezone pinned to UTC (session.py) the NTZ -> TIMESTAMP cast is the
+      identity on the stored micros and ``unix_micros`` recovers the exact
+      int64, matching DuckDB ``epoch_us(ts)``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = read_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us)
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
