@@ -625,6 +625,152 @@ GROUP BY 1
 """
 
 
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles WITHOUT a global sort (count-distribution).
+
+    The naive exact quantile sorts all rows per group (at 100 TB: one task
+    per group holding every row). This instead aggregates to (group, value)
+    counts first — a partial-agg shuffle bounded by DISTINCT values, not
+    rows — then takes a running sum over the much smaller distinct-value
+    distribution and picks, for each target percentile p, the smallest
+    value whose cumulative count reaches ceil(p*n/100). All-integer
+    arithmetic (`cum*100 >= pct*n` avoids the division entirely), so the
+    result is bit-exact and engine-portable — unlike interpolated
+    percentile_cont, whose float blend differs per engine.
+
+    Scale shape: one row-bounded shuffle (groupBy), one window over
+    distinct prices per priority (5 groups x ~distinct-cents rows — the
+    skew-prone part is the distribution size, orders of magnitude smaller
+    than the data), and a 3-element percentile explode.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("priority").orderBy("cents")
+    w_all = Window.partitionBy("priority")
+    cum = counts.select(
+        "priority",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pct = F.explode(
+        F.array(*[F.lit(p).cast("long") for p in QUANTILE_PCTS])
+    ).alias("pct")
+    return (
+        cum.select("priority", "cents", "cum", "n", pct)
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("priority", "pct")
+        .agg(
+            F.min("cents").alias("quantile_cents"),
+            F.max("n").alias("n_orders"),
+        )
+    )
+
+
+PRICE_QUANTILES_SQL = f"""
+WITH counts AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+), cum AS (
+  SELECT priority, cents,
+         SUM(c) OVER (PARTITION BY priority ORDER BY cents) AS cum,
+         SUM(c) OVER (PARTITION BY priority) AS n
+  FROM counts
+)
+SELECT priority, CAST(pct AS BIGINT) AS pct,
+       MIN(cents) AS quantile_cents,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM cum CROSS JOIN (VALUES {", ".join(f"({p})" for p in QUANTILE_PCTS)}) q(pct)
+WHERE cum * 100 >= pct * n
+GROUP BY 1, 2
+"""
+
+
+MANIFEST_CHUNK = 100_000  # orderkeys per simulated data file
+# pruning predicate: shipdate in [1996-06-01, 1996-09-01)
+_PRUNE_LO_US = 833_587_200_000_000
+_PRUNE_HI_US = 841_536_000_000_000
+
+
+def lineitem_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style manifest pruning audit: per-file min/max vs a predicate.
+
+    Table formats (Iceberg/Delta/Hudi) plan scans from a *manifest* of
+    per-file column min/max stats — rows proportional to FILE count, not
+    data size — so a 100 TB scan prunes to the overlapping files before a
+    single byte is read. This query simulates two physical layouts of
+    lineitem and computes each one's manifest plus the prune decision for
+    a fixed shipdate range predicate:
+
+    - ``by_orderkey`` (arrival order): every file spans nearly the whole
+      shipdate range -> ``must_read`` everywhere, pruning is useless;
+    - ``by_ship_month`` (time-clustered): min/max align with the
+      predicate -> all but ~3 monthly files prune.
+
+    Pairs with ``orders_zorder_layout`` (multi-dim clustering) — together
+    they document WHY layout choice, not reader cleverness, determines
+    scan cost. One scan, one explode (x2), one partial-agg shuffle whose
+    key cardinality is the file count.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    ship_us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    month_idx = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long")
+    exploded = li.select(
+        ship_us.alias("ship_us"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("by_orderkey").alias("layout"),
+                    F.expr(f"l_orderkey div {MANIFEST_CHUNK}").alias("file_id"),
+                ),
+                F.struct(F.lit("by_ship_month").alias("layout"), month_idx.alias("file_id")),
+            )
+        ).alias("f"),
+    )
+    manifest = exploded.groupBy(
+        F.col("f.layout").alias("layout"), F.col("f.file_id").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ship_us").alias("min_ship_us"),
+        F.max("ship_us").alias("max_ship_us"),
+    )
+    return manifest.withColumn(
+        "must_read",
+        (F.col("min_ship_us") < F.lit(_PRUNE_HI_US))
+        & (F.col("max_ship_us") >= F.lit(_PRUNE_LO_US)),
+    )
+
+
+MANIFEST_PRUNING_SQL = f"""
+WITH manifest AS (
+  SELECT 'by_orderkey' AS layout,
+         l_orderkey // {MANIFEST_CHUNK} AS file_id,
+         COUNT(*) AS n_rows,
+         MIN(epoch_us(l_shipdate)) AS min_ship_us,
+         MAX(epoch_us(l_shipdate)) AS max_ship_us
+  FROM lineitem GROUP BY 1, 2
+  UNION ALL
+  SELECT 'by_ship_month' AS layout,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS file_id,
+         COUNT(*) AS n_rows,
+         MIN(epoch_us(l_shipdate)) AS min_ship_us,
+         MAX(epoch_us(l_shipdate)) AS max_ship_us
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT layout, file_id, n_rows, min_ship_us, max_ship_us,
+       (min_ship_us < {_PRUNE_HI_US} AND max_ship_us >= {_PRUNE_LO_US}) AS must_read
+FROM manifest
+"""
+
+
 QUERIES = {
     "orders_scd2": orders_scd2,
     "orders_zorder_layout": orders_zorder_layout,
@@ -638,6 +784,8 @@ QUERIES = {
     "orders_dq_expectations": orders_dq_expectations,
     "orders_revenue_trend": orders_revenue_trend,
     "orders_monthly_gapfill": orders_monthly_gapfill,
+    "orders_price_quantiles": orders_price_quantiles,
+    "lineitem_manifest_pruning": lineitem_manifest_pruning,
 }
 
 ORACLES = {
@@ -653,4 +801,6 @@ ORACLES = {
     "orders_dq_expectations": DQ_SQL,
     "orders_revenue_trend": TREND_SQL,
     "orders_monthly_gapfill": GAPFILL_SQL,
+    "orders_price_quantiles": PRICE_QUANTILES_SQL,
+    "lineitem_manifest_pruning": MANIFEST_PRUNING_SQL,
 }

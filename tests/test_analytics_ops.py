@@ -61,3 +61,49 @@ def test_events_dau_wau_window(spark, sf_dir):
     for r in rows.values():
         assert 0 < r.dau <= r.wau
         assert abs(r.stickiness - round(r.dau / r.wau, 6)) < 1e-9
+
+
+def test_price_quantiles_exact_vs_sorted_truth(spark, sf_dir):
+    # count-distribution quantile must equal the ceil(p*n/100)-th sorted value
+    rows = registry.queries()["orders_price_quantiles"](spark, sf_dir).collect()
+    assert rows
+    from maap_data_pipelines_spark.sources.catalog import read_table
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    truth = {}
+    for prio, vals in (
+        orders.groupBy("priority").agg(F.sort_array(F.collect_list("cents")).alias("v")).collect()
+    ):
+        truth[prio] = vals
+    import math
+
+    for r in rows:
+        vals = truth[r.priority]
+        assert r.n_orders == len(vals)
+        k = math.ceil(r.pct * len(vals) / 100)
+        assert r.quantile_cents == vals[k - 1]
+
+
+def test_manifest_pruning_layouts(spark, sf_dir):
+    rows = registry.queries()["lineitem_manifest_pruning"](spark, sf_dir).collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    assert set(by_layout) == {"by_orderkey", "by_ship_month"}
+    # both layouts partition the same rows
+    n_ok = sum(r.n_rows for r in by_layout["by_orderkey"])
+    n_m = sum(r.n_rows for r in by_layout["by_ship_month"])
+    assert n_ok == n_m > 0
+    # arrival-order files all overlap the predicate; monthly files mostly prune
+    assert all(r.must_read for r in by_layout["by_orderkey"])
+    monthly_read = [r for r in by_layout["by_ship_month"] if r.must_read]
+    assert len(monthly_read) <= 3  # [1996-06, 1996-09) spans 3 months
+    assert len(monthly_read) < len(by_layout["by_ship_month"])
+    for r in by_layout["by_ship_month"]:
+        # min/max stats must be consistent with the prune verdict
+        overlap = r.min_ship_us < 841536000000000 and r.max_ship_us >= 833587200000000
+        assert r.must_read == overlap
