@@ -175,14 +175,40 @@ def streaming_click_attribution(
     passes — state is bounded by (event rate x horizon), never stream
     length, and the time-range predicate is what makes eviction possible.
     Inner join = unattributed purchases drop (the batch as-of twin keeps
-    them as NULL attribution; documented deviation — streaming outer
-    interval joins emit only at watermark expiry, which availableNow
-    drains do not reach deterministically).
+    them as NULL attribution; see ``streaming_click_attribution_outer``
+    for the watermark-expiry left-outer variant).
 
     Output (append mode): one row per (purchase, qualifying click) pair;
     downstream pick-latest dedup is a batch concern
     (``events_asof_attribution`` semantics).
     """
+    return _attribution_join(spark, source_dir, fmt, "inner")
+
+
+def streaming_click_attribution_outer(
+    spark: SparkSession, source_dir: str, fmt: str = "json"
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: unmatched purchases survive.
+
+    Same join as ``streaming_click_attribution``, but a purchase with no
+    qualifying click is emitted with NULL click columns — matching the
+    batch as-of twin exactly. The null row can only be produced once the
+    CLICK side's watermark passes the purchase timestamp (before that, a
+    qualifying click could still arrive), so outer results trail the
+    inner ones by the watermark delay and surface in a LATER micro-batch
+    (the batch that runs after the watermark has advanced past the
+    purchase). Drains must push the watermark forward with newer data for
+    the nulls to flush — pinned in tests/test_streaming.py.
+
+    State story is identical to the inner join (bounded by rate x
+    horizon); left-outer adds no state, only deferred emission.
+    """
+    return _attribution_join(spark, source_dir, fmt, "leftOuter")
+
+
+def _attribution_join(
+    spark: SparkSession, source_dir: str, fmt: str, how: str
+) -> DataFrame:
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .format(fmt)
@@ -216,7 +242,7 @@ def streaming_click_attribution(
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
         ),
-        "inner",
+        how,
     ).select(
         "purchase_id",
         F.col("p_user").alias("user_id"),

@@ -107,3 +107,15 @@ def test_manifest_pruning_layouts(spark, sf_dir):
         # min/max stats must be consistent with the prune verdict
         overlap = r.min_ship_us < 841536000000000 and r.max_ship_us >= 833587200000000
         assert r.must_read == overlap
+
+
+def test_distinct_sketch_error_within_bound(spark, sf_dir):
+    rows = registry.queries()["events_distinct_sketch"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        # rsd=2% one-sigma; 5% is a generous deterministic ceiling
+        assert r.rel_err_ppm == round(
+            abs(r.approx_users - r.exact_users) * 1_000_000 / r.exact_users
+        )
+        assert r.rel_err_ppm < 50_000

@@ -10,6 +10,7 @@ watermark.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
@@ -322,3 +323,65 @@ def test_streaming_click_attribution_interval_join(spark, tmp_path):
     # both sides must carry watermarks (what bounds the join state)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("EventTimeWatermark") == 2
+
+
+def test_streaming_click_attribution_outer_emits_nulls_at_expiry(spark, tmp_path):
+    from maap_data_pipelines_spark.streaming.rollup import (
+        streaming_click_attribution_outer,
+    )
+
+    src = tmp_path / "attr_outer_landing"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:06:00", "user_id": 2, "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "purchase", "value": 9.99, "props": "{}"},
+            # u2's click is 54 min before: outside the 30-min window
+            {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 2, "event_type": "purchase", "value": 5.00, "props": "{}"},
+            # no click at all for u3
+            {"event_id": 5, "ts": "2024-01-01T01:10:00", "user_id": 3, "event_type": "purchase", "value": 1.00, "props": "{}"},
+        ],
+    )
+    # Two pitfalls this test pins: (a) the global watermark is the MIN across
+    # both withWatermark nodes, so the advancing batches must carry events on
+    # BOTH sides or the purchase watermark parks forever; (b) the watermark
+    # computed from batch N's data only takes effect in batch N+1, so a third
+    # batch is required for the expiry scan that flushes the null rows.
+    _write_events(
+        src / "b2.json",
+        [
+            {"event_id": 6, "ts": "2024-01-01T12:00:00", "user_id": 99, "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 7, "ts": "2024-01-01T12:00:00", "user_id": 50, "event_type": "purchase", "value": 2.00, "props": "{}"},
+        ],
+    )
+    _write_events(
+        src / "b3.json",
+        [
+            {"event_id": 8, "ts": "2024-01-01T13:00:00", "user_id": 98, "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 9, "ts": "2024-01-01T13:00:00", "user_id": 51, "event_type": "purchase", "value": 2.00, "props": "{}"},
+        ],
+    )
+    # distinct mtimes => the file source's batch order matches arrival order
+    base_mt = 1_700_000_000
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json"]):
+        os.utime(src / name, (base_mt + 10 * i, base_mt + 10 * i))
+    df = streaming_click_attribution_outer(spark, str(src))
+    q = (
+        df.writeStream.format("memory")
+        .queryName("attr_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    rows = spark.sql("SELECT * FROM attr_outer_test").collect()
+    matched = {r.purchase_id: r for r in rows if r.click_id is not None}
+    nulls = {r.purchase_id for r in rows if r.click_id is None}
+    assert set(matched) == {3} and matched[3].click_id == 1
+    assert {4, 5} <= nulls  # out-of-window and click-less purchases survive
