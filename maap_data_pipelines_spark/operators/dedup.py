@@ -561,13 +561,16 @@ def connected_components(
         )
         propagated = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster_id").alias("old_label"),
             F.least(
                 F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
             ).alias("cluster_id"),
         )
         # pointer jump: cluster_id <- label(cluster_id). Labels only ever
         # point at other nodes (mins over the node set), so the self-join
-        # always matches; left+coalesce guards the invariant anyway.
+        # always matches; left+coalesce guards the invariant anyway. The
+        # convergence flag rides the same row (vs a separate old-vs-new
+        # join: one fewer shuffle + one fewer job per round).
         parent = propagated.select(
             F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
         )
@@ -576,16 +579,15 @@ def connected_components(
             .select(
                 "doc_id",
                 F.coalesce(F.col("p_label"), F.col("cluster_id")).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("p_label"), F.col("cluster_id"))
+                    != F.col("old_label")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels, rounds
