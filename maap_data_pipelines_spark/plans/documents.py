@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import bpe, curation, text
+from ..operators import bpe, curation, sketch, text
 from ..operators.profile import profile_columns, profile_sql
 from ..sources.catalog import read_table
 
@@ -53,10 +53,12 @@ QUERIES = {
     "domain_rebalance": _wrap(curation.domain_rebalance),
     "doc_chunks": _wrap(curation.doc_chunks),
     "text_normalize": _wrap(text.text_normalize),
+    "heavy_hitters": _wrap(sketch.heavy_hitters),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not
 # SQL-expressible; exact tokenizations pinned in tests/test_bpe.py)
 ORACLES = dict(text.QUERY_SQL)
 ORACLES.update(curation.QUERY_SQL)
+ORACLES.update(sketch.QUERY_SQL)
 ORACLES["documents_profile"] = profile_sql("documents", DOC_COLS)

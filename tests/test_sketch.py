@@ -1,0 +1,48 @@
+"""Misra-Gries heavy hitters: exactness and partitioning-independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maap_data_pipelines_spark import registry
+from maap_data_pipelines_spark.operators.sketch import HH_K, heavy_hitters
+
+
+def _exact(spark, docs):
+    terms = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    total = terms.count()
+    return {
+        (r.term, r.n_occurrences, total)
+        for r in terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * HH_K > total)
+        .collect()
+    }
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    # skewed corpus: 'hot' dominates, 'warm' sits just above threshold,
+    # long tail of unique terms fills the MG counters with noise
+    rows = []
+    for i in range(400):
+        rows.append((i, "hot hot warm tail%d tail%d" % (2 * i, 2 * i + 1)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = _exact(spark, docs)
+    assert expected  # non-degenerate: 'hot' (800/2000) and 'warm' (400/2000)
+    terms = {t for t, _, _ in expected}
+    assert {"hot", "warm"} <= terms
+
+    for nparts in (1, 3, 16):
+        got = {
+            (r.term, r.n_occurrences, r.total)
+            for r in heavy_hitters(docs.repartition(nparts)).collect()
+        }
+        assert got == expected, f"partitioning changed the result at {nparts}"
+
+
+def test_heavy_hitters_share_and_registry(spark, sf_dir):
+    rows = registry.queries()["heavy_hitters"](spark, sf_dir).collect()
+    assert rows  # the synthetic corpus has common words above 1/200
+    for r in rows:
+        assert r.n_occurrences * HH_K > r.total
+        assert abs(r.share - round(r.n_occurrences / r.total, 6)) < 1e-9
