@@ -80,6 +80,11 @@ HEADLINE = [
     "orders_zorder_layout",
     # 2D grid-cell blocked spatial self-join
     "assets_neighbor_join",
+    # sketches + scale-pattern additions (round 2, late)
+    "heavy_hitters",
+    "events_distinct_sketch",
+    "orders_price_quantiles",
+    "lineitem_manifest_pruning",
 ]
 
 
