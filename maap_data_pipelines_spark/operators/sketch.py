@@ -34,15 +34,19 @@ HH_K = 200  # heavy hitter = term with frequency > total/HH_K
 
 
 def _mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Misra-Gries over one partition's terms: emit <= HH_K candidates.
+    """Misra-Gries over one partition's terms: <= HH_K candidates + n_p.
 
     Classic counter maintenance: increment if present, add if spare room,
     otherwise decrement ALL counters (dropping zeros). Any term whose
     partition frequency exceeds n_p/HH_K survives — the only guarantee
-    the global recount needs.
+    the global recount needs. The partition's total term count rides the
+    same output (term=NULL row), so one scan serves both the candidate
+    set and the global denominator.
     """
     counters: dict[str, int] = {}
+    n = 0
     for pdf in batches:
+        n += len(pdf)
         for term in pdf["term"]:
             if term in counters:
                 counters[term] += 1
@@ -56,22 +60,34 @@ def _mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         dead.append(t)
                 for t in dead:
                     del counters[t]
-    yield pd.DataFrame({"term": list(counters.keys())})
+    yield pd.DataFrame(
+        {
+            "term": pd.array(list(counters.keys()) + [None], dtype="object"),
+            "np": pd.array([None] * len(counters) + [n], dtype="Int64"),
+        }
+    )
 
 
 def heavy_hitters(docs: DataFrame) -> DataFrame:
     """Terms covering > 1/HH_K of all term occurrences, with exact counts.
 
     Pass 1: per-partition Misra-Gries (mapInPandas, constant state) ->
-    small candidate set. Pass 2: recount candidates only (broadcast
-    semi-join gate before the groupBy) + single-row total, final filter
-    ``cnt * HH_K > total``. Output is exact and partitioning-independent.
+    small candidate set + per-partition totals on the same scan; the
+    <= (HH_K+1) x partitions rows are localCheckpoint-ed so deriving the
+    candidate set and the denominator doesn't recompute the pass.
+    Pass 2: recount candidates only (broadcast semi-join gate before the
+    groupBy), final filter ``cnt * HH_K > total``. Two corpus scans — the
+    algorithm's minimum — and the output is exact and
+    partitioning-independent.
     """
     terms = docs.select(
         F.explode(words_col(F.lower(F.col("text")))).alias("term")
     )
-    cands = terms.mapInPandas(_mg_partition, schema="term string").distinct()
-    total = terms.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    mg = terms.mapInPandas(
+        _mg_partition, schema="term string, np long"
+    ).localCheckpoint()
+    cands = mg.filter(F.col("np").isNull()).select("term").distinct()
+    total = mg.groupBy().agg(F.sum("np").alias("total"))
     counts = (
         terms.join(F.broadcast(cands), "term", "left_semi")
         .groupBy("term")
