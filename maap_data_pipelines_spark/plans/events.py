@@ -649,6 +649,99 @@ FROM hourly JOIN stats USING (event_type)
 """
 
 
+def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle: cohort day x day offset -> users.
+
+    The product-analytics classic: users are cohorted by first active day;
+    each later active day counts toward (cohort_day, offset). Shape:
+    distinct (user, day) first — the one row-bounded shuffle, map-side
+    combined — then per-user min (cohort), then the triangle agg whose
+    key space is days^2/2, independent of user count. Cohort sizes come
+    from the per-user firsts (every user is active at offset 0 by
+    construction), broadcast back onto the triangle.
+    """
+    ev = read_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    tri = (
+        days.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return tri.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+RETENTION_TRIANGLE_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1),
+sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+tri AS (
+  SELECT cohort_day, day - cohort_day AS day_offset,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM days JOIN first USING (user_id) GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, n_users,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       ROUND(n_users / cohort_size, 6) AS retention
+FROM tri JOIN sizes USING (cohort_day)
+"""
+
+
+_QSKETCH_ACCURACY = 10_000
+
+
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch) vs exact percentiles — accuracy monitor.
+
+    Exact percentiles sort each group; the Greenwald-Khanna sketch keeps
+    bounded state (accuracy parameter = 1/eps memory) and merges map-side,
+    so it is the percentile that survives 100 TB. This runs both on one
+    scan and reports the worst relative error across p50/p90/p99 in ppm.
+    Rows-only: the sketch's picks aren't reproducible in DuckDB.
+    """
+    ev = read_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    pcts = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile(cents, pcts).alias("exact"),
+        F.percentile_approx(cents, pcts, F.lit(_QSKETCH_ACCURACY)).alias("approx"),
+    )
+    err = F.round(
+        F.array_max(
+            F.zip_with(
+                F.col("exact"),
+                F.col("approx"),
+                lambda e, a: F.abs(a - e) * 1_000_000 / F.greatest(e, F.lit(1.0)),
+            )
+        )
+    ).cast("long")
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.col("exact")[0].alias("exact_p50"),
+        F.col("approx")[0].cast("long").alias("approx_p50"),
+        F.col("exact")[2].alias("exact_p99"),
+        F.col("approx")[2].cast("long").alias("approx_p99"),
+        err.alias("max_rel_err_ppm"),
+    )
+
+
 def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct-user sketch vs exact count — accuracy monitor.
 
@@ -693,6 +786,8 @@ QUERIES = {
     "events_purchase_context": events_purchase_context,
     "events_cube": events_cube,
     "events_distinct_sketch": events_distinct_sketch,
+    "events_retention_triangle": events_retention_triangle,
+    "events_quantile_sketch": events_quantile_sketch,
 }
 
 ORACLES = {
@@ -709,4 +804,5 @@ ORACLES = {
     "events_type_pivot": PIVOT_SQL,
     "events_purchase_context": PURCHASE_CONTEXT_SQL,
     "events_cube": CUBE_SQL,
+    "events_retention_triangle": RETENTION_TRIANGLE_SQL,
 }

@@ -119,3 +119,34 @@ def test_distinct_sketch_error_within_bound(spark, sf_dir):
             abs(r.approx_users - r.exact_users) * 1_000_000 / r.exact_users
         )
         assert r.rel_err_ppm < 50_000
+
+
+def test_retention_triangle_invariants(spark, sf_dir):
+    rows = registry.queries()["events_retention_triangle"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, {})[r.day_offset] = r
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets  # every cohort is fully active on day 0
+        day0 = offsets[0]
+        assert day0.n_users == day0.cohort_size
+        assert abs(day0.retention - 1.0) < 1e-9
+        for r in offsets.values():
+            assert r.day_offset >= 0
+            assert 0 < r.n_users <= r.cohort_size
+            assert abs(r.retention - round(r.n_users / r.cohort_size, 6)) < 1e-9
+
+
+def test_quantile_sketch_error_within_bound(spark, sf_dir):
+    rows = registry.queries()["events_quantile_sketch"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events > 0
+        # GK at accuracy 10k has near-zero RANK error at these sizes, so
+        # the dense median must agree to <2%; the p99 VALUE gap on ~200-row
+        # groups is interpolated-vs-discrete straddling a tail jump and is
+        # reported (max_rel_err_ppm) but only sanity-checked here
+        assert abs(r.approx_p50 - r.exact_p50) / max(r.exact_p50, 1.0) < 0.02
+        assert r.max_rel_err_ppm >= 0
+        assert r.approx_p50 >= 0 and r.approx_p99 >= r.approx_p50
