@@ -1,0 +1,98 @@
+"""Custom Python DataSource: parallel directory discovery as a real source.
+
+The reference's s3-discovery Lambda lists a bucket/prefix, regex-filters
+filenames, and emits file objects (`lambdas/s3-discovery/handler.py:18-81`).
+The engine's batch twin (`plans/stac.py: s3_discovery`) derives the listing
+from the asset catalog; THIS module is the missing source-side piece — a
+Spark 4 Python DataSource (`pyspark.sql.datasource`) that makes discovery a
+first-class `spark.read.format("dir_discovery")` scan:
+
+- one `InputPartition` per immediate subdirectory (plus one for root
+  files): on an object store these are the prefixes, so listing
+  parallelizes across executors and no single task lists the world —
+  exactly how a 100 TB bucket must be walked;
+- `filename_regex` is applied inside each partition's reader, so filtered
+  names never leave the source (filter-at-source, the listing analogue of
+  predicate pushdown);
+- emits (key, size_bytes, mtime_us) — the same fields the reference's
+  file_obj carries — ready for the stac item pipeline.
+
+Local filesystem stands in for the object store (no cloud SDKs in this
+environment); the partitioning/streamed-listing shape is the design.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class DirPartition(InputPartition):
+    def __init__(self, root: str, rel: str):
+        self.root = root
+        self.rel = rel  # "" = root files only, else a subdirectory name
+
+
+class DirDiscoveryReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dir_discovery requires .option('path', ...)")
+        self.pattern = options.get("filename_regex")
+
+    def partitions(self):
+        subdirs = [
+            e.name
+            for e in os.scandir(self.path)
+            if e.is_dir(follow_symlinks=False)
+        ]
+        return [DirPartition(self.path, d) for d in sorted(subdirs)] + [
+            DirPartition(self.path, "")
+        ]
+
+    def read(self, partition):
+        rx = re.compile(self.pattern) if self.pattern else None
+        base = (
+            os.path.join(partition.root, partition.rel)
+            if partition.rel
+            else partition.root
+        )
+        if partition.rel:  # recurse fully inside the assigned subdir
+            walker = (
+                (os.path.join(dirpath, f))
+                for dirpath, _, files in os.walk(base)
+                for f in sorted(files)
+            )
+        else:  # root partition: top-level files only (subdirs are owned
+            # by their own partitions)
+            walker = (
+                e.path
+                for e in sorted(os.scandir(base), key=lambda e: e.name)
+                if e.is_file(follow_symlinks=False)
+            )
+        for p in walker:
+            name = os.path.basename(p)
+            if rx is not None and not rx.search(name):
+                continue
+            st = os.stat(p)
+            rel_key = os.path.relpath(p, partition.root)
+            yield (rel_key, st.st_size, int(st.st_mtime * 1_000_000))
+
+
+class DirDiscoveryDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "dir_discovery"
+
+    def schema(self) -> str:
+        return "key string, size_bytes long, mtime_us long"
+
+    def reader(self, schema) -> DataSourceReader:
+        return DirDiscoveryReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the dir_discovery format."""
+    spark.dataSource.register(DirDiscoveryDataSource)

@@ -69,3 +69,36 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r.asset_id: r.ext for r in df.collect()}
     assert rows[0] is None and rows[4] == "tif"
     assert df.count() == 5
+
+
+def test_dir_discovery_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource: per-prefix partitions + filter-at-source."""
+    from maap_data_pipelines_spark.sources.pyds import register
+
+    root = tmp_path / "bucket"
+    (root / "collA").mkdir(parents=True)
+    (root / "collB" / "nested").mkdir(parents=True)
+    (root / "collA" / "scene_20200101.tif").write_bytes(b"x" * 10)
+    (root / "collA" / "scene_20200102.tif").write_bytes(b"y" * 20)
+    (root / "collA" / "readme.txt").write_bytes(b"no")
+    (root / "collB" / "nested" / "scene_20210301.tif").write_bytes(b"z" * 30)
+    (root / "top_20220101.tif").write_bytes(b"t" * 5)
+
+    register(spark)
+    df = (
+        spark.read.format("dir_discovery")
+        .option("path", str(root))
+        .option("filename_regex", r"\.tif$")
+        .load()
+    )
+    rows = {r.key: r for r in df.collect()}
+    assert set(rows) == {
+        "collA/scene_20200101.tif",
+        "collA/scene_20200102.tif",
+        "collB/nested/scene_20210301.tif",
+        "top_20220101.tif",
+    }  # regex filtered readme.txt at the source
+    assert rows["collA/scene_20200102.tif"].size_bytes == 20
+    assert all(r.mtime_us > 0 for r in rows.values())
+    # one partition per top-level prefix + one for root files
+    assert df.rdd.getNumPartitions() == 3
