@@ -26,7 +26,12 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class DirPartition(InputPartition):
@@ -81,6 +86,63 @@ class DirDiscoveryReader(DataSourceReader):
             yield (rel_key, st.st_size, int(st.st_mtime * 1_000_000))
 
 
+class DirDiscoveryStreamReader(SimpleDataSourceStreamReader):
+    """Streaming discovery: each micro-batch picks up newly landed files.
+
+    The reference reacts to object-store event notifications; the polling
+    twin tracks a (mtime_us, key) watermark as the stream offset — small,
+    JSON-serializable, and totally ordered. ``read`` returns everything
+    past the watermark plus the new watermark; ``readBetweenOffsets``
+    replays an exact (start, end] slice for recovery, so restarts are
+    exactly-once as long as the landing area is append-only with
+    non-decreasing mtimes (the same contract Spark's own file source
+    assumes).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dir_discovery requires .option('path', ...)")
+        self.pattern = options.get("filename_regex")
+
+    def _listing(self):
+        rx = re.compile(self.pattern) if self.pattern else None
+        out = []
+        for dirpath, _, files in os.walk(self.path):
+            for f in files:
+                if rx is not None and not rx.search(f):
+                    continue
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out.append(
+                    (
+                        int(st.st_mtime * 1_000_000),
+                        os.path.relpath(p, self.path),
+                        st.st_size,
+                    )
+                )
+        out.sort()
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"mtime_us": -1, "key": ""}
+
+    def read(self, start: dict):
+        mark = (start["mtime_us"], start["key"])
+        new = [e for e in self._listing() if (e[0], e[1]) > mark]
+        end = (
+            {"mtime_us": new[-1][0], "key": new[-1][1]} if new else dict(start)
+        )
+        return iter([(k, s, m) for m, k, s in new]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo = (start["mtime_us"], start["key"])
+        hi = (end["mtime_us"], end["key"])
+        return iter(
+            [(k, s, m) for m, k, s in self._listing() if lo < (m, k) <= hi]
+        )
+
+
 class DirDiscoveryDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -91,6 +153,9 @@ class DirDiscoveryDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return DirDiscoveryReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return DirDiscoveryStreamReader(self.options)
 
 
 def register(spark) -> None:

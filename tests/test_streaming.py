@@ -385,3 +385,45 @@ def test_streaming_click_attribution_outer_emits_nulls_at_expiry(spark, tmp_path
     nulls = {r.purchase_id for r in rows if r.click_id is None}
     assert set(matched) == {3} and matched[3].click_id == 1
     assert {4, 5} <= nulls  # out-of-window and click-less purchases survive
+
+
+def test_dir_discovery_streaming_source(spark, tmp_path):
+    """Python DataSource streaming: new files arrive in later micro-batches."""
+    from maap_data_pipelines_spark.sources.pyds import register
+
+    root = tmp_path / "landing_bucket"
+    (root / "collA").mkdir(parents=True)
+    f1 = root / "collA" / "scene_1.tif"
+    f1.write_bytes(b"a" * 7)
+    os.utime(f1, (1_700_000_000, 1_700_000_000))
+    (root / "collA" / "skip.txt").write_bytes(b"no")
+
+    register(spark)
+    df = (
+        spark.readStream.format("dir_discovery")
+        .option("path", str(root))
+        .option("filename_regex", r"\.tif$")
+        .load()
+    )
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory")
+        .queryName("disc_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.key for r in spark.sql("SELECT * FROM disc_stream").collect()}
+        assert first == {"collA/scene_1.tif"}
+
+        f2 = root / "collA" / "scene_2.tif"
+        f2.write_bytes(b"b" * 9)
+        os.utime(f2, (1_700_000_100, 1_700_000_100))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM disc_stream").collect()
+        keys = [r.key for r in rows]
+        assert sorted(keys) == ["collA/scene_1.tif", "collA/scene_2.tif"]
+        assert len(keys) == len(set(keys))  # watermark offset: no replays
+    finally:
+        q.stop()
