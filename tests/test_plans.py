@@ -76,6 +76,8 @@ _BNLJ_ALLOWED = {
     "domain_rebalance",
     # month-spine x 5-row priority dim: both sides aggregate-sized
     "orders_monthly_gapfill",
+    # single-row total-count broadcast feeding the cnt*K > total filter
+    "heavy_hitters",
 }
 
 
