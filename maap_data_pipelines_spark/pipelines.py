@@ -18,14 +18,78 @@ the same property the reference gets from skip-if-exists transfers.
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import sinks
 from .plans import llm, stac
 from .sources.catalog import read_table
+
+_DATE_FIELDS = (
+    "single_datetime",
+    "start_datetime",
+    "end_datetime",
+    "datetime_range",
+)
+
+
+def discover_from_event(
+    spark: SparkSession, event: dict, root: str
+) -> DataFrame:
+    """Reference event-payload adapter: s3-discovery JSON -> file_obj frame.
+
+    Takes the EXACT event dict a reference user feeds their s3-discovery
+    Lambda (`lambdas/s3-discovery/handler.py:17-84`) and produces the same
+    file objects as a DataFrame: identical defaulting (collection =
+    prefix.rstrip('/'), upload/user_shared False, ingest True), the same
+    start-anchored ``re.match`` semantics on the full key (Spark ``rlike``
+    is a search, so the pattern is wrapped in ``^(?:...)``), the same
+    date-field and gdal_config_options propagation. ``root`` stands in for
+    ``s3://bucket`` (no cloud SDKs here); ``remote_fileurl`` still renders
+    the s3 URL the downstream expects.
+
+    What deliberately disappears: the 230 KB payload cap, ``start_after``
+    pagination and the one-Lambda-at-a-time listing loop — the listing is
+    a distributed scan (one partition per prefix via the dir_discovery
+    DataSource), so a 10^9-object bucket is a normal DataFrame, not a
+    re-invocation chain.
+    """
+    from .sources.pyds import register
+
+    register(spark)
+    bucket = event.get("bucket", "local")
+    prefix = event.get("prefix", "")
+    collection = event.get("collection", prefix.rstrip("/"))
+    listing = (
+        spark.read.format("dir_discovery").option("path", root).load()
+    )
+    if prefix:
+        listing = listing.filter(F.col("key").startswith(prefix))
+    if regex := event.get("filename_regex"):
+        listing = listing.filter(F.col("key").rlike(f"^(?:{regex})"))
+    cols = [
+        F.lit(collection).alias("collection"),
+        F.concat(F.lit(f"s3://{bucket}/"), F.col("key")).alias(
+            "remote_fileurl"
+        ),
+        F.lit(bool(event.get("upload", False))).alias("upload"),
+        F.lit(bool(event.get("user_shared", False))).alias("user_shared"),
+        F.lit(bool(event.get("ingest", True))).alias("ingest"),
+        F.lit(json.dumps(event.get("properties", {}))).alias("properties"),
+    ]
+    for f in _DATE_FIELDS:
+        if f in event:
+            cols.append(F.lit(str(event[f])).alias(f))
+    if "gdal_config_options" in event:
+        cols.append(
+            F.lit(str(event["gdal_config_options"])).alias(
+                "gdal_config_options"
+            )
+        )
+    return listing.select(*cols)
 
 
 def run_stac_pipeline(

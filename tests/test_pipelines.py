@@ -34,3 +34,43 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert hist.get("ok", 0) == m["n_kept"]
     m2 = run_curation_pipeline(spark, sf_dir, out)
     assert m2 == m
+
+
+def test_discover_from_event_reference_payload(spark, tmp_path):
+    """The reference's own sample event drives the Spark discovery."""
+    from maap_data_pipelines_spark.pipelines import discover_from_event
+
+    root = tmp_path / "bucket"
+    (root / "dps_output" / "2022").mkdir(parents=True)
+    (root / "dps_output" / "2022" / "a.tif").write_bytes(b"1" * 4)
+    (root / "dps_output" / "2022" / "b.tif.aux").write_bytes(b"2" * 4)
+    (root / "other" / "c").mkdir(parents=True)
+    (root / "other" / "c" / "c.tif").write_bytes(b"3" * 4)
+
+    # shape of lambdas/s3-discovery/handler.py __main__ sample_event
+    event = {
+        "prefix": "dps_output/",
+        "bucket": "maap-ops-workspace",
+        "filename_regex": r"^(.*)\.tif$",
+        "upload": True,
+        "user_shared": True,
+        "start_datetime": "2022-01-01T00:00:00Z",
+        "end_datetime": "2022-12-31T23:59:59Z",
+        "properties": {"version": 2},
+    }
+    rows = discover_from_event(spark, event, str(root)).collect()
+    assert len(rows) == 1  # prefix excludes other/, regex excludes .aux
+    r = rows[0]
+    assert r.remote_fileurl == "s3://maap-ops-workspace/dps_output/2022/a.tif"
+    assert r.collection == "dps_output"  # default: prefix.rstrip('/')
+    assert r.upload and r.user_shared and r.ingest  # ingest defaults True
+    assert r.start_datetime == "2022-01-01T00:00:00Z"
+    assert r.end_datetime == "2022-12-31T23:59:59Z"
+    assert '"version": 2' in r.properties
+
+    # explicit collection + no regex: every object under the prefix
+    rows2 = discover_from_event(
+        spark, {"prefix": "other/", "collection": "custom"}, str(root)
+    ).collect()
+    assert len(rows2) == 1 and rows2[0].collection == "custom"
+    assert not rows2[0].upload and rows2[0].ingest
