@@ -92,6 +92,50 @@ def discover_from_event(
     return listing.select(*cols)
 
 
+def discover_from_inventory_event(
+    spark: SparkSession, event: dict, csv_path: str
+) -> DataFrame:
+    """Reference event-payload adapter: inventory JSON -> file_obj frame.
+
+    Mirrors `lambdas/inventory/handler.py:20-88` against the user's OWN
+    event dict: ``file_url_key`` selects the CSV column (header-name
+    based, so any inventory layout works), ``filename_regex`` applies
+    with ``re.match`` start-anchoring, ``product_id`` is the stem of the
+    last path segment, ``metadata_file_url_key``+``metadata_type`` become
+    a one-entry assets map, and every event key containing "asset"
+    propagates verbatim — the Lambda's exact enrichment rules. The CSV is
+    read distributed (a multi-GB inventory is just a dataset), replacing
+    the download-to-/tmp + DictReader + 230 KB chunking loop.
+    """
+    inv = spark.read.option("header", True).csv(csv_path)
+    url = F.col(event.get("file_url_key", "s3_path"))
+    if regex := event.get("filename_regex"):
+        inv = inv.filter(url.rlike(f"^(?:{regex})"))
+    stem = F.regexp_replace(
+        F.element_at(F.split(url, "/"), -1), r"\.[^.]*$", ""
+    )
+    props = (
+        json.dumps(event["properties"]) if "properties" in event else None
+    )
+    cols = [
+        F.lit(event["collection"]).alias("collection"),
+        url.alias("remote_fileurl"),
+        F.lit(bool(event.get("upload", False))).alias("upload"),
+        F.lit(bool(event.get("user_shared", False))).alias("user_shared"),
+        F.lit(props).cast("string").alias("properties"),
+        stem.alias("product_id"),
+        F.lit(bool(event.get("ingest", True))).alias("ingest"),
+        F.lit(bool(event.get("cogify", False))).alias("cogify"),
+    ]
+    mk, mt = event.get("metadata_file_url_key"), event.get("metadata_type")
+    if mk and mt:
+        cols.append(F.create_map(F.lit(mt), F.col(mk)).alias("assets"))
+    for k, v in event.items():
+        if "asset" in k and k != "metadata_file_url_key":
+            cols.append(F.lit(str(v)).alias(k))
+    return inv.select(*cols)
+
+
 def run_stac_pipeline(
     spark: SparkSession, sf_dir: str, out_dir: str, endpoint: str = "dry://ingest"
 ) -> dict:

@@ -37,7 +37,8 @@ def read_csv_inventory(
     inv = spark.read.schema(schema).option("header", True).csv(path)
     url = F.col(file_url_key)
     if filename_regex:
-        inv = inv.filter(url.rlike(filename_regex))
+        # reference is re.match (start-anchored); rlike is a search
+        inv = inv.filter(url.rlike(f"^(?:{filename_regex})"))
     stem = F.regexp_replace(
         F.element_at(F.split(url, "/"), -1), r"\.[^.]*$", ""
     )

@@ -74,3 +74,33 @@ def test_discover_from_event_reference_payload(spark, tmp_path):
     ).collect()
     assert len(rows2) == 1 and rows2[0].collection == "custom"
     assert not rows2[0].upload and rows2[0].ingest
+
+
+def test_discover_from_inventory_event(spark, tmp_path):
+    from maap_data_pipelines_spark.pipelines import discover_from_inventory_event
+
+    csv = tmp_path / "inv.csv"
+    csv.write_text(
+        "s3_path,meta_url,region\n"
+        "s3://b/CCI_2020_tile1.tif,s3://b/CCI_2020_tile1.xml,na\n"
+        "s3://b/sub/CCI_2020_tile2.tif,s3://b/CCI_2020_tile2.xml,eu\n"
+        "s3://b/other.dat,,na\n"
+    )
+    event = {
+        "collection": "ESACCI_Biomass",
+        "inventory_url": "s3://b/inv.csv",
+        "filename_regex": r"s3://b/CCI(.*)\.tif$",  # re.match: anchored
+        "metadata_file_url_key": "meta_url",
+        "metadata_type": "xml",
+        "sample_asset_name": "cog_default",
+        "upload": True,
+    }
+    rows = discover_from_inventory_event(spark, event, str(csv)).collect()
+    # start-anchored match: the sub/ row does NOT match (re.match parity)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.product_id == "CCI_2020_tile1"
+    assert r.collection == "ESACCI_Biomass" and r.upload and r.ingest
+    assert not r.cogify
+    assert r.assets == {"xml": "s3://b/CCI_2020_tile1.xml"}
+    assert r.sample_asset_name == "cog_default"  # 'asset' key passthrough
