@@ -225,3 +225,37 @@ def test_rebalance_copies_bounded_by_factor(spark):
         src = r.source
         f = factors[src]
         assert int(f) <= r.n_copies <= int(f) + 1
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee", "ff", "g1", "g2"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_heavy_hitters_matches_exact_counting(spark, word_lists, nparts):
+    """MG candidate pruning is lossless: output == exact HAVING count*K > n."""
+    from collections import Counter
+
+    from maap_data_pipelines_spark.operators.sketch import HH_K, heavy_hitters
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        nparts
+    )
+    counts = Counter(w for ws in word_lists for w in ws)
+    total = sum(counts.values())
+    expected = {
+        (w, c, total) for w, c in counts.items() if c * HH_K > total
+    }
+    got = {
+        (r.term, r.n_occurrences, r.total) for r in heavy_hitters(docs).collect()
+    }
+    assert got == expected
