@@ -136,6 +136,95 @@ def discover_from_inventory_event(
     return inv.select(*cols)
 
 
+_CMR_S3_REL = "http://esipfed.org/ns/fedsearch/1.1/s3#"
+
+
+def discover_from_cmr_event(
+    spark: SparkSession, event: dict, granules: DataFrame
+) -> DataFrame:
+    """Reference event-payload adapter: cmr-query JSON -> file_obj frame.
+
+    ``granules`` is the CMR search response's ``feed.entry`` list as a
+    DataFrame (``spark.read.json`` of a granule dump — the one HTTP GET
+    stays with the caller; no network here). Mirrors
+    `lambdas/cmr-query/handler.py:108-194`:
+
+    - link selection keeps the LAST link per granule whose rel is the s3#
+      rel or ``event['link_rel']`` (the Lambda overwrites file_obj in its
+      link loop — last match wins); granules with no matching link are
+      dropped (the Lambda appends an empty dict that downstream code
+      cannot use — documented deviation);
+    - event keys containing "asset" propagate verbatim;
+    - with ``data_file_regex``/``data_file``: the multi-asset regroup
+      (handler.py:11-105) — product_id = first regex match in the url,
+      assets = sorted {suffix: url} map over the product's files
+      (suffix = url minus ``.*product_id[-_.]?``), one output row per
+      url matching ``.*product_id.*data_file``. The assets map is
+      rendered as a deterministic ';'-joined 'suffix=url' string, the
+      same stable rendering `multi_asset_group` uses.
+
+    Page-looping (``start_after``) disappears: the caller hands the whole
+    dump, and grouping is a DataFrame aggregation, not a 100-granule
+    Lambda window — product groups spanning page boundaries, which the
+    reference silently mis-groups, are handled correctly.
+    """
+    collection = event["collection"]
+    link_rel = event.get("link_rel")
+    lnk = F.explode(F.col("links")).alias("link")
+    picked = (
+        granules.select(F.col("id").alias("granule_id"), lnk)
+        .withColumn("rel", F.col("link.rel"))
+        .withColumn("href", F.col("link.href"))
+        .filter(
+            (F.col("rel") == _CMR_S3_REL)
+            | ((F.lit(link_rel).isNotNull()) & (F.col("rel") == F.lit(link_rel)))
+        )
+        .groupBy("granule_id")
+        .agg(F.last("href").alias("remote_fileurl"))
+    )
+    cols = [
+        F.lit(collection).alias("collection"),
+        F.col("remote_fileurl"),
+        F.col("granule_id"),
+        F.col("granule_id").alias("id"),
+        F.lit(event.get("mode")).cast("string").alias("mode"),
+        F.lit(event.get("test_links")).cast("string").alias("test_links"),
+        F.lit(event.get("reverse_coords")).cast("string").alias("reverse_coords"),
+    ]
+    for k, v in event.items():
+        if "asset" in k:
+            cols.append(F.lit(str(v)).alias(k))
+    objs = picked.select(*cols)
+
+    data_file_regex = event.get("data_file_regex")
+    if not data_file_regex:
+        return objs
+    data_file = event.get("data_file", "")
+    with_pid = objs.withColumn(
+        "product_id", F.regexp_extract("remote_fileurl", data_file_regex, 0)
+    ).filter(F.col("product_id") != "")
+    # suffix = url minus everything through product_id and one [-_.]
+    suffix = F.expr(
+        "regexp_replace(remote_fileurl, concat('.*', product_id, '[-_.]?'), '')"
+    )
+    assets = with_pid.groupBy("product_id").agg(
+        F.concat_ws(
+            ";",
+            F.array_sort(
+                F.collect_list(F.concat(suffix, F.lit("="), F.col("remote_fileurl")))
+            ),
+        ).alias("assets")
+    )
+    keep = F.expr(
+        f"remote_fileurl rlike concat('.*', product_id, '.*', {data_file!r})"
+    )
+    return (
+        with_pid.filter(keep)
+        .join(F.broadcast(assets), "product_id")
+        .select(*objs.columns, "product_id", "assets")
+    )
+
+
 def run_stac_pipeline(
     spark: SparkSession, sf_dir: str, out_dir: str, endpoint: str = "dry://ingest"
 ) -> dict:

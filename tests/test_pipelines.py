@@ -104,3 +104,50 @@ def test_discover_from_inventory_event(spark, tmp_path):
     assert not r.cogify
     assert r.assets == {"xml": "s3://b/CCI_2020_tile1.xml"}
     assert r.sample_asset_name == "cog_default"  # 'asset' key passthrough
+
+
+def test_discover_from_cmr_event_multi_asset(spark, tmp_path):
+    import json as _json
+
+    from maap_data_pipelines_spark.pipelines import discover_from_cmr_event
+
+    s3rel = "http://esipfed.org/ns/fedsearch/1.1/s3#"
+    base = "s3://store/AfriSAR___1/uavsar_v1-cov_a41_r9"
+    granules = [
+        {"id": "G1", "links": [
+            {"rel": s3rel, "href": f"{base}_cov_1-1.bin"},
+            {"rel": "http://other", "href": "https://x"},
+        ]},
+        {"id": "G2", "links": [{"rel": s3rel, "href": f"{base}_cov_1-1.hdr"}]},
+        {"id": "G3", "links": [{"rel": "http://other", "href": "https://y"}]},
+    ]
+    dump = tmp_path / "granules.json"
+    dump.write_text("\n".join(_json.dumps(g) for g in granules))
+    gdf = spark.read.json(str(dump))
+
+    event = {
+        "collection": "AfriSAR_UAVSAR_Ungeocoded_Covariance",
+        "version": "1",
+        "data_file": ".bin",
+        "data_file_regex": r"uavsar_v1-cov_a\d+_r\d+",
+        "asset_roles": ["data"],
+    }
+    rows = discover_from_cmr_event(spark, event, gdf).collect()
+    # one item per data_file (.bin) match; linkless G3 dropped
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.granule_id == "G1" and r.id == "G1"
+    assert r.remote_fileurl.endswith("_cov_1-1.bin")
+    assert r.product_id == "uavsar_v1-cov_a41_r9"
+    # sorted suffix=url map over BOTH product files
+    assert r.assets == (
+        f"cov_1-1.bin={base}_cov_1-1.bin;cov_1-1.hdr={base}_cov_1-1.hdr"
+    )
+    assert r.asset_roles == "['data']"  # 'asset' key passthrough
+    assert r.collection == "AfriSAR_UAVSAR_Ungeocoded_Covariance"
+
+    # without data_file_regex: one file_obj per granule with an s3 link
+    plain = discover_from_cmr_event(
+        spark, {"collection": "C"}, gdf
+    ).collect()
+    assert {p.granule_id for p in plain} == {"G1", "G2"}
