@@ -119,4 +119,132 @@ GROUP BY term, total
 HAVING COUNT(*) * {HH_K} > total
 """
 
+# --- distributed Bloom filter --------------------------------------------
+
+BLOOM_BITS = 1 << 17  # 131072 bit positions, 63 usable bits/word
+BLOOM_HASHES = 3
+# 63 bits per word: the max shift is 62, so the word stays positive in
+# int64 on BOTH engines (DuckDB raises on 1::BIGINT << 63; Spark wraps
+# to negative — either breaks parity)
+_BITS_PER_WORD = 63
+
+
+def _bloom_hashes_spark(col):
+    """BLOOM_HASHES independent bit positions from disjoint md5 slices."""
+    hs = []
+    for k in range(BLOOM_HASHES):
+        lo = 1 + 8 * k
+        hs.append(
+            F.expr(
+                f"CAST(conv(substring(md5(CAST({col} AS STRING)), {lo}, 8), 16, 10) AS BIGINT)"
+            )
+            % BLOOM_BITS
+        )
+    return hs
+
+
+def _bloom_hashes_sql(col: str) -> list[str]:
+    return [
+        f"(CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), {1 + 8 * k}, 8)) AS BIGINT) % {BLOOM_BITS})"
+        for k in range(BLOOM_HASHES)
+    ]
+
+
+def bloom_membership(build: DataFrame, build_key, probe: DataFrame, probe_key):
+    """Distributed Bloom filter: build a bitmap TABLE, probe by word join.
+
+    The scale pattern behind runtime semi-join filtering: instead of
+    shuffling the full build-side key set to every probe task (or worse,
+    an anti/semi join shuffling both sides), aggregate the build side to
+    a fixed-size bitmap — here 2048 (word, bits) rows via ``bit_or``,
+    map-side combined, so the shuffle carries at most 2048 rows no matter
+    how many build keys — and probe with an equi-join on the word index.
+    The bitmap never materializes on the driver; both sides stay
+    DataFrames end to end.
+
+    Hashes are md5-slice-derived (deterministic, engine-portable), so the
+    whole construction — including which probes are false positives — is
+    reproducible in SQL: the accuracy report gets a FULL oracle, not a
+    rows-only waiver. Returns one row: exact true-membership counts vs
+    bloom "maybe" counts and the measured false-positive rate.
+    """
+    build_keys = build.select(F.col(build_key).alias("k")).distinct()
+    bits = build_keys.select(
+        F.explode(F.array(*_bloom_hashes_spark("k"))).alias("h")
+    )
+    bitmap = bits.groupBy(F.expr(f"h div {_BITS_PER_WORD}").alias("word")).agg(
+        F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(h % {_BITS_PER_WORD} AS INT))")).alias(
+            "bits"
+        )
+    )
+    probe_keys = probe.select(F.col(probe_key).alias("k")).distinct()
+    probed = (
+        probe_keys.select(
+            "k", F.explode(F.array(*_bloom_hashes_spark("k"))).alias("h")
+        )
+        .join(F.broadcast(bitmap), F.expr(f"h div {_BITS_PER_WORD}") == F.col("word"), "left")
+        .select(
+            "k",
+            F.expr(
+                f"shiftright(COALESCE(bits, CAST(0 AS BIGINT)), CAST(h % {_BITS_PER_WORD} AS INT)) % 2 = 1"
+            ).alias("hit"),
+        )
+        .groupBy("k")
+        .agg((F.count(F.lit(1)) == F.sum(F.col("hit").cast("long"))).alias("maybe"))
+    )
+    truth = probe_keys.join(
+        build_keys.withColumn("present", F.lit(True)), "k", "left"
+    ).select("k", F.coalesce("present", F.lit(False)).alias("present"))
+    joined = probed.join(truth, "k")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("present").cast("long")).alias("n_true"),
+        F.sum(F.col("maybe").cast("long")).alias("n_maybe"),
+        F.sum((F.col("maybe") & ~F.col("present")).cast("long")).alias(
+            "n_false_positive"
+        ),
+        F.sum((~F.col("maybe") & F.col("present")).cast("long")).alias(
+            "n_false_negative"
+        ),
+    )
+
+
+def bloom_membership_sql(
+    build_table: str, build_key: str, probe_table: str, probe_key: str
+) -> str:
+    hs_b = ", ".join(f"({h})" for h in _bloom_hashes_sql("k"))
+    hs_p = ", ".join(f"({h})" for h in _bloom_hashes_sql("k"))
+    return f"""
+WITH build_keys AS (SELECT DISTINCT {build_key} AS k FROM {build_table}),
+bits AS (
+  SELECT unnest([{hs_b}]) AS h FROM build_keys
+),
+bitmap AS (
+  SELECT h // 63 AS word, bit_or(1::BIGINT << CAST(h % 63 AS INTEGER)) AS bits
+  FROM bits GROUP BY 1
+),
+probe_keys AS (SELECT DISTINCT {probe_key} AS k FROM {probe_table}),
+probe_bits AS (
+  SELECT k, unnest([{hs_p}]) AS h FROM probe_keys
+),
+probed AS (
+  SELECT p.k,
+         COUNT(*) = SUM(CASE WHEN (COALESCE(b.bits, 0) >> CAST(p.h % 63 AS INTEGER)) % 2 = 1
+                             THEN 1 ELSE 0 END) AS maybe
+  FROM probe_bits p LEFT JOIN bitmap b ON p.h // 63 = b.word
+  GROUP BY p.k
+),
+truth AS (
+  SELECT p.k, (b.k IS NOT NULL) AS present
+  FROM probe_keys p LEFT JOIN build_keys b USING (k)
+)
+SELECT COUNT(*) AS n_probed,
+       CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+       CAST(SUM(CASE WHEN present AND NOT maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+FROM probed JOIN truth USING (k)
+"""
+
+
 QUERY_SQL = {"heavy_hitters": HEAVY_HITTERS_SQL}

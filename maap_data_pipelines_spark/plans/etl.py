@@ -771,6 +771,33 @@ FROM manifest
 """
 
 
+def bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter accuracy: which customers have orders, per a 16 KB
+    bitmap instead of a key-set shuffle.
+
+    See :func:`..operators.sketch.bloom_membership` — build over
+    orders.o_custkey, probe customer.c_custkey. At 100 TB this is the
+    runtime-filter pattern: the 2048-row bitmap broadcast replaces
+    shuffling millions of build keys to every probe task; the report
+    quantifies the price (false-positive rate) exactly, with a full
+    oracle reproducing the same bitmap bit-for-bit in SQL.
+    """
+    from ..operators.sketch import bloom_membership
+
+    return bloom_membership(
+        read_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        read_table(spark, sf_dir, "customer"),
+        "c_custkey",
+    )
+
+
+def _bloom_sql() -> str:
+    from ..operators.sketch import bloom_membership_sql
+
+    return bloom_membership_sql("orders", "o_custkey", "customer", "c_custkey")
+
+
 QUERIES = {
     "orders_scd2": orders_scd2,
     "orders_zorder_layout": orders_zorder_layout,
@@ -786,6 +813,7 @@ QUERIES = {
     "orders_monthly_gapfill": orders_monthly_gapfill,
     "orders_price_quantiles": orders_price_quantiles,
     "lineitem_manifest_pruning": lineitem_manifest_pruning,
+    "bloom_customer_filter": bloom_customer_filter,
 }
 
 ORACLES = {
@@ -803,4 +831,5 @@ ORACLES = {
     "orders_monthly_gapfill": GAPFILL_SQL,
     "orders_price_quantiles": PRICE_QUANTILES_SQL,
     "lineitem_manifest_pruning": MANIFEST_PRUNING_SQL,
+    "bloom_customer_filter": _bloom_sql(),
 }

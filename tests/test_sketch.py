@@ -46,3 +46,25 @@ def test_heavy_hitters_share_and_registry(spark, sf_dir):
     for r in rows:
         assert r.n_occurrences * HH_K > r.total
         assert abs(r.share - round(r.n_occurrences / r.total, 6)) < 1e-9
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    r = registry.queries()["bloom_customer_filter"](spark, sf_dir).collect()[0]
+    assert r.n_probed > 0
+    assert r.n_false_negative == 0  # Bloom's hard guarantee
+    assert r.n_maybe == r.n_true + r.n_false_positive
+    assert r.n_true <= r.n_maybe <= r.n_probed
+    # 131072 bits / 3 hashes: fp rate should be tiny at sf test sizes
+    assert r.n_false_positive <= max(1, r.n_probed // 20)
+
+
+def test_bloom_membership_synthetic_accuracy(spark):
+    from maap_data_pipelines_spark.operators.sketch import bloom_membership
+
+    build = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(250, 1000)], "k long")
+    r = bloom_membership(build, "k", probe, "k").collect()[0]
+    assert r.n_probed == 750
+    assert r.n_true == 250
+    assert r.n_false_negative == 0
+    assert r.n_maybe >= 250  # every true member flagged maybe
