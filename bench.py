@@ -85,6 +85,8 @@ HEADLINE = [
     "events_distinct_sketch",
     "orders_price_quantiles",
     "lineitem_manifest_pruning",
+    "bloom_customer_filter",
+    "events_retention_triangle",
 ]
 
 
