@@ -771,6 +771,41 @@ FROM manifest
 """
 
 
+W_SCALE = 1_000_000
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic Bernoulli sample: P(keep) = len/max_len.
+
+    The importance-sampling primitive for training mixes (sample documents
+    proportional to token mass, not uniformly) with the same no-RNG
+    contract as the other split/sample ops: the gate is a pure hash of
+    doc_id, so membership is reproducible under reshards, retries and
+    backfills, and the comparison ``gate * max_chars < n_chars * SCALE``
+    is all-integer (no float threshold drift between engines). One scan +
+    a single-row max broadcast.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    gate = md5_long(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))) % W_SCALE
+    return (
+        docs.join(F.broadcast(mx))
+        .withColumn("gate", gate)
+        .filter(F.col("gate") * F.col("max_chars") < F.col("n_chars") * W_SCALE)
+        .select("doc_id", "source", "n_chars", "max_chars", "gate")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+SELECT doc_id, source, n_chars, CAST(max_chars AS BIGINT) AS max_chars,
+       ({md5_long_sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} % {W_SCALE}) AS gate
+FROM documents, mx
+WHERE ({md5_long_sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} % {W_SCALE}) * max_chars
+      < n_chars * {W_SCALE}
+"""
+
+
 def bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom pre-filter accuracy: which customers have orders, per a 16 KB
     bitmap instead of a key-set shuffle.
@@ -814,6 +849,7 @@ QUERIES = {
     "orders_price_quantiles": orders_price_quantiles,
     "lineitem_manifest_pruning": lineitem_manifest_pruning,
     "bloom_customer_filter": bloom_customer_filter,
+    "doc_weighted_sample": doc_weighted_sample,
 }
 
 ORACLES = {
@@ -832,4 +868,5 @@ ORACLES = {
     "orders_price_quantiles": PRICE_QUANTILES_SQL,
     "lineitem_manifest_pruning": MANIFEST_PRUNING_SQL,
     "bloom_customer_filter": _bloom_sql(),
+    "doc_weighted_sample": WEIGHTED_SAMPLE_SQL,
 }

@@ -164,3 +164,19 @@ def test_doc_chunks_overlap_and_tail(spark):
         (0, 64),
         (1, 22),
     ]
+
+
+def test_weighted_sample_rate_tracks_length(spark, sf_dir):
+    """Longer docs must be sampled at higher rates; membership is a pure
+    function of doc_id (deterministic across layouts)."""
+    from maap_data_pipelines_spark import registry
+
+    q = registry.queries()["doc_weighted_sample"]
+    rows = q(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the integer gate condition that admitted the row
+        assert r.gate * r.max_chars < r.n_chars * 1_000_000
+    # rerun: byte-identical membership (no RNG)
+    again = {r.doc_id for r in q(spark, sf_dir).collect()}
+    assert again == {r.doc_id for r in rows}

@@ -78,6 +78,8 @@ _BNLJ_ALLOWED = {
     "orders_monthly_gapfill",
     # single-row total-count broadcast feeding the cnt*K > total filter
     "heavy_hitters",
+    # single-row max-length broadcast feeding the weighted-sample gate
+    "doc_weighted_sample",
 }
 
 
