@@ -593,6 +593,114 @@ def connected_components(
     return labels, rounds
 
 
+PR_SCALE = 1_000_000  # rank unit = micro-rank; all arithmetic stays int64
+PR_ITERS = 5
+
+
+def pagerank_int(und: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-exact PageRank (damping 0.85) over a symmetric edge list.
+
+    Floating PageRank is NOT reproducible across engines: float sums
+    depend on reduction order. Working in integer micro-rank units with
+    truncating division makes every iteration a pure integer function of
+    the graph — bit-identical on any engine and any partitioning, so an
+    ITERATIVE graph algorithm gets a full value-hash oracle (5 unrolled
+    CTEs in SQL), not a rows-only waiver.
+
+    Per round: contribution = rank div degree flows along each edge (one
+    equi-join + map-side-combined sum), then
+    ``rank' = 0.15*S + (85 * sum) div 100``. Symmetric edges mean no
+    dangling nodes by construction. The edge+degree table is consumed
+    every round, so it is localCheckpoint-ed once; plan depth grows
+    linearly in iterations (5 here — pointer-jumping CC covers the
+    unbounded-convergence case; fixed-round PageRank is the score, not
+    the partition).
+    """
+    edges = (
+        und.join(
+            und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg")), "doc_a"
+        )
+        .select("doc_a", "doc_b", "deg")
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    base = 15 * PR_SCALE // 100
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.doc_a == ranks.doc_id)
+            .select(
+                F.col("doc_b").alias("doc_id"), F.expr("rank div deg").alias("c")
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).alias("rank"),
+        )
+    return ranks.select("doc_id", F.col("rank").alias("rank_u6"))
+
+
+def _pagerank_sql(und_sql: str, iters: int = PR_ITERS) -> str:
+    base = 15 * PR_SCALE // 100
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference — und appears
+    # once per iteration, so the full MinHash pipeline would run 6x
+    # (measured 59 s -> ~1 s at sf0.01)
+    ctes = [
+        f"und AS MATERIALIZED ({und_sql})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id FROM und)",
+        "deg AS MATERIALIZED (SELECT doc_a, COUNT(*) AS deg FROM und GROUP BY 1)",
+        f"r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.doc_id,
+         CAST({base} + (85 * COALESCE(CAST(s.s AS BIGINT), 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT u.doc_b AS doc_id, SUM(r.rank // d.deg) AS s
+    FROM und u JOIN deg d ON u.doc_a = d.doc_a JOIN r{i - 1} r ON r.doc_id = u.doc_a
+    GROUP BY 1
+  ) s ON n.doc_id = s.doc_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, rank AS rank_u6 FROM r{iters}"
+    )
+
+
+def dedup_pagerank(docs: DataFrame) -> DataFrame:
+    """PageRank centrality over the MinHash candidate-pair graph.
+
+    Ranks which documents sit at the center of duplicate neighborhoods —
+    the triage signal for which near-dup cluster representative to keep
+    (high rank = most-connected copy). Same edge construction as
+    :func:`dedup_clusters`.
+    """
+    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    # checkpoint before pagerank_int's degree self-join so the MinHash
+    # pipeline runs once, not once per join side
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    return pagerank_int(und)
+
+
+_UND_SQL = f"""
+  WITH pairs_full AS ({DEDUP_MINHASH_SQL})
+  SELECT doc_a, doc_b FROM pairs_full
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs_full
+"""
+
+DEDUP_PAGERANK_SQL = _pagerank_sql(_UND_SQL)
+
+
 def dedup_clusters(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     """Connected components over the MinHash candidate-pair graph.
 
@@ -639,5 +747,6 @@ QUERY_SQL = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_pagerank": DEDUP_PAGERANK_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
 }

@@ -121,3 +121,30 @@ def test_connected_components_two_components(spark):
     labels, _ = dedup.connected_components(und, max_iter=10)
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pagerank_int_path_graph_centrality(spark):
+    """On the path a-b-c the middle node must outrank the ends; ranks are
+    exact integers so equality of symmetric positions is exact."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.operators.dedup import PR_SCALE, pagerank_int
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    und = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ranks = {r.doc_id: r.rank_u6 for r in pagerank_int(und).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[1] == ranks[3]  # symmetry, bit-exact
+    assert ranks[2] > ranks[1]  # centrality
+    base = 15 * PR_SCALE // 100
+    assert all(v >= base for v in ranks.values())
+    # truncating division only loses mass: total <= N * SCALE
+    assert sum(ranks.values()) <= 3 * PR_SCALE
+
+
+def test_dedup_pagerank_registry_nondegenerate(spark, sf_dir):
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["dedup_pagerank"](spark, sf_dir).collect()
+    assert rows  # candidate graph is non-empty on the synthetic corpus
+    assert len({r.rank_u6 for r in rows}) > 1  # not all nodes equal
