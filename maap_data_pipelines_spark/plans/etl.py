@@ -771,6 +771,77 @@ FROM manifest
 """
 
 
+def lineitem_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup WITHOUT a range join: union + carry-forward.
+
+    "Which customer version was current when each line item shipped" is
+    the canonical temporal-join: the naive formulation is a range join
+    (fact.ts BETWEEN valid_from AND valid_to) whose fan-out explodes on
+    long-lived versions. The distributed-native shape instead UNIONs
+    version-change events and facts into one per-entity timeline and
+    carries the version forward with ``last(ignoreNulls)`` over (time,
+    kind) — version events sort before same-instant facts — then keeps
+    the fact rows. One shuffle on the entity key, partition size bounded
+    by per-entity activity, zero join fan-out at any version lifetime.
+    """
+    versions = orders_scd2(spark, sf_dir).select(
+        "custkey",
+        F.col("valid_from_us").alias("t"),
+        F.lit(0).alias("kind"),
+        "version",
+        F.lit(None).cast("long").alias("orderkey"),
+        F.lit(None).cast("long").alias("linenumber"),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    facts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("t"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("version"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+        )
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("t", "kind", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        versions.unionByName(facts)
+        .withColumn("version_at_ship", F.last("version", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("custkey", "orderkey", "linenumber", F.col("t").alias("ship_us"), "version_at_ship")
+    )
+
+
+SCD2_LOOKUP_SQL = """
+WITH versions AS (
+  SELECT o_custkey AS custkey, epoch_us(o_orderdate) AS t, 0 AS kind,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version,
+         CAST(NULL AS BIGINT) AS orderkey, CAST(NULL AS BIGINT) AS linenumber
+  FROM orders
+),
+facts AS (
+  SELECT o_custkey AS custkey, epoch_us(l_shipdate) AS t, 1 AS kind,
+         CAST(NULL AS BIGINT) AS version,
+         l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+timeline AS (
+  SELECT *, last_value(version IGNORE NULLS) OVER (
+      PARTITION BY custkey ORDER BY t, kind, version
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version_at_ship
+  FROM (SELECT * FROM versions UNION ALL SELECT * FROM facts)
+)
+SELECT custkey, orderkey, linenumber, t AS ship_us, version_at_ship
+FROM timeline WHERE kind = 1
+"""
+
+
 W_SCALE = 1_000_000
 
 
@@ -850,6 +921,7 @@ QUERIES = {
     "lineitem_manifest_pruning": lineitem_manifest_pruning,
     "bloom_customer_filter": bloom_customer_filter,
     "doc_weighted_sample": doc_weighted_sample,
+    "lineitem_scd2_lookup": lineitem_scd2_lookup,
 }
 
 ORACLES = {
@@ -869,4 +941,5 @@ ORACLES = {
     "lineitem_manifest_pruning": MANIFEST_PRUNING_SQL,
     "bloom_customer_filter": _bloom_sql(),
     "doc_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "lineitem_scd2_lookup": SCD2_LOOKUP_SQL,
 }

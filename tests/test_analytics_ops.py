@@ -150,3 +150,47 @@ def test_quantile_sketch_error_within_bound(spark, sf_dir):
         assert abs(r.approx_p50 - r.exact_p50) / max(r.exact_p50, 1.0) < 0.02
         assert r.max_rel_err_ppm >= 0
         assert r.approx_p50 >= 0 and r.approx_p99 >= r.approx_p50
+
+
+def test_scd2_lookup_matches_range_join_truth(spark, sf_dir):
+    """The union+carry-forward temporal join must equal the naive range join."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.plans.etl import orders_scd2
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    # key includes ship_us: the synthetic lineitem repeats (orderkey,
+    # linenumber) across rows with different ship dates
+    got = {
+        (r.custkey, r.orderkey, r.linenumber, r.ship_us): r.version_at_ship
+        for r in registry.queries()["lineitem_scd2_lookup"](spark, sf_dir).collect()
+    }
+    assert got
+    v = orders_scd2(spark, sf_dir).select(
+        "custkey", "valid_from_us", "valid_to_us", "version"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+    )
+    # LEFT join: a ship date before the customer's first version (the
+    # synthetic data has them) has no covering interval -> version NULL,
+    # which the carry-forward must reproduce
+    truth_df = facts.join(
+        v,
+        (facts.custkey == v.custkey)
+        & (v.valid_from_us <= facts.ship_us)
+        & (facts.ship_us < F.coalesce(v.valid_to_us, F.lit(2**62))),
+        "left",
+    ).select(
+        "orderkey", "linenumber", facts.custkey.alias("ck"), "ship_us", "version"
+    )
+    truth = {
+        (r.ck, r.orderkey, r.linenumber, r.ship_us): r.version
+        for r in truth_df.collect()
+    }
+    assert got == truth
