@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import documents, etl, events, llm, multimodal, stac, tpch, tpch2
+from .plans import documents, etl, events, llm, multimodal, sqlapi, stac, tpch, tpch2
 
-_MODULES = [tpch, tpch2, events, documents, llm, stac, multimodal, etl]
+_MODULES = [tpch, tpch2, events, documents, llm, stac, multimodal, etl, sqlapi]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -95,3 +95,36 @@ def test_plan_hygiene_all_queries(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and key not in _BNLJ_ALLOWED:
             problems.append(f"{key}: unexpected BroadcastNestedLoopJoin")
     assert not problems, problems
+
+
+def test_sql_and_dataframe_frontends_agree(spark, sf_dir):
+    """spark.sql and the DataFrame API must produce identical results for
+    the same logical query (Catalyst compiles both to one plan space)."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    sql_rows = {
+        r.nation: (r.n_buyers, r.revenue_cents)
+        for r in registry.queries()["sql_revenue_by_nation"](spark, sf_dir).collect()
+    }
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    df_rows = {
+        r.nation: (r.n_buyers, r.revenue_cents)
+        for r in (
+            orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .join(nation, customer.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.countDistinct("o_custkey").alias("n_buyers"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "revenue_cents"
+                ),
+            )
+            .collect()
+        )
+    }
+    assert sql_rows == df_rows and sql_rows
