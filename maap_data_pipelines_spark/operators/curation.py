@@ -661,8 +661,57 @@ FROM t
 GROUP BY 1
 """
 
+def source_lang_drift(docs: DataFrame) -> DataFrame:
+    """Chi-square contingency: is language distribution independent of source?
+
+    The drift/contamination monitor for a multi-source corpus — a source
+    whose language mix diverges from the corpus-wide mix (large chi2
+    contribution) changed collection behavior or picked up contamination.
+    Per (source, lang) cell: observed count, expected count in micro-units
+    (r*c*1e6 div n — exact integer), and the cell's chi2 contribution
+    ``(o*n - r*c)^2 / (n*r*c)`` whose numerator and denominator are exact
+    int64 products (one float division + round(6) at the end, identical
+    in both engines).
+
+    Shape: one contingency aggregation (cell count = |sources| x |langs|,
+    independent of corpus size) + broadcast row/col/grand totals.
+    """
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    row = docs.groupBy("source").agg(F.count(F.lit(1)).alias("r"))
+    col = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    num = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    return (
+        cells.join(F.broadcast(row), "source")
+        .join(F.broadcast(col), "lang")
+        .join(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            F.col("o").alias("observed"),
+            F.expr("r * c * 1000000 div n").alias("expected_e6"),
+            F.round(
+                (num * num) / (F.col("n") * F.col("r") * F.col("c")), 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+SOURCE_LANG_DRIFT_SQL = """
+WITH cells AS (SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+row_t AS (SELECT source, COUNT(*) AS r FROM documents GROUP BY 1),
+col_t AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM documents)
+SELECT source, lang, o AS observed,
+       (r * c * 1000000) // n AS expected_e6,
+       ROUND(((o * n - r * c) * (o * n - r * c)) / (n * r * c), 6) AS chi2_term
+FROM cells JOIN row_t USING (source) JOIN col_t USING (lang) CROSS JOIN tot
+"""
+
+
 QUERY_SQL = {
     "decontaminate": DECONTAMINATE_SQL,
+    "source_lang_drift": SOURCE_LANG_DRIFT_SQL,
     "repetition_stats": REPETITION_STATS_SQL,
     "pii_scan": PII_SCAN_SQL,
     "domain_mixture": DOMAIN_MIXTURE_SQL,

@@ -54,6 +54,7 @@ QUERIES = {
     "doc_chunks": _wrap(curation.doc_chunks),
     "text_normalize": _wrap(text.text_normalize),
     "heavy_hitters": _wrap(sketch.heavy_hitters),
+    "source_lang_drift": _wrap(curation.source_lang_drift),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

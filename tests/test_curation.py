@@ -180,3 +180,25 @@ def test_weighted_sample_rate_tracks_length(spark, sf_dir):
     # rerun: byte-identical membership (no RNG)
     again = {r.doc_id for r in q(spark, sf_dir).collect()}
     assert again == {r.doc_id for r in rows}
+
+
+def test_source_lang_drift_contingency_math(spark, sf_dir):
+    from collections import Counter
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    rows = registry.queries()["source_lang_drift"](spark, sf_dir).collect()
+    assert rows
+    docs = read_table(spark, sf_dir, "documents").select("source", "lang").collect()
+    n = len(docs)
+    row_t = Counter(d.source for d in docs)
+    col_t = Counter(d.lang for d in docs)
+    cell_t = Counter((d.source, d.lang) for d in docs)
+    assert sum(r.observed for r in rows) == n
+    for r in rows:
+        o, rr, cc = cell_t[(r.source, r.lang)], row_t[r.source], col_t[r.lang]
+        assert r.observed == o
+        assert r.expected_e6 == rr * cc * 1_000_000 // n
+        num = o * n - rr * cc
+        assert abs(r.chi2_term - round(num * num / (n * rr * cc), 6)) < 1e-9

@@ -80,6 +80,8 @@ _BNLJ_ALLOWED = {
     "heavy_hitters",
     # single-row max-length broadcast feeding the weighted-sample gate
     "doc_weighted_sample",
+    # single-row grand-total broadcast joining the contingency cells
+    "source_lang_drift",
 }
 
 
