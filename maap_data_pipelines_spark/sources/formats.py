@@ -50,6 +50,32 @@ def read_csv_inventory(
     )
 
 
+def read_binary_assets(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque binary ingest via Spark's ``binaryFile`` source.
+
+    The multimodal ingestion path: each file becomes one row of
+    (key, size_bytes, mtime_us, content) with the payload as a binary
+    column — the shape every ``operators/multimodal.py`` transform
+    consumes. ``pathGlobFilter`` prunes at LISTING time (the binary
+    analogue of predicate pushdown: filtered files are never opened), and
+    Spark parallelizes over files, so a million-asset bucket is a normal
+    scan. Driver-side note for 100 TB: binaryFile caps per-row content at
+    spark memory limits — oversized payloads belong in chunked reads, not
+    single rows.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path).select(
+        F.col("path").alias("key"),
+        F.col("length").alias("size_bytes"),
+        F.unix_micros(F.col("modificationTime")).alias("mtime_us"),
+        F.col("content"),
+    )
+
+
 def read_json_granules(spark: SparkSession, path: str) -> DataFrame:
     """CMR granule JSON-lines -> (granule_id, data_url, n_links).
 

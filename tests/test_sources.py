@@ -102,3 +102,39 @@ def test_dir_discovery_datasource(spark, tmp_path):
     assert all(r.mtime_us > 0 for r in rows.values())
     # one partition per top-level prefix + one for root files
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_read_binary_assets_glob_and_content(spark, tmp_path):
+    from maap_data_pipelines_spark.sources.formats import read_binary_assets
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01payload")
+    (d / "b.bin").write_bytes(b"\xff" * 32)
+    (d / "skip.txt").write_bytes(b"no")
+    rows = {r.key.rsplit("/", 1)[-1]: r for r in read_binary_assets(
+        spark, str(d), glob="*.bin"
+    ).collect()}
+    assert set(rows) == {"a.bin", "b.bin"}  # glob pruned at listing time
+    assert bytes(rows["a.bin"].content) == b"\x00\x01payload"
+    assert rows["b.bin"].size_bytes == 32
+    assert all(r.mtime_us > 0 for r in rows.values())
+
+
+def test_orc_round_trip_preserves_schema(spark, tmp_path):
+    """Format breadth: ORC write/read round-trips types and values."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("k"), F.col("id")).alias("name"),
+    )
+    out = str(tmp_path / "orc_rt")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    # names+types round-trip (nullability legitimately widens on read)
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(r.v for r in back.collect()) == [2 * i for i in range(100)]
