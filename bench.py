@@ -87,6 +87,10 @@ HEADLINE = [
     "lineitem_manifest_pruning",
     "bloom_customer_filter",
     "events_retention_triangle",
+    "lineitem_scd2_lookup",
+    "source_lang_drift",
+    "sql_revenue_by_nation",
+    "doc_weighted_sample",
 ]
 
 

@@ -24,7 +24,15 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.zorder import zorder_key, zorder_key_sql
+from ..operators.profile import profile_columns, profile_sql
 from ..sources.catalog import read_table
+
+ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def orders_profile(spark, sf_dir):
+    """Generic column profiler applied to the orders fact table."""
+    return profile_columns(read_table(spark, sf_dir, "orders"), ORDERS_COLS)
 
 
 def orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,6 +930,7 @@ QUERIES = {
     "bloom_customer_filter": bloom_customer_filter,
     "doc_weighted_sample": doc_weighted_sample,
     "lineitem_scd2_lookup": lineitem_scd2_lookup,
+    "orders_profile": orders_profile,
 }
 
 ORACLES = {
@@ -942,4 +951,5 @@ ORACLES = {
     "bloom_customer_filter": _bloom_sql(),
     "doc_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "lineitem_scd2_lookup": SCD2_LOOKUP_SQL,
+    "orders_profile": profile_sql("orders", ORDERS_COLS),
 }
