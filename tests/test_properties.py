@@ -259,3 +259,23 @@ def test_heavy_hitters_matches_exact_counting(spark, word_lists, nparts):
         (r.term, r.n_occurrences, r.total) for r in heavy_hitters(docs).collect()
     }
     assert got == expected
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.sets(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=120),
+    st.sets(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=120),
+)
+def test_bloom_membership_never_false_negative(spark, build_keys, probe_keys):
+    """For ANY build/probe key sets: every true member reports maybe=True,
+    and the counts decompose exactly."""
+    from maap_data_pipelines_spark.operators.sketch import bloom_membership
+
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    r = bloom_membership(build, "k", probe, "k").collect()[0]
+    inter = len(build_keys & probe_keys)
+    assert r.n_probed == len(probe_keys)
+    assert r.n_true == inter
+    assert r.n_false_negative == 0
+    assert r.n_maybe == r.n_true + r.n_false_positive
