@@ -593,6 +593,57 @@ def connected_components(
     return labels, rounds
 
 
+SIMILAR_TOPK = 3
+
+
+def similar_docs_topk(docs: DataFrame) -> DataFrame:
+    """Top-3 most similar documents per document ("more like this").
+
+    The retrieval product built on the exact-Jaccard pair table:
+    symmetrize the (doc_a < doc_b) pairs, rank per document by
+    (jaccard desc, neighbor id asc — deterministic on the rounded score)
+    and keep the top 3. The window partition is one document's candidate
+    neighbors — bounded by the df-capped inverted index, never corpus
+    size — and WindowGroupLimit prunes to k per map partition before the
+    shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = ngram_jaccard(docs).select("doc_a", "doc_b", "jaccard")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("jaccard"), "doc_b")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= SIMILAR_TOPK)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("similar_doc_id"),
+            "jaccard",
+            "rnk",
+        )
+    )
+
+
+SIMILAR_DOCS_SQL = f"""
+WITH pairs AS ({NGRAM_JACCARD_SQL}),
+sym AS (
+  SELECT doc_a, doc_b, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a, jaccard FROM pairs
+)
+SELECT doc_a AS doc_id, doc_b AS similar_doc_id, jaccard,
+       row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rnk
+FROM sym
+QUALIFY rnk <= {SIMILAR_TOPK}
+"""
+
+
 PR_SCALE = 1_000_000  # rank unit = micro-rank; all arithmetic stays int64
 PR_ITERS = 5
 
@@ -748,5 +799,6 @@ QUERY_SQL = {
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_pagerank": DEDUP_PAGERANK_SQL,
+    "similar_docs_topk": SIMILAR_DOCS_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
 }

@@ -118,6 +118,7 @@ QUERIES = {
     "ngram_jaccard": _doc_plan(dedup.ngram_jaccard),
     "dedup_clusters": _doc_plan(dedup.dedup_clusters),
     "dedup_pagerank": _doc_plan(dedup.dedup_pagerank),
+    "similar_docs_topk": _doc_plan(dedup.similar_docs_topk),
     "minhash_calibration": _doc_plan(dedup.minhash_calibration),
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),

