@@ -791,6 +791,38 @@ FROM reach GROUP BY node
 """
 
 
+
+
+def dedup_cluster_sizes(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Duplicate-cluster size distribution: the dedup health dashboard row.
+
+    How much of the corpus sits in 2-doc near-dup pairs vs giant
+    templated clusters decides both the dedup savings and the blast
+    radius of a bad survivor choice. Two tiny aggregations over the CC
+    labels (cluster count per size, docs per size) — cardinality bounded
+    by the largest cluster, not the corpus.
+    """
+    labels = dedup_clusters(docs, max_iter=max_iter)
+    per_cluster = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH labels AS ({DEDUP_CLUSTERS_SQL}),
+per_cluster AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM per_cluster GROUP BY 1
+"""
+
+
 QUERY_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
@@ -800,5 +832,6 @@ QUERY_SQL = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_pagerank": DEDUP_PAGERANK_SQL,
     "similar_docs_topk": SIMILAR_DOCS_SQL,
+    "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
 }

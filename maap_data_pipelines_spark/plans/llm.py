@@ -119,6 +119,7 @@ QUERIES = {
     "dedup_clusters": _doc_plan(dedup.dedup_clusters),
     "dedup_pagerank": _doc_plan(dedup.dedup_pagerank),
     "similar_docs_topk": _doc_plan(dedup.similar_docs_topk),
+    "dedup_cluster_sizes": _doc_plan(dedup.dedup_cluster_sizes),
     "minhash_calibration": _doc_plan(dedup.minhash_calibration),
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),

@@ -170,3 +170,14 @@ def test_similar_docs_topk_ranked_and_symmetric(spark, sf_dir):
     # set itself is symmetric whenever both ends keep <3 neighbors
     ends = {d for d, _ in pairs} | {s for _, s in pairs}
     assert ends  # non-degenerate on the synthetic corpus
+
+
+def test_cluster_sizes_conserve_docs(spark, sf_dir):
+    from maap_data_pipelines_spark import registry
+
+    hist = registry.queries()["dedup_cluster_sizes"](spark, sf_dir).collect()
+    labels = registry.queries()["dedup_clusters"](spark, sf_dir).collect()
+    assert hist
+    assert all(r.cluster_size >= 2 or r.cluster_size == 1 for r in hist)
+    assert all(r.n_docs == r.n_clusters * r.cluster_size for r in hist)
+    assert sum(r.n_docs for r in hist) == len(labels)
