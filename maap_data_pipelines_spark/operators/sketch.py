@@ -156,9 +156,10 @@ def bloom_membership(build: DataFrame, build_key, probe: DataFrame, probe_key):
     The scale pattern behind runtime semi-join filtering: instead of
     shuffling the full build-side key set to every probe task (or worse,
     an anti/semi join shuffling both sides), aggregate the build side to
-    a fixed-size bitmap — here 2048 (word, bits) rows via ``bit_or``,
-    map-side combined, so the shuffle carries at most 2048 rows no matter
-    how many build keys — and probe with an equi-join on the word index.
+    a fixed-size bitmap — ceil(BLOOM_BITS / 63 usable bits per word) =
+    2081 (word, bits) rows via ``bit_or``, map-side combined, so the
+    shuffle carries at most 2081 rows no matter how many build keys —
+    and probe with an equi-join on the word index.
     The bitmap never materializes on the driver; both sides stay
     DataFrames end to end.
 

@@ -170,7 +170,10 @@ def discover_from_cmr_event(
     """
     collection = event["collection"]
     link_rel = event.get("link_rel")
-    lnk = F.explode(F.col("links")).alias("link")
+    # "last matching link wins" must not depend on partitioning: F.last is
+    # documented non-deterministic, so carry the array position through
+    # posexplode and take max_by(href, pos) — explicit array-order semantics.
+    lnk = F.posexplode(F.col("links")).alias("pos", "link")
     picked = (
         granules.select(F.col("id").alias("granule_id"), lnk)
         .withColumn("rel", F.col("link.rel"))
@@ -180,7 +183,7 @@ def discover_from_cmr_event(
             | ((F.lit(link_rel).isNotNull()) & (F.col("rel") == F.lit(link_rel)))
         )
         .groupBy("granule_id")
-        .agg(F.last("href").alias("remote_fileurl"))
+        .agg(F.max_by("href", "pos").alias("remote_fileurl"))
     )
     cols = [
         F.lit(collection).alias("collection"),
@@ -215,8 +218,11 @@ def discover_from_cmr_event(
             ),
         ).alias("assets")
     )
-    keep = F.expr(
-        f"remote_fileurl rlike concat('.*', product_id, '.*', {data_file!r})"
+    # Build the pattern as a column expression: splicing data_file into the
+    # SQL text via repr would break on quotes in the event payload.
+    keep = F.regexp_like(
+        F.col("remote_fileurl"),
+        F.concat(F.lit(".*"), F.col("product_id"), F.lit(".*"), F.lit(data_file)),
     )
     return (
         with_pid.filter(keep)

@@ -886,12 +886,12 @@ WHERE ({md5_long_sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} % {W_SCALE}) * max_
 
 
 def bloom_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom pre-filter accuracy: which customers have orders, per a 16 KB
-    bitmap instead of a key-set shuffle.
+    """Bloom pre-filter accuracy: which customers have orders, per a
+    131072-bit bitmap instead of a key-set shuffle.
 
     See :func:`..operators.sketch.bloom_membership` — build over
     orders.o_custkey, probe customer.c_custkey. At 100 TB this is the
-    runtime-filter pattern: the 2048-row bitmap broadcast replaces
+    runtime-filter pattern: the 2081-row bitmap broadcast replaces
     shuffling millions of build keys to every probe task; the report
     quantifies the price (false-positive rate) exactly, with a full
     oracle reproducing the same bitmap bit-for-bit in SQL.

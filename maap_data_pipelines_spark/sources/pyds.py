@@ -11,9 +11,11 @@ first-class `spark.read.format("dir_discovery")` scan:
   files): on an object store these are the prefixes, so listing
   parallelizes across executors and no single task lists the world —
   exactly how a 100 TB bucket must be walked;
-- `filename_regex` is applied inside each partition's reader, so filtered
-  names never leave the source (filter-at-source, the listing analogue of
-  predicate pushdown);
+- `filename_regex` is applied inside each partition's reader with
+  ``re.match`` against the RELATIVE KEY — the reference Lambda's
+  start-anchored full-key semantics, shared with read_csv_inventory and
+  discover_from_event — so filtered names never leave the source
+  (filter-at-source, the listing analogue of predicate pushdown);
 - emits (key, size_bytes, mtime_us) — the same fields the reference's
   file_obj carries — ready for the stac item pipeline.
 
@@ -78,11 +80,14 @@ class DirDiscoveryReader(DataSourceReader):
                 if e.is_file(follow_symlinks=False)
             )
         for p in walker:
-            name = os.path.basename(p)
-            if rx is not None and not rx.search(name):
+            rel_key = os.path.relpath(p, partition.root)
+            # re.match on the relative key: the reference Lambda re.match-es
+            # the full object key, and the sibling adapters
+            # (read_csv_inventory, discover_from_event) use the same
+            # start-anchored full-key semantics.
+            if rx is not None and not rx.match(rel_key):
                 continue
             st = os.stat(p)
-            rel_key = os.path.relpath(p, partition.root)
             yield (rel_key, st.st_size, int(st.st_mtime * 1_000_000))
 
 
@@ -110,17 +115,13 @@ class DirDiscoveryStreamReader(SimpleDataSourceStreamReader):
         out = []
         for dirpath, _, files in os.walk(self.path):
             for f in files:
-                if rx is not None and not rx.search(f):
-                    continue
                 p = os.path.join(dirpath, f)
+                rel_key = os.path.relpath(p, self.path)
+                # start-anchored full-key match, same as the batch reader
+                if rx is not None and not rx.match(rel_key):
+                    continue
                 st = os.stat(p)
-                out.append(
-                    (
-                        int(st.st_mtime * 1_000_000),
-                        os.path.relpath(p, self.path),
-                        st.st_size,
-                    )
-                )
+                out.append((int(st.st_mtime * 1_000_000), rel_key, st.st_size))
         out.sort()
         return out
 

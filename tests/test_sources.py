@@ -88,7 +88,7 @@ def test_dir_discovery_datasource(spark, tmp_path):
     df = (
         spark.read.format("dir_discovery")
         .option("path", str(root))
-        .option("filename_regex", r"\.tif$")
+        .option("filename_regex", r".*\.tif$")
         .load()
     )
     rows = {r.key: r for r in df.collect()}

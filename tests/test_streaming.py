@@ -402,7 +402,7 @@ def test_dir_discovery_streaming_source(spark, tmp_path):
     df = (
         spark.readStream.format("dir_discovery")
         .option("path", str(root))
-        .option("filename_regex", r"\.tif$")
+        .option("filename_regex", r".*\.tif$")
         .load()
     )
     assert df.isStreaming
