@@ -142,6 +142,99 @@ def dry_run_transport(payload: list[str], endpoint: str) -> int:
     return 200
 
 
+def dry_run_crud_transport(method: str, path: str, payload: str | None) -> int:
+    """Default CRUD transport: no network — pretend success.
+
+    A deployment passes e.g.
+    ``lambda m, p, body: session.request(m, base + p, json=body,
+    headers={"Authorization": f"bearer {token}"}).status_code`` —
+    the reference's authed request shape (scripts/api.py:67-82).
+    """
+    return 200
+
+
+def plan_item_changes(
+    desired: DataFrame,
+    current: DataFrame,
+    id_col: str = "item_id",
+    json_col: str = "item_json",
+) -> DataFrame:
+    """Diff desired catalog state against current: the CRUD change plan.
+
+    The reference exposes imperative per-file insert/update/delete
+    scripts (scripts/item.py:25-35 — update and delete are
+    "not implemented"; scripts/collection.py:25-74 has insert/delete).
+    Engine-side, CRUD is declarative: full-outer-join the desired item
+    set against what the API currently holds and emit one row per needed
+    change — ``insert`` (not yet present), ``update`` (present, JSON
+    differs), ``delete`` (no longer desired). Unchanged items produce NO
+    row, which is what makes re-submission idempotent: applying the plan
+    twice finds an empty diff the second time.
+
+    Scale shape: one shuffle hash join on item_id; the JSON comparison
+    rides the join row, no second pass.
+    """
+    d = desired.select(
+        F.col(id_col).alias("item_id"), F.col(json_col).alias("_d_json")
+    )
+    c = current.select(
+        F.col(id_col).alias("item_id"), F.col(json_col).alias("_c_json")
+    )
+    op = (
+        F.when(F.col("_c_json").isNull(), "insert")
+        .when(F.col("_d_json").isNull(), "delete")
+        .when(F.col("_d_json") != F.col("_c_json"), "update")
+    )
+    return (
+        d.join(c, "item_id", "full_outer")
+        .select("item_id", op.alias("op"), F.col("_d_json").alias("item_json"))
+        .filter(F.col("op").isNotNull())
+    )
+
+
+def apply_item_changes(
+    changes: DataFrame,
+    endpoint: str,
+    transport: Callable[[str, str, str | None], int] = dry_run_crud_transport,
+) -> DataFrame:
+    """Apply a CRUD change plan; return one receipt row per change.
+
+    Maps ops to the ingestion API's REST shape (scripts/collection.py:
+    31-66, scripts/ingest.py:55-76): insert -> POST /items, update ->
+    PUT /items/{id}, delete -> DELETE /items/{id}; every request carries
+    one item like the reference scripts' per-file loop, but the loop runs
+    distributed (parallelism == partition count) and failures surface as
+    receipt rows — ordinary dataflow to filter and retry, not stdout.
+
+    Output: (item_id, op, status).
+    """
+    src = changes.select("item_id", "op", "item_json")
+    schema = "item_id string, op string, status int"
+    methods = {"insert": "POST", "update": "PUT", "delete": "DELETE"}
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            statuses = []
+            for item_id, op, doc in zip(
+                pdf["item_id"], pdf["op"], pdf["item_json"]
+            ):
+                rel = "/items" if op == "insert" else f"/items/{item_id}"
+                # base_url.rstrip('/') + '/' + path.lstrip('/') — the
+                # reference's URL join (scripts/api.py:77-79)
+                path = endpoint.rstrip("/") + rel
+                body = None if op == "delete" else doc
+                statuses.append(transport(methods[op], path, body))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].astype(str),
+                    "op": pdf["op"],
+                    "status": statuses,
+                }
+            )
+
+    return src.mapInPandas(_apply, schema=schema)
+
+
 def submit_items(
     items: DataFrame,
     endpoint: str,
