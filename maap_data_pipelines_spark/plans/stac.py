@@ -737,24 +737,21 @@ def cogify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: cogify/handler.py — per-file GDAL translate to a COG staging
     key. GDAL is not in this environment, so the decode is a deterministic
-    stub (md5-derived fake output size, NotImplementedError for real
-    bytes); the Spark-side plumbing is REAL: Arrow-batched mapInPandas
-    over the tif partition, one output row per input raster. The oracle
-    reproduces the stub arithmetic in SQL, so even the stubbed path is
-    value-hash-checked.
+    stub (md5-derived fake output size); the Spark-side plumbing is REAL:
+    Arrow-batched mapInPandas over the tif partition, one output row per
+    input raster. The oracle reproduces the stub arithmetic in SQL, so
+    even the stubbed path is value-hash-checked. The REAL codec lives in
+    ``functions.cog`` (rio_cogeo behind an optional import —
+    ``cogify_binary`` uses it automatically when importable); this
+    registered query stays on the stub so its oracle matches on any host.
     """
-    import hashlib as _hashlib
-
     import pandas as _pd
+
+    from ..functions.cog import stub_cog_size
 
     cat = asset_catalog(spark, sf_dir).filter(F.col("cogify"))
     src = cat.select("asset_id", "key", "collection", "filename")
     schema = "asset_id bigint, target_url string, out_bytes bigint, status string"
-
-    def _decode_stub(key: str) -> int:
-        # Deterministic fake "COG size"; a real deployment would run
-        # gdal_translate here and return len(cog_bytes).
-        return int(_hashlib.md5(key.encode()).hexdigest()[:15], 16) % 1_000_000_000
 
     def _cogify_batches(batches):
         for pdf in batches:
@@ -767,7 +764,7 @@ def cogify(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + "/"
                         + pdf["filename"]
                     ),
-                    "out_bytes": pdf["key"].map(_decode_stub).astype("int64"),
+                    "out_bytes": pdf["key"].map(stub_cog_size).astype("int64"),
                     "status": "stubbed-cog",
                 }
             )
