@@ -5,9 +5,15 @@ executes, no driver-side result transfer) on local[$SPARK_GRAFT_CPUS] and
 prints ONE JSON line:
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": <sec>, ...},
+     "spread": {"q1_pricing_summary": <max-min sec>, ...},
+     "runs": 3, "sf": 0.1}
 
-A single warmup action is run first so JVM/codegen startup is not billed
+Per-query numbers are MEDIANS of 3 runs: this host's totals swing up to
+1.7x with co-tenant contention, so a single run (or a min, which hides
+steady-state regressions behind one lucky pass) misleads — compare
+per-query medians across rounds and read `spread` as the noise bar. A
+single warmup action is run first so JVM/codegen startup is not billed
 to the first query.
 """
 
@@ -109,21 +115,24 @@ def main() -> int:
     # Warmup: execute one tiny plan so JVM startup isn't billed below.
     _run(qs["q6_forecast_revenue"](spark, sf_dir))
 
-    # Best-of-2 per query: the first run pays whole-stage-codegen
-    # compilation (measured up to ~10s of pure janino time for the widest
-    # plans) and any transient scheduler noise; the min is the steady-state
-    # number a warm cluster would see.
+    # Median-of-3 per query. Run 1 pays whole-stage-codegen compilation
+    # (up to ~10s of pure janino time for the widest plans); the median
+    # discards that warmup AND one noise spike, unlike a min (which hides
+    # steady-state regressions behind one lucky pass) or a single run.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for key in HEADLINE:
         if key not in qs:
             continue
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.time()
             _run(qs[key](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[key] = round(best, 3)
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[key] = round(runs[len(runs) // 2], 3)
+        spread[key] = round(runs[-1] - runs[0], 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -132,6 +141,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": n_runs,
                 "sf": sf,
             }
         )
