@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -276,3 +277,105 @@ def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
     n_in = docs.count()
     n_kept = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
     return {"n_in": n_in, "n_kept": n_kept, "n_rejected": n_in - n_kept}
+
+
+# --- event routing: the trigger/proxy surface as engine functions ---------
+
+_INVALID_JOB_NAME_CHARS = re.compile("[^a-zA-Z0-9_-]")
+
+
+def filter_job_name(name: str | None) -> str:
+    """Sanitize an execution name (parity: discovery-trigger
+    handler.py ``filter_sfname`` / proxy handler.py — strip everything
+    outside [a-zA-Z0-9_-], None -> "")."""
+    if name is None:
+        return ""
+    return _INVALID_JOB_NAME_CHARS.sub("", name)
+
+
+def execution_name(event: dict) -> str:
+    """Deterministic job name for one discovery event.
+
+    Parity: discovery-trigger handler.py builds
+    ``{collection[:38]}-{page:04d}-{uuid4}`` with page capped at 9999.
+    The uuid suffix exists only to dodge Step Functions' 90-day
+    execution-name dedup window; the engine's jobs are idempotent
+    overwrites keyed by output dir, so the name stays deterministic —
+    rerun = same job, not a new one.
+    """
+    page = min(event.get("start_after", 1), 9999)
+    return f"{filter_job_name(event.get('collection'))[:38]}-{page:04d}"
+
+
+def group_records_by_collection(records: list[dict]) -> dict:
+    """Queue-records fan-in (parity: proxy handler.py
+    ``group_by_collection`` — one execution per collection, records
+    grouped in arrival order)."""
+    grouped: dict = {}
+    for record in records:
+        grouped.setdefault(record.get("collection"), []).append(record)
+    return grouped
+
+
+def dispatch_discovery(
+    spark: SparkSession,
+    event: dict,
+    *,
+    root: str | None = None,
+    csv_path: str | None = None,
+    granules: DataFrame | None = None,
+    transport=None,
+) -> DataFrame:
+    """Route one discovery event to its adapter by ``event['discovery']``.
+
+    The reference wires this dispatch through Step Functions state
+    machine choices (deploy wiring); the engine routes in-process:
+    ``s3`` -> :func:`discover_from_event` (needs ``root``),
+    ``inventory`` -> :func:`discover_from_inventory_event` (needs
+    ``csv_path``), ``cmr`` -> :func:`discover_from_cmr_event` over either
+    a provided granule frame or the HTTP paging client when a
+    ``transport`` is given. Every value in the reference's own
+    step_function_inputs/*.json routes through exactly one branch.
+    """
+    mode = event.get("discovery")
+    if mode == "s3":
+        if root is None:
+            raise ValueError("s3 discovery event needs root=")
+        return discover_from_event(spark, event, root)
+    if mode == "inventory":
+        if csv_path is None:
+            raise ValueError("inventory discovery event needs csv_path=")
+        return discover_from_inventory_event(spark, event, csv_path)
+    if mode == "cmr":
+        if granules is None:
+            if transport is None:
+                raise ValueError(
+                    "cmr discovery event needs granules= or transport="
+                )
+            from .sources.cmr import read_cmr_granules
+
+            granules = read_cmr_granules(spark, event, transport)
+        return discover_from_cmr_event(spark, event, granules)
+    raise ValueError(f"unknown discovery mode: {mode!r}")
+
+
+def route_queue_records(
+    spark: SparkSession, records: list[dict], **ctx
+) -> dict:
+    """Proxy twin: group queued events by collection, one unioned
+    discovery frame per collection (keyed by :func:`execution_name` of
+    the group's first record). ``ctx`` forwards to
+    :func:`dispatch_discovery`; frames union by name with missing
+    columns allowed, since different discovery modes emit different
+    optional columns.
+    """
+    out: dict = {}
+    for _, group in group_records_by_collection(records).items():
+        df = None
+        for event in group:
+            d = dispatch_discovery(spark, event, **ctx)
+            df = d if df is None else df.unionByName(
+                d, allowMissingColumns=True
+            )
+        out[execution_name(group[0])] = df
+    return out

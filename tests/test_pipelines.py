@@ -151,3 +151,84 @@ def test_discover_from_cmr_event_multi_asset(spark, tmp_path):
         spark, {"collection": "C"}, gdf
     ).collect()
     assert {p.granule_id for p in plain} == {"G1", "G2"}
+
+
+def test_job_name_parity():
+    """filter_sfname / execution-name rules from trigger + proxy lambdas."""
+    from maap_data_pipelines_spark.pipelines import execution_name, filter_job_name
+
+    assert filter_job_name(None) == ""
+    assert filter_job_name("AfriSAR UAVSAR (v1)!") == "AfriSARUAVSARv1"
+    long = "C" * 60
+    assert execution_name({"collection": long}) == "C" * 38 + "-0001"
+    assert execution_name({"collection": "X", "start_after": 7}) == "X-0007"
+    # page capped at 9999 like the trigger
+    assert execution_name({"collection": "X", "start_after": 123456}) == "X-9999"
+
+
+def test_dispatch_discovery_routes_all_three_modes(spark, tmp_path):
+    import json as _json
+
+    from maap_data_pipelines_spark.pipelines import dispatch_discovery
+
+    # s3 mode: reference sample-event shape over a local root
+    root = tmp_path / "bucket"
+    (root / "pre").mkdir(parents=True)
+    (root / "pre" / "a.tif").write_bytes(b"x")
+    s3_rows = dispatch_discovery(
+        spark,
+        {"discovery": "s3", "prefix": "pre/", "filename_regex": r"^(.*)\.tif$"},
+        root=str(root),
+    ).collect()
+    assert [r.remote_fileurl for r in s3_rows] == ["s3://local/pre/a.tif"]
+
+    # inventory mode
+    csv = tmp_path / "inv.csv"
+    csv.write_text("s3_path\ns3://b/t1.tif\n")
+    inv_rows = dispatch_discovery(
+        spark,
+        {"discovery": "inventory", "collection": "Inv"},
+        csv_path=str(csv),
+    ).collect()
+    assert inv_rows[0].product_id == "t1"
+
+    # cmr mode via the HTTP client's stub transport
+    s3rel = "http://esipfed.org/ns/fedsearch/1.1/s3#"
+    body = _json.dumps(
+        {"feed": {"entry": [
+            {"id": "G1", "links": [{"rel": s3rel, "href": "s3://b/g1.nc"}]}
+        ]}}
+    )
+    cmr_rows = dispatch_discovery(
+        spark,
+        {"discovery": "cmr", "collection": "C", "version": "1"},
+        transport=lambda url: (200, {"CMR-Hits": "1"}, body),
+    ).collect()
+    assert cmr_rows[0].remote_fileurl == "s3://b/g1.nc"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown discovery"):
+        dispatch_discovery(spark, {"discovery": "ftp"})
+
+
+def test_route_queue_records_groups_by_collection(spark, tmp_path):
+    """Proxy twin: 3 queued events, 2 collections -> 2 unioned frames."""
+    from maap_data_pipelines_spark.pipelines import route_queue_records
+
+    root = tmp_path / "bucket"
+    (root / "a").mkdir(parents=True)
+    (root / "b").mkdir(parents=True)
+    (root / "a" / "x.tif").write_bytes(b"x")
+    (root / "a" / "y.tif").write_bytes(b"y")
+    (root / "b" / "z.tif").write_bytes(b"z")
+    records = [
+        {"discovery": "s3", "collection": "CollA", "prefix": "a/"},
+        {"discovery": "s3", "collection": "CollB", "prefix": "b/"},
+        {"discovery": "s3", "collection": "CollA", "prefix": "a/"},
+    ]
+    routed = route_queue_records(spark, records, root=str(root))
+    assert set(routed) == {"CollA-0001", "CollB-0001"}
+    # CollA got both of its events unioned (2 files x 2 events)
+    assert routed["CollA-0001"].count() == 4
+    assert routed["CollB-0001"].count() == 1
