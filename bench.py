@@ -97,6 +97,9 @@ HEADLINE = [
     "source_lang_drift",
     "sql_revenue_by_nation",
     "doc_weighted_sample",
+    # round 3: self-trained bigram-LM scoring + cross-split leakage audit
+    "doc_perplexity",
+    "split_leakage",
 ]
 
 

@@ -709,7 +709,93 @@ FROM cells JOIN row_t USING (source) JOIN col_t USING (lang) CROSS JOIN tot
 """
 
 
+# Same deterministic split hash as plans/etl.doc_split_assign (salt
+# "split:", 80/10/10) — kept textually in sync so the leakage audit
+# measures EXACTLY the splits that operator assigns.
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """Train→eval n-gram leakage audit over the deterministic splits.
+
+    Composes the split assignment (same ``md5('split:'||doc_id)`` bucket
+    as ``doc_split_assign``) with the decontamination shingle machinery:
+    for every val/test document, how many of its 5-gram occurrences also
+    appear in ANY train document. A sound split pipeline must measure
+    this — hash-assigning documents prevents doc-level contamination but
+    near-duplicate documents still leak content ACROSS splits, which
+    inflates eval scores; this query quantifies that residual leakage
+    (feed high-leak_ratio docs back to the near-dup dedup pass).
+
+    Scale shape: identical to :func:`decontaminate` — the train side
+    collapses to DISTINCT 60-bit shingle hashes (vocabulary-bounded),
+    eval occurrences stream through a LEFT equi-join on the hash, one
+    aggregation per eval doc. No all-pairs anything.
+
+    Output per val/test doc: (doc_id, split, n_ngrams, n_leaked,
+    leak_ratio).
+    """
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id"))), F.lit(100)
+    )
+    sh = _shingle_rows(docs, DECON_NGRAM).select(
+        "doc_id", md5_long(F.col("shingle")).alias("g"), bucket.alias("bucket")
+    )
+    train_g = (
+        sh.filter(F.col("bucket") < _SPLIT_TRAIN_PCT)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("bucket") >= _SPLIT_TRAIN_PCT).select(
+        "doc_id",
+        "g",
+        F.when(
+            F.col("bucket") < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        ev.join(train_g, "g", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_leaked"),
+        )
+        .withColumn(
+            "leak_ratio", F.round(F.col("n_leaked") / F.col("n_ngrams"), 6)
+        )
+    )
+
+
+_SPLIT_BUCKET = f"(({md5_long_sql(chr(39) + 'split:' + chr(39) + ' || doc_id')}) % 100 + 100) % 100"
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH sh AS ({_DECON_SHINGLES}),
+lab AS (SELECT doc_id, g, {_SPLIT_BUCKET} AS bucket FROM sh),
+tr AS (
+  SELECT DISTINCT g, 1 AS hit FROM lab WHERE bucket < {_SPLIT_TRAIN_PCT}
+),
+ev AS (
+  SELECT doc_id, g,
+         CASE WHEN bucket < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM lab WHERE bucket >= {_SPLIT_TRAIN_PCT}
+)
+SELECT doc_id, split, COUNT(*) AS n_ngrams,
+       CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_leaked,
+       ROUND(CAST(SUM(COALESCE(hit, 0)) AS BIGINT) / COUNT(*), 6) AS leak_ratio
+FROM ev LEFT JOIN tr USING (g)
+GROUP BY doc_id, split
+"""
+
+
 QUERY_SQL = {
+    "split_leakage": SPLIT_LEAKAGE_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "source_lang_drift": SOURCE_LANG_DRIFT_SQL,
     "repetition_stats": REPETITION_STATS_SQL,

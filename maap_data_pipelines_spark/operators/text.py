@@ -533,7 +533,89 @@ FROM n
 """
 
 
+def doc_perplexity(docs: DataFrame) -> DataFrame:
+    """Per-document bigram-LM perplexity (add-one smoothing, self-trained).
+
+    The classic LM-based quality filter (CCNet/KenLM style): train a
+    bigram model on the corpus itself — c(w1,w2) and context counts
+    c(w1) via two hash-aggs over the exploded bigram stream — then score
+    every document's average surprisal under it,
+    ``P(w2|w1) = (c12 + 1) / (c1 + V)`` with V = corpus vocabulary size
+    (one-row broadcast). High-perplexity docs are boilerplate/garbled
+    outliers under the corpus's own statistics; no external model needed.
+
+    Scale shape: the LM tables are vocabulary-bounded, not corpus-bounded
+    — the (w1, w2) join streams the bigram occurrences against hash-agg
+    outputs that AQE can broadcast once vocab << corpus; the stopword-
+    headed key skew is the standard AQE skew-join case. Every arithmetic
+    term is ln(integer), so both engines evaluate identical inputs; the
+    float tail beyond 6 dp is rounded away. Docs with < 2 tokens have no
+    bigrams and drop out (no perplexity is defined for them).
+
+    Output: (doc_id, n_bigrams, avg_nll, ppl = exp(avg_nll)).
+    """
+    words = words_col(F.lower(F.col("text")))
+    toks = docs.select("doc_id", words.alias("ws"))
+    n = F.size(F.col("ws"))
+    z = F.arrays_zip(
+        F.slice(F.col("ws"), 1, n - 1).alias("w1"),
+        F.slice(F.col("ws"), 2, n - 1).alias("w2"),
+    )
+    pairs = toks.select("doc_id", F.explode(z).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode(words).alias("t")).agg(
+        F.countDistinct("t").alias("vocab")
+    )
+    nll = F.avg(
+        F.log(F.col("c1") + F.col("vocab")) - F.log(F.col("c12") + F.lit(1))
+    )
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), nll.alias("nll"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("nll", 6).alias("avg_nll"),
+            F.round(F.exp("nll"), 6).alias("ppl"),
+        )
+    )
+
+
+DOC_PERPLEXITY_SQL = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM w
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+v AS (
+  SELECT COUNT(DISTINCT t) AS vocab
+  FROM (SELECT unnest(ws) AS t FROM w)
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         AVG(ln(c1 + vocab) - ln(c12 + 1)) AS nll
+  FROM pairs JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(nll, 6) AS avg_nll,
+       ROUND(exp(nll), 6) AS ppl
+FROM s
+"""
+
+
 QUERY_SQL = {
+    "doc_perplexity": DOC_PERPLEXITY_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

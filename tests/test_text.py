@@ -93,3 +93,25 @@ def test_fuzzy_word_pairs_blocking_complete(spark):
     assert ("cat", "cot") in got  # substitution
     assert ("cat", "coat") in got  # insertion
     assert ("coat", "cot") in got  # deletion
+
+
+def test_doc_perplexity_hand_computed(spark):
+    """Tiny corpus with hand-derivable add-one bigram probabilities."""
+    import math
+
+    from maap_data_pipelines_spark.operators.text import doc_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "z q"), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in doc_perplexity(docs).collect()}
+    # corpus LM: c(a,b)=2 c(b,a)=1 c(z,q)=1; c(a)=2 c(b)=1 c(z)=1; V=5
+    assert set(rows) == {1, 2}  # single-token doc 3 has no bigrams
+    assert rows[2].n_bigrams == 1
+    # doc 2: ln((1+5)/(1+1)) = ln 3 -> ppl = 3 exactly
+    assert rows[2].ppl == 3.0
+    d1 = rows[1]
+    assert d1.n_bigrams == 3
+    expect = (math.log(7 / 3) + math.log(6 / 2) + math.log(7 / 3)) / 3
+    assert abs(d1.avg_nll - round(expect, 6)) < 1e-9
+    assert abs(d1.ppl - round(math.exp(expect), 6)) < 1e-9
