@@ -54,3 +54,85 @@ def test_bucketed_join_no_shuffle(spark, bucketed_pair):
         assert {r.custgrp: r.s for r in joined.collect()} == expected
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_three_table_bucketed_join_no_shuffle(spark, bucketed_pair, tmp_path):
+    """Chained fact-fact-fact join on the shared bucket key: ZERO exchanges.
+
+    The 100 TB claim is that bucketing pays one write-time shuffle and
+    then EVERY join on that key is exchange-free — not just the first.
+    """
+    t1, t2 = bucketed_pair
+    rets = spark.range(300).select(
+        (F.col("id") * 3 % 1000).alias("orderkey"), F.lit(1).alias("returned")
+    )
+    write_bucketed_table(
+        rets, "b_rets", "orderkey", n_buckets=8, path=str(tmp_path / "b_rets")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table(t1)
+            .join(spark.table(t2), "orderkey")
+            .join(spark.table("b_rets"), "orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_rets")
+
+
+def test_bucket_pruning_point_lookup(spark, bucketed_pair):
+    """Equality filter on the bucket key scans 1 bucket of 8, not the table.
+
+    Bucket pruning is the read-side payoff beyond joins: a point lookup
+    touches 1/n_buckets of the files with no index structure at all.
+    """
+    t1, _ = bucketed_pair
+    # a bare filter has no join/agg to exploit the partitioning, so the
+    # auto-bucketed-scan heuristic would fall back to a plain scan and
+    # skip pruning; forcing the bucketed scan is what a point-lookup-heavy
+    # workload would do
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = (
+            spark.table(t1)
+            .filter(F.col("orderkey") == 417)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def test_mismatched_bucket_counts_coalesce(spark, bucketed_pair, tmp_path):
+    """8-bucket x 4-bucket join with bucket coalescing: still no shuffle.
+
+    Tables bucketed at different granularities (e.g. a fact re-bucketed
+    finer as it grew) can still co-join shuffle-free: Spark coalesces the
+    8-bucket side down to 4 at read time instead of exchanging either
+    side — the knob that makes bucket-count evolution survivable without
+    rewriting history.
+    """
+    t1, _ = bucketed_pair
+    coarse = spark.range(500).select(
+        (F.col("id") * 2).alias("orderkey"), F.lit("c").alias("tag")
+    )
+    write_bucketed_table(
+        coarse, "b_coarse", "orderkey", n_buckets=4, path=str(tmp_path / "b_coarse")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    try:
+        j = spark.table(t1).join(spark.table("b_coarse"), "orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 500  # orderkey 0..998 even ∩ 0..999 = 500 rows
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+        spark.sql("DROP TABLE IF EXISTS b_coarse")
