@@ -427,3 +427,47 @@ def test_dir_discovery_streaming_source(spark, tmp_path):
         assert len(keys) == len(set(keys))  # watermark offset: no replays
     finally:
         q.stop()
+
+
+def test_batch_curation_operators_run_unchanged_on_streams(spark, sf_dir, tmp_path):
+    """Unified batch/stream: the stateless curation gates (quality_filter,
+    text_normalize) are plain column-expression plans, so the SAME
+    operator functions run on a readStream frame with zero changes — the
+    Spark claim that batch curation logic promotes to incremental ingest
+    without a rewrite. Results must equal the batch run bit-for-bit.
+    (Aggregating operators like lang_id need the watermark treatment the
+    streaming/ module provides — that path is pinned separately.)
+    """
+    from maap_data_pipelines_spark.operators.text import (
+        quality_filter,
+        text_normalize,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    batch_docs = read_table(spark, sf_dir, "documents")
+    # the file stream source wants a directory (a landing area), not a file
+    import shutil
+
+    land = tmp_path / "docs_landing"
+    land.mkdir()
+    shutil.copy(sf_dir + "/documents.parquet", land / "part-0.parquet")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema).parquet(str(land))
+    )
+    assert stream_docs.isStreaming
+
+    for tag, op in (("qf", quality_filter), ("tn", text_normalize)):
+        q = (
+            op(stream_docs)
+            .writeStream.format("memory")
+            .queryName(f"stream_cur_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            tuple(r) for r in spark.table(f"stream_cur_{tag}").collect()
+        }
+        want = {tuple(r) for r in op(batch_docs).collect()}
+        assert got == want, f"{tag}: stream result != batch result"
