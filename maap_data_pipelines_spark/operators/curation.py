@@ -489,6 +489,121 @@ FROM occ JOIN df USING (g)
 GROUP BY doc_id
 """
 
+def dup_span_removal(docs: DataFrame) -> DataFrame:
+    """The removal PLAN for cross-doc duplicated spans: merged intervals.
+
+    :func:`dup_ngram_mass` measures how much of each document sits on
+    cross-doc-duplicated 10-gram spans; this emits the actionable
+    artifact — per document, the MERGED word-position intervals to cut,
+    under keep-one-copy semantics (the occurrence in the lowest doc_id
+    holding a duplicated shingle survives; every other document's
+    occurrences are scheduled for removal — deterministic, no RNG).
+    Overlapping/adjacent shingle hits coalesce into maximal spans via the
+    classic running-max interval merge, so a long copied paragraph comes
+    out as ONE span, not 90 sliding 10-grams.
+
+    Scale shape: shingle -> 8-byte hash immediately; (ddf, keeper) is ONE
+    two-stage agg over distinct (g, doc) pairs (min-doc and count ride
+    the same reduce); the join back is an equi-join on the hash; the
+    interval merge is a per-doc window whose partition is bounded by doc
+    length, never corpus size.
+
+    Output: (doc_id, span_start, span_end, span_words), 1-based inclusive
+    word positions.
+    """
+    from pyspark.sql.window import Window
+
+    n = DUP_SPAN_NGRAM
+    words = F.split(F.col("text"), " ")
+    cnt = F.size(words) - (n - 1)
+    z = F.arrays_zip(*[F.slice(words, i + 1, cnt).alias(f"w{i}") for i in range(n)])
+    occ = docs.select("doc_id", F.posexplode(z).alias("pos", "s")).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("start"),
+        md5_long(
+            F.concat_ws(" ", *[F.col(f"s.w{i}") for i in range(n)])
+        ).alias("g"),
+    )
+    keep = (
+        occ.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("ddf"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("ddf") >= 2)
+    )
+    rem = (
+        occ.join(keep, "g")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "start", (F.col("start") + n - 1).alias("end"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = rem.withColumn(
+        "new_grp",
+        F.when(
+            prev_max.isNull() | (F.col("start") > prev_max + 1), 1
+        ).otherwise(0),
+    ).withColumn("grp", F.sum("new_grp").over(w))
+    return (
+        grouped.groupBy("doc_id", "grp")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+        )
+    )
+
+
+_DUP_SHINGLES_POS = f"""
+  SELECT doc_id, i AS start,
+         {md5_long_sql(
+             "array_to_string(ws[i:i+" + str(DUP_SPAN_NGRAM - 1) + "], ' ')"
+         )} AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws) - {DUP_SPAN_NGRAM - 2})) AS t(i)
+"""
+
+DUP_SPAN_REMOVAL_SQL = f"""
+WITH occ AS ({_DUP_SHINGLES_POS}),
+keep AS (
+  SELECT g, COUNT(*) AS ddf, MIN(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, g FROM occ)
+  GROUP BY g HAVING COUNT(*) >= 2
+),
+rem AS (
+  SELECT doc_id, start, start + {DUP_SPAN_NGRAM - 1} AS "end"
+  FROM occ JOIN keep USING (g)
+  WHERE doc_id <> keeper
+),
+m AS (
+  SELECT doc_id, start, "end",
+         MAX("end") OVER (PARTITION BY doc_id ORDER BY start, "end"
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM rem
+),
+g2 AS (
+  SELECT doc_id, start, "end",
+         SUM(CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start, "end") AS grp
+  FROM m
+)
+SELECT doc_id,
+       MIN(start) AS span_start,
+       MAX("end") AS span_end,
+       MAX("end") - MIN(start) + 1 AS span_words
+FROM g2
+GROUP BY doc_id, grp
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: concatenate-and-split context-window assignment.
 # ---------------------------------------------------------------------------
@@ -796,6 +911,7 @@ GROUP BY doc_id, split
 
 QUERY_SQL = {
     "split_leakage": SPLIT_LEAKAGE_SQL,
+    "dup_span_removal": DUP_SPAN_REMOVAL_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "source_lang_drift": SOURCE_LANG_DRIFT_SQL,
     "repetition_stats": REPETITION_STATS_SQL,

@@ -57,6 +57,7 @@ QUERIES = {
     "source_lang_drift": _wrap(curation.source_lang_drift),
     "doc_perplexity": _wrap(text.doc_perplexity),
     "split_leakage": _wrap(curation.split_leakage),
+    "dup_span_removal": _wrap(curation.dup_span_removal),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

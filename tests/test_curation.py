@@ -235,3 +235,43 @@ def test_split_leakage_duplicate_across_splits(spark):
     assert rows[dup_id].leak_ratio == 1.0  # verbatim dup: total leakage
     assert rows[clean_id].n_leaked == 0 and rows[clean_id].leak_ratio == 0.0
     assert rows[dup_id].split in ("val", "test")
+
+
+def test_dup_span_removal_merges_sliding_hits(spark):
+    """A copied 12-word paragraph -> ONE merged span in the copier, none in
+    the keeper (lowest doc_id); an unrelated doc emits nothing."""
+    from maap_data_pipelines_spark.operators.curation import dup_span_removal
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + para),          # keeper (min doc_id)
+            (2, para + " trailing unique suffix two"),  # copier: spans cut
+            (3, "totally unrelated text with many plain words in it"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dup_span_removal(docs).collect()
+    assert {r.doc_id for r in rows} == {2}
+    # 12 shared words at positions 1..12: three sliding 10-grams merge to one
+    [span] = rows
+    assert (span.span_start, span.span_end, span.span_words) == (1, 12, 12)
+
+
+def test_dup_span_removal_separate_spans_stay_separate(spark):
+    """Two duplicated regions separated by unique words -> two spans."""
+    from maap_data_pipelines_spark.operators.curation import dup_span_removal
+
+    a = "one two three four five six seven eight nine ten"          # 10 words
+    b = "red orange yellow green blue indigo violet pink brown black"
+    docs = spark.createDataFrame(
+        [
+            (1, a + " " + b),
+            (2, a + " unique1 unique2 unique3 unique4 unique5 " + b),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(dup_span_removal(docs).collect(), key=lambda r: r.span_start)
+    assert [r.doc_id for r in rows] == [2, 2]
+    assert (rows[0].span_start, rows[0].span_end) == (1, 10)
+    assert (rows[1].span_start, rows[1].span_end) == (16, 25)
