@@ -98,8 +98,10 @@ HEADLINE = [
     "sql_revenue_by_nation",
     "doc_weighted_sample",
     # round 3: self-trained bigram-LM scoring + cross-split leakage audit
+    # + cross-doc duplicate-span removal plan
     "doc_perplexity",
     "split_leakage",
+    "dup_span_removal",
 ]
 
 

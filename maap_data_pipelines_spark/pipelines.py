@@ -279,6 +279,72 @@ def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
     return {"n_in": n_in, "n_kept": n_kept, "n_rejected": n_in - n_kept}
 
 
+def run_dataset_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """The training-dataset build: split -> leakage audit -> dup-span
+    removal plan -> context-window packing -> partitioned corpus.
+
+    The third end-to-end product (after the STAC catalog and the curation
+    cascade): everything a pretraining data drop needs, from the same
+    lazy operators —
+
+    1. deterministic 80/10/10 split assignment (hash-gated, no RNG);
+    2. cross-split 5-gram leakage audit (``split_leakage``) written as a
+       monitorable report;
+    3. cross-doc duplicate-span removal plan (``dup_span_removal``) with
+       per-doc words-to-cut totals folded into the manifest;
+    4. concatenate-and-split packing (``doc_pack_assign``) for the train
+       split only;
+    5. the corpus written partitioned by split (train/val/test dirs).
+
+    Idempotent like its siblings: overwrite semantics keyed by out_dir.
+    """
+    from .operators.curation import doc_pack_assign, dup_span_removal, split_leakage
+    from .plans.etl import doc_split_assign
+
+    docs = read_table(spark, sf_dir, "documents")
+    splits = doc_split_assign(spark, sf_dir).select("doc_id", "split")
+    labeled = docs.join(splits, "doc_id")
+    sinks.write_items_partitioned(
+        labeled, os.path.join(out_dir, "corpus"), partition_cols=("split",)
+    )
+
+    leak = split_leakage(docs)
+    leak.write.mode("overwrite").parquet(os.path.join(out_dir, "leakage"))
+
+    spans = dup_span_removal(docs)
+    cut_totals = spans.groupBy("doc_id").agg(
+        F.sum("span_words").alias("n_cut_words")
+    )
+    spans.write.mode("overwrite").parquet(os.path.join(out_dir, "removal_plan"))
+
+    train = labeled.filter(F.col("split") == "train")
+    packs = doc_pack_assign(train).join(cut_totals, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "pack_id",
+        "straddles",
+        F.coalesce(F.col("n_cut_words"), F.lit(0)).alias("n_cut_words"),
+    )
+    packs.write.mode("overwrite").parquet(os.path.join(out_dir, "pack_manifest"))
+
+    back = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    manifest = spark.read.parquet(os.path.join(out_dir, "pack_manifest"))
+    by_split = {
+        r.split: r.n for r in back.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    return {
+        "n_docs": sum(by_split.values()),
+        "by_split": by_split,
+        "n_leaky_eval_docs": spark.read.parquet(
+            os.path.join(out_dir, "leakage")
+        ).filter(F.col("n_leaked") > 0).count(),
+        "n_packs": manifest.select("source", "pack_id").distinct().count(),
+        "n_docs_with_cuts": manifest.filter(F.col("n_cut_words") > 0).count(),
+    }
+
+
 # --- event routing: the trigger/proxy surface as engine functions ---------
 
 _INVALID_JOB_NAME_CHARS = re.compile("[^a-zA-Z0-9_-]")

@@ -232,3 +232,24 @@ def test_route_queue_records_groups_by_collection(spark, tmp_path):
     # CollA got both of its events unioned (2 files x 2 events)
     assert routed["CollA-0001"].count() == 4
     assert routed["CollB-0001"].count() == 1
+
+
+def test_dataset_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Split -> leakage -> removal plan -> packing -> partitioned corpus."""
+    from maap_data_pipelines_spark.pipelines import run_dataset_pipeline
+
+    out = str(tmp_path / "ds_out")
+    m = run_dataset_pipeline(spark, sf_dir, out)
+    assert m["n_docs"] > 0
+    assert set(m["by_split"]) <= {"train", "val", "test"}
+    assert m["by_split"]["train"] > m["by_split"].get("val", 0)  # 80/10/10
+    assert m["n_packs"] > 0
+    # artifacts exist and carry the right columns
+    leak = spark.read.parquet(out + "/leakage")
+    assert {"doc_id", "split", "n_ngrams", "n_leaked", "leak_ratio"} <= set(
+        leak.columns
+    )
+    plan = spark.read.parquet(out + "/removal_plan")
+    assert {"doc_id", "span_start", "span_end", "span_words"} <= set(plan.columns)
+    # idempotent rerun
+    assert run_dataset_pipeline(spark, sf_dir, out) == m
