@@ -567,6 +567,99 @@ IVF_K = 16
 IVF_TOPK = 5
 
 
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: the first IVF_K vectors."""
+    return emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    )
+
+
+def ivf_assign(vecs: DataFrame, cents: DataFrame, k_cells: int = 1) -> DataFrame:
+    """Assign each vector its k_cells argmax-cosine centroid cells.
+
+    K tiny -> the centroid table broadcasts; the per-vector window
+    partition is exactly K rows. Ties break to the lowest centroid id.
+    """
+    from pyspark.sql.window import Window
+
+    scored = vecs.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cents)
+    ).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.round(cosine_udf(F.col("embedding"), F.col("cemb")), 6).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") <= k_cells)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+
+
+def write_ivf_index(emb: DataFrame, base_path: str) -> None:
+    """Persist the IVF index AS LAYOUT: parquet partitioned by cell.
+
+    The inverted lists are not a special structure — they are parquet
+    partitions. ``cells/cell=N/`` holds cell N's vectors; ``centroids/``
+    holds the K-row quantizer. A search that probes nprobe cells then
+    reads exactly those directories via partition pruning: the scan cost
+    is ~nprobe/K of the corpus with zero index machinery beyond the
+    layout, and the index compacts/replicates like any other table.
+    """
+    cents = ivf_centroids(emb)
+    assigned = ivf_assign(emb, cents)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        base_path + "/cells"
+    )
+    cents.write.mode("overwrite").parquet(base_path + "/centroids")
+
+
+def search_ivf_index(
+    spark, base_path: str, queries: DataFrame, nprobe: int = 1
+) -> DataFrame:
+    """Top-k search against a persisted IVF index, reading only probed cells.
+
+    The query set is small by definition (that is what makes IVF pay),
+    so its cell assignments collect to the driver and become a partition
+    filter — Spark's ordinary partition pruning then skips every
+    unprobed cell's files. Scoring and ranking are identical expressions
+    to :func:`ann_ivf_topk`, so a fresh index reproduces its results
+    exactly.
+    """
+    cents = spark.read.parquet(base_path + "/centroids")
+    q = ivf_assign(queries, cents, k_cells=nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
+    )
+    probed = [r.cell for r in q.select("cell").distinct().collect()]
+    idx = (
+        spark.read.parquet(base_path + "/cells")
+        .withColumn("cell", F.col("cell").cast("long"))
+        .filter(F.col("cell").isin(probed))
+        .select("vec_id", F.col("embedding").alias("ce"), "cell")
+    )
+    from pyspark.sql.window import Window
+
+    pairs = idx.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_udf(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= IVF_TOPK)
+    )
+
+
 def ann_ivf_topk(emb: DataFrame, nprobe: int = 1) -> DataFrame:
     """IVF-style ANN: coarse quantize into cells, search the query's cell.
 
@@ -583,35 +676,18 @@ def ann_ivf_topk(emb: DataFrame, nprobe: int = 1) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    cents = emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
-    )
-
-    def _assign(vecs, k_cells=1):
-        scored = vecs.select("vec_id", "embedding").crossJoin(
-            F.broadcast(cents)
-        ).select(
-            "vec_id",
-            "embedding",
-            "centroid_id",
-            F.round(cosine_udf(F.col("embedding"), F.col("cemb")), 6).alias("ccos"),
-        )
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.desc("ccos"), F.col("centroid_id")
-        )
-        return (
-            scored.withColumn("r", F.row_number().over(w_assign))
-            .filter(F.col("r") <= k_cells)
-            .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
-        )
-
     # The query branch recomputes assignment over ONLY the query vectors
     # (pushed filter, N_QUERIES rows) instead of sharing/caching the full
     # assignment — recompute-on-the-pruned-subset beats materializing the
     # corpus-wide assignment twice, and the candidate branch stays a
     # single full pass.
-    c = _assign(emb).select("vec_id", F.col("embedding").alias("ce"), "cell")
-    q = _assign(emb.filter(F.col("vec_id") < N_QUERIES), k_cells=nprobe).select(
+    cents = ivf_centroids(emb)
+    c = ivf_assign(emb, cents).select(
+        "vec_id", F.col("embedding").alias("ce"), "cell"
+    )
+    q = ivf_assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, k_cells=nprobe
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
     )
     pairs = c.join(F.broadcast(q), "cell").filter(

@@ -73,3 +73,49 @@ def test_embedding_dedup_finds_identical_pair(spark):
     out = ann.embedding_dedup(_emb(spark, [(1, v), (2, v), (3, w)])).collect()
     pairs = {(r.vec_a, r.vec_b): r.cosine for r in out}
     assert pairs[(1, 2)] == 1.0
+
+
+def test_persisted_ivf_index_roundtrip_and_pruning(spark, tmp_path):
+    """write_ivf_index -> search_ivf_index reproduces ann_ivf_topk exactly,
+    reading ONLY the probed cells' files (partition pruning as the
+    inverted-list structure)."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.operators import ann
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, base)
+
+    queries = emb.filter(F.col("vec_id") < ann.N_QUERIES)
+    got = {
+        (r.query_id, r.vec_id, r.cosine, r.rnk)
+        for r in ann.search_ivf_index(spark, base, queries).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.cosine, r.rnk)
+        for r in ann.ann_ivf_topk(emb).collect()
+    }
+    assert got == want and got
+
+    # pruning: the filtered read touches strictly fewer files than exist
+    all_files = (
+        spark.read.parquet(base + "/cells")
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    cents = spark.read.parquet(base + "/centroids")
+    q = ann.ivf_assign(queries, cents).select("cell").distinct()
+    probed = [r.cell for r in q.collect()]
+    touched = (
+        spark.read.parquet(base + "/cells")
+        .withColumn("cell", F.col("cell").cast("long"))
+        .filter(F.col("cell").isin(probed))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert len(probed) < ann.IVF_K  # 10 queries land in < 16 cells
+    assert touched < all_files, (touched, all_files)
