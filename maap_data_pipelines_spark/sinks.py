@@ -142,6 +142,59 @@ def dry_run_transport(payload: list[str], endpoint: str) -> int:
     return 200
 
 
+def dry_run_copy(source_url: str, target_url: str) -> int:
+    """Default copier: no object store here — pretend the copy landed.
+
+    A deployment passes e.g. an s3 server-side copy:
+    ``lambda src, dst: s3.copy(parse(src), parse(dst)) or 200``
+    (parity: data-transfer/handler.py's per-object copy loop).
+    """
+    return 200
+
+
+def execute_transfer_plan(
+    plan: DataFrame,
+    copier: Callable[[str, str], int] = dry_run_copy,
+) -> DataFrame:
+    """Execute a transfer plan distributed; return per-object receipts.
+
+    The reference's data-transfer Lambda copies objects one at a time in
+    its event loop (handler.py:30-74); here every partition of the plan
+    runs its copies in parallel through the injectable ``copier`` and the
+    outcome comes back as a receipts DataFrame — failed copies are rows
+    to filter and re-feed (the plan is already idempotent: re-running it
+    anti-joins away objects that now exist). No driver-side loop; copy
+    parallelism == partition count.
+
+    Output: (asset_id, target_url, status).
+    """
+    target = (
+        F.col("target_url")
+        if "target_url" in plan.columns
+        else F.concat(
+            F.lit("s3://"), F.col("target_bucket"), F.lit("/"), F.col("target_key")
+        )
+    )
+    src = plan.select("asset_id", "source_url", target.alias("target_url"))
+    schema = "asset_id bigint, target_url string, status int"
+
+    def _copy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            statuses = [
+                copier(s, t)
+                for s, t in zip(pdf["source_url"], pdf["target_url"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "target_url": pdf["target_url"],
+                    "status": statuses,
+                }
+            )
+
+    return src.mapInPandas(_copy, schema=schema)
+
+
 def dry_run_crud_transport(method: str, path: str, payload: str | None) -> int:
     """Default CRUD transport: no network — pretend success.
 

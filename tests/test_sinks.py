@@ -183,3 +183,55 @@ def test_idempotent_stream_sink_resume_no_duplicates(spark, tmp_path):
 
     _drain()  # resume with same checkpoint: no new batches, no duplicates
     assert spark.read.parquet(target).count() == 6
+
+
+def test_execute_transfer_plan_receipts(spark, sf_dir):
+    """Dry-run execution: one receipt per planned object, target URLs built."""
+    from maap_data_pipelines_spark.plans.stac import transfer_plan
+
+    plan = transfer_plan(spark, sf_dir)
+    receipts = sinks.execute_transfer_plan(plan)
+    rows = receipts.collect()
+    assert len(rows) == plan.count() > 0
+    assert all(r.status == 200 for r in rows)
+    assert all(r.target_url.startswith("s3://") for r in rows)
+
+
+def test_execute_transfer_plan_real_local_copies(spark, tmp_path):
+    """A filesystem copier actually lands bytes; failures surface as rows."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    (src_dir / "a.tif").write_bytes(b"AAAA")
+    (src_dir / "b.tif").write_bytes(b"BB")
+    dst_dir = tmp_path / "dst"
+    dst_dir.mkdir()
+    plan = spark.createDataFrame(
+        [
+            (1, str(src_dir / "a.tif"), "tgt", "stage/a.tif"),
+            (2, str(src_dir / "b.tif"), "tgt", "stage/b.tif"),
+            (3, str(src_dir / "missing.tif"), "tgt", "stage/c.tif"),
+        ],
+        "asset_id long, source_url string, target_bucket string, target_key string",
+    )
+
+    dst = str(dst_dir)
+
+    def copier(source, target):
+        import os
+        import shutil
+
+        rel = target.split("s3://tgt/", 1)[1]
+        out = os.path.join(dst, rel.replace("/", "_"))
+        try:
+            shutil.copyfile(source, out)
+            return 200
+        except FileNotFoundError:
+            return 404
+
+    got = {
+        r.asset_id: r.status
+        for r in sinks.execute_transfer_plan(plan, copier=copier).collect()
+    }
+    assert got == {1: 200, 2: 200, 3: 404}
+    assert (dst_dir / "stage_a.tif").read_bytes() == b"AAAA"
+    assert (dst_dir / "stage_b.tif").read_bytes() == b"BB"
