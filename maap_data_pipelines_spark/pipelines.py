@@ -242,6 +242,12 @@ def run_stac_pipeline(
     )
     plan = stac.transfer_plan(spark, sf_dir)
     plan.write.mode("overwrite").parquet(os.path.join(out_dir, "transfer_plan"))
+    copy_receipts = sinks.execute_transfer_plan(
+        spark.read.parquet(os.path.join(out_dir, "transfer_plan"))
+    )
+    copy_receipts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "transfer_receipts")
+    )
     docs = stac.stac_item_json(spark, sf_dir).select(
         F.col("asset_id").cast("string").alias("item_id"), "item_json"
     )
@@ -253,6 +259,9 @@ def run_stac_pipeline(
         "n_transfers": spark.read.parquet(
             os.path.join(out_dir, "transfer_plan")
         ).count(),
+        "n_copied": spark.read.parquet(os.path.join(out_dir, "transfer_receipts"))
+        .filter(F.col("status") == 200)
+        .count(),
         "n_submitted": back.count(),
         "n_failed": back.filter(F.col("status") != 200).count(),
     }

@@ -15,6 +15,7 @@ def test_stac_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert m["n_submitted"] == m["n_items"]  # every item gets a receipt
     assert m["n_failed"] == 0
     assert m["n_transfers"] > 0
+    assert m["n_copied"] == m["n_transfers"]  # dry-run copier: all land
     # idempotent: rerun overwrites to the identical state
     m2 = run_stac_pipeline(spark, sf_dir, out)
     assert m2 == m
