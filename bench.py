@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_perplexity",
     "split_leakage",
     "dup_span_removal",
+    "events_sliding_trend",
 ]
 
 

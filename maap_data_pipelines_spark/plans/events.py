@@ -771,7 +771,62 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("rel_err_ppm", rel_err_ppm)
 
 
+_SLIDE_US = 15 * 60 * 1_000_000  # 15-minute slide
+_WIN_SLOTS = 4  # 1-hour window / 15-minute slide
+
+
+def events_sliding_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes: count + distinct users.
+
+    The trending-metric window shape (each event belongs to exactly
+    WIN_SLOTS = size/slide windows), expressed with integer µs
+    arithmetic: explode k in [0, 4) and shift the event's 15-minute slot
+    back k slides — epoch-aligned, identical to Structured Streaming's
+    ``F.window(ts, "1 hour", "15 minutes")`` buckets, so the batch query
+    and the streaming twin (streaming/rollup.py) agree on window keys.
+
+    Scale shape: the x4 fan-out happens map-side and collapses into the
+    partial agg before the shuffle, which carries only (windows x types)
+    rows. The fan-out is the price of COUNT(DISTINCT user) — plain
+    counts could instead merge 4 tumbling partials (partial-of-partials),
+    but distincts don't merge; at 100 TB swap approx_count_distinct and
+    the explode disappears.
+    """
+    ev = read_events(spark, sf_dir)
+    k = F.explode(F.array(*[F.lit(i) for i in range(_WIN_SLOTS)])).alias("k")
+    slotted = ev.select(F.expr(f"ts_us div {_SLIDE_US}").alias("slot"),
+                        "event_type", "user_id", k)
+    return (
+        slotted.select(
+            ((F.col("slot") - F.col("k")) * _SLIDE_US).alias("window_start_us"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SLIDING_TREND_SQL = f"""
+WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, user_id FROM events),
+x AS (
+  SELECT ((ts_us // {_SLIDE_US}) - k) * {_SLIDE_US} AS window_start_us,
+         event_type, user_id
+  FROM e, UNNEST(range(0, {_WIN_SLOTS})) AS t(k)
+)
+SELECT window_start_us, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM x
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "events_sliding_trend": events_sliding_trend,
     "events_hourly_rollup": events_hourly_rollup,
     "events_hourly_anomaly": events_hourly_anomaly,
     "events_concurrency": events_concurrency,
@@ -791,6 +846,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_sliding_trend": SLIDING_TREND_SQL,
     "events_hourly_rollup": HOURLY_SQL,
     "events_hourly_anomaly": ANOMALY_SQL,
     "events_concurrency": CONCURRENCY_SQL,

@@ -194,3 +194,41 @@ def test_scd2_lookup_matches_range_join_truth(spark, sf_dir):
         for r in truth_df.collect()
     }
     assert got == truth
+
+
+def test_sliding_trend_matches_builtin_window(spark, sf_dir):
+    """The integer-arithmetic sliding windows produce exactly the buckets
+    Spark's F.window(ts, '1 hour', '15 minutes') would — the batch query
+    and a streaming twin agree on window keys by construction."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.plans.events import (
+        events_sliding_trend,
+        read_events,
+    )
+
+    got = {
+        tuple(r) for r in events_sliding_trend(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    want = {
+        tuple(r)
+        for r in (
+            ev.withColumn("t", F.timestamp_micros(F.col("ts_us")))
+            .groupBy(
+                F.window("t", "1 hour", "15 minutes").alias("w"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "event_type",
+                "n_events",
+                "n_users",
+            )
+            .collect()
+        )
+    }
+    assert got == want and got
