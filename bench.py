@@ -103,6 +103,7 @@ HEADLINE = [
     "split_leakage",
     "dup_span_removal",
     "events_sliding_trend",
+    "events_transition_matrix",
 ]
 
 

@@ -825,7 +825,63 @@ GROUP BY 1, 2
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over user timelines.
+
+    The sequence-mining primitive behind funnel discovery and next-action
+    models: per user, lag the event stream by one (ordered by ts, then
+    event_id for total determinism) and count (prev_type -> event_type)
+    transitions; p_transition is the exact count ratio within each
+    prev_type row-group. First events per user have no predecessor and
+    are excluded (lag IS NULL).
+
+    Scale shape: one shuffle on user_id for the lag window (partition =
+    one user's events, bounded), then a hash-agg on the tiny (type x
+    type) key space — map-side combine collapses it before the second
+    shuffle; the per-prev totals ride a second pass over the aggregated
+    matrix (type-cardinality rows, negligible).
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p_transition",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_tot), 6
+        ),
+    )
+
+
+TRANSITION_MATRIX_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+p AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS prev_type,
+         event_type
+  FROM e
+),
+m AS (
+  SELECT prev_type, event_type, COUNT(*) AS n_transitions
+  FROM p WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n_transitions,
+       ROUND(n_transitions / SUM(n_transitions) OVER (PARTITION BY prev_type), 6)
+         AS p_transition
+FROM m
+"""
+
+
 QUERIES = {
+    "events_transition_matrix": events_transition_matrix,
     "events_sliding_trend": events_sliding_trend,
     "events_hourly_rollup": events_hourly_rollup,
     "events_hourly_anomaly": events_hourly_anomaly,
@@ -846,6 +902,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_transition_matrix": TRANSITION_MATRIX_SQL,
     "events_sliding_trend": SLIDING_TREND_SQL,
     "events_hourly_rollup": HOURLY_SQL,
     "events_hourly_anomaly": ANOMALY_SQL,
