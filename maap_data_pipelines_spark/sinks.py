@@ -142,6 +142,63 @@ def dry_run_transport(payload: list[str], endpoint: str) -> int:
     return 200
 
 
+def compact_parquet_dir(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 1 << 20,
+) -> dict:
+    """Execute small-file compaction: fragmented dir -> one file per bin.
+
+    The executable twin of the ``compaction_plan`` query, same greedy
+    running-sum rule: order files deterministically, assign
+    ``bin = cum_bytes_before // target_bytes``. Execution is ONE Spark
+    job, no driver loop over bins: read everything, broadcast-join the
+    (file -> bin) metadata map on ``input_file_name``, hash-repartition
+    by bin (all of a bin's rows land in one task) and
+    ``partitionBy(bin)`` — so every ``bin=N/`` output dir holds exactly
+    one compacted file. The listing is driver-side metadata, same as any
+    planner's view of the object store (at scale it comes from the
+    dir_discovery source instead of os.scandir).
+
+    Returns {n_input_files, n_bins, n_rows}.
+    """
+    import os
+
+    files = sorted(
+        (e.name, e.stat().st_size)
+        for e in os.scandir(src_dir)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {src_dir}")
+    assign, cum = [], 0
+    for name, size in files:
+        assign.append((name, cum // target_bytes))
+        cum += size
+    n_bins = len({b for _, b in assign})
+    bin_map = spark.createDataFrame(assign, "_file string, _bin long")
+
+    df = spark.read.parquet(src_dir).withColumn(
+        "_file",
+        F.element_at(F.split(F.input_file_name(), "/"), -1),
+    )
+    n_rows = df.count()
+    (
+        df.join(F.broadcast(bin_map), "_file")
+        .drop("_file")
+        .repartition(n_bins, F.col("_bin"))
+        .write.mode("overwrite")
+        .partitionBy("_bin")
+        .parquet(dst_dir)
+    )
+    return {
+        "n_input_files": len(files),
+        "n_bins": n_bins,
+        "n_rows": n_rows,
+    }
+
+
 def dry_run_copy(source_url: str, target_url: str) -> int:
     """Default copier: no object store here — pretend the copy landed.
 

@@ -235,3 +235,40 @@ def test_execute_transfer_plan_real_local_copies(spark, tmp_path):
     assert got == {1: 200, 2: 200, 3: 404}
     assert (dst_dir / "stage_a.tif").read_bytes() == b"AAAA"
     assert (dst_dir / "stage_b.tif").read_bytes() == b"BB"
+
+
+def test_compact_parquet_dir_one_file_per_bin(spark, tmp_path):
+    """12 fragment files -> few bins, each bin dir exactly one parquet file,
+    zero row loss."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "frag")
+    for i in range(12):
+        (
+            spark.range(i * 100, i * 100 + 100)
+            .select(F.col("id"), (F.col("id") % 7).alias("v"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    n_src_files = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src_files == 12
+
+    dst = str(tmp_path / "compact")
+    m = sinks.compact_parquet_dir(spark, src, dst, target_bytes=4000)
+    assert m["n_input_files"] == 12 and m["n_rows"] == 1200
+    assert 1 < m["n_bins"] < 12  # actually compacted
+
+    bin_dirs = [d for d in os.listdir(dst) if d.startswith("_bin=")]
+    assert len(bin_dirs) == m["n_bins"]
+    for d in bin_dirs:
+        files = [
+            f for f in os.listdir(os.path.join(dst, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)  # one compacted file per bin
+
+    back = spark.read.parquet(dst)
+    assert back.count() == 1200
+    assert {r.id for r in back.select("id").collect()} == set(range(1200))
