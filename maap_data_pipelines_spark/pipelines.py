@@ -354,6 +354,63 @@ def run_dataset_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     }
 
 
+def run_incremental_ingest(
+    spark: SparkSession, batch: DataFrame, state_dir: str
+) -> dict:
+    """Steady-state corpus ingest: admit only content-new docs, grow state.
+
+    The production loop around ``dedup_incremental``'s query shape, with
+    the corpus hash set PERSISTED between runs instead of recomputed:
+
+    1. dedup the incoming batch within itself (min doc_id per text hash);
+    2. anti-join against the state dir's hash set (first run: empty);
+    3. append the admitted docs to ``corpus/`` and their hashes to
+       ``hashes/`` — the state the NEXT batch anti-joins against.
+
+    Replaying the same batch admits zero docs (content-level idempotence
+    — the at-least-once delivery guard an ingest pipeline needs). The
+    state is one row per distinct text ever admitted: at 100 TB the
+    anti-join probe is hash-sized, not corpus-sized, and the append
+    never rewrites history.
+    """
+    from pyspark.sql.window import Window
+
+    hashes_dir = os.path.join(state_dir, "hashes")
+    corpus_dir = os.path.join(state_dir, "corpus")
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    incoming = (
+        batch.withColumn("text_md5", F.md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    try:
+        known = spark.read.parquet(hashes_dir).select("text_md5")
+        first_run = False
+    except Exception:
+        known = None
+        first_run = True
+    admitted = (
+        incoming
+        if known is None
+        else incoming.join(known, "text_md5", "left_anti")
+    )
+    admitted = admitted.localCheckpoint()  # pin BEFORE appending to state
+    n_admitted = admitted.count()
+    if n_admitted:
+        mode = "overwrite" if first_run else "append"
+        admitted.drop("text_md5").write.mode(mode).parquet(corpus_dir)
+        admitted.select("text_md5").write.mode(mode).parquet(hashes_dir)
+    return {
+        "n_batch": batch.count(),
+        "n_admitted": n_admitted,
+        "n_corpus": (
+            spark.read.parquet(corpus_dir).count() if n_admitted or not first_run
+            else 0
+        ),
+    }
+
+
 # --- event routing: the trigger/proxy surface as engine functions ---------
 
 _INVALID_JOB_NAME_CHARS = re.compile("[^a-zA-Z0-9_-]")

@@ -254,3 +254,32 @@ def test_dataset_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert {"doc_id", "span_start", "span_end", "span_words"} <= set(plan.columns)
     # idempotent rerun
     assert run_dataset_pipeline(spark, sf_dir, out) == m
+
+
+def test_incremental_ingest_admits_only_new_content(spark, tmp_path):
+    """Batch 1 seeds state; replay admits 0; batch 2 admits only novelty."""
+    from maap_data_pipelines_spark.pipelines import run_incremental_ingest
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    m1 = run_incremental_ingest(spark, b1, state)
+    assert m1 == {"n_batch": 3, "n_admitted": 2, "n_corpus": 2}
+
+    # at-least-once replay of the same batch: content-level idempotent
+    m1b = run_incremental_ingest(spark, b1, state)
+    assert m1b["n_admitted"] == 0 and m1b["n_corpus"] == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "beta text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    m2 = run_incremental_ingest(spark, b2, state)
+    assert m2["n_admitted"] == 1  # only gamma is new content
+    assert m2["n_corpus"] == 3
+    ids = {
+        r.doc_id for r in spark.read.parquet(state + "/corpus").collect()
+    }
+    assert ids == {1, 2, 11}  # min-doc_id survivors only
