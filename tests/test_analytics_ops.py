@@ -232,3 +232,17 @@ def test_sliding_trend_matches_builtin_window(spark, sf_dir):
         )
     }
     assert got == want and got
+
+
+def test_transition_matrix_probabilities_sum_to_one(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.plans.events import events_transition_matrix
+
+    m = events_transition_matrix(spark, sf_dir)
+    sums = (
+        m.groupBy("prev_type")
+        .agg(F.round(F.sum("p_transition"), 3).alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r.s - 1.0) <= 0.002 for r in sums)  # 6dp rounding
