@@ -104,6 +104,7 @@ HEADLINE = [
     "dup_span_removal",
     "events_sliding_trend",
     "events_transition_matrix",
+    "events_attribution_latency",
 ]
 
 

@@ -880,7 +880,71 @@ FROM m
 """
 
 
+_LAT_PCTS = (50, 90, 99)
+
+
+def events_attribution_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 click→purchase latency — composition query.
+
+    Composes :func:`events_asof_attribution` (the as-of window) with the
+    count-distribution exact-quantile technique (see
+    ``orders_price_quantiles``): latencies bucket to whole seconds — the
+    reporting grain — so the quantile pass aggregates over DISTINCT
+    latency seconds (bounded), never sorts raw purchases. All-integer
+    ``cum*100 >= pct*n`` selection, bit-exact on both engines.
+    Unattributed purchases (no prior click) are excluded.
+    """
+    lat = (
+        events_asof_attribution(spark, sf_dir)
+        .filter(F.col("last_click_us").isNotNull())
+        .select(F.expr("latency_us div 1000000").alias("lat_s"))
+    )
+    counts = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("lat_s")
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        "lat_s",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pct = F.explode(
+        F.array(*[F.lit(p).cast("long") for p in _LAT_PCTS])
+    ).alias("pct")
+    return (
+        cum.select("lat_s", "cum", "n", pct)
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(
+            F.min("lat_s").alias("latency_s"),
+            F.max("n").alias("n_purchases"),
+        )
+    )
+
+
+ATTRIBUTION_LATENCY_SQL = f"""
+WITH lat AS (
+  SELECT latency_us // 1000000 AS lat_s
+  FROM ({ASOF_SQL})
+  WHERE last_click_us IS NOT NULL
+),
+counts AS (SELECT lat_s, COUNT(*) AS c FROM lat GROUP BY 1),
+cum AS (
+  SELECT lat_s,
+         SUM(c) OVER (ORDER BY lat_s) AS cum,
+         SUM(c) OVER () AS n
+  FROM counts
+)
+SELECT CAST(pct AS BIGINT) AS pct,
+       MIN(lat_s) AS latency_s,
+       CAST(MAX(n) AS BIGINT) AS n_purchases
+FROM cum CROSS JOIN (VALUES {", ".join(f"({p})" for p in _LAT_PCTS)}) q(pct)
+WHERE cum * 100 >= pct * n
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "events_attribution_latency": events_attribution_latency,
     "events_transition_matrix": events_transition_matrix,
     "events_sliding_trend": events_sliding_trend,
     "events_hourly_rollup": events_hourly_rollup,
@@ -902,6 +966,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_attribution_latency": ATTRIBUTION_LATENCY_SQL,
     "events_transition_matrix": TRANSITION_MATRIX_SQL,
     "events_sliding_trend": SLIDING_TREND_SQL,
     "events_hourly_rollup": HOURLY_SQL,
