@@ -1,0 +1,60 @@
+"""VersionedTable: snapshot isolation, time travel, safe compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from maap_data_pipelines_spark.table import VersionedTable
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    v0 = t.commit(spark.range(5).select(F.col("id")), mode="append")
+    v1 = t.commit(spark.range(5, 8).select(F.col("id")), mode="append")
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark).count() == 8
+    assert t.read(spark, version=0).count() == 5  # time travel
+
+    v2 = t.commit(spark.range(100, 102).select(F.col("id")), mode="overwrite")
+    assert v2 == 2
+    assert {r.id for r in t.read(spark).collect()} == {100, 101}
+    # every older version still resolves
+    assert t.read(spark, version=1).count() == 8
+
+
+def test_compaction_under_a_live_reader(spark, tmp_path):
+    """A reader's resolved snapshot survives a logical full rewrite."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for lo in range(0, 12, 3):
+        t.commit(spark.range(lo, lo + 3).select(F.col("id")))
+    assert t.latest_version() == 3
+
+    reader_df = t.read(spark, version=3)  # resolve BEFORE compaction
+    v4 = t.compact(spark, n_files=1)
+    assert v4 == 4
+    # compaction rewrote layout, not content
+    assert t.read(spark).count() == 12
+    new_dirs = t._load(4)["dirs"]
+    assert len(new_dirs) == 1
+    # the pre-compaction reader still scans its own (old) files fine
+    assert reader_df.count() == 12
+    assert {r.id for r in reader_df.collect()} == set(range(12))
+    # old version remains explicitly readable too
+    assert t.read(spark, version=3).count() == 12
+
+
+def test_manifest_is_the_only_publication_point(spark, tmp_path):
+    """A data dir not yet in a manifest is invisible to readers."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.commit(spark.range(4).select(F.col("id")))
+    # simulate a writer crash: data lands but no manifest publishes it
+    orphan = os.path.join(t.base, "data", "c999999")
+    spark.range(1000, 1010).write.parquet(orphan)
+    assert t.read(spark).count() == 4  # orphan never observed
+
+    with pytest.raises(ValueError, match="empty table"):
+        VersionedTable(str(tmp_path / "empty")).read(spark)
