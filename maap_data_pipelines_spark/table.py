@@ -104,6 +104,34 @@ class VersionedTable:
         cur.coalesce(n_files).write.mode("errorifexists").parquet(new_dir)
         return self._publish([new_dir])
 
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Drop versions older than the last ``keep_last`` and delete data
+        dirs no retained manifest references.
+
+        The explicit policy step separated from compaction: compaction
+        never deletes (readers may hold old snapshots); vacuum is where
+        the operator declares how far back readers are allowed to be.
+        Returns {"removed_versions": [...], "removed_dirs": [...]}.
+        """
+        import shutil
+
+        vs = self.versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        live = {d for v in keep for d in self._load(v)["dirs"]}
+        dead = [
+            d
+            for v in drop
+            for d in self._load(v)["dirs"]
+            if d not in live
+        ]
+        for d in sorted(set(dead)):
+            shutil.rmtree(d, ignore_errors=True)
+        for v in drop:
+            os.remove(self._manifest_path(v))
+        return {"removed_versions": drop, "removed_dirs": sorted(set(dead))}
+
     # -- read path ---------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

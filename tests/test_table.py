@@ -58,3 +58,26 @@ def test_manifest_is_the_only_publication_point(spark, tmp_path):
 
     with pytest.raises(ValueError, match="empty table"):
         VersionedTable(str(tmp_path / "empty")).read(spark)
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    for lo in (0, 3, 6):
+        t.commit(spark.range(lo, lo + 3).select(F.col("id")))
+    t.compact(spark)  # v3 references only the compacted dir
+    n_dirs_before = len(os.listdir(os.path.join(t.base, "data")))
+    out = t.vacuum(keep_last=1)
+    assert out["removed_versions"] == [0, 1, 2]
+    # the three original commit dirs die; the compacted dir survives
+    assert len(out["removed_dirs"]) == 3
+    assert len(os.listdir(os.path.join(t.base, "data"))) == n_dirs_before - 3
+    assert t.versions() == [3]
+    assert t.read(spark).count() == 9
+
+    # keep_last=2 retains a dir shared by a kept version
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    t2.commit(spark.range(3).select(F.col("id")))
+    t2.commit(spark.range(3, 6).select(F.col("id")))  # v1 references c0 AND c1
+    out2 = t2.vacuum(keep_last=1)  # drops v0; c0 still referenced by v1
+    assert out2["removed_versions"] == [0] and out2["removed_dirs"] == []
+    assert t2.read(spark).count() == 6
