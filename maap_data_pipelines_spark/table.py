@@ -32,6 +32,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 class VersionedTable:
@@ -103,6 +104,35 @@ class VersionedTable:
         new_dir = os.path.join(self.base, "data", f"c{prev + 1:06d}")
         cur.coalesce(n_files).write.mode("errorifexists").parquet(new_dir)
         return self._publish([new_dir])
+
+    def merge_upsert(
+        self, updates: DataFrame, key: str, delete_col: str | None = None
+    ) -> int:
+        """MERGE: upsert rows by key (and optionally delete), new version.
+
+        The Delta-style maintenance primitive on top of snapshots: read
+        the current version, anti-join rows whose key appears in
+        ``updates`` (they are being replaced), union the surviving base
+        rows with the updates (minus rows flagged in ``delete_col``),
+        and commit the result as an overwrite — one shuffle join, and
+        readers on the old version are untouched. Updates must carry the
+        full row schema (plus the optional boolean delete flag).
+        """
+        spark = updates.sparkSession
+        upd = updates
+        deletes = None
+        if delete_col is not None:
+            deletes = upd.filter(F_col(delete_col)).select(key)
+            upd = upd.filter(~F_col(delete_col)).drop(delete_col)
+        if self.latest_version() is None:
+            merged = upd
+        else:
+            base = self.read(spark)
+            replaced = upd.select(key).union(
+                deletes if deletes is not None else upd.select(key).limit(0)
+            )
+            merged = base.join(replaced, key, "left_anti").unionByName(upd)
+        return self.commit(merged, mode="overwrite")
 
     def vacuum(self, keep_last: int = 2) -> dict:
         """Drop versions older than the last ``keep_last`` and delete data

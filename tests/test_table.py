@@ -81,3 +81,27 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     out2 = t2.vacuum(keep_last=1)  # drops v0; c0 still referenced by v1
     assert out2["removed_versions"] == [0] and out2["removed_dirs"] == []
     assert t2.read(spark).count() == 6
+
+
+def test_merge_upsert_and_delete(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    t.commit(base)
+    updates = spark.createDataFrame(
+        [(2, "B2", False), (4, "d", False), (3, None, True)],
+        "k long, v string, _delete boolean",
+    )
+    v = t.merge_upsert(updates, key="k", delete_col="_delete")
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B2", 4: "d"}  # 2 updated, 3 deleted, 4 added
+    # prior snapshot untouched
+    assert {r.k for r in t.read(spark, version=v - 1).collect()} == {1, 2, 3}
+
+    # merge into an empty table = plain insert
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    t2.merge_upsert(
+        spark.createDataFrame([(9, "z")], "k long, v string"), key="k"
+    )
+    assert {r.k for r in t2.read(spark).collect()} == {9}
