@@ -70,6 +70,42 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_sliding_trend(
+    spark: SparkSession, source_dir: str, fmt: str = "json"
+) -> DataFrame:
+    """Streaming twin of ``plans.events.events_sliding_trend``.
+
+    Same 1-hour/15-minute sliding windows via the built-in
+    ``F.window(slideDuration)`` — the batch query derives identical
+    window keys with integer arithmetic (pinned in
+    tests/test_analytics_ops.py), so a cutover between backfill (batch)
+    and live (stream) produces seamless window series. Distinct users are
+    approximate here: exact distincts are unbounded streaming state.
+    """
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format(fmt)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+        )
+    )
+
+
 def streaming_sessionize(
     spark: SparkSession, source_dir: str, gap: str = "30 minutes", fmt: str = "json"
 ) -> DataFrame:

@@ -471,3 +471,49 @@ def test_batch_curation_operators_run_unchanged_on_streams(spark, sf_dir, tmp_pa
         }
         want = {tuple(r) for r in op(batch_docs).collect()}
         assert got == want, f"{tag}: stream result != batch result"
+
+
+def test_streaming_sliding_trend_matches_batch_keys(spark, tmp_path):
+    """The sliding-window stream produces the same (window, type) keys and
+    counts the batch events_sliding_trend arithmetic derives — backfill
+    and live cut over seamlessly."""
+    import json as _json
+
+    from maap_data_pipelines_spark.streaming.rollup import streaming_sliding_trend
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 2,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    q = (
+        streaming_sliding_trend(spark, str(src))
+        .writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.isoformat(), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+    }
+    # event 1 (00:05) belongs to windows starting 23:15..00:00; events 1+2
+    # share the 00:00 window but only event 2 reaches 00:15
+    assert got[("2024-01-01T00:00:00", "view")] == 2
+    assert got[("2024-01-01T00:15:00", "view")] == 1
+    assert got[("2023-12-31T23:15:00", "view")] == 1
+    assert got[("2024-01-01T01:00:00", "click")] == 1
+    # every event lands in exactly 4 windows
+    assert sum(v for (_, t), v in got.items() if t == "view") == 8
+    assert sum(v for (_, t), v in got.items() if t == "click") == 4
