@@ -105,6 +105,8 @@ HEADLINE = [
     "events_sliding_trend",
     "events_transition_matrix",
     "events_attribution_latency",
+    # integer-exact Lloyd's k-means (iterative; driver-sync per round)
+    "embedding_kmeans",
 ]
 
 

@@ -1,0 +1,293 @@
+"""Integer-exact distributed k-means + SemDeDup semantic deduplication.
+
+The missing rung between surface dedup (MinHash/SimHash — near-verbatim
+copies) and the embedding near-dup operators: SEMANTIC dedup a la
+SemDeDup (Abbas et al., 2023) clusters the corpus in embedding space
+with k-means, then searches for duplicates only WITHIN a cluster — the
+candidate set per document is a cluster, not the corpus.
+
+Why integer micro-units: float k-means is not reproducible across
+engines (centroid means and distance sums depend on reduction order).
+Quantizing each embedding to int64 micro-units (floor(x * 1e6)) makes
+every Lloyd iteration a pure integer function of the data — squared-L2
+distances are exact int64 sums (order-free), centroid updates are
+floor(sum/count) with sums < 2^53 (exact in the double division both
+engines perform) — so an ITERATIVE clustering algorithm carries a full
+value-hash oracle (unrolled MATERIALIZED CTEs), not a rows-only waiver.
+
+Scale shape (the SemDeDup deployment story):
+* assignment is a map-only pass: the K centroids ride the UDF closure
+  (the MLlib iteration shape) — no shuffle grows with the corpus;
+* the update shuffles K x 64 cells (map-side partial sums), independent
+  of corpus size; per-round driver synchronization is K rows;
+* within-cluster pairing is quadratic IN THE CLUSTER, so K must grow
+  with the corpus to hold cluster size ~constant (the SemDeDup paper
+  runs K = 50k on LAION); K is a parameter here, fixed to KM_K in the
+  registered query only so the oracle SQL is a fixed text.
+
+Magnitude audit (no int64 overflow at 100 TB): |component| <= ~2 in
+these embeddings -> micro-units |q| <= 2e6; per-dim squared diff <=
+1.6e13; 64-dim distance <= 1e15; per-vector inertia contribution is
+floor(dist / 1e6) <= 1e9, so the int64 inertia sum holds past 1e9
+vectors per cluster.
+
+Parity with the reference repo: none — this is part of the
+LLM-training-data operator battery (SURVEY.md mandate), not a MAAP
+lambda.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from .ann import EMBED_DIM, cosine_sql, cosine_udf
+
+KM_K = 8
+KM_ITERS = 4
+KM_SCALE = 1_000_000
+SEMDEDUP_COS = 0.4  # same near-dup bar as embedding_dedup
+
+
+@pandas_udf(ArrayType(LongType()))
+def quantize_udf(a: pd.Series) -> pd.Series:
+    """float32 embedding -> int64 micro-units: floor(x::DOUBLE * 1e6).
+
+    float32 -> float64 widening is exact; the *1e6 double product and
+    floor are the same IEEE ops DuckDB's ``FLOOR(x::DOUBLE * 1000000)``
+    performs, so both engines quantize bit-identically.
+    """
+    if len(a) == 0:
+        return pd.Series([], dtype=object)
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    Q = np.floor(A * float(KM_SCALE)).astype(np.int64)
+    return pd.Series(list(Q))
+
+
+# plan control, not semantics (see ann.cosine_udf): stop Catalyst from
+# re-evaluating the Arrow call on both sides of a pushed filter/window
+quantize_udf = quantize_udf.asNondeterministic()
+
+
+def _assign_udf(cents: list[tuple[int, list[int]]]):
+    """Build the per-iteration assignment UDF closed over the centroids.
+
+    The MLlib KMeans shape: each round's centroids (K x 64 int64 — a few
+    KB) are collected to the driver and shipped inside the UDF closure,
+    so assignment is a pure map pass — no crossJoin, no broadcast
+    exchange, no argmin shuffle. All arithmetic is int64; np.argmin
+    returns the FIRST minimal index and the centroid rows are sorted by
+    cid, so ties break to the lowest cid — identical to the oracle's
+    ``ORDER BY dist, cid``.
+    """
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.int64)
+
+    @pandas_udf("cid long, dist long")
+    def _a(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"cid": [], "dist": []}, dtype="int64")
+        A = np.vstack(qv.to_numpy()).astype(np.int64)
+        d = A[:, None, :] - C[None, :, :]
+        dist = (d * d).sum(axis=2)
+        j = dist.argmin(axis=1)
+        return pd.DataFrame(
+            {"cid": cids[j], "dist": dist[np.arange(len(j)), j]}
+        )
+
+    return _a.asNondeterministic()
+
+
+def _assign(q: DataFrame, cents: list[tuple[int, list[int]]], with_dist: bool = False) -> DataFrame:
+    a = _assign_udf(cents)
+    out = q.select("vec_id", "qv", a(F.col("qv")).alias("ad"))
+    cols = ["vec_id", "qv", F.col("ad.cid").alias("cid")] + (
+        [F.col("ad.dist").alias("dist")] if with_dist else []
+    )
+    return out.select(*cols)
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-dim floor(sum/count) in micro-units.
+
+    One groupBy(cid) with 64 per-dim SUM aggregates (separate agg
+    buffers — not a single unrolled expression chain, so codegen is
+    safe): map-side combine reduces the shuffle to K x 64 cells
+    regardless of corpus size. |sum| < 2^53 so the double division is
+    exact before floor. Clusters that lost every member emit no row
+    (K shrinks); both engines agree.
+    """
+    sums = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("c"),
+        *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(EMBED_DIM)],
+    )
+    cv = F.array(
+        *[
+            F.floor(F.col(f"s{d}") / F.col("c")).cast("long")
+            for d in range(EMBED_DIM)
+        ]
+    )
+    return sums.select("cid", cv.alias("cv"))
+
+
+def _final_assignment(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Lloyd's algorithm, ``iters`` fixed rounds; returns (vec_id, cid, dist).
+
+    The quantized corpus is localCheckpoint-ed once; every iteration is
+    ONE distributed job: map-pass assignment (UDF closed over the
+    collected centroids) + the K x 64-cell update shuffle, then the K
+    new centroid rows return to the driver — the MLlib iteration shape,
+    where per-round synchronization cost is K rows regardless of corpus
+    size. The returned final assignment is lazy (no collect of anything
+    corpus-sized anywhere).
+    """
+    q = emb.select(
+        "vec_id", quantize_udf(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    cents = sorted(
+        (r.cid, list(r.cv))
+        for r in q.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        .collect()
+    )
+    for _ in range(iters):
+        cents = sorted(
+            (r.cid, list(r.cv)) for r in _update(_assign(q, cents)).collect()
+        )
+    return _assign(q, cents, with_dist=True).select("vec_id", "cid", "dist")
+
+
+def embedding_kmeans(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """K-means cluster summary: (cluster_id, n_vecs, inertia_k).
+
+    inertia_k = sum of floor(dist / 1e6) per member — the within-cluster
+    scatter in milli-unit^2, the quantity Lloyd's descends; watch it
+    across reruns/ingests as the drift monitor for the semantic index.
+    """
+    af = _final_assignment(emb, k=k, iters=iters)
+    return af.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.expr(f"dist div {KM_SCALE}")).alias("inertia_k"),
+    )
+
+
+def semantic_dedup(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """SemDeDup: within-cluster cosine near-dups; min vec_id survives.
+
+    Pairs are generated ONLY inside a k-means cluster (equi-join on cid,
+    vec_id ordering halves it) — the corpus-scale candidate structure —
+    then verified with exact cosine >= SEMDEDUP_COS. Output one row per
+    vector: (vec_id, cluster_id, keep).
+    """
+    af = (
+        _final_assignment(emb, k=k, iters=iters)
+        .select("vec_id", "cid")
+        .localCheckpoint()
+    )
+    vecs = emb.select("vec_id", "embedding")
+    a = af.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("va"), "cid", F.col("embedding").alias("ea")
+    )
+    b = af.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("vb"), "cid", F.col("embedding").alias("eb")
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            F.round(cosine_udf(F.col("ea"), F.col("eb")), 6) >= SEMDEDUP_COS
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return af.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("dropped").isNull().alias("keep"),
+    )
+
+
+# -- DuckDB oracle (unrolled MATERIALIZED CTEs, textually parallel) --------
+
+
+def _qv_sql() -> str:
+    terms = ", ".join(
+        f"CAST(FLOOR(embedding[{i}]::DOUBLE * {KM_SCALE}) AS BIGINT)"
+        for i in range(1, EMBED_DIM + 1)
+    )
+    return f"SELECT vec_id, [{terms}] AS qv FROM embeddings"
+
+
+def _dist_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, EMBED_DIM + 1)
+    )
+
+
+def _kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    ctes = [
+        f"qemb AS MATERIALIZED ({_qv_sql()})",
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM qemb WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, qv, cid FROM (
+    SELECT e.vec_id, e.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dist_sql('e.qv', 'c.cv')} ASC, c.cid) AS r
+    FROM qemb e CROSS JOIN c{i - 1} c
+  ) WHERE r = 1)"""
+        )
+        means = ", ".join(
+            f"CAST(FLOOR(SUM(qv[{d}])::DOUBLE / COUNT(*)) AS BIGINT)"
+            for d in range(1, EMBED_DIM + 1)
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT cid, [{means}] AS cv FROM a{i} GROUP BY cid)"
+        )
+    ctes.append(
+        f"""af AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, {_dist_sql('e.qv', 'c.cv')} AS dist,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dist_sql('e.qv', 'c.cv')} ASC, c.cid) AS r
+    FROM qemb e CROSS JOIN c{iters} c
+  ) WHERE r = 1)"""
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+EMBEDDING_KMEANS_SQL = f"""
+{_kmeans_ctes()}
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(dist::DOUBLE / {KM_SCALE}) AS BIGINT)) AS BIGINT) AS inertia_k
+FROM af GROUP BY cid
+"""
+
+SEMANTIC_DEDUP_SQL = f"""
+{_kmeans_ctes()},
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {SEMDEDUP_COS}
+)
+SELECT f.vec_id, f.cid AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM af f LEFT JOIN drops d ON f.vec_id = d.vec_id
+"""
+
+QUERY_SQL = {
+    "embedding_kmeans": EMBEDDING_KMEANS_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
+}

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import ann, dedup, text
+from ..operators import ann, dedup, kmeans, text
 from ..sources.catalog import read_table
 
 
@@ -132,10 +132,13 @@ QUERIES = {
     "ann_ivf_topk2": _emb_plan(ann.ann_ivf_topk2),
     "ann_ivf_recall": _emb_plan(ann.ann_ivf_recall),
     "ann_ivf_recall2": _emb_plan(ann.ann_ivf_recall2),
+    "embedding_kmeans": _emb_plan(kmeans.embedding_kmeans),
+    "semantic_dedup": _emb_plan(kmeans.semantic_dedup),
 }
 
 ORACLES = {
     **dedup.QUERY_SQL,
     **ann.QUERY_SQL,
+    **kmeans.QUERY_SQL,
     "corpus_curation": CORPUS_CURATION_SQL,
 }

@@ -1,0 +1,90 @@
+"""Behavioral pins for integer-exact k-means + SemDeDup on crafted vectors."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from maap_data_pipelines_spark.operators import kmeans
+
+_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows], _SCHEMA
+    )
+
+
+def _blob(center: float, eps: float, dim: int = kmeans.EMBED_DIM):
+    v = [center] * dim
+    v[0] += eps
+    return v
+
+
+def test_kmeans_separates_two_blobs(spark):
+    # seeds 0 (blob A) and 1 (blob B); members 2-4 near A, 5-7 near B
+    rows = [
+        (0, _blob(0.5, 0.0)),
+        (1, _blob(-0.5, 0.0)),
+        (2, _blob(0.5, 0.01)),
+        (3, _blob(0.5, -0.01)),
+        (4, _blob(0.5, 0.02)),
+        (5, _blob(-0.5, 0.01)),
+        (6, _blob(-0.5, -0.01)),
+        (7, _blob(-0.5, 0.02)),
+    ]
+    af = {
+        r.vec_id: r.cid
+        for r in kmeans._final_assignment(_emb(spark, rows), k=2).collect()
+    }
+    assert {af[0], af[2], af[3], af[4]} == {af[0]}
+    assert {af[1], af[5], af[6], af[7]} == {af[1]}
+    assert af[0] != af[1]
+
+
+def test_kmeans_summary_counts_and_nonneg_inertia(spark):
+    rows = [(i, _blob(0.5 if i % 2 == 0 else -0.5, 0.001 * i)) for i in range(10)]
+    out = kmeans.embedding_kmeans(_emb(spark, rows)).collect()
+    assert sum(r.n_vecs for r in out) == 10
+    assert all(r.inertia_k >= 0 for r in out)
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    # vec 5 duplicates vec 2 (same direction, scaled) -> same cluster,
+    # cosine 1.0 -> 5 dropped, 2 kept; distinct-direction rows all kept
+    a = _blob(0.5, 0.0)
+    b = _blob(-0.5, 0.0)
+    dup = [x * 0.9 for x in a]
+    rows = [(0, a), (1, b), (2, a), (3, b), (4, b), (5, dup)]
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in kmeans.semantic_dedup(_emb(spark, rows), k=2).collect()
+    }
+    assert len(out) == 6
+    assert out[5][1] is False  # the higher-id twin drops
+    assert out[0][1] is True
+    # identical rows 0/2: min id survives, 2 drops too
+    assert out[2][1] is False
+
+
+def test_quantize_floor_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, [0.5, -0.5] + [0.0] * 62, 0)], _SCHEMA
+    ).select(kmeans.quantize_udf("embedding").alias("qv"))
+    qv = df.collect()[0].qv
+    assert qv[0] == 500_000
+    assert qv[1] == -500_000
+    assert all(x == 0 for x in qv[2:])
