@@ -132,6 +132,53 @@ def start_idempotent_stream_sink(
     )
 
 
+def start_stream_upsert(
+    stream_df: DataFrame,
+    table,
+    key: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+):
+    """Streaming MERGE: each micro-batch upserts into a VersionedTable.
+
+    The Delta "streaming merge" pattern on the engine's own snapshot
+    table: foreachBatch turns the stream into deterministic micro-batch
+    DataFrames, each self-deduped to one row per key — max-struct led by
+    ``order_col`` (a sequence/timestamp column) so a batch carrying
+    several versions of a key applies its latest; without an
+    ``order_col`` the max is lexicographic over all non-key columns
+    (deterministic, but pass the real ordering when you have one) — then
+    ``table.merge_upsert`` publishes a new snapshot. Replays are
+    harmless: re-merging identical rows produces an identical snapshot
+    (upsert is content-idempotent), and the checkpoint's offsets stop
+    re-ingestion after restart. Readers holding any older version are
+    untouched mid-stream — the snapshot-isolation property doing real
+    work under continuous ingest.
+    """
+    from pyspark.sql import functions as F
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        others = [c for c in batch_df.columns if c != key]
+        lead = (
+            [order_col] + [c for c in others if c != order_col]
+            if order_col
+            else others
+        )
+        latest = (
+            batch_df.groupBy(key)
+            .agg(F.max(F.struct(*lead)).alias("_m"))
+            .select(key, *[f"_m.{c}" for c in others])
+        )
+        table.merge_upsert(latest, key)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dry_run_transport(payload: list[str], endpoint: str) -> int:
     """Default transport: no network in this environment — pretend 200.
 

@@ -134,6 +134,76 @@ class VersionedTable:
             merged = base.join(replaced, key, "left_anti").unionByName(upd)
         return self.commit(merged, mode="overwrite")
 
+    def merge_aggregate(
+        self, updates: DataFrame, keys: list[str], sum_cols: list[str]
+    ) -> int:
+        """Incremental view maintenance for additive rollups.
+
+        The table holds a pre-aggregated view (e.g. hourly counts/sums);
+        ``updates`` carries NEW partial aggregates over the same keys
+        (one micro-batch's groupBy output). Instead of re-aggregating
+        the world, only the touched keys are recombined: base rows whose
+        key appears in ``updates`` union with the updates and re-sum;
+        untouched base rows pass through via an anti-join. Additive
+        measures (SUM/COUNT) are exactly mergeable this way — the
+        standard incremental-view trick that turns a full recompute into
+        work proportional to the batch.
+        """
+        from pyspark.sql import functions as F
+
+        spark = updates.sparkSession
+        if self.latest_version() is None:
+            return self.commit(updates, mode="overwrite")
+        base = self.read(spark)
+        touched_keys = updates.select(*keys).distinct()
+        combined = (
+            base.join(touched_keys, keys, "left_semi")
+            .unionByName(updates)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+        merged = base.join(touched_keys, keys, "left_anti").unionByName(combined)
+        return self.commit(merged, mode="overwrite")
+
+    # -- change data feed --------------------------------------------------
+
+    def changes(
+        self, spark: SparkSession, v_from: int, v_to: int, key: str
+    ) -> DataFrame:
+        """Keyed change feed between two snapshots (Delta CDF semantics).
+
+        One full-outer join on ``key`` between the two versions, then
+        rows classify by null-side and value comparison:
+        ``insert`` (post image), ``delete`` (pre image),
+        ``update_preimage`` + ``update_postimage`` (both rows emitted).
+        Keys must be unique within each snapshot (the merge_upsert
+        invariant). Struct equality compares every non-key column.
+        """
+        from pyspark.sql import functions as F
+
+        a = self.read(spark, v_from)
+        b = self.read(spark, v_to)
+        others = [c for c in b.columns if c != key]
+        an = a.select(key, F.struct(*others).alias("_pre"))
+        bn = b.select(key, F.struct(*others).alias("_post"))
+        fo = an.join(bn, key, "full_outer")
+        ins = fo.filter(F.col("_pre").isNull()).select(
+            key, "_post.*", F.lit("insert").alias("_change_type")
+        )
+        dele = fo.filter(F.col("_post").isNull()).select(
+            key, "_pre.*", F.lit("delete").alias("_change_type")
+        )
+        upd = fo.filter(
+            F.col("_pre").isNotNull()
+            & F.col("_post").isNotNull()
+            & (F.col("_pre") != F.col("_post"))
+        )
+        pre = upd.select(key, "_pre.*", F.lit("update_preimage").alias("_change_type"))
+        post = upd.select(
+            key, "_post.*", F.lit("update_postimage").alias("_change_type")
+        )
+        return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
     def vacuum(self, keep_last: int = 2) -> dict:
         """Drop versions older than the last ``keep_last`` and delete data
         dirs no retained manifest references.

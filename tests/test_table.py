@@ -105,3 +105,88 @@ def test_merge_upsert_and_delete(spark, tmp_path):
         spark.createDataFrame([(9, "z")], "k long, v string"), key="k"
     )
     assert {r.k for r in t2.read(spark).collect()} == {9}
+
+
+def test_changes_cdc_between_versions(spark, tmp_path):
+    """Change feed: insert/delete/update pre+post images, Delta CDF shape."""
+    t = VersionedTable(str(tmp_path / "t"))
+    v0 = t.commit(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    )
+    v1 = t.merge_upsert(
+        spark.createDataFrame(
+            [(2, "B2", False), (4, "d", False), (3, None, True)],
+            "k long, v string, _delete boolean",
+        ),
+        key="k",
+        delete_col="_delete",
+    )
+    ch = {
+        (r.k, r._change_type): r.v
+        for r in t.changes(spark, v0, v1, key="k").collect()
+    }
+    assert ch == {
+        (4, "insert"): "d",
+        (3, "delete"): "c",
+        (2, "update_preimage"): "b",
+        (2, "update_postimage"): "B2",
+    }
+    # unchanged key 1 emits nothing; self-diff is empty
+    assert t.changes(spark, v1, v1, key="k").count() == 0
+
+
+def test_merge_aggregate_incremental_rollup(spark, tmp_path):
+    """Additive-rollup maintenance touches only the batch's keys."""
+    t = VersionedTable(str(tmp_path / "r"))
+    t.merge_aggregate(
+        spark.createDataFrame(
+            [("h1", 5, 100), ("h2", 3, 30)], "hour string, n long, amt long"
+        ),
+        keys=["hour"],
+        sum_cols=["n", "amt"],
+    )
+    t.merge_aggregate(
+        spark.createDataFrame(
+            [("h2", 2, 20), ("h3", 1, 10)], "hour string, n long, amt long"
+        ),
+        keys=["hour"],
+        sum_cols=["n", "amt"],
+    )
+    got = {r.hour: (r.n, r.amt) for r in t.read(spark).collect()}
+    assert got == {"h1": (5, 100), "h2": (5, 50), "h3": (1, 10)}
+    # the first snapshot is still readable pre-merge (time travel holds)
+    assert {r.hour for r in t.read(spark, version=0).collect()} == {"h1", "h2"}
+
+
+def test_stream_upsert_into_versioned_table(spark, tmp_path):
+    """foreachBatch merge: continuous ingest publishes snapshots; replays safe."""
+    from maap_data_pipelines_spark.sinks import start_stream_upsert
+
+    land = tmp_path / "upsert_landing"
+    land.mkdir()
+    batch1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, seq long"
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(land))
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    stream = spark.readStream.schema(batch1.schema).parquet(str(land))
+    q = start_stream_upsert(stream, t, key="k", checkpoint_dir=str(tmp_path / "cp"), order_col="seq")
+    q.awaitTermination(120)
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: "a", 2: "b"}
+
+    # second wave: update k=2 twice in ONE batch (latest seq wins) + insert 3
+    spark.createDataFrame(
+        [(2, "B-old", 21), (2, "B-new", 22), (3, "c", 30)],
+        "k long, v string, seq long",
+    ).coalesce(1).write.mode("append").parquet(str(land))
+    q2 = start_stream_upsert(stream, t, key="k", checkpoint_dir=str(tmp_path / "cp"), order_col="seq")
+    q2.awaitTermination(120)
+    got = {r.k: (r.v, r.seq) for r in t.read(spark).collect()}
+    assert got == {1: ("a", 10), 2: ("B-new", 22), 3: ("c", 30)}
+
+    # restart with the same checkpoint and no new files: no-op, same state
+    v_before = t.latest_version()
+    q3 = start_stream_upsert(stream, t, key="k", checkpoint_dir=str(tmp_path / "cp"), order_col="seq")
+    q3.awaitTermination(120)
+    assert t.latest_version() == v_before
