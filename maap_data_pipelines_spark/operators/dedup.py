@@ -823,6 +823,73 @@ FROM per_cluster GROUP BY 1
 """
 
 
+
+
+def dedup_triangles(docs: DataFrame) -> DataFrame:
+    """Graph census of the MinHash candidate graph: one exact-integer row.
+
+    (n_nodes, n_edges, n_wedges, n_triangles) over the near-dup
+    candidate pairs — the structural health check for the dedup graph:
+    triangles/wedges says whether candidates form tight clique-like
+    duplicate groups (transitive copies) or sprawling hub-and-spoke
+    chains (a too-loose banding threshold). Triangle counting is the
+    canonical multi-join graph workload; here it is two equi-joins over
+    the ordered edge list (doc_a < doc_b invariant), so each triangle
+    {a<b<c} is counted exactly once: edges (a,b)+(b,c) joined on the
+    middle vertex, closed by probing (a,c). Wedges = sum over nodes of
+    deg*(deg-1)/2 on the symmetrized degree table. All counts int64,
+    full value-hash oracle. Cost is bounded by the candidate graph
+    (already df-bounded), never the corpus.
+    """
+    e = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint()
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    und = e.select(F.col("doc_a").alias("n")).unionAll(
+        e.select(F.col("doc_b").alias("n"))
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("d") / F.lit(2)).cast("long").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles"
+    )
+
+
+DEDUP_TRIANGLES_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+  WHERE EXISTS (
+    SELECT 1 FROM e e3 WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+  )
+),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT doc_a AS n FROM e UNION ALL SELECT doc_b AS n FROM e
+  ) GROUP BY n
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles FROM stats CROSS JOIN tri
+"""
+
+
 QUERY_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
@@ -834,4 +901,5 @@ QUERY_SQL = {
     "similar_docs_topk": SIMILAR_DOCS_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
+    "dedup_triangles": DEDUP_TRIANGLES_SQL,
 }

@@ -120,6 +120,7 @@ QUERIES = {
     "dedup_pagerank": _doc_plan(dedup.dedup_pagerank),
     "similar_docs_topk": _doc_plan(dedup.similar_docs_topk),
     "dedup_cluster_sizes": _doc_plan(dedup.dedup_cluster_sizes),
+    "dedup_triangles": _doc_plan(dedup.dedup_triangles),
     "minhash_calibration": _doc_plan(dedup.minhash_calibration),
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),

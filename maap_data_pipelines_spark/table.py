@@ -60,19 +60,28 @@ class VersionedTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _publish(self, dirs: list[str]) -> int:
+    def _publish(self, dirs: list[str], meta: dict | None = None) -> int:
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "dirs": dirs}, f)
-        # rename is the atomic publication point
+            json.dump(
+                {"version": version, "dirs": dirs, "meta": meta or {}}, f
+            )
+        # rename is the atomic publication point: data AND meta (e.g. the
+        # applied stream batch id) become visible in one transaction
         os.rename(tmp, self._manifest_path(version))
         return version
 
+    def latest_meta(self) -> dict:
+        v = self.latest_version()
+        return {} if v is None else self._load(v).get("meta", {})
+
     # -- write path --------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "append", meta: dict | None = None
+    ) -> int:
         """Write df into a commit-private dir, publish a new manifest.
 
         ``append`` unions the new dir with the current snapshot's dirs;
@@ -90,7 +99,7 @@ class VersionedTable:
             [] if mode == "overwrite" or prev is None
             else list(self._load(prev)["dirs"])
         )
-        return self._publish(base_dirs + [new_dir])
+        return self._publish(base_dirs + [new_dir], meta=meta)
 
     def compact(self, spark: SparkSession, n_files: int = 1) -> int:
         """Rewrite the current snapshot into one directory, publish it.
@@ -135,7 +144,11 @@ class VersionedTable:
         return self.commit(merged, mode="overwrite")
 
     def merge_aggregate(
-        self, updates: DataFrame, keys: list[str], sum_cols: list[str]
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        sum_cols: list[str],
+        meta: dict | None = None,
     ) -> int:
         """Incremental view maintenance for additive rollups.
 
@@ -153,7 +166,7 @@ class VersionedTable:
 
         spark = updates.sparkSession
         if self.latest_version() is None:
-            return self.commit(updates, mode="overwrite")
+            return self.commit(updates, mode="overwrite", meta=meta)
         base = self.read(spark)
         touched_keys = updates.select(*keys).distinct()
         combined = (
@@ -163,7 +176,7 @@ class VersionedTable:
             .agg(*[F.sum(c).alias(c) for c in sum_cols])
         )
         merged = base.join(touched_keys, keys, "left_anti").unionByName(combined)
-        return self.commit(merged, mode="overwrite")
+        return self.commit(merged, mode="overwrite", meta=meta)
 
     # -- change data feed --------------------------------------------------
 

@@ -517,3 +517,68 @@ def test_streaming_sliding_trend_matches_batch_keys(spark, tmp_path):
     # every event lands in exactly 4 windows
     assert sum(v for (_, t), v in got.items() if t == "view") == 8
     assert sum(v for (_, t), v in got.items() if t == "click") == 4
+
+
+def test_live_rollup_pipeline_incremental_and_exactly_once(spark, tmp_path):
+    """The streaming materialized view: merge-per-batch, replay-guarded."""
+    from maap_data_pipelines_spark.pipelines import (
+        apply_rollup_batch,
+        run_live_rollup_pipeline,
+    )
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    src = tmp_path / "mv_landing"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "view", "value": 1.25, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:45:00", "user_id": 2, "event_type": "view", "value": 2.50, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 1, "event_type": "click", "value": 0.75, "props": "{}"},
+        ],
+    )
+    tdir, cp = str(tmp_path / "mv_table"), str(tmp_path / "mv_cp")
+    q = run_live_rollup_pipeline(spark, str(src), tdir, cp)
+    q.awaitTermination(120)
+    t = VersionedTable(tdir)
+    got = {
+        (r.hour.isoformat(), r.event_type): (r.n_events, r.value_cents)
+        for r in t.read(spark).collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", "view"): (2, 375),
+        ("2024-01-01T01:00:00", "click"): (1, 75),
+    }
+
+    # a LATE event for hour 00 lands in a later batch: merges into its
+    # hour anyway (no watermark eviction — the table is the state)
+    _write_events(
+        src / "b2.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01T00:59:59", "user_id": 3, "event_type": "view", "value": 1.00, "props": "{}"},
+            {"event_id": 5, "ts": "2024-01-01T02:00:30", "user_id": 3, "event_type": "view", "value": 4.00, "props": "{}"},
+        ],
+    )
+    q2 = run_live_rollup_pipeline(spark, str(src), tdir, cp)
+    q2.awaitTermination(120)
+    got2 = {
+        (r.hour.isoformat(), r.event_type): (r.n_events, r.value_cents)
+        for r in t.read(spark).collect()
+    }
+    assert got2[("2024-01-01T00:00:00", "view")] == (3, 475)
+    assert got2[("2024-01-01T02:00:00", "view")] == (1, 400)
+    # the pre-merge snapshot is still pinned (dashboard holding v0)
+    assert t.read(spark, version=0).count() == 2
+
+    # replay guard: re-delivering an applied batch id is a no-op
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [(9, "2024-01-01T03:00:00", 9, "view", 9.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    last_applied = t.latest_meta()["batch_id"]
+    assert apply_rollup_batch(t, batch, last_applied) is False
+    assert apply_rollup_batch(t, batch, last_applied + 1) is True
+    got3 = {(r.hour.isoformat(), r.event_type): r.n_events for r in t.read(spark).collect()}
+    assert got3[("2024-01-01T03:00:00", "view")] == 1
