@@ -116,3 +116,97 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
             F.sum(F.length("word")).alias("n_chars"),
         )
     )
+
+
+# -- BPE TRAINING (learning the merge table from corpus statistics) --------
+
+TRAIN_MERGES = 8
+
+
+def _merge_pair_udf(a: str, b: str):
+    """Per-round UDF: merge adjacent (a, b) left-to-right in symbol lists.
+
+    Closed over the round's winning pair (the kmeans-centroid pattern:
+    one tiny driver-synced artifact per round rides the closure). Python
+    cost is O(|vocab|) symbols per round — the trainer never touches the
+    occurrence stream.
+    """
+
+    @pandas_udf("array<string>")
+    def _m(syms: pd.Series) -> pd.Series:
+        def merge(toks):
+            out, i, n = [], 0, len(toks)
+            while i < n:
+                if i < n - 1 and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            return out
+
+        return syms.map(lambda t: merge(list(t)))
+
+    return _m.asNondeterministic()
+
+
+def train_bpe(docs: DataFrame, n_merges: int = TRAIN_MERGES) -> DataFrame:
+    """Learn a BPE merge table from the corpus: the tokenizer TRAINER.
+
+    The scale shape mirrors inference (tokenize-the-vocabulary): training
+    runs entirely on the word HISTOGRAM (word, n_occurrences) — corpus
+    size only enters through one groupBy. Each round is one distributed
+    job over the vocab table:
+
+      1. adjacent symbol pairs explode (fan-out = symbols per word) and
+         sum occurrence-weighted counts (map-side combine);
+      2. the argmax pair (count desc, then lexical — deterministic ties)
+         returns to the driver (ONE row per round);
+      3. a closure UDF merges that pair inside every word's symbol list.
+
+    The vocab frame is localCheckpoint-ed per round: each round's plan
+    reads the previous round's materialized result, keeping lineage flat
+    across the sequential dependency (same reasoning as Lloyd's k-means).
+    Returns the ordered merge table (rank, left, right, pair_count) —
+    the model artifact ``MERGES``-style inference consumes. No SQL
+    oracle: iterative merge application is not SQL-expressible; exact
+    merge sequences are pinned by tests/test_bpe.py.
+    """
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # split keeps the trailing empty match (Pattern.split limit -1):
+        # drop it or it becomes a phantom symbol in every word
+        .withColumn("syms", F.array_remove(F.split(F.col("w"), "(?!^)"), ""))
+        .select("n", "syms")
+        .localCheckpoint()
+    )
+    learned = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not top or top[0].c < 2:
+            break
+        a, b, c = top[0].a, top[0].b, top[0].c
+        learned.append((rank, a, b, c))
+        vocab = vocab.select(
+            "n", _merge_pair_udf(a, b)(F.col("syms")).alias("syms")
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        learned, "merge_rank long, left string, right string, pair_count long"
+    )

@@ -614,7 +614,111 @@ FROM s
 """
 
 
+
+DOC_COS_MAX_DF = 100
+DOC_COS_TOPK = 3
+
+
+def doc_cosine_topk(docs: DataFrame) -> DataFrame:
+    """"More like this" by sparse TF-cosine: inverted-index retrieval.
+
+    The bag-of-words complement to ``similar_docs_topk``'s set Jaccard:
+    documents as sparse term-frequency vectors, cosine computed WITHOUT
+    materializing vectors — the classic IR inverted-index join. A pair
+    is scored only if it shares a term whose document frequency is <=
+    DOC_COS_MAX_DF (the same hot-key guard as the shingle index: one
+    stopword at 100 TB is a quadratic reducer; norms are computed over
+    the SAME pruned space so the cosine is self-consistent). Dot
+    products are exact int64 sums of tf_a*tf_b; each norm is one sqrt
+    of an exact integer, one division, round 6 — the engine-parity
+    float discipline. Per-doc top-3 after symmetrizing, ranked
+    (cosine desc, neighbor asc) via WindowGroupLimit.
+    """
+    from pyspark.sql.window import Window
+
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    tf = (
+        docs.select("doc_id", word)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    kept = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DOC_COS_MAX_DF)
+        .select("term")
+    )
+    tfk = tf.join(kept, "term").localCheckpoint()
+    norms = tfk.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ssq"))
+    a = tfk.select("term", F.col("doc_id").alias("da"), F.col("tf").alias("ta"))
+    b = tfk.select("term", F.col("doc_id").alias("db"), F.col("tf").alias("tb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("ta") * F.col("tb")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("doc_id").alias("da"), F.col("ssq").alias("sa")), "da")
+        .join(norms.select(F.col("doc_id").alias("db"), F.col("ssq").alias("sb")), "db")
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("sa")) * F.sqrt(F.col("sb"))), 6
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("neighbor_id"), "cosine"
+    ).unionAll(
+        scored.select(
+            F.col("db").alias("doc_id"), F.col("da").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= DOC_COS_TOPK)
+        .select("doc_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+DOC_COSINE_TOPK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+kept AS (
+  SELECT term FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+  WHERE df <= {DOC_COS_MAX_DF}
+),
+tfk AS MATERIALIZED (SELECT doc_id, term, tf FROM tf JOIN kept USING (term)),
+norms AS (SELECT doc_id, SUM(tf * tf) AS ssq FROM tfk GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tfk a JOIN tfk b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT da, db,
+         ROUND(dot / (sqrt(na.ssq::DOUBLE) * sqrt(nb.ssq::DOUBLE)), 6) AS cosine
+  FROM dots JOIN norms na ON na.doc_id = da JOIN norms nb ON nb.doc_id = db
+),
+sym AS (
+  SELECT da AS doc_id, db AS neighbor_id, cosine FROM scored
+  UNION ALL
+  SELECT db AS doc_id, da AS neighbor_id, cosine FROM scored
+)
+SELECT doc_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS rnk
+FROM sym
+QUALIFY rnk <= {DOC_COS_TOPK}
+"""
+
+
 QUERY_SQL = {
+    "doc_cosine_topk": DOC_COSINE_TOPK_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "token_stats": TOKEN_STATS_SQL,

@@ -39,7 +39,9 @@ QUERIES = {
     "term_topk": _wrap(text.term_topk),
     "bigram_topk": _wrap(text.bigram_topk),
     "tfidf_top_terms": _wrap(text.tfidf_top_terms),
+    "doc_cosine_topk": _wrap(text.doc_cosine_topk),
     "bpe_token_stats": _wrap(bpe.bpe_token_stats),
+    "bpe_train_merges": _wrap(bpe.train_bpe),
     "vocab_diff": _wrap(text.vocab_diff),
     "fuzzy_word_pairs": _wrap(text.fuzzy_word_pairs),
     "documents_profile": documents_profile,

@@ -526,6 +526,59 @@ FROM tot, t10, t100
 """
 
 
+
+
+def orders_trailing_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order trailing-365-day spend: the RANGE-frame window.
+
+    ROWS frames (orders_running_revenue) count physical rows; RANGE
+    frames bound the frame by the ORDER BY VALUE — here integer days
+    since epoch, so each order sees every order of the same customer in
+    the preceding 365 calendar days regardless of how many there were
+    (peers on the same day are all in-frame, which is what makes the
+    result deterministic under ties). One shuffle on the natural key;
+    frame evaluation is the standard sliding accumulation, never a
+    self-join on an inequality.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    ).withColumn(
+        "day", F.datediff(F.col("order_date"), F.lit("1992-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-364, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_date",
+        "price_cents",
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+        F.sum("price_cents").over(w).alias("trail_cents"),
+    )
+
+
+ORDERS_TRAILING_YEAR_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(COUNT(*) OVER win AS BIGINT) AS trail_n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER win AS BIGINT) AS trail_cents
+FROM orders
+WINDOW win AS (
+  PARTITION BY o_custkey
+  ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+  RANGE BETWEEN 364 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -538,6 +591,7 @@ QUERIES = {
     "top_customers_window": top_customers_window,
     "order_cohort_retention": order_cohort_retention,
     "orders_running_revenue": orders_running_revenue,
+    "orders_trailing_year": orders_trailing_year,
     "revenue_concentration": revenue_concentration,
 }
 
@@ -553,5 +607,6 @@ ORACLES = {
     "top_customers_window": TOP_CUSTOMERS_SQL,
     "order_cohort_retention": COHORT_SQL,
     "orders_running_revenue": RUNNING_REVENUE_SQL,
+    "orders_trailing_year": ORDERS_TRAILING_YEAR_SQL,
     "revenue_concentration": REVENUE_CONCENTRATION_SQL,
 }

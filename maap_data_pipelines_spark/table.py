@@ -112,7 +112,10 @@ class VersionedTable:
         prev = self.latest_version()
         new_dir = os.path.join(self.base, "data", f"c{prev + 1:06d}")
         cur.coalesce(n_files).write.mode("errorifexists").parquet(new_dir)
-        return self._publish([new_dir])
+        # carry the previous commit's meta forward: a compaction changes
+        # layout, not content — dropping e.g. the applied stream batch id
+        # would un-guard the replay check of a concurrent rollup stream
+        return self._publish([new_dir], meta=self.latest_meta())
 
     def merge_upsert(
         self, updates: DataFrame, key: str, delete_col: str | None = None

@@ -40,3 +40,49 @@ def test_spark_counts_match_reference(spark):
         assert out[doc_id].n_words == len(words)
         assert out[doc_id].n_bpe_tokens == sum(len(bpe_encode(w)) for w in words)
         assert out[doc_id].n_chars == sum(len(w) for w in words)
+
+
+def test_train_bpe_learns_expected_merge_sequence(spark):
+    from maap_data_pipelines_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab"), (2, "abab cd"), (3, "cd")], ["doc_id", "text"]
+    )
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in train_bpe(docs, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # hand-derived: (a,b) appears twice per 'abab' occurrence (4 occ -> 8),
+    # then (ab,ab) once per occurrence (4), then (c,d) (2); then no pair
+    # with support >= 2 remains -> early stop at 3 merges of 8 requested
+    assert got == [(0, "a", "b", 8), (1, "ab", "ab", 4), (2, "c", "d", 2)]
+
+
+def test_train_bpe_tie_breaks_lexically(spark):
+    from maap_data_pipelines_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame([(1, "xy xy yx yx")], ["doc_id", "text"])
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in train_bpe(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    # (x,y) and (y,x) both have count 2 -> lexical tie-break picks (x,y)
+    assert got == [(0, "x", "y", 2), (1, "y", "x", 2)]
+
+
+def test_train_bpe_deterministic_under_repartition(spark):
+    from maap_data_pipelines_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "roll roll rock rock row") for i in range(6)], ["doc_id", "text"]
+    )
+    a = [tuple(r) for r in train_bpe(docs, n_merges=5).orderBy("merge_rank").collect()]
+    b = [
+        tuple(r)
+        for r in train_bpe(docs.repartition(5), n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert a == b and len(a) >= 2

@@ -190,3 +190,12 @@ def test_stream_upsert_into_versioned_table(spark, tmp_path):
     q3 = start_stream_upsert(stream, t, key="k", checkpoint_dir=str(tmp_path / "cp"), order_col="seq")
     q3.awaitTermination(120)
     assert t.latest_version() == v_before
+
+
+def test_compact_preserves_meta(spark, tmp_path):
+    """Compaction changes layout, not content — commit meta carries over."""
+    t = VersionedTable(str(tmp_path / "m"))
+    t.commit(spark.range(3), meta={"batch_id": 7})
+    t.compact(spark)
+    assert t.latest_meta() == {"batch_id": 7}
+    assert t.read(spark).count() == 3
