@@ -84,6 +84,8 @@ _BNLJ_ALLOWED = {
     "source_lang_drift",
     # single-row vocab-size broadcast feeding the smoothing denominator
     "doc_perplexity",
+    # single-row graph-stats x single-row triangle-count cross (1x1)
+    "dedup_triangles",
 }
 
 
