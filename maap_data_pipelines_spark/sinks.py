@@ -353,6 +353,7 @@ def apply_item_changes(
     changes: DataFrame,
     endpoint: str,
     transport: Callable[[str, str, str | None], int] = dry_run_crud_transport,
+    resource: str = "items",
 ) -> DataFrame:
     """Apply a CRUD change plan; return one receipt row per change.
 
@@ -362,6 +363,12 @@ def apply_item_changes(
     one item like the reference scripts' per-file loop, but the loop runs
     distributed (parallelism == partition count) and failures surface as
     receipt rows — ordinary dataflow to filter and retry, not stdout.
+
+    ``resource`` switches the REST noun: the same plan/apply machinery
+    serves collection CRUD (scripts/collection.py:31-66 POSTs
+    /collections and DELETEs /collections/{id}) — pair with
+    ``plan_item_changes(..., id_col="collection_id",
+    json_col="collection_json")`` for the collection differ.
 
     Output: (item_id, op, status).
     """
@@ -375,7 +382,9 @@ def apply_item_changes(
             for item_id, op, doc in zip(
                 pdf["item_id"], pdf["op"], pdf["item_json"]
             ):
-                rel = "/items" if op == "insert" else f"/items/{item_id}"
+                rel = (
+                    f"/{resource}" if op == "insert" else f"/{resource}/{item_id}"
+                )
                 # base_url.rstrip('/') + '/' + path.lstrip('/') — the
                 # reference's URL join (scripts/api.py:77-79)
                 path = endpoint.rstrip("/") + rel

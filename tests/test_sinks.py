@@ -272,3 +272,45 @@ def test_compact_parquet_dir_one_file_per_bin(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 1200
     assert {r.id for r in back.select("id").collect()} == set(range(1200))
+
+
+def test_collection_crud_via_generic_differ(spark):
+    """scripts/collection.py parity: same differ, /collections resource."""
+    from maap_data_pipelines_spark.sinks import (
+        apply_item_changes,
+        plan_item_changes,
+    )
+
+    desired = spark.createDataFrame(
+        [("c1", '{"id": "c1", "title": "A"}'), ("c2", '{"id": "c2"}')],
+        ["collection_id", "collection_json"],
+    )
+    current = spark.createDataFrame(
+        [("c2", '{"id": "c2", "stale": true}'), ("c3", '{"id": "c3"}')],
+        ["collection_id", "collection_json"],
+    )
+    plan = plan_item_changes(
+        desired, current, id_col="collection_id", json_col="collection_json"
+    )
+    ops = {r.item_id: r.op for r in plan.collect()}
+    assert ops == {"c1": "insert", "c2": "update", "c3": "delete"}
+
+    # the transport verifies the REST mapping executor-side and encodes
+    # the verdict in the receipt status (closures can't report back)
+    def transport(method, url, body):
+        want = {
+            "POST": ("https://api.example/stac/collections", True),
+            "PUT": ("https://api.example/stac/collections/c2", True),
+            "DELETE": ("https://api.example/stac/collections/c3", False),
+        }
+        u, has_body = want[method]
+        return 200 if (url == u and (body is not None) == has_body) else 500
+
+    receipts = apply_item_changes(
+        plan, "https://api.example/stac", transport, resource="collections"
+    ).collect()
+    assert {(r.item_id, r.op, r.status) for r in receipts} == {
+        ("c1", "insert", 200),
+        ("c2", "update", 200),
+        ("c3", "delete", 200),
+    }

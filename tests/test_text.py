@@ -115,3 +115,32 @@ def test_doc_perplexity_hand_computed(spark):
     expect = (math.log(7 / 3) + math.log(6 / 2) + math.log(7 / 3)) / 3
     assert abs(d1.avg_nll - round(expect, 6)) < 1e-9
     assert abs(d1.ppl - round(math.exp(expect), 6)) < 1e-9
+
+
+def test_sentence_windows_udtf_sql_lateral(spark):
+    """UDTF surface: SQL-callable table function with lateral correlation."""
+    from maap_data_pipelines_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a one. b two. c three. d four. e five"), (2, "solo")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT s.doc_id, s.win_id, s.start_sent, s.text
+        FROM udtf_docs, LATERAL sentence_windows(doc_id, text) s
+        ORDER BY s.doc_id, s.win_id
+        """
+    ).collect()
+    got = [(r.doc_id, r.win_id, r.start_sent, r.text) for r in rows]
+    assert got == [
+        (1, 0, 0, "a one. b two. c three"),
+        (1, 1, 2, "c three. d four. e five"),
+        (2, 0, 0, "solo"),
+    ]
+    # every sentence of doc 1 is covered by at least one window
+    covered = set()
+    for _, _, start, text in got:
+        covered.update(range(start, start + len(text.split(". "))))
+    assert covered >= {0, 1, 2, 3, 4}
