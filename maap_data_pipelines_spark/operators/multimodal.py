@@ -251,3 +251,121 @@ def media_metadata_summary(media: DataFrame) -> DataFrame:
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
     )
+
+
+# -- perceptual-hash near-dup (aHash over payload bytes) -------------------
+
+PHASH_BITS = 60  # 4 x 15-bit pieces; bit 63 stays clear of the sign bit
+PHASH_PIECES = 4
+PHASH_PIECE_BITS = 15
+PHASH_MAX_HAMMING = 3
+
+
+def media_phash_dedup(media: DataFrame) -> DataFrame:
+    """Perceptual near-dup pairs over media payloads: average-hash + blocking.
+
+    The multimodal rung of the dedup family: an aHash-style signature —
+    60 byte positions sampled at fixed fractions of the payload, bit i
+    set iff sample_i >= payload mean — is invariant to the re-encodes
+    that break exact hashing (appended metadata shifts bytes little;
+    identical payloads collide exactly). The mean comparison is exact
+    integer cross-multiplication (b * n >= total), no division.
+
+    Near-dup candidates come from SimHash-style pigeonhole blocking:
+    4 x 15-bit pieces, pairs sharing >= 1 piece (complete for Hamming <=
+    3 by pigeonhole), verified by bit_count(xor) — every stage an
+    equi-join or map, nothing corpus-quadratic. Signatures ride the
+    piece rows so verification needs no re-join (the MinHash lesson).
+
+    Stub reality: payloads are the documents' utf-8 bytes (see
+    make_media_df), so the oracle reproduces the hash byte-for-byte via
+    the ASCII char==byte identity.
+    """
+    base = (
+        media.select(
+            "doc_id", F.decode(F.col("payload"), "utf-8").alias("s")
+        )
+        .withColumn("n", F.length("s").cast("long"))
+        .filter(F.col("n") >= 1)
+    )
+    tot = (
+        base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
+            "s",
+        )
+        .select("doc_id", F.ascii(F.expr("substring(s, p, 1)")).cast("long").alias("b"))
+        .groupBy("doc_id")
+        .agg(F.sum("b").alias("total"))
+    )
+    bits = (
+        base.select(
+            "doc_id",
+            "s",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(PHASH_BITS - 1))).alias("i"),
+        )
+        .withColumn("p", (F.lit(1) + F.expr("(i * n) div 60")).cast("int"))
+        .withColumn("b", F.ascii(F.expr("substring(s, p, 1)")).cast("long"))
+        .join(tot, "doc_id")
+        .withColumn(
+            "bit",
+            F.when(
+                F.col("b") * F.col("n") >= F.col("total"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), i)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("phash"))
+        .localCheckpoint()  # consumed by both sides of the piece self-join
+    )
+    pieces = bits.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_PIECES - 1))).alias("k"),
+    ).withColumn(
+        "piece", F.expr(f"(phash >> (k * {PHASH_PIECE_BITS})) & 32767")
+    )
+    a = pieces.select(
+        "k", "piece", F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha")
+    )
+    b = pieces.select(
+        "k", "piece", F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb")
+    )
+    return (
+        a.join(b, ["k", "piece"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
+MEDIA_PHASH_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text AS s, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE length(text) >= 1
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(ascii(substring(s, CAST(p AS INT), 1))) AS BIGINT) AS total
+  FROM base, UNNEST(generate_series(1, CAST(n AS INT))) AS g(p)
+  GROUP BY doc_id
+),
+bits AS (
+  SELECT b.doc_id,
+         CAST(SUM(CASE WHEN CAST(ascii(substring(b.s, CAST(1 + (g.i * b.n) // 60 AS INT), 1)) AS BIGINT) * b.n >= t.total
+                       THEN (CAST(1 AS BIGINT) << CAST(g.i AS INT)) ELSE 0 END) AS BIGINT) AS phash
+  FROM base b JOIN tot t USING (doc_id),
+       UNNEST(generate_series(0, {PHASH_BITS - 1})) AS g(i)
+  GROUP BY b.doc_id
+),
+pieces AS (
+  SELECT doc_id, phash, k,
+         (phash >> CAST(k * {PHASH_PIECE_BITS} AS INT)) & 32767 AS piece
+  FROM bits, UNNEST(generate_series(0, {PHASH_PIECES - 1})) AS gk(k)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM pieces a JOIN pieces b ON a.k = b.k AND a.piece = b.piece AND a.doc_id < b.doc_id
+WHERE CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) <= {PHASH_MAX_HAMMING}
+"""

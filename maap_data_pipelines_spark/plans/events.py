@@ -943,9 +943,66 @@ GROUP BY 1
 """
 
 
+
+
+PATHS_TOPK = 10
+
+
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step behavior paths (a -> b -> c) across user timelines.
+
+    Second-order sequence mining on top of the transition matrix's
+    first-order view: two lags over the same per-user ordered window
+    (ONE shuffle serves both — Spark evaluates same-window functions in
+    one pass), count each (a, b, c) type trigram, keep the global top-10
+    via TakeOrderedAndProject (count desc, then path lexically — total
+    determinism). The trigram key space is |types|^3, so the count agg
+    map-side-combines to a constant-size shuffle at any event volume.
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tri = (
+        ev.withColumn("b", F.lag("event_type", 1).over(w))
+        .withColumn("a", F.lag("event_type", 2).over(w))
+        .filter(F.col("a").isNotNull())
+        .groupBy("a", "b", F.col("event_type").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    return (
+        tri.orderBy(F.desc("n_paths"), "a", "b", "c")
+        .limit(PATHS_TOPK)
+        .withColumn("rnk", F.row_number().over(
+            Window.orderBy(F.desc("n_paths"), "a", "b", "c")
+        ).cast("long"))
+    )
+
+
+USER_PATHS_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+t AS (
+  SELECT LAG(event_type, 2) OVER w AS a,
+         LAG(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+tri AS (
+  SELECT a, b, c, COUNT(*) AS n_paths FROM t WHERE a IS NOT NULL GROUP BY a, b, c
+)
+SELECT a, b, c, n_paths,
+       row_number() OVER (ORDER BY n_paths DESC, a, b, c) AS rnk
+FROM tri
+ORDER BY n_paths DESC, a, b, c
+LIMIT {PATHS_TOPK}
+"""
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "events_transition_matrix": events_transition_matrix,
+    "events_user_paths": events_user_paths,
     "events_sliding_trend": events_sliding_trend,
     "events_hourly_rollup": events_hourly_rollup,
     "events_hourly_anomaly": events_hourly_anomaly,
@@ -968,6 +1025,7 @@ QUERIES = {
 ORACLES = {
     "events_attribution_latency": ATTRIBUTION_LATENCY_SQL,
     "events_transition_matrix": TRANSITION_MATRIX_SQL,
+    "events_user_paths": USER_PATHS_SQL,
     "events_sliding_trend": SLIDING_TREND_SQL,
     "events_hourly_rollup": HOURLY_SQL,
     "events_hourly_anomaly": ANOMALY_SQL,

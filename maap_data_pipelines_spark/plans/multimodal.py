@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
+    MEDIA_PHASH_DEDUP_SQL,
+    media_phash_dedup,
     AUDIO_HOP_BYTES,
     AUDIO_WINDOW_BYTES,
     FRAME_BYTES,
@@ -128,8 +130,14 @@ FROM w
 """
 
 
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return media_phash_dedup(make_media_df(docs))
+
+
 QUERIES = {
     "media_metadata": media_metadata,
+    "media_phash_dedup": media_phash,
     "media_features": media_features,
     "media_frame_sample": media_frame_sample,
     "media_resize": media_resize,
@@ -142,4 +150,5 @@ ORACLES = {
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "media_audio_windows": MEDIA_AUDIO_WINDOWS_SQL,
+    "media_phash_dedup": MEDIA_PHASH_DEDUP_SQL,
 }

@@ -89,3 +89,40 @@ def test_audio_windows_overlap_and_truncation(spark):
     assert set(rows) == {(1, 0), (1, 1)}
     assert rows[(1, 0)].window_sum == 128 * ord("a")
     assert rows[(1, 1)].window_peak == ord("a")
+
+
+def test_media_phash_dedup_crafted_pairs(spark):
+    """Identical payloads -> hamming 0; heavy edits -> no candidate pair."""
+    from maap_data_pipelines_spark.operators.multimodal import (
+        make_media_df,
+        media_phash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    other = "completely different content with other words entirely " * 4
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in media_phash_dedup(make_media_df(docs)).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical payloads collide exactly
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_media_phash_survives_small_perturbation(spark):
+    """aHash robustness: a one-char substitution stays within Hamming 3."""
+    from maap_data_pipelines_spark.operators.multimodal import (
+        make_media_df,
+        media_phash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    tweaked = base.replace("lazy", "hazy", 1)  # same length, 1 char differs
+    docs = spark.createDataFrame([(1, base), (2, tweaked)], ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in media_phash_dedup(make_media_df(docs)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
