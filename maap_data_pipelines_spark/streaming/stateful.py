@@ -126,3 +126,66 @@ def streaming_sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# -- transformWithStateInPandas (Spark 4 arbitrary-state API) --------------
+
+
+def user_lifetime_totals(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Continuously-maintained per-user lifetime stats via transformWithState.
+
+    The Spark 4 successor to applyInPandasWithState: typed state handles
+    (ValueState here; List/Map state and timers exist) that survive
+    across micro-batches in the state store. Each batch folds its rows
+    into the user's running (n_events, total_cents) and emits the
+    UPDATED row — a continuously-maintained aggregate whose state is one
+    tiny row per user, the streaming complement of the batch RFM rollup.
+
+    Requires the RocksDB state store provider (set by the caller/test:
+    ``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the transformWithState control channel is
+    proto-encoded; absent in this container, so the test skips there —
+    the cogify/GDAL pattern: real API usage, honest environment gate).
+    Cents stay exact integers end-to-end.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    import pandas as pd
+
+    from .rollup import EVENT_SCHEMA
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, total_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, cents = self._state.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                # per-event cents rounding (the engine-wide convention),
+                # never round a batch sum — that drifts across batching
+                cents += int(pdf["value"].map(lambda v: round(v * 100)).sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(source_dir)
+        .select("user_id", "value")
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -147,3 +147,30 @@ def test_sql_and_dataframe_frontends_agree(spark, sf_dir):
         )
     }
     assert sql_rows == df_rows and sql_rows
+
+
+def test_join_strategy_hints_agree(spark, sf_dir):
+    """Strategy coverage: the same equi-join under broadcast / shuffle-hash /
+    merge hints produces identical results, and each hint is honored —
+    the knob used when AQE's default pick is wrong for a known workload."""
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+
+    def run(hint):
+        r = lineitem.join(
+            orders.hint(hint), lineitem.l_orderkey == orders.o_orderkey
+        )
+        plan = r._jdf.queryExecution().executedPlan().toString()
+        return r.count(), plan
+
+    n_b, p_b = run("broadcast")
+    n_h, p_h = run("shuffle_hash")
+    n_m, p_m = run("merge")
+    assert n_b == n_h == n_m > 0
+    assert "BroadcastHashJoin" in p_b
+    assert "ShuffledHashJoin" in p_h
+    assert "SortMergeJoin" in p_m

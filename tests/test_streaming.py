@@ -582,3 +582,76 @@ def test_live_rollup_pipeline_incremental_and_exactly_once(spark, tmp_path):
     assert apply_rollup_batch(t, batch, last_applied + 1) is True
     got3 = {(r.hour.isoformat(), r.event_type): r.n_events for r in t.read(spark).collect()}
     assert got3[("2024-01-01T03:00:00", "view")] == 1
+
+
+def test_transform_with_state_lifetime_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: typed state across micro-batches."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's control channel is proto-encoded; "
+        "protobuf is not installed in this container",
+    )
+    from maap_data_pipelines_spark.streaming.stateful import user_lifetime_totals
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "tws_landing"
+        src.mkdir()
+        out = tmp_path / "tws_out"
+        cp = str(tmp_path / "tws_cp")
+        _write_events(
+            src / "b1.json",
+            [
+                {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view", "value": 1.25, "props": "{}"},
+                {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "view", "value": 2.00, "props": "{}"},
+                {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 2, "event_type": "view", "value": 0.50, "props": "{}"},
+            ],
+        )
+        q = (
+            user_lifetime_totals(spark, str(src))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        # second batch: user 1 buys again — state must carry the old total
+        _write_events(
+            src / "b2.json",
+            [
+                {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "purchase", "value": 10.00, "props": "{}"},
+            ],
+        )
+        q2 = (
+            user_lifetime_totals(spark, str(src))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+
+        rows = spark.read.parquet(str(out)).collect()
+        # latest emission per user reflects lifetime totals
+        latest = {}
+        for r in rows:
+            latest.setdefault(r.user_id, []).append((r.n_events, r.total_cents))
+        assert (3, 1325) in latest[1]  # 125 + 200 + 1000 after batch 2
+        assert (2, 325) in latest[1]  # after batch 1
+        assert latest[2] == [(1, 50)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
