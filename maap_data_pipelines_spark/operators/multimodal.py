@@ -280,6 +280,12 @@ def media_phash_dedup(media: DataFrame) -> DataFrame:
     Stub reality: payloads are the documents' utf-8 bytes (see
     make_media_df), so the oracle reproduces the hash byte-for-byte via
     the ASCII char==byte identity.
+
+    Scale dial: piece width sets candidate volume — near-uniform hash
+    bits mean ~N/2^15 docs per 15-bit bucket, right for ~1e6-doc shards;
+    at billions of payloads widen the pieces (raise PHASH_BITS and
+    PHASH_PIECE_BITS together) to hold bucket sizes, and thus the
+    verify-join's fan-in, constant.
     """
     base = (
         media.select(

@@ -579,6 +579,64 @@ WINDOW win AS (
 """
 
 
+
+
+DECILE_N = 10
+
+
+def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order-value deciles via ntile: the equi-height histogram.
+
+    ntile(10) over a totally-ordered window (price, then orderkey — no
+    tie ambiguity) assigns each order its within-segment decile; the
+    rollup then reports each decile's row count and exact cent bounds —
+    the distribution summary a pricing dashboard bins by. One shuffle on
+    the segment key; ntile is a single-pass rank computation, and the
+    per-decile agg map-side-combines to segments x 10 rows.
+    """
+    from pyspark.sql.window import Window
+
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("price_cents", "o_orderkey")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .withColumn("decile", F.ntile(DECILE_N).over(w).cast("long"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("price_cents").alias("min_cents"),
+            F.max("price_cents").alias("max_cents"),
+        )
+    )
+
+
+ORDERS_VALUE_DECILES_SQL = f"""
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+t AS (
+  SELECT c_mktsegment, price_cents,
+         CAST(ntile({DECILE_N}) OVER (PARTITION BY c_mktsegment
+              ORDER BY price_cents, o_orderkey) AS BIGINT) AS decile
+  FROM j
+)
+SELECT c_mktsegment, decile,
+       COUNT(*) AS n_orders,
+       MIN(price_cents) AS min_cents,
+       MAX(price_cents) AS max_cents
+FROM t GROUP BY c_mktsegment, decile
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -592,6 +650,7 @@ QUERIES = {
     "order_cohort_retention": order_cohort_retention,
     "orders_running_revenue": orders_running_revenue,
     "orders_trailing_year": orders_trailing_year,
+    "orders_value_deciles": orders_value_deciles,
     "revenue_concentration": revenue_concentration,
 }
 
@@ -608,5 +667,6 @@ ORACLES = {
     "order_cohort_retention": COHORT_SQL,
     "orders_running_revenue": RUNNING_REVENUE_SQL,
     "orders_trailing_year": ORDERS_TRAILING_YEAR_SQL,
+    "orders_value_deciles": ORDERS_VALUE_DECILES_SQL,
     "revenue_concentration": REVENUE_CONCENTRATION_SQL,
 }
