@@ -660,7 +660,7 @@ def search_ivf_index(
     )
 
 
-def ann_ivf_topk(emb: DataFrame, nprobe: int = 1) -> DataFrame:
+def ann_ivf_topk(emb: DataFrame, nprobe: int = 1, cents: DataFrame | None = None) -> DataFrame:
     """IVF-style ANN: coarse quantize into cells, search the query's cell.
 
     Deterministic coarse quantizer: the first IVF_K vectors (vec_id <
@@ -681,7 +681,8 @@ def ann_ivf_topk(emb: DataFrame, nprobe: int = 1) -> DataFrame:
     # assignment — recompute-on-the-pruned-subset beats materializing the
     # corpus-wide assignment twice, and the candidate branch stays a
     # single full pass.
-    cents = ivf_centroids(emb)
+    if cents is None:
+        cents = ivf_centroids(emb)
     c = ivf_assign(emb, cents).select(
         "vec_id", F.col("embedding").alias("ce"), "cell"
     )

@@ -135,17 +135,10 @@ def _update(assigned: DataFrame) -> DataFrame:
     return sums.select("cid", cv.alias("cv"))
 
 
-def _final_assignment(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
-    """Lloyd's algorithm, ``iters`` fixed rounds; returns (vec_id, cid, dist).
-
-    The quantized corpus is localCheckpoint-ed once; every iteration is
-    ONE distributed job: map-pass assignment (UDF closed over the
-    collected centroids) + the K x 64-cell update shuffle, then the K
-    new centroid rows return to the driver — the MLlib iteration shape,
-    where per-round synchronization cost is K rows regardless of corpus
-    size. The returned final assignment is lazy (no collect of anything
-    corpus-sized anywhere).
-    """
+def _lloyd_centroids(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Run Lloyd's rounds; return (checkpointed quantized corpus, centroids)."""
     q = emb.select(
         "vec_id", quantize_udf(F.col("embedding")).alias("qv")
     ).localCheckpoint()
@@ -159,6 +152,21 @@ def _final_assignment(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> D
         cents = sorted(
             (r.cid, list(r.cv)) for r in _update(_assign(q, cents)).collect()
         )
+    return q, cents
+
+
+def _final_assignment(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Lloyd's algorithm, ``iters`` fixed rounds; returns (vec_id, cid, dist).
+
+    The quantized corpus is localCheckpoint-ed once; every iteration is
+    ONE distributed job: map-pass assignment (UDF closed over the
+    collected centroids) + the K x 64-cell update shuffle, then the K
+    new centroid rows return to the driver — the MLlib iteration shape,
+    where per-round synchronization cost is K rows regardless of corpus
+    size. The returned final assignment is lazy (no collect of anything
+    corpus-sized anywhere).
+    """
+    q, cents = _lloyd_centroids(emb, k=k, iters=iters)
     return _assign(q, cents, with_dist=True).select("vec_id", "cid", "dist")
 
 
@@ -291,3 +299,121 @@ QUERY_SQL = {
     "embedding_kmeans": EMBEDDING_KMEANS_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
 }
+
+
+# -- learned-centroid IVF (k-means quantizer instead of first-K) -----------
+
+
+def kmeans_centroids(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """The learned coarse quantizer: Lloyd centroids as float vectors.
+
+    Micro-unit int64 centroids scale back to doubles (v / 1e6 — the
+    identical IEEE division the oracle performs on cv[i] / 1000000.0),
+    shaped like :func:`ann.ivf_centroids`'s (centroid_id, cemb) so the
+    whole IVF machinery (assignment, persisted layout, search, recall
+    monitors) runs on the LEARNED quantizer unchanged. K rows build
+    driver-side from the collected centroids.
+    """
+    spark = emb.sparkSession
+    _, cents = _lloyd_centroids(emb, k=k, iters=iters)
+    rows = [(cid, [v / 1e6 for v in cv]) for cid, cv in cents]
+    return spark.createDataFrame(rows, "centroid_id long, cemb array<double>")
+
+
+def ann_ivf_kmeans_topk(emb: DataFrame) -> DataFrame:
+    """IVF search over the k-means-learned quantizer (nprobe=1).
+
+    The production upgrade of ann_ivf_topk's deterministic first-K
+    quantizer: data-adapted cells balance list sizes and tighten cell
+    boundaries; same assignment, ranking, and tie rules.
+    """
+    from .ann import ann_ivf_topk
+
+    return ann_ivf_topk(emb, nprobe=1, cents=kmeans_centroids(emb))
+
+
+def ann_ivf_kmeans_recall(emb: DataFrame) -> DataFrame:
+    """Recall@5 of the learned-quantizer IVF vs brute truth, per query."""
+    from .ann import IVF_TOPK, ann_cosine_topk
+
+    truth = ann_cosine_topk(emb).filter(F.col("rnk") <= IVF_TOPK).select(
+        "query_id", "vec_id"
+    )
+    approx = ann_ivf_kmeans_topk(emb).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return (
+        truth.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(n_hits.alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / IVF_TOPK, 6))
+    )
+
+
+def _scaled_cents_sql() -> str:
+    scaled = ", ".join(f"cv[{i}] / 1000000.0" for i in range(1, EMBED_DIM + 1))
+    return (
+        f"cents AS (SELECT cid AS centroid_id, [{scaled}] AS cemb "
+        f"FROM c{KM_ITERS})"
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    from .ann import IVF_TOPK, N_QUERIES
+
+    return f"""
+{_kmeans_ctes()},
+{_scaled_cents_sql()},
+iscored AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         ROUND({cosine_sql('e.embedding', 'c.cemb')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+iassigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell
+  FROM iscored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) = 1
+),
+iq AS (
+  SELECT vec_id AS query_id, embedding AS qe, centroid_id AS cell
+  FROM iscored WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) <= 1
+),
+ipairs AS (
+  SELECT iq.query_id, c.vec_id,
+         ROUND({cosine_sql('iq.qe', 'c.embedding')}, 6) AS cosine
+  FROM iassigned c JOIN iq USING (cell)
+  WHERE c.vec_id <> iq.query_id
+)
+SELECT query_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+FROM ipairs
+QUALIFY rnk <= {IVF_TOPK}
+"""
+
+
+def _ivf_kmeans_recall_sql() -> str:
+    from .ann import ANN_COSINE_TOPK_SQL, IVF_TOPK
+
+    return f"""
+WITH brute AS (
+  SELECT query_id, vec_id FROM ({ANN_COSINE_TOPK_SQL}) WHERE rnk <= {IVF_TOPK}
+),
+appr AS (
+  SELECT query_id, vec_id, 1 AS hit FROM ({_ivf_kmeans_sql()})
+)
+SELECT b.query_id,
+       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) / {IVF_TOPK}, 6) AS recall
+FROM brute b LEFT JOIN appr a ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+GROUP BY b.query_id
+"""
+
+
+QUERY_SQL.update(
+    {
+        "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
+        "ann_ivf_kmeans_recall": _ivf_kmeans_recall_sql(),
+    }
+)

@@ -135,6 +135,8 @@ QUERIES = {
     "ann_ivf_recall2": _emb_plan(ann.ann_ivf_recall2),
     "embedding_kmeans": _emb_plan(kmeans.embedding_kmeans),
     "semantic_dedup": _emb_plan(kmeans.semantic_dedup),
+    "ann_ivf_kmeans_topk": _emb_plan(kmeans.ann_ivf_kmeans_topk),
+    "ann_ivf_kmeans_recall": _emb_plan(kmeans.ann_ivf_kmeans_recall),
 }
 
 ORACLES = {
