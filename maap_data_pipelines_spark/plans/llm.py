@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import ann, dedup, kmeans, text
+from ..operators import ann, dedup, kmeans, pq, text
 from ..sources.catalog import read_table
 
 
@@ -137,11 +137,17 @@ QUERIES = {
     "semantic_dedup": _emb_plan(kmeans.semantic_dedup),
     "ann_ivf_kmeans_topk": _emb_plan(kmeans.ann_ivf_kmeans_topk),
     "ann_ivf_kmeans_recall": _emb_plan(kmeans.ann_ivf_kmeans_recall),
+    "ann_l2_topk": _emb_plan(pq.ann_l2_topk),
+    "ann_pq_topk": _emb_plan(pq.ann_pq_topk),
+    "ann_pq_recall": _emb_plan(pq.ann_pq_recall),
+    "ann_pq_rerank": _emb_plan(pq.ann_pq_rerank),
+    "ann_pq_rerank_recall": _emb_plan(pq.ann_pq_rerank_recall),
 }
 
 ORACLES = {
     **dedup.QUERY_SQL,
     **ann.QUERY_SQL,
     **kmeans.QUERY_SQL,
+    **pq.QUERY_SQL,
     "corpus_curation": CORPUS_CURATION_SQL,
 }
