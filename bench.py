@@ -107,6 +107,14 @@ HEADLINE = [
     "events_attribution_latency",
     # integer-exact Lloyd's k-means (iterative; driver-sync per round)
     "embedding_kmeans",
+    # round-3 breadth: IR cosine retrieval, path mining, RANGE frame,
+    # ntile histogram, perceptual media dedup, candidate-graph census
+    "doc_cosine_topk",
+    "events_user_paths",
+    "orders_trailing_year",
+    "orders_value_deciles",
+    "media_phash_dedup",
+    "dedup_triangles",
 ]
 
 

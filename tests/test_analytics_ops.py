@@ -246,3 +246,51 @@ def test_transition_matrix_probabilities_sum_to_one(spark, sf_dir):
         .collect()
     )
     assert sums and all(abs(r.s - 1.0) <= 0.002 for r in sums)  # 6dp rounding
+
+
+def test_grouped_agg_pandas_udaf_matches_declarative(spark, sf_dir):
+    """API surface: grouped-agg pandas UDAF (Arrow partial aggregation).
+
+    The engine's production path for per-group quantiles is the
+    declarative count-distribution form (orders_price_quantiles — no
+    per-group collection); this pins that a GROUPED_AGG pandas_udf
+    computes the same lower-median, documenting the escape hatch for
+    aggregations Spark's builtins genuinely cannot express.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def lower_median(v):
+        s = v.sort_values().reset_index(drop=True)
+        return int(s[(len(s) - 1) // 2])
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    got = {
+        r.o_orderpriority: r.med
+        for r in orders.groupBy("o_orderpriority")
+        .agg(lower_median("cents").alias("med"))
+        .collect()
+    }
+    # reference: exact lower-median computed declaratively per group
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("cents")
+    ref = {
+        r.o_orderpriority: r.cents
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
+        .collect()
+    }
+    assert got == ref and len(got) == 5
