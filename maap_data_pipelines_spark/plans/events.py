@@ -999,10 +999,40 @@ LIMIT {PATHS_TOPK}
 """
 
 
+
+def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew toolkit under the oracle gate: salted two-phase rollup.
+
+    Per-type cents total + row count via salted_sum_count — the hot-key
+    decomposition (phase 1 over (key, salt) spreads one pathological
+    key across 16 reducers; phase 2 re-aggregates 16 tiny partials per
+    key). The oracle is the PLAIN GROUP BY: the salted plan must be
+    value-identical to the unsalted aggregate under the driver's hash,
+    which is the whole point — salting changes the partitioning, never
+    the result.
+    """
+    from ..operators.skew import salted_sum_count
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return salted_sum_count(ev, key="event_type", value="cents")
+
+
+EVENTS_SALTED_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total,
+       COUNT(*) AS n_rows
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "events_transition_matrix": events_transition_matrix,
     "events_user_paths": events_user_paths,
+    "events_salted_rollup": events_salted_rollup,
     "events_sliding_trend": events_sliding_trend,
     "events_hourly_rollup": events_hourly_rollup,
     "events_hourly_anomaly": events_hourly_anomaly,
@@ -1026,6 +1056,7 @@ ORACLES = {
     "events_attribution_latency": ATTRIBUTION_LATENCY_SQL,
     "events_transition_matrix": TRANSITION_MATRIX_SQL,
     "events_user_paths": USER_PATHS_SQL,
+    "events_salted_rollup": EVENTS_SALTED_ROLLUP_SQL,
     "events_sliding_trend": SLIDING_TREND_SQL,
     "events_hourly_rollup": HOURLY_SQL,
     "events_hourly_anomaly": ANOMALY_SQL,
