@@ -912,8 +912,45 @@ def _bloom_sql() -> str:
     return bloom_membership_sql("orders", "o_custkey", "customer", "c_custkey")
 
 
+
+def lineitem_salted_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replicated skew join under the oracle gate: revenue by part brand.
+
+    lineitem (big, potentially hot part keys) joins part via
+    ``replicated_skew_join`` — the build side replicates n_salt-fold so
+    the probe side's hot key scatters across n_salt reducers (the
+    AQE-less skew-join answer, e.g. for streaming micro-batches where
+    AQE cannot replan). The oracle is the PLAIN inner join + GROUP BY:
+    the decomposition must be row-identical under the value hash.
+    """
+    from ..operators.skew import replicated_skew_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = replicated_skew_join(li, part, key="partkey")
+    return joined.groupBy("p_brand").agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+LINEITEM_SALTED_PART_REVENUE_SQL = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 QUERIES = {
     "orders_scd2": orders_scd2,
+    "lineitem_salted_part_revenue": lineitem_salted_part_revenue,
     "orders_zorder_layout": orders_zorder_layout,
     "orders_rfm": orders_rfm,
     "doc_split_assign": doc_split_assign,
@@ -935,6 +972,7 @@ QUERIES = {
 
 ORACLES = {
     "orders_scd2": ORDERS_SCD2_SQL,
+    "lineitem_salted_part_revenue": LINEITEM_SALTED_PART_REVENUE_SQL,
     "orders_zorder_layout": ZORDER_LAYOUT_SQL,
     "orders_rfm": ORDERS_RFM_SQL,
     "doc_split_assign": DOC_SPLIT_SQL,
