@@ -86,6 +86,15 @@ _BNLJ_ALLOWED = {
     "doc_perplexity",
     # single-row graph-stats x single-row triangle-count cross (1x1)
     "dedup_triangles",
+    # integer-L2 brute truth (same documented baseline class as
+    # ann_cosine_topk) and the PQ recall monitors that compose it
+    "ann_l2_topk",
+    "ann_pq_recall",
+    "ann_pq_rerank_recall",
+    # K-centroid broadcast cross of ivf_assign (bounded x K build side),
+    # same shape as the allow-listed ann_ivf_topk
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_recall",
 }
 
 
