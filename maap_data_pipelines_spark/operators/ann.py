@@ -822,3 +822,74 @@ QUERY_SQL = {
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "ann_ivf_recall2": ANN_IVF_RECALL2_SQL,
 }
+
+
+# -- semantic decontamination (eval-vs-corpus, bucket-blocked) -------------
+
+DECON_EVAL_N = 50
+DECON_COS = 0.3  # review bar, calibrated to the synthetic corpus (see docstring)
+DECON_PLANES = 8
+
+
+def semantic_decontaminate(emb: DataFrame) -> DataFrame:
+    """Semantic eval-set contamination audit over embeddings.
+
+    The embedding-space twin of the 5-gram ``decontaminate`` operator:
+    n-gram overlap misses PARAPHRASED benchmark leakage, which lives in
+    embedding space. The held-out slice (vec_id < DECON_EVAL_N — the
+    same fixed-slice convention as the n-gram op) broadcasts against
+    the corpus through an 8-plane hyperplane-bucket equi-join (2^8
+    buckets; candidates ~ |corpus| x |eval| / 256, never the full cross
+    product), then exact cosine >= DECON_COS verifies. Output: one row
+    per CONTAMINATED corpus vector — (vec_id, n_eval_matches,
+    max_cosine) — the removal/review list. The cosine bar is a
+    per-corpus calibration (0.3 here: these synthetic embeddings top
+    out ~0.35 across the eval boundary; production sets it from a
+    labeled paraphrase sample).
+
+    Scale: the eval side is small by definition (broadcast); the corpus
+    side's bucket signature is one Arrow map pass; plane count is the
+    candidate-volume dial (more planes = fewer, tighter buckets).
+    """
+    sig = sig_udf(DECON_PLANES)
+    ev = emb.filter(F.col("vec_id") < DECON_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ee"),
+        sig(F.col("embedding")).alias("b"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= DECON_EVAL_N).select(
+        "vec_id", F.col("embedding").alias("ce"), sig(F.col("embedding")).alias("b")
+    )
+    pairs = corpus.join(F.broadcast(ev), "b").select(
+        "vec_id",
+        "eval_id",
+        F.round(cosine_udf(F.col("ce"), F.col("ee")), 6).alias("cos"),
+    ).filter(F.col("cos") >= DECON_COS)
+    return pairs.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("cos").alias("max_cosine"),
+    )
+
+
+SEMANTIC_DECONTAMINATE_SQL = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS ee,
+         {bucket_sql('embedding', DECON_PLANES)} AS b
+  FROM embeddings WHERE vec_id < {DECON_EVAL_N}
+),
+corpus AS (
+  SELECT vec_id, embedding AS ce,
+         {bucket_sql('embedding', DECON_PLANES)} AS b
+  FROM embeddings WHERE vec_id >= {DECON_EVAL_N}
+),
+pairs AS (
+  SELECT c.vec_id, e.eval_id,
+         ROUND({cosine_sql('c.ce', 'e.ee')}, 6) AS cos
+  FROM corpus c JOIN ev e USING (b)
+)
+SELECT vec_id, COUNT(*) AS n_eval_matches, MAX(cos) AS max_cosine
+FROM pairs WHERE cos >= {DECON_COS}
+GROUP BY vec_id
+"""
+
+QUERY_SQL["semantic_decontaminate"] = SEMANTIC_DECONTAMINATE_SQL
