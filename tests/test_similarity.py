@@ -119,3 +119,21 @@ def test_persisted_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     )
     assert len(probed) < ann.IVF_K  # 10 queries land in < 16 cells
     assert touched < all_files, (touched, all_files)
+
+
+def test_semantic_decontaminate_flags_paraphrase_twin(spark):
+    """A corpus vector colinear with an eval vector is flagged; an
+    orthogonal one is not (bucket blocking + cosine verify)."""
+    # eval slice = vec_id < DECON_EVAL_N; craft ids around the boundary
+    ev = _unit(0)
+    twin = [x * 0.7 for x in _unit(0)]  # cosine 1.0 with ev
+    ortho = _unit(1)
+    rows = [(0, ev), (ann.DECON_EVAL_N + 1, twin), (ann.DECON_EVAL_N + 2, ortho)]
+    out = {
+        r.vec_id: (r.n_eval_matches, r.max_cosine)
+        for r in ann.semantic_decontaminate(
+            _emb(spark, rows)
+        ).collect()
+    }
+    assert out.get(ann.DECON_EVAL_N + 1, (0,))[0] >= 1
+    assert (ann.DECON_EVAL_N + 2) not in out
