@@ -717,8 +717,59 @@ QUALIFY rnk <= {DOC_COS_TOPK}
 """
 
 
+
+def vocab_overlap(docs: DataFrame) -> DataFrame:
+    """Vocabulary overlap between two sources: the INTERSECT set-op.
+
+    The complement of ``vocab_diff``: one summary row with per-source
+    vocab sizes, the INTERSECT cardinality, and the exact vocabulary
+    Jaccard (integer counts, single division, round 6) — the corpus-
+    similarity monitor for "did these two sources converge". All three
+    cardinalities shuffle vocab-sized rows (distinct-before-set-op).
+    """
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    va = docs.filter(F.col("source") == VOCAB_SRC_A).select(word).distinct()
+    vb = docs.filter(F.col("source") == VOCAB_SRC_B).select(word).distinct()
+    common = va.intersect(vb)
+    na = va.agg(F.count(F.lit(1)).alias("n_vocab_a"))
+    nb = vb.agg(F.count(F.lit(1)).alias("n_vocab_b"))
+    nc = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nc)
+        .withColumn(
+            "vocab_jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_vocab_a") + F.col("n_vocab_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+
+
+VOCAB_OVERLAP_SQL = f"""
+WITH va AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE source = '{VOCAB_SRC_A}'
+),
+vb AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE source = '{VOCAB_SRC_B}'
+),
+c AS (SELECT term FROM va INTERSECT SELECT term FROM vb)
+SELECT (SELECT COUNT(*) FROM va) AS n_vocab_a,
+       (SELECT COUNT(*) FROM vb) AS n_vocab_b,
+       (SELECT COUNT(*) FROM c) AS n_common,
+       ROUND((SELECT COUNT(*) FROM c) /
+             ((SELECT COUNT(*) FROM va) + (SELECT COUNT(*) FROM vb)
+              - (SELECT COUNT(*) FROM c)), 6) AS vocab_jaccard
+"""
+
+
 QUERY_SQL = {
     "doc_cosine_topk": DOC_COSINE_TOPK_SQL,
+    "vocab_overlap": VOCAB_OVERLAP_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "token_stats": TOKEN_STATS_SQL,

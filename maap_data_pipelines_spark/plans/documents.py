@@ -43,6 +43,7 @@ QUERIES = {
     "bpe_token_stats": _wrap(bpe.bpe_token_stats),
     "bpe_train_merges": _wrap(bpe.train_bpe),
     "vocab_diff": _wrap(text.vocab_diff),
+    "vocab_overlap": _wrap(text.vocab_overlap),
     "fuzzy_word_pairs": _wrap(text.fuzzy_word_pairs),
     "documents_profile": documents_profile,
     "decontaminate": _wrap(curation.decontaminate),

@@ -95,6 +95,8 @@ _BNLJ_ALLOWED = {
     # same shape as the allow-listed ann_ivf_topk
     "ann_ivf_kmeans_topk",
     "ann_ivf_kmeans_recall",
+    # three single-row vocab cardinalities crossed into one summary row
+    "vocab_overlap",
 }
 
 
