@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import md5_long, md5_long_sql
+from ..operators.entity import ER_SQL, er_dirty_records, resolve_entities
 from ..functions.zorder import zorder_key, zorder_key_sql
 from ..operators.profile import profile_columns, profile_sql
 from ..sources.catalog import read_table
@@ -948,7 +949,117 @@ GROUP BY p.p_brand
 """
 
 
+def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM entity resolution over a deterministic dirty-customer feed.
+
+    Block (addr prefix/suffix-4 equi-join) -> verify (name fold + nation
+    + levenshtein <= 2) -> cluster (pointer-jumping CC) -> canonical
+    min-id survivor. See operators/entity.py for the completeness proof
+    of the two-key blocking under the single-deletion noise model.
+    """
+    return resolve_entities(er_dirty_records(read_table(spark, sf_dir, "customer")))
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix over lineitem numerics.
+
+    ALL sufficient statistics (n, Σx, Σxy, Σx² for quantity / discount /
+    tax, in exact int64 after the established round-then-cast
+    integerization) come from a SINGLE map-side-combined aggregate — one
+    scan, one 1-row shuffle, regardless of how many column pairs are
+    reported. Each pair then costs only scalar arithmetic on the driver
+    row: corr = (nΣxy − ΣxΣy) / sqrt((nΣx²−(Σx)²)·(nΣy²−(Σy)²)), the
+    denominator product cast to DOUBLE before multiplying (the int64
+    product would overflow; the factors themselves stay exact through
+    sf≈10 with these small-magnitude columns — re-derive bounds before
+    pointing this at wider columns).
+
+    This is the "sufficient statistics, not repeated scans" pattern every
+    profiling pass at 100 TB needs: k² correlations for one scan.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("q") * F.col("t")).alias("sqt"),
+        F.sum(F.col("d") * F.col("t")).alias("sdt"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        return F.round(
+            F.expr(f"CAST(n*{sxy} - {sx}*{sy} AS DOUBLE)")
+            / F.sqrt(
+                F.expr(f"CAST(n*{sxx} - {sx}*{sx} AS DOUBLE)")
+                * F.expr(f"CAST(n*{syy} - {sy}*{sy} AS DOUBLE)")
+            ),
+            6,
+        )
+
+    return s.select(
+        "n",
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("c_qd"),
+        corr("sqt", "sq", "st", "sqq", "stt").alias("c_qt"),
+        corr("sdt", "sd", "st", "sdd", "stt").alias("c_dt"),
+    ).select(
+        F.expr(
+            "stack(3, 'quantity', 'discount', c_qd,"
+            " 'quantity', 'tax', c_qt,"
+            " 'discount', 'tax', c_dt) AS (col_x, col_y, corr)"
+        ),
+        "n",
+    )
+
+
+_CORR_STATS = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(t) AS BIGINT) AS st,
+           CAST(SUM(q*q) AS BIGINT) AS sqq, CAST(SUM(d*d) AS BIGINT) AS sdd,
+           CAST(SUM(t*t) AS BIGINT) AS stt,
+           CAST(SUM(q*d) AS BIGINT) AS sqd, CAST(SUM(q*t) AS BIGINT) AS sqt,
+           CAST(SUM(d*t) AS BIGINT) AS sdt
+    FROM (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem
+    )
+"""
+
+
+def _corr_expr(sxy: str, sx: str, sy: str, sxx: str, syy: str) -> str:
+    return (
+        f"ROUND(CAST(n*{sxy} - {sx}*{sy} AS DOUBLE) / "
+        f"sqrt(CAST(n*{sxx} - {sx}*{sx} AS DOUBLE) * "
+        f"CAST(n*{syy} - {sy}*{sy} AS DOUBLE)), 6)"
+    )
+
+
+CORR_MATRIX_SQL = f"""
+WITH s AS ({_CORR_STATS})
+SELECT 'quantity' AS col_x, 'discount' AS col_y,
+       {_corr_expr('sqd', 'sq', 'sd', 'sqq', 'sdd')} AS corr, n FROM s
+UNION ALL
+SELECT 'quantity', 'tax', {_corr_expr('sqt', 'sq', 'st', 'sqq', 'stt')}, n FROM s
+UNION ALL
+SELECT 'discount', 'tax', {_corr_expr('sdt', 'sd', 'st', 'sdd', 'stt')}, n FROM s
+"""
+
+
 QUERIES = {
+    "customer_entity_resolution": customer_entity_resolution,
+    "lineitem_corr_matrix": lineitem_corr_matrix,
     "orders_scd2": orders_scd2,
     "lineitem_salted_part_revenue": lineitem_salted_part_revenue,
     "orders_zorder_layout": orders_zorder_layout,
@@ -971,6 +1082,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_entity_resolution": ER_SQL,
+    "lineitem_corr_matrix": CORR_MATRIX_SQL,
     "orders_scd2": ORDERS_SCD2_SQL,
     "lineitem_salted_part_revenue": LINEITEM_SALTED_PART_REVENUE_SQL,
     "orders_zorder_layout": ZORDER_LAYOUT_SQL,
