@@ -1028,8 +1028,145 @@ GROUP BY event_type
 """
 
 
+# --- sessions_campaign_overlap: interval-overlap join via day binning ------
+
+_DAY_US = 86_400_000_000
+_JAN1_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z, the events epoch
+
+# Static campaign dimension (id, start_us, end_us inclusive) — one source
+# of truth rendered into BOTH the Spark literal DF and the oracle VALUES.
+# Ten back-to-back 3-day windows covering January, plus a 10-day surge and
+# a 6-hour flash window so sessions can overlap several campaigns at once.
+CAMPAIGNS = (
+    [(i, _JAN1_US + 3 * i * _DAY_US, _JAN1_US + 3 * (i + 1) * _DAY_US - 1) for i in range(10)]
+    + [
+        (10, _JAN1_US + 9 * _DAY_US + _DAY_US // 2, _JAN1_US + 19 * _DAY_US),
+        (11, _JAN1_US + 4 * _DAY_US + _DAY_US // 2, _JAN1_US + 4 * _DAY_US + _DAY_US * 3 // 4),
+    ]
+)
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session (user_id, session_seq, start_us, end_us) intervals."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag(F.col("ts_us"), 1).over(w) > _GAP_US, 1
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(w) + 1)
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("s_start_us"), F.max("ts_us").alias("s_end_us")
+    )
+
+
+def sessions_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (range join) WITHOUT a cross product.
+
+    Both interval sets explode into the integer DAYS they cover
+    (``us div 86400e6``; sequence explode, fan-out bounded by interval
+    length — sessions span 1-2 days, campaigns <= 11), candidate pairs
+    come from an EQUI-JOIN on the day id, duplicates from multi-day
+    overlap are collapsed by the final aggregate's distinct keys, and the
+    exact closed-interval predicate ``s_start <= c_end AND c_start <=
+    s_end`` verifies each candidate. This is the standard binned range
+    join: at 100 TB both sides can be arbitrarily large because no stage
+    ever considers a pair that does not share a calendar day (the
+    day-grain shuffle key also makes AQE skew-splitting applicable to hot
+    days). The DuckDB oracle is the brute-force inequality join, so every
+    parity run re-proves the binning is complete, not just fast.
+
+    Per campaign: overlapping session count, distinct users, and the
+    exact total overlap time (Σ least(ends) − greatest(starts), int64 µs).
+    """
+    sess = _sessions(spark, sf_dir)
+    camp = spark.createDataFrame(
+        CAMPAIGNS, "campaign_id BIGINT, c_start_us BIGINT, c_end_us BIGINT"
+    )
+    s_days = sess.withColumn(
+        "day_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start_us div {_DAY_US}"), F.expr(f"s_end_us div {_DAY_US}")
+            )
+        ),
+    )
+    c_days = camp.withColumn(
+        "day_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"c_start_us div {_DAY_US}"), F.expr(f"c_end_us div {_DAY_US}")
+            )
+        ),
+    )
+    pairs = (
+        s_days.join(c_days, "day_id")
+        .filter(
+            (F.col("s_start_us") <= F.col("c_end_us"))
+            & (F.col("c_start_us") <= F.col("s_end_us"))
+        )
+        .select(
+            "campaign_id",
+            "user_id",
+            "session_seq",
+            (
+                F.least("s_end_us", "c_end_us")
+                - F.greatest("s_start_us", "c_start_us")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+    )
+
+
+_CAMPAIGN_VALUES = ",\n           ".join(
+    f"({cid}, {s}, {e})" for cid, s, e in CAMPAIGNS
+)
+
+SESSIONS_CAMPAIGN_OVERLAP_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   > {_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_seq,
+         MIN(ts_us) AS s_start_us, MAX(ts_us) AS s_end_us
+  FROM numbered GROUP BY user_id, session_seq
+), campaigns(campaign_id, c_start_us, c_end_us) AS (
+  VALUES {_CAMPAIGN_VALUES}
+),
+-- brute-force inequality join: the oracle intentionally skips the day
+-- binning so parity re-proves the binned equi-join's completeness
+pairs AS (
+  SELECT c.campaign_id, s.user_id, s.session_seq,
+         LEAST(s.s_end_us, c.c_end_us) - GREATEST(s.s_start_us, c.c_start_us) AS overlap_us
+  FROM sessions s JOIN campaigns c
+    ON s.s_start_us <= c.c_end_us AND c.c_start_us <= s.s_end_us
+)
+SELECT CAST(campaign_id AS BIGINT) AS campaign_id,
+       COUNT(*) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
+FROM pairs
+GROUP BY campaign_id
+"""
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
+    "sessions_campaign_overlap": sessions_campaign_overlap,
     "events_transition_matrix": events_transition_matrix,
     "events_user_paths": events_user_paths,
     "events_salted_rollup": events_salted_rollup,
@@ -1054,6 +1191,7 @@ QUERIES = {
 
 ORACLES = {
     "events_attribution_latency": ATTRIBUTION_LATENCY_SQL,
+    "sessions_campaign_overlap": SESSIONS_CAMPAIGN_OVERLAP_SQL,
     "events_transition_matrix": TRANSITION_MATRIX_SQL,
     "events_user_paths": USER_PATHS_SQL,
     "events_salted_rollup": EVENTS_SALTED_ROLLUP_SQL,

@@ -294,3 +294,47 @@ def test_grouped_agg_pandas_udaf_matches_declarative(spark, sf_dir):
         .collect()
     }
     assert got == ref and len(got) == 5
+
+
+def test_campaign_overlap_matches_brute_force(spark, sf_dir):
+    """Binned interval join == brute inequality join (completeness pin).
+
+    Also pins closed-interval edge semantics: a session whose end equals
+    a campaign start (or vice versa) counts, with overlap_us = 0.
+    """
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.plans.events import (
+        CAMPAIGNS,
+        _sessions,
+        sessions_campaign_overlap,
+    )
+
+    sess = _sessions(spark, sf_dir)
+    camp = spark.createDataFrame(
+        CAMPAIGNS, "campaign_id BIGINT, c_start_us BIGINT, c_end_us BIGINT"
+    )
+    brute = (
+        sess.crossJoin(F.broadcast(camp))
+        .filter(
+            (F.col("s_start_us") <= F.col("c_end_us"))
+            & (F.col("c_start_us") <= F.col("s_end_us"))
+        )
+        .groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.least("s_end_us", "c_end_us")
+                - F.greatest("s_start_us", "c_start_us")
+            ).alias("total_overlap_us"),
+        )
+    )
+    got = {r.campaign_id: r.asDict() for r in sessions_campaign_overlap(spark, sf_dir).collect()}
+    want = {r.campaign_id: r.asDict() for r in brute.collect()}
+    assert got == want and got
+    # back-to-back 3-day campaigns tile January: every session day-binned
+    # at least once, so total session count across disjoint campaigns >=
+    # the session count (boundary sessions count twice)
+    n_sess = sess.count()
+    assert sum(v["n_sessions"] for k, v in got.items() if k < 10) >= n_sess
