@@ -767,7 +767,120 @@ SELECT (SELECT COUNT(*) FROM va) AS n_vocab_a,
 """
 
 
+# --- bm25_topk: integer-exact ranked retrieval ----------------------------
+
+# Static benchmark query set (query_id, terms) — literal on both sides.
+BM25_QUERIES = [
+    (0, ("hash", "join")),
+    (1, ("window", "agg")),
+    (2, ("slow", "scan", "filter")),
+    (3, ("customer", "order")),
+    (4, ("stream", "batch")),
+    (5, ("vector", "merge")),
+]
+BM25_TOPK = 10
+
+
+def bm25_topk(docs: DataFrame) -> DataFrame:
+    """Top-10 docs per query under an integer-exact BM25 variant.
+
+    Classic BM25 shape (k1 = 6/5, b = 3/4) with the term-frequency
+    saturation kept as EXACT rational arithmetic folded into int64
+    fixed-point: tf-weight_micro = (22·tf·L·10⁶) div (10·L·tf + 3·L +
+    9·dl·N) — that IS tf(k1+1)/(tf + k1(1−b+b·dl/avdl)) with avdl = L/N,
+    numerator and denominator multiplied through by 10·L, floored once at
+    micro precision. The float log-idf is replaced by the monotone
+    rational surrogate idf_s = 1000·N div (df+1) (same document ordering
+    per term; no transcendental to diverge between engines — the
+    tfidf_top_terms lesson). Scores are exact int64 sums, so ranking
+    never depends on float association order.
+
+    Plan: tf/df/dl are the inverted-index aggregates; the tiny query set
+    broadcasts into the posting lists (equi-join on term — only
+    query-term postings survive to scoring); corpus stats ride a 1-row
+    broadcast; per-query top-10 uses row_number + filter, which Spark
+    rewrites to a WindowGroupLimit partial top-k before the rank
+    shuffle. int64 headroom: 22·tf·L·10⁶ needs tf·L < 4·10¹¹ — rescale
+    the 10⁶ before corpora beyond ~10¹⁰ tokens.
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        "doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    q = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id BIGINT, term STRING",
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_s", F.expr("(n_docs * 1000) div (df + 1)"))
+        .withColumn(
+            "tfw",
+            F.expr(
+                "(22 * tf * total_len * 1000000) div"
+                " (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr("idf_s * tfw")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= BM25_TOPK)
+    )
+
+
+_BM25_VALUES = ",\n         ".join(
+    f"(CAST({qid} AS BIGINT), '{t}')"
+    for qid, terms in BM25_QUERIES
+    for t in terms
+)
+
+BM25_TOPK_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+q(query_id, term) AS (
+  VALUES {_BM25_VALUES}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(SUM(
+           ((n_docs * 1000) // (df + 1)) *
+           ((22 * tf * total_len * 1000000) //
+            (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs))
+         ) AS BIGINT) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+FROM scored
+QUALIFY rnk <= {BM25_TOPK}
+"""
+
+
 QUERY_SQL = {
+    "bm25_topk": BM25_TOPK_SQL,
     "doc_cosine_topk": DOC_COSINE_TOPK_SQL,
     "vocab_overlap": VOCAB_OVERLAP_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,

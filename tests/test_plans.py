@@ -97,6 +97,8 @@ _BNLJ_ALLOWED = {
     "ann_ivf_kmeans_recall",
     # three single-row vocab cardinalities crossed into one summary row
     "vocab_overlap",
+    # single-row (N, total_len) corpus stats broadcast into scoring rows
+    "bm25_topk",
 }
 
 

@@ -144,3 +144,40 @@ def test_sentence_windows_udtf_sql_lateral(spark):
     for _, _, start, text in got:
         covered.update(range(start, start + len(text.split(". "))))
     assert covered >= {0, 1, 2, 3, 4}
+
+
+def test_bm25_topk_ranks_and_relevance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.operators.text import BM25_QUERIES, bm25_topk
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs).collect()
+    assert out
+    terms = {qid: set(ts) for qid, ts in BM25_QUERIES}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    docs_text = {r.doc_id: r.text.lower().split(" ") for r in docs.collect()}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        # contiguous ranks from 1, scores non-increasing in rank order
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
+        # every returned doc contains at least one query term
+        for r in rows:
+            assert terms[qid] & set(docs_text[r.doc_id])
+
+
+def test_bm25_plan_has_partial_topk(spark, sf_dir):
+    from maap_data_pipelines_spark.operators.text import bm25_topk
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    plan = (
+        bm25_topk(read_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
