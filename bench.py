@@ -115,6 +115,12 @@ HEADLINE = [
     "orders_value_deciles",
     "media_phash_dedup",
     "dedup_triangles",
+    # late round-3: record linkage, binned range join, exact BM25,
+    # one-pass correlation matrix
+    "customer_entity_resolution",
+    "sessions_campaign_overlap",
+    "bm25_topk",
+    "lineitem_corr_matrix",
 ]
 
 
