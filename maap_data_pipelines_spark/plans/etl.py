@@ -1057,8 +1057,56 @@ SELECT 'discount', 'tax', {_corr_expr('sdt', 'sd', 'st', 'sdd', 'stt')}, n FROM 
 """
 
 
+SURROGATE_BUCKET = 1000  # doc_id range width per bucket
+
+
+def doc_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense sequence numbers WITHOUT a global-sort bottleneck.
+
+    The naive ``row_number() OVER (ORDER BY doc_id)`` collapses the whole
+    table into ONE window partition — the classic driver-sized bottleneck
+    at scale. The distributed formulation is offset-cumsum indexing:
+
+      1. bucket each row by value range (``doc_id div B`` — deterministic
+         under resharding, unlike spark_partition_id),
+      2. count rows per bucket (tiny aggregate),
+      3. running-sum those counts into per-bucket start offsets (a window
+         over BUCKET rows — thousands, not billions),
+      4. broadcast-join offsets back and rank WITHIN each bucket
+         (window partitions bounded by bucket width, never by SF).
+
+    seq = bucket_offset + local_rank − 1; dense, gap-free, equal to the
+    global row_number by construction (buckets are value-ordered). The
+    oracle IS the naive global window — parity proves the two-phase
+    decomposition exact.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    b = docs.withColumn("bucket", F.expr(f"doc_id div {SURROGATE_BUCKET}"))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset")
+    )
+    local_w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "seq", (F.col("offset") + F.row_number().over(local_w)).cast("long")
+        )
+        .select("doc_id", "source", "seq")
+    )
+
+
+SURROGATE_KEYS_SQL = """
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY doc_id) AS seq
+FROM documents
+"""
+
+
 QUERIES = {
     "customer_entity_resolution": customer_entity_resolution,
+    "doc_surrogate_keys": doc_surrogate_keys,
     "lineitem_corr_matrix": lineitem_corr_matrix,
     "orders_scd2": orders_scd2,
     "lineitem_salted_part_revenue": lineitem_salted_part_revenue,
@@ -1083,6 +1131,7 @@ QUERIES = {
 
 ORACLES = {
     "customer_entity_resolution": ER_SQL,
+    "doc_surrogate_keys": SURROGATE_KEYS_SQL,
     "lineitem_corr_matrix": CORR_MATRIX_SQL,
     "orders_scd2": ORDERS_SCD2_SQL,
     "lineitem_salted_part_revenue": LINEITEM_SALTED_PART_REVENUE_SQL,

@@ -76,6 +76,40 @@ def read_binary_assets(
     )
 
 
+def read_json_quarantined(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON read that quarantines bad rows instead of failing.
+
+    Returns ``(good, bad)``: good rows parsed against the explicit
+    schema, bad rows as their raw text (the ``_corrupt_record`` channel)
+    for a quarantine sink. This is the dataflow answer to the
+    reference's per-record try/except (one malformed granule must not
+    kill a 100 TB ingest, and silently dropping it is worse): the same
+    scan feeds both outputs, and the quarantine table is replayable
+    after a parser fix.
+
+    The DataFrame is cached before splitting — Spark disallows queries
+    that reference ONLY the corrupt-record column on a streaming-style
+    lazy scan (SPARK-21610); materializing once also means the split
+    does not re-read the source for each side.
+    """
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return good, bad
+
+
 def read_json_granules(spark: SparkSession, path: str) -> DataFrame:
     """CMR granule JSON-lines -> (granule_id, data_url, n_links).
 

@@ -338,3 +338,26 @@ def test_campaign_overlap_matches_brute_force(spark, sf_dir):
     # the session count (boundary sessions count twice)
     n_sess = sess.count()
     assert sum(v["n_sessions"] for k, v in got.items() if k < 10) >= n_sess
+
+
+def test_surrogate_keys_big_window_is_partitioned(spark, sf_dir):
+    """The row-count-sized window must be hash-partitioned by bucket; only
+    the bucket-count cumsum may use a single partition (bucket rows are
+    aggregate-sized). Pin it so a refactor can't regress to the naive
+    global-sort row_number."""
+    from maap_data_pipelines_spark.plans.etl import doc_surrogate_keys
+
+    plan = (
+        doc_surrogate_keys(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # the window over full rows partitions by bucket
+    assert re.search(r"Window \[.*row_number().*partitionBy.*bucket", plan) or (
+        "hashpartitioning(bucket" in plan
+    )
+    # exactly one SinglePartition exchange (the tiny offsets cumsum)
+    assert plan.count("SinglePartition") == 1

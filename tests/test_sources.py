@@ -138,3 +138,29 @@ def test_orc_round_trip_preserves_schema(spark, tmp_path):
         (f.name, f.dataType) for f in df.schema
     ]
     assert sorted(r.v for r in back.collect()) == [2 * i for i in range(100)]
+
+
+def test_read_json_quarantined_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from maap_data_pipelines_spark.sources.formats import read_json_quarantined
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": "g1", "size": 10}\n'
+        '{"id": "g2", "size": 20}\n'
+        "{not json at all\n"
+        '{"id": "g3", "size": }\n'
+    )
+    schema = StructType(
+        [StructField("id", StringType()), StructField("size", LongType())]
+    )
+    good, bad = read_json_quarantined(spark, str(p), schema)
+    got = {r.id: r.size for r in good.collect()}
+    assert got == {"g1": 10, "g2": 20}
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2
+    # quarantine preserves the raw line for replay after a parser fix
+    assert any("not json" in r for r in raws)
+    # schema of good side is exactly the declared schema (no corrupt col)
+    assert [f.name for f in good.schema.fields] == ["id", "size"]
