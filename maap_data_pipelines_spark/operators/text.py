@@ -847,8 +847,7 @@ _BM25_VALUES = ",\n         ".join(
     for t in terms
 )
 
-BM25_TOPK_SQL = f"""
-WITH words AS (
+_BM25_CTES = f"""words AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
@@ -871,16 +870,115 @@ scored AS (
   JOIN dl USING (doc_id)
   CROSS JOIN stats
   GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)"""
+
+BM25_TOPK_SQL = f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, score, rnk
+FROM ranked WHERE rnk <= {BM25_TOPK}
+"""
+
+
+_PROX_FAR = 1_000_000_000  # rank-last sentinel for single-term candidates
+
+
+def bm25_proximity_rerank(docs: DataFrame) -> DataFrame:
+    """Two-stage retrieval: BM25 candidates re-ranked by term proximity.
+
+    The restrict-then-expand pattern every multi-stage ranker needs at
+    scale: the EXPENSIVE signal (minimum positional distance between
+    occurrences of two different query terms) is computed only for the
+    ~topk×queries candidate documents — the corpus-wide stage stays the
+    cheap inverted-index BM25, and the positional explode runs after a
+    broadcast semi-join against the candidate doc set. Per-doc pair work
+    is bounded by (query-term occurrences per doc)², i.e. by document
+    length — never by corpus size. Candidates whose text contains fewer
+    than two distinct query terms keep a rank-last sentinel distance.
+    Final order: (min_dist asc, score desc, doc_id) — exact integers, so
+    the re-ranking is reshard-stable like the first stage.
+    """
+    from pyspark.sql.window import Window
+
+    cands = bm25_topk(docs).select("query_id", "doc_id", "score")
+    cand_docs = cands.select("doc_id").distinct()
+    q = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id BIGINT, term STRING",
+    )
+    pos = (
+        docs.join(F.broadcast(cand_docs), "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(words_col(F.lower(F.col("text")))).alias("pos", "term"),
+        )
+        .join(F.broadcast(q), "term")
+        .select("query_id", "doc_id", "term", "pos")
+    )
+    a = pos.select(
+        "query_id", "doc_id", F.col("term").alias("ta"), F.col("pos").alias("pa")
+    )
+    b = pos.select(
+        "query_id", "doc_id", F.col("term").alias("tb"), F.col("pos").alias("pb")
+    )
+    prox = (
+        a.join(b, ["query_id", "doc_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("min_dist", F.desc("score"), "doc_id")
+    return (
+        cands.join(prox, ["query_id", "doc_id"], "left")
+        .withColumn(
+            "min_dist",
+            F.coalesce(F.col("min_dist"), F.lit(_PROX_FAR).cast("long")),
+        )
+        .withColumn("rerank", F.row_number().over(w).cast("long"))
+    )
+
+
+BM25_PROXIMITY_SQL = f"""
+WITH {_BM25_CTES},
+cands AS (SELECT query_id, doc_id, score FROM ranked WHERE rnk <= {BM25_TOPK}),
+cdocs AS (SELECT DISTINCT doc_id FROM cands),
+cw AS (
+  SELECT d.doc_id, string_split(lower(d.text), ' ') AS ws
+  FROM documents d JOIN cdocs USING (doc_id)
+),
+posall AS (
+  SELECT w.doc_id, w.ws[p.i] AS term, p.i AS pos
+  FROM cw w, LATERAL (SELECT unnest(generate_series(1, len(w.ws))) AS i) AS p(i)
+),
+pos AS (
+  SELECT q.query_id, a.doc_id, a.term, a.pos FROM posall a JOIN q USING (term)
+),
+prox AS (
+  SELECT a.query_id, a.doc_id,
+         CAST(MIN(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+  FROM pos a
+  JOIN pos b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+            AND a.term < b.term
+  GROUP BY a.query_id, a.doc_id
 )
-SELECT query_id, doc_id, score,
-       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-FROM scored
-QUALIFY rnk <= {BM25_TOPK}
+SELECT c.query_id, c.doc_id, c.score,
+       COALESCE(p.min_dist, {_PROX_FAR}) AS min_dist,
+       row_number() OVER (
+         PARTITION BY c.query_id
+         ORDER BY COALESCE(p.min_dist, {_PROX_FAR}), c.score DESC, c.doc_id
+       ) AS rerank
+FROM cands c
+LEFT JOIN prox p ON c.query_id = p.query_id AND c.doc_id = p.doc_id
 """
 
 
 QUERY_SQL = {
     "bm25_topk": BM25_TOPK_SQL,
+    "bm25_proximity_rerank": BM25_PROXIMITY_SQL,
     "doc_cosine_topk": DOC_COSINE_TOPK_SQL,
     "vocab_overlap": VOCAB_OVERLAP_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,

@@ -99,6 +99,8 @@ _BNLJ_ALLOWED = {
     "vocab_overlap",
     # single-row (N, total_len) corpus stats broadcast into scoring rows
     "bm25_topk",
+    # composes bm25_topk, inheriting its single-row stats broadcast
+    "bm25_proximity_rerank",
 }
 
 

@@ -181,3 +181,27 @@ def test_bm25_plan_has_partial_topk(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_rerank_prefers_proximate_terms(spark, sf_dir):
+    from maap_data_pipelines_spark.operators.text import (
+        _PROX_FAR,
+        bm25_proximity_rerank,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    out = bm25_proximity_rerank(read_table(spark, sf_dir, "documents")).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rerank)
+        assert [r.rerank for r in rows] == list(range(1, len(rows) + 1))
+        # rerank order is exactly (min_dist asc, score desc, doc_id asc)
+        keys = [(r.min_dist, -r.score, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+        # sentinel only for candidates lacking two distinct query terms
+        for r in rows:
+            assert r.min_dist >= 1
+            assert r.min_dist < 10000 or r.min_dist == _PROX_FAR
