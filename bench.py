@@ -120,7 +120,9 @@ HEADLINE = [
     "customer_entity_resolution",
     "sessions_campaign_overlap",
     "bm25_topk",
+    "bm25_proximity_rerank",
     "lineitem_corr_matrix",
+    "doc_surrogate_keys",
 ]
 
 
