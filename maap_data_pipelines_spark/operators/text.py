@@ -976,9 +976,106 @@ LEFT JOIN prox p ON c.query_id = p.query_id AND c.doc_id = p.doc_id
 """
 
 
+COOC_WIN = 3  # co-occurrence window: positions within 3 tokens
+COOC_TOPK = 50
+
+
+def term_cooccurrence(docs: DataFrame) -> DataFrame:
+    """Windowed term co-occurrence counts + exact PMI-surrogate lift.
+
+    The GloVe/word2vec preprocessing primitive: count unordered term
+    pairs whose positions fall within ``COOC_WIN`` tokens, rank by count
+    with the observed/expected lift c_ab·T/(c_a·c_b) (the monotone
+    rational core of PMI — exp/log-free, so both engines agree bit-for-
+    bit in int64 micro-units).
+
+    Scale shape: the position self-join reuses the binned-range-join
+    trick at token granularity — positions bucket by ``pos div 3``, the
+    probe side explodes {b−1, b, b+1} (bounded ×3), candidates come from
+    an equi-join on (doc_id, bucket), and each qualifying position pair
+    matches on exactly one probe value (the right side keeps its single
+    home bucket), so no dedup step is needed. Per-token candidate work
+    is O(window), never O(doc²). The final global top-50 is
+    TakeOrderedAndProject (per-partition partial top-k, no global sort).
+    The DuckDB oracle runs the un-binned inequality self-join — parity
+    re-proves the bucket probe is complete. int64 headroom:
+    n_cooc·T·10⁶ needs n_cooc·T < 9·10¹² — rescale past ~10⁹ tokens.
+    """
+    pos = docs.select(
+        "doc_id", F.posexplode(words_col(F.lower(F.col("text")))).alias("pos", "term")
+    )
+    marg = pos.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = pos.agg(F.count(F.lit(1)).alias("t_tokens"))
+    b = pos.withColumn("bucket", F.expr(f"pos div {COOC_WIN}"))
+    left = b.select(
+        "doc_id",
+        "term",
+        "pos",
+        F.explode(F.expr("array(bucket - 1, bucket, bucket + 1)")).alias("probe"),
+    )
+    right = b.select(
+        "doc_id",
+        F.col("term").alias("term_r"),
+        F.col("pos").alias("pos_r"),
+        F.col("bucket").alias("probe"),
+    )
+    pairs = (
+        left.join(right, ["doc_id", "probe"])
+        .filter(
+            (F.col("pos") < F.col("pos_r"))
+            & (F.col("pos_r") - F.col("pos") <= COOC_WIN)
+        )
+        .select(
+            F.least("term", "term_r").alias("term_a"),
+            F.greatest("term", "term_r").alias("term_b"),
+        )
+    )
+    cnt = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("n_cooc"))
+    return (
+        cnt.join(marg.select(F.col("term").alias("term_a"), F.col("c").alias("c_a")), "term_a")
+        .join(marg.select(F.col("term").alias("term_b"), F.col("c").alias("c_b")), "term_b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_micro", F.expr("(n_cooc * t_tokens * 1000000) div (c_a * c_b)")
+        )
+        .select("term_a", "term_b", "n_cooc", "lift_micro")
+        .orderBy(F.desc("n_cooc"), "term_a", "term_b")
+        .limit(COOC_TOPK)
+    )
+
+
+TERM_COOCCURRENCE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+pos AS (
+  SELECT w.doc_id, w.ws[p.i] AS term, p.i AS pos
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w.ws))) AS i) AS p(i)
+),
+marg AS (SELECT term, COUNT(*) AS c FROM pos GROUP BY term),
+tot AS (SELECT COUNT(*) AS t_tokens FROM pos),
+-- brute inequality self-join: the oracle skips the position bucketing,
+-- so parity re-proves the 3-bucket probe is complete
+pairs AS (
+  SELECT LEAST(a.term, b.term) AS term_a, GREATEST(a.term, b.term) AS term_b
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND a.pos < b.pos
+            AND b.pos - a.pos <= {COOC_WIN}
+),
+cnt AS (SELECT term_a, term_b, COUNT(*) AS n_cooc FROM pairs GROUP BY term_a, term_b)
+SELECT c.term_a, c.term_b, c.n_cooc,
+       (c.n_cooc * t.t_tokens * 1000000) // (ma.c * mb.c) AS lift_micro
+FROM cnt c
+JOIN marg ma ON ma.term = c.term_a
+JOIN marg mb ON mb.term = c.term_b
+CROSS JOIN tot t
+ORDER BY c.n_cooc DESC, c.term_a, c.term_b
+LIMIT {COOC_TOPK}
+"""
+
+
 QUERY_SQL = {
     "bm25_topk": BM25_TOPK_SQL,
     "bm25_proximity_rerank": BM25_PROXIMITY_SQL,
+    "term_cooccurrence": TERM_COOCCURRENCE_SQL,
     "doc_cosine_topk": DOC_COSINE_TOPK_SQL,
     "vocab_overlap": VOCAB_OVERLAP_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,

@@ -41,6 +41,7 @@ QUERIES = {
     "tfidf_top_terms": _wrap(text.tfidf_top_terms),
     "bm25_topk": _wrap(text.bm25_topk),
     "bm25_proximity_rerank": _wrap(text.bm25_proximity_rerank),
+    "term_cooccurrence": _wrap(text.term_cooccurrence),
     "doc_cosine_topk": _wrap(text.doc_cosine_topk),
     "bpe_token_stats": _wrap(bpe.bpe_token_stats),
     "bpe_train_merges": _wrap(bpe.train_bpe),

@@ -101,6 +101,8 @@ _BNLJ_ALLOWED = {
     "bm25_topk",
     # composes bm25_topk, inheriting its single-row stats broadcast
     "bm25_proximity_rerank",
+    # single-row total-token broadcast feeding the lift denominator
+    "term_cooccurrence",
 }
 
 

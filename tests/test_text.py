@@ -205,3 +205,38 @@ def test_bm25_rerank_prefers_proximate_terms(spark, sf_dir):
         for r in rows:
             assert r.min_dist >= 1
             assert r.min_dist < 10000 or r.min_dist == _PROX_FAR
+
+
+def test_term_cooccurrence_matches_brute_force(spark, sf_dir):
+    """Bucketed position self-join == brute |Δpos|<=3 join (completeness),
+    and each qualifying pair is counted exactly once (no probe dedup
+    needed: the right side keeps its single home bucket)."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.operators.text import (
+        COOC_WIN,
+        term_cooccurrence,
+        words_col,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(words_col(F.lower(F.col("text")))).alias("pos", "term")
+    )
+    a = pos.select("doc_id", F.col("term").alias("ta"), F.col("pos").alias("pa"))
+    b = pos.select("doc_id", F.col("term").alias("tb"), F.col("pos").alias("pb"))
+    brute = (
+        a.join(b, "doc_id")
+        .filter((F.col("pa") < F.col("pb")) & (F.col("pb") - F.col("pa") <= COOC_WIN))
+        .groupBy(
+            F.least("ta", "tb").alias("term_a"), F.greatest("ta", "tb").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+    want = {
+        (r.term_a, r.term_b): r.n_cooc
+        for r in brute.orderBy(F.desc("n_cooc"), "term_a", "term_b").limit(50).collect()
+    }
+    got = {(r.term_a, r.term_b): r.n_cooc for r in term_cooccurrence(docs).collect()}
+    assert got == want and got
