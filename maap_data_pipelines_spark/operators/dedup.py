@@ -825,6 +825,105 @@ FROM per_cluster GROUP BY 1
 
 
 
+CONTAIN_MIN = 0.8
+CONTAIN_EXCERPT_MOD = 37
+CONTAIN_EXCERPT_OFFSET = 1_000_000
+
+
+def dedup_containment(docs: DataFrame) -> DataFrame:
+    """Containment detection: the duplicate class Jaccard misses.
+
+    An excerpt (a quote, a syndicated fragment, a doc embedded in a
+    larger one) has containment |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard
+    |A∩B|/|A∪B| can be arbitrarily low — resemblance-threshold dedup
+    (MinHash/ngram_jaccard at 0.5) never fires on it. This op reuses the
+    df-bounded shingle inverted index (equi-join on shingle, never
+    all-pairs; the NGRAM_MAX_DF hot-key guard bounds posting-list
+    fan-out) and reports every pair with containment >= 0.8, alongside
+    its Jaccard so the "containment-only" pairs are visible.
+
+    To make the blind spot demonstrable on the synthetic corpus, a
+    deterministic excerpt twin (first half of the text, id + 10⁶) is
+    unioned in for every 37th document — those pairs surface with
+    containment ≈ 1 and Jaccard ≈ 0.5, exactly the regime the
+    resemblance threshold misses (cf. Broder's resemblance-vs-
+    containment distinction, and suffix-array substring dedup in Lee et
+    al. 2022 — this is the shingle-level approximation of the latter).
+    """
+    from pyspark.sql.window import Window
+
+    excerpts = docs.filter(F.col("doc_id") % CONTAIN_EXCERPT_MOD == 0).select(
+        (F.col("doc_id") + CONTAIN_EXCERPT_OFFSET).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(n_chars div 2 AS INT))").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    shd = _shingles_df(corpus).distinct()
+    df_ok = (
+        shd.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .select("s")
+    )
+    shf = shd.join(df_ok, "s", "left_semi").withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a, b = shf.alias("a"), shf.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.least("na", "nb"), 6).alias("containment"),
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAIN_MIN)
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_EXCERPT_OFFSET},
+         substr(text, 1, CAST(n_chars // 2 AS INT))
+  FROM documents WHERE doc_id % {CONTAIN_EXCERPT_MOD} = 0
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+shing AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM words),
+shd AS (SELECT DISTINCT doc_id, s FROM shing),
+df_ok AS (SELECT s FROM shd GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}),
+shf AS (SELECT shd.doc_id, shd.s FROM shd JOIN df_ok USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common / LEAST(sa.n, sb.n), 6) AS containment,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_common / LEAST(sa.n, sb.n), 6) >= {CONTAIN_MIN}
+"""
+
+
 def dedup_triangles(docs: DataFrame) -> DataFrame:
     """Graph census of the MinHash candidate graph: one exact-integer row.
 

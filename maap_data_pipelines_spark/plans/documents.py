@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import bpe, curation, sketch, text
+from ..operators import bpe, curation, dedup, sketch, text
 from ..operators.profile import profile_columns, profile_sql
 from ..sources.catalog import read_table
 
@@ -42,6 +42,7 @@ QUERIES = {
     "bm25_topk": _wrap(text.bm25_topk),
     "bm25_proximity_rerank": _wrap(text.bm25_proximity_rerank),
     "term_cooccurrence": _wrap(text.term_cooccurrence),
+    "dedup_containment": _wrap(dedup.dedup_containment),
     "doc_cosine_topk": _wrap(text.doc_cosine_topk),
     "bpe_token_stats": _wrap(bpe.bpe_token_stats),
     "bpe_train_merges": _wrap(bpe.train_bpe),
@@ -71,4 +72,5 @@ QUERIES = {
 ORACLES = dict(text.QUERY_SQL)
 ORACLES.update(curation.QUERY_SQL)
 ORACLES.update(sketch.QUERY_SQL)
+ORACLES["dedup_containment"] = dedup.CONTAINMENT_SQL
 ORACLES["documents_profile"] = profile_sql("documents", DOC_COLS)

@@ -181,3 +181,38 @@ def test_cluster_sizes_conserve_docs(spark, sf_dir):
     assert all(r.cluster_size >= 2 or r.cluster_size == 1 for r in hist)
     assert all(r.n_docs == r.n_clusters * r.cluster_size for r in hist)
     assert sum(r.n_docs for r in hist) == len(labels)
+
+
+def test_containment_catches_what_jaccard_misses(spark, sf_dir):
+    """Excerpt twins must surface with high containment but sub-threshold
+    Jaccard — the pair class resemblance dedup (>= 0.5 Jaccard on full
+    shingle sets, MinHash bands) exists to find yet structurally cannot."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.operators.dedup import (
+        CONTAIN_EXCERPT_MOD,
+        CONTAIN_EXCERPT_OFFSET,
+        dedup_containment,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_containment(docs).collect()
+    assert out
+    excerpt_pairs = [
+        r
+        for r in out
+        if r.doc_b >= CONTAIN_EXCERPT_OFFSET
+        and r.doc_b - CONTAIN_EXCERPT_OFFSET == r.doc_a
+    ]
+    n_excerpts = docs.filter(
+        (F.col("doc_id") % CONTAIN_EXCERPT_MOD == 0) & (F.col("n_chars") >= 40)
+    ).count()
+    # every sufficiently long excerpt twin is found...
+    assert len(excerpt_pairs) >= n_excerpts * 0.9 and excerpt_pairs
+    for r in excerpt_pairs:
+        # the word cut at the excerpt boundary can cost up to 2 shingles,
+        # so only size the bound for excerpts with enough shingles
+        assert r.containment >= (0.9 if r.n_common >= 10 else 0.8)
+    # ...and at least some of them sit BELOW the resemblance threshold
+    assert any(r.jaccard < 0.5 for r in excerpt_pairs)
