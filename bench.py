@@ -123,6 +123,8 @@ HEADLINE = [
     "bm25_proximity_rerank",
     "lineitem_corr_matrix",
     "doc_surrogate_keys",
+    "term_cooccurrence",
+    "dedup_containment",
 ]
 
 
