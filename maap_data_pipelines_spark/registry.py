@@ -13,13 +13,56 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .plans import documents, etl, events, llm, multimodal, sqlapi, stac, tpch, tpch2
 
-# Module order controls registry iteration order, which external correctness
-# harnesses consume front-to-back with a bounded budget.  Modules whose queries
-# have not yet been externally confirmed go first; rotate per round so every
-# query eventually lands in the verified prefix.  Rows-only keys (no oracle)
-# are pushed to the global tail by queries() so they never displace a
-# fully-oracled query from the verified prefix.
-_MODULES = [stac, llm, sqlapi, multimodal, etl, documents, tpch, tpch2, events]
+# External correctness harnesses consume the registry front-to-back with a
+# bounded budget (50 keys per round).  queries() therefore orders keys in
+# three tiers:
+#   1. full-oracle keys NOT yet externally confirmed (the rotation window),
+#      in _MODULES order;
+#   2. full-oracle keys already confirmed in a previous round (_CONFIRMED);
+#   3. rows-only keys (no oracle) at the global tail, so they never displace
+#      a fully-oracled query from the verified prefix.
+# After each round, fold the round's green keys into _CONFIRMED — the next
+# window then rotates automatically to never-confirmed keys.
+_MODULES = [etl, multimodal, events, tpch, documents, tpch2, stac, llm, sqlapi]
+
+# Keys green in the official CORRECTNESS_r02 + CORRECTNESS_r03 records
+# (rows+schema+value-hash vs the DuckDB oracle at sf0.01).
+_CONFIRMED = {
+    # r03 window: stac (15) + llm (33) + sqlapi (2)
+    "assets_neighbor_join", "s3_discovery", "inventory_discovery", "item_id",
+    "extract_dates", "datetime_range", "media_type_map", "multi_asset_group",
+    "bbox", "build_stac_items", "transfer_plan", "stac_item_json",
+    "catalog_summary", "cogify", "cmr_discovery",
+    "corpus_curation", "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_simhash", "ngram_jaccard", "dedup_clusters", "dedup_pagerank",
+    "similar_docs_topk", "dedup_cluster_sizes", "dedup_triangles",
+    "minhash_calibration", "ann_cosine_topk", "ann_lsh_buckets",
+    "semantic_decontaminate", "embedding_dedup", "embedding_dedup_lsh",
+    "embedding_dedup_mp", "embedding_dedup_banded", "embedding_dedup_recall",
+    "ann_ivf_topk", "ann_ivf_topk2", "ann_ivf_recall", "ann_ivf_recall2",
+    "embedding_kmeans", "semantic_dedup", "ann_ivf_kmeans_topk",
+    "ann_ivf_kmeans_recall", "ann_l2_topk", "ann_pq_topk", "ann_pq_recall",
+    "ann_pq_rerank", "ann_pq_rerank_recall",
+    "sql_revenue_by_nation", "sql_priority_share",
+    # r02 window: tpch + tpch2 + events head + documents head
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q10_returned_items", "q12_shipmode", "q14_promo",
+    "q18_large_orders", "top_customers_window", "order_cohort_retention",
+    "orders_running_revenue", "revenue_concentration",
+    "market_basket_types", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_diversity", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "events_hourly_rollup", "events_hourly_anomaly", "events_concurrency",
+    "events_dau_wau", "events_sessionize", "events_json_props", "events_funnel",
+    "events_asof_attribution", "events_rollup_multigrain",
+    "events_value_quantiles", "events_type_pivot", "events_purchase_context",
+    "events_cube", "events_retention_triangle",
+    "token_stats", "text_quality", "lang_id", "doc_fingerprint",
+    "quality_filter", "term_topk", "bigram_topk",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -30,7 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raise ValueError(f"duplicate query keys: {overlap}")
         out.update(m.QUERIES)
     oracled = oracle_sql().keys()
-    ordered = {k: v for k, v in out.items() if k in oracled}
+    ordered = {
+        k: v for k, v in out.items() if k in oracled and k not in _CONFIRMED
+    }
+    ordered.update(
+        {k: v for k, v in out.items() if k in oracled and k in _CONFIRMED}
+    )
     ordered.update({k: v for k, v in out.items() if k not in oracled})
     return ordered
 

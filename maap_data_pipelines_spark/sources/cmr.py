@@ -55,17 +55,14 @@ def _page_entries(status: int, body: str, url: str) -> list[dict]:
     return json.loads(body)["feed"]["entry"]
 
 
-def fetch_granules(
-    event: dict,
-    transport: Transport,
-    spark: SparkSession | None = None,
-) -> list[dict]:
-    """Run the whole page loop; return every granule entry, in page order.
+def fetch_granules(event: dict, transport: Transport) -> list[dict]:
+    """Serial page loop (the reference-parity twin): every granule entry,
+    in page order, on the driver.
 
     ``start_after``/``limit`` keep their reference meanings (first page,
-    page size). Serial mode replays the Lambda's loop; passing ``spark``
-    fetches pages 2..N as one parallelized map once page 1's ``CMR-Hits``
-    header fixes N (transport must then be picklable).
+    page size). For large collections use
+    ``read_cmr_granules(distributed=True)`` — granule JSON never
+    round-trips through the driver there.
     """
     first_page = event.get("start_after", 1)
     limit = event.get("limit", DEFAULT_PAGE_SIZE)
@@ -78,32 +75,15 @@ def fetch_granules(
         return entries
 
     last_page = math.ceil(hits / limit)
-    pages = list(range(first_page + 1, last_page + 1))
-    if spark is None:
-        out = list(entries)
-        for p in pages:
-            u = granules_search_url(event, p, limit)
-            s, _, b = transport(u)
-            got = _page_entries(s, b, u)
-            if not got:  # reference stop condition: an empty page ends it
-                break
-            out.extend(got)
-        return out
-
-    ev = dict(event)
-
-    def _fetch(p: int) -> list[tuple[int, str]]:
-        u = granules_search_url(ev, p, limit)
+    out = list(entries)
+    for p in range(first_page + 1, last_page + 1):
+        u = granules_search_url(event, p, limit)
         s, _, b = transport(u)
-        return [(p, json.dumps(e)) for e in _page_entries(s, b, u)]
-
-    sc = spark.sparkContext
-    fetched = (
-        sc.parallelize(pages, min(len(pages), 32)).flatMap(_fetch).collect()
-    )
-    return list(entries) + [
-        json.loads(e) for _, e in sorted(fetched, key=lambda t: t[0])
-    ]
+        got = _page_entries(s, b, u)
+        if not got:  # reference stop condition: an empty page ends it
+            break
+        out.extend(got)
+    return out
 
 
 def read_cmr_granules(
@@ -118,17 +98,45 @@ def read_cmr_granules(
     so the result drops into ``pipelines.discover_from_cmr_event``
     unchanged — the fixture-driven path and the HTTP path converge on the
     same frame.
+
+    ``distributed=True`` is the scale path: only page 1 crosses the
+    driver (its ``CMR-Hits`` header fixes the page count); pages 2..N are
+    fetched executor-side and stay there as an RDD of JSON lines that
+    ``spark.read.json`` consumes directly — at millions of granules no
+    granule JSON ever aggregates in driver memory. Page order is not
+    preserved (irrelevant downstream; the serial twin keeps it).
     """
-    entries = fetch_granules(
-        event, transport, spark=spark if distributed else None
-    )
-    lines = [json.dumps(e) for e in entries]
-    if not lines:
-        lines = ["{}"]  # empty feed -> empty frame with a null row filtered
-        return spark.read.json(
-            spark.sparkContext.parallelize(lines)
-        ).limit(0)
-    return spark.read.json(spark.sparkContext.parallelize(lines))
+    sc = spark.sparkContext
+    if not distributed:
+        lines = [json.dumps(e) for e in fetch_granules(event, transport)]
+        if not lines:
+            # empty feed -> empty frame with a null row filtered
+            return spark.read.json(sc.parallelize(["{}"])).limit(0)
+        return spark.read.json(sc.parallelize(lines))
+
+    first_page = event.get("start_after", 1)
+    limit = event.get("limit", DEFAULT_PAGE_SIZE)
+    url = granules_search_url(event, first_page, limit)
+    status, headers, body = transport(url)
+    entries = _page_entries(status, body, url)
+    hits = int(headers.get("CMR-Hits", len(entries)))
+    page1 = [json.dumps(e) for e in entries]
+    if not entries:
+        return spark.read.json(sc.parallelize(["{}"])).limit(0)
+    if hits <= limit * first_page:
+        return spark.read.json(sc.parallelize(page1))
+
+    last_page = math.ceil(hits / limit)
+    pages = list(range(first_page + 1, last_page + 1))
+    ev = dict(event)
+
+    def _fetch(p: int) -> list[str]:
+        u = granules_search_url(ev, p, limit)
+        s, _, b = transport(u)
+        return [json.dumps(e) for e in _page_entries(s, b, u)]
+
+    rest = sc.parallelize(pages, min(len(pages), 256)).flatMap(_fetch)
+    return spark.read.json(sc.parallelize(page1, 1).union(rest))
 
 
 def cmr_http_discovery(

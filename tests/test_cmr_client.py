@@ -84,7 +84,10 @@ def test_non_200_raises():
 
 
 def test_distributed_fetch_matches_serial(spark):
-    serial = cmr.fetch_granules(EVENT, StubTransport())
+    """The scale path must return the same granules as the Lambda-parity
+    serial loop — and only page 1 may cross the driver (pages 2..N are
+    fetched executor-side and land straight in spark.read.json's RDD)."""
+    serial = cmr.read_cmr_granules(spark, EVENT, StubTransport())
 
     # self-contained closure: executors can't import the test module, and
     # cloudpickle serializes closures (with captured locals) by value
@@ -107,8 +110,18 @@ def test_distributed_fetch_matches_serial(spark):
         ]
         return 200, {"CMR-Hits": str(n)}, _j.dumps({"feed": {"entry": entries}})
 
-    dist = cmr.fetch_granules(EVENT, transport, spark=spark)
-    assert dist == serial
+    dist = cmr.read_cmr_granules(spark, EVENT, transport, distributed=True)
+    # page order is not preserved distributed — compare as sets of rows
+    assert sorted(dist.toJSON().collect()) == sorted(serial.toJSON().collect())
+
+
+def test_distributed_path_has_no_driver_collect():
+    """Scale pin: the distributed branch must never materialize granule
+    JSON on the driver — read_cmr_granules feeds spark.read.json an RDD."""
+    import inspect
+
+    src = inspect.getsource(cmr)
+    assert ".collect()" not in src
 
 
 def test_http_discovery_feeds_cmr_event_adapter(spark):

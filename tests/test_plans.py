@@ -117,6 +117,42 @@ def test_registry_verified_prefix_all_oracled():
     assert all(k in o for k in q[:50]), "rows-only key inside first 50"
     no_oracle = [k for k in q if k not in o]
     assert q[-len(no_oracle):] == no_oracle  # all rows-only keys at tail
+    # Never-confirmed full-oracle keys must lead — the round's 50-slot
+    # window converts replica claims into official driver proof.
+    unconfirmed = [k for k in q if k in o and k not in registry._CONFIRMED]
+    assert q[: len(unconfirmed)] == unconfirmed, (
+        "a confirmed key displaced an unconfirmed one from the window"
+    )
+
+
+def test_registry_r04_window_composition():
+    """Pin the exact r04 driver window: etl(22) + multimodal(5) +
+    events-r3(6) + tpch-r3(2) + documents-tail(15). Adding a new key to a
+    module that feeds the window would silently shift what the driver
+    checks — this test makes that loud. New queries belong in modules
+    ordered after `documents` in registry._MODULES (tpch2/stac/llm/sqlapi
+    or a new module) until the rotation completes."""
+    win = list(registry.queries())[:50]
+    assert win == [
+        "customer_entity_resolution", "doc_surrogate_keys",
+        "lineitem_corr_matrix", "orders_scd2", "lineitem_salted_part_revenue",
+        "orders_zorder_layout", "orders_rfm", "doc_split_assign",
+        "doc_stratified_sample", "doc_sample_exact_k", "documents_checksum",
+        "orders_snapshot_diff", "compaction_plan", "orders_dq_expectations",
+        "orders_revenue_trend", "orders_monthly_gapfill",
+        "orders_price_quantiles", "lineitem_manifest_pruning",
+        "bloom_customer_filter", "doc_weighted_sample", "lineitem_scd2_lookup",
+        "orders_profile", "media_metadata", "media_phash_dedup",
+        "media_frame_sample", "media_resize", "media_audio_windows",
+        "events_attribution_latency", "sessions_campaign_overlap",
+        "events_transition_matrix", "events_user_paths",
+        "events_salted_rollup", "events_sliding_trend", "orders_trailing_year",
+        "orders_value_deciles", "tfidf_top_terms", "bm25_topk",
+        "bm25_proximity_rerank", "term_cooccurrence", "dedup_containment",
+        "doc_cosine_topk", "vocab_diff", "vocab_overlap", "fuzzy_word_pairs",
+        "documents_profile", "decontaminate", "repetition_stats", "pii_scan",
+        "domain_mixture", "dup_ngram_mass",
+    ]
 
 
 def test_plan_hygiene_all_queries(spark, sf_dir):
