@@ -162,19 +162,27 @@ def main() -> int:
         timings[key] = round(runs[len(runs) // 2], 3)
         spread[key] = round(runs[-1] - runs[0], 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "runs": n_runs,
-                "sf": sf,
-            }
-        )
+    # Field order matters: artifact captures may keep only the TAIL of
+    # stdout, so the headline scalars (metric/value/unit/runs/sf) go LAST
+    # in the line — a truncated capture loses per-query detail, never the
+    # total. The full line is also written to BENCH_LOCAL.json next to
+    # this script so the complete record survives any stdout truncation.
+    line = json.dumps(
+        {
+            "queries": timings,
+            "spread": spread,
+            "n_queries": len(timings),
+            "runs": n_runs,
+            "sf": sf,
+            "unit": "sec",
+            "metric": "headline_total",
+            "value": total,
+        }
     )
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(out, "w") as f:
+        f.write(line + "\n")
+    print(line)
     return 0
 
 

@@ -161,7 +161,10 @@ def train_bpe(docs: DataFrame, n_merges: int = TRAIN_MERGES) -> DataFrame:
       1. adjacent symbol pairs explode (fan-out = symbols per word) and
          sum occurrence-weighted counts (map-side combine);
       2. the argmax pair (count desc, then lexical — deterministic ties)
-         returns to the driver (ONE row per round);
+         returns to the driver (ONE row per round — ``n_merges`` bounds
+         the total driver round-trips, an inherent property of BPE's
+         sequential merge dependency; the per-round pair counting is
+         fully distributed);
       3. a closure UDF merges that pair inside every word's symbol list.
 
     The vocab frame is localCheckpoint-ed per round: each round's plan

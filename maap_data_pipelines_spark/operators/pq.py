@@ -210,7 +210,10 @@ def ann_l2_topk(emb: DataFrame) -> DataFrame:
 
 def ann_pq_recall(emb: DataFrame) -> DataFrame:
     """Recall@5 of PQ/ADC vs exact-L2 truth, per query — the compression
-    loss made visible (4 bytes/vector vs 256: recall is the price)."""
+    loss made visible. 8 subspace codes of 4 bits each = 4 packed bytes
+    per vector vs 256 float bytes (the stored codes column is 8 small
+    ints for SQL-oracle clarity; a production sink nibble-packs them):
+    recall is the price of that 64x."""
     truth = ann_l2_topk(emb).select("query_id", "vec_id")
     approx = ann_pq_topk(emb).select(
         "query_id", "vec_id", F.lit(1).alias("hit")

@@ -524,9 +524,27 @@ def apply_rollup_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
     id already recorded and returns without touching the table — the
     guard additive merges need, since re-adding is NOT idempotent.
     Returns True if the batch was applied, False if skipped as replay.
+
+    The guard key is NAMESPACED (``rollup_batch_id``) and table meta
+    merges across commits, so an unrelated ``commit()``/``merge_upsert``
+    on the same table cannot reset it. Single rollup-stream writer per
+    table. A batch id BELOW the recorded high-water mark means the
+    stream's checkpoint was deleted/recreated (ids restart at 0) — every
+    new batch would silently skip, so that case warns loudly.
     """
-    last = table.latest_meta().get("batch_id")
+    last = table.latest_meta().get("rollup_batch_id")
     if last is not None and batch_id <= last:
+        if batch_id < last:
+            import warnings
+
+            warnings.warn(
+                f"apply_rollup_batch: batch_id {batch_id} < recorded "
+                f"high-water mark {last} — was the stream checkpoint "
+                "deleted? All batches will be skipped until ids pass "
+                f"{last}; clear the table's rollup_batch_id meta to "
+                "resume (and expect a full backfill).",
+                stacklevel=2,
+            )
         return False
     part = batch_df.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
@@ -538,7 +556,7 @@ def apply_rollup_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
         part,
         keys=["hour", "event_type"],
         sum_cols=["n_events", "value_cents"],
-        meta={"batch_id": batch_id},
+        meta={"rollup_batch_id": batch_id},
     )
     return True
 

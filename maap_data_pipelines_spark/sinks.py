@@ -401,6 +401,58 @@ def apply_item_changes(
     return src.mapInPandas(_apply, schema=schema)
 
 
+def resolve_item_sources(
+    items: DataFrame,
+    fetcher: Callable[[str], str],
+    id_col: str = "item_id",
+    json_col: str = "item_json",
+    url_col: str = "stac_file_url",
+) -> DataFrame:
+    """Resolve rows that carry an item-JSON URL instead of inline JSON.
+
+    Parity: ``submit-stac/handler.py:19-24,96-107`` — a submission event
+    is EITHER an inline ``stac_item`` or a ``stac_file_url`` pointing at
+    the item document (the reference GETs it from object storage before
+    submitting). Engine-side the same union shape is two columns: rows
+    with a non-null ``json_col`` pass through; rows with a null
+    ``json_col`` and a ``url_col`` fetch their document via the
+    injectable ``fetcher(url) -> json_text`` — DISTRIBUTED inside
+    mapInPandas, so a million linked items fan the fetches across
+    executors instead of a driver loop. Rows with neither raise, like the
+    reference ("No stac_item or stac_file_url provided").
+
+    Output: (item_id, item_json) — the exact frame ``submit_items``
+    consumes, with every document inline.
+    """
+    cols = [
+        F.col(id_col).alias("item_id"),
+        F.col(json_col).alias("_json") if json_col in items.columns
+        else F.lit(None).cast("string").alias("_json"),
+        F.col(url_col).alias("_url") if url_col in items.columns
+        else F.lit(None).cast("string").alias("_url"),
+    ]
+    src = items.select(*cols)
+    schema = "item_id string, item_json string"
+
+    def _resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = []
+            for item_id, doc, url in zip(pdf["item_id"], pdf["_json"], pdf["_url"]):
+                if doc is not None and not (isinstance(doc, float) and pd.isna(doc)):
+                    docs.append(doc)
+                elif url is not None and not (isinstance(url, float) and pd.isna(url)):
+                    docs.append(fetcher(url))
+                else:
+                    raise ValueError(
+                        f"item {item_id!r}: no {json_col} or {url_col} provided"
+                    )
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"].astype(str), "item_json": docs}
+            )
+
+    return src.mapInPandas(_resolve, schema=schema)
+
+
 def submit_items(
     items: DataFrame,
     endpoint: str,
@@ -408,11 +460,19 @@ def submit_items(
     json_col: str = "item_json",
     batch_size: int = 100,
     transport: Callable[[list[str], str], int] = dry_run_transport,
+    dry_run: bool = False,
 ) -> DataFrame:
     """Submit item JSON documents in batches; return a receipts DataFrame.
 
     Output: (item_id, batch_size, status) — one row per item, status from
     the transport's HTTP code for its batch.
+
+    ``dry_run=True`` is the reference's short-circuit
+    (``submit-stac/handler.py:115-118``): the transport is NEVER called —
+    even a fully-wired production transport — and every receipt carries
+    status 0, the documented "planned, not sent" marker (distinct from
+    any HTTP code). This is the audit mode: run the whole pipeline, read
+    the receipts, send nothing.
     """
     src = items.select(F.col(id_col).alias("item_id"), F.col(json_col).alias("doc"))
     schema = "item_id string, batch_size int, status int"
@@ -421,7 +481,9 @@ def submit_items(
         for pdf in batches:
             for lo in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[lo : lo + batch_size]
-                status = transport(chunk["doc"].tolist(), endpoint)
+                status = (
+                    0 if dry_run else transport(chunk["doc"].tolist(), endpoint)
+                )
                 yield pd.DataFrame(
                     {
                         "item_id": chunk["item_id"].astype(str),

@@ -22,6 +22,7 @@ State design (the 100 TB contract):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -167,9 +168,12 @@ def user_lifetime_totals(spark: SparkSession, source_dir: str) -> DataFrame:
                 n, cents = 0, 0
             for pdf in rows:
                 n += len(pdf)
-                # per-event cents rounding (the engine-wide convention),
-                # never round a batch sum — that drifts across batching
-                cents += int(pdf["value"].map(lambda v: round(v * 100)).sum())
+                # per-event cents rounding, never a batch sum (that drifts
+                # across batching). HALF-UP like F.round/DuckDB round —
+                # Python round() is half-to-even and disagrees on exact .5
+                cents += int(
+                    pdf["value"].map(lambda v: math.floor(v * 100 + 0.5)).sum()
+                )
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

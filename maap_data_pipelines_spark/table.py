@@ -86,10 +86,20 @@ class VersionedTable:
 
         ``append`` unions the new dir with the current snapshot's dirs;
         ``overwrite`` makes the new dir the whole snapshot. Either way
-        no existing data file is touched.
+        no existing data file is touched. ``meta`` merges into (never
+        replaces) the previous commit's meta — guards owned by other
+        writers (e.g. a rollup stream's applied batch id) survive
+        unrelated commits. Namespace your keys accordingly.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        # meta MERGES into the previous commit's meta (new keys win) rather
+        # than replacing it: a plain commit() or merge_upsert() on a table
+        # that also carries a stream's applied-batch-id guard must not
+        # silently reset that guard (which would re-admit replayed batches)
+        merged_meta = dict(self.latest_meta())
+        merged_meta.update(meta or {})
+        meta = merged_meta
         prev = self.latest_version()
         new_dir = os.path.join(
             self.base, "data", f"c{0 if prev is None else prev + 1:06d}"
@@ -112,9 +122,10 @@ class VersionedTable:
         prev = self.latest_version()
         new_dir = os.path.join(self.base, "data", f"c{prev + 1:06d}")
         cur.coalesce(n_files).write.mode("errorifexists").parquet(new_dir)
-        # carry the previous commit's meta forward: a compaction changes
-        # layout, not content — dropping e.g. the applied stream batch id
-        # would un-guard the replay check of a concurrent rollup stream
+        # meta carries forward (commit()-wide merge semantics): a
+        # compaction changes layout, not content — dropping e.g. the
+        # applied stream batch id would un-guard a rollup stream's replay
+        # check. _publish is called directly here, so merge explicitly.
         return self._publish([new_dir], meta=self.latest_meta())
 
     def merge_upsert(

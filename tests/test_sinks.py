@@ -314,3 +314,72 @@ def test_collection_crud_via_generic_differ(spark):
         ("c2", "update", 200),
         ("c3", "delete", 200),
     }
+
+
+def test_resolve_item_sources_inline_url_and_neither(spark):
+    """submit-stac/handler.py:19-24 parity: a submission row carries EITHER
+    inline item JSON or a stac_file_url to fetch it from; neither is an
+    error. Fetch runs executor-side through the injectable fetcher."""
+    from maap_data_pipelines_spark.sinks import resolve_item_sources
+
+    items = spark.createDataFrame(
+        [
+            ("a", '{"id": "a"}', None),
+            ("b", None, "s3://bucket/items/b.json"),
+        ],
+        "item_id string, item_json string, stac_file_url string",
+    )
+
+    def fetcher(url):
+        assert url == "s3://bucket/items/b.json"
+        return '{"id": "b", "fetched": true}'
+
+    got = {r.item_id: r.item_json for r in resolve_item_sources(items, fetcher).collect()}
+    assert got == {
+        "a": '{"id": "a"}',
+        "b": '{"id": "b", "fetched": true}',
+    }
+
+    # a row with neither fails the job loudly (reference raises too)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [("c", None, None)], "item_id string, item_json string, stac_file_url string"
+    )
+    with pytest.raises(Exception, match="no item_json or stac_file_url"):
+        resolve_item_sources(bad, fetcher).collect()
+
+
+def test_resolve_item_sources_feeds_submit(spark):
+    """URL-resolved items flow straight into submit_items (same frame)."""
+    from maap_data_pipelines_spark.sinks import resolve_item_sources
+
+    items = spark.createDataFrame(
+        [("x", None, "s3://b/x.json")],
+        "item_id string, item_json string, stac_file_url string",
+    )
+    resolved = resolve_item_sources(items, lambda u: '{"id": "x"}')
+    receipts = sinks.submit_items(resolved, endpoint="dry://api").collect()
+    assert [(r.item_id, r.status) for r in receipts] == [("x", 200)]
+
+
+def test_submit_items_dry_run_never_calls_transport(spark, sf_dir):
+    """dry_run=True (submit-stac/handler.py:115-118): receipts with the
+    status-0 'planned, not sent' marker, transport untouched even though
+    a real one is wired (it raises if called — executor-side proof)."""
+    items = stac_item_json(spark, sf_dir)
+
+    def exploding_transport(docs, endpoint):
+        raise AssertionError("dry_run must not call the transport")
+
+    receipts = sinks.submit_items(
+        items,
+        endpoint="https://real.api/ingestions",
+        id_col="asset_id",
+        transport=exploding_transport,
+        dry_run=True,
+    )
+    rows = receipts.collect()
+    assert len(rows) == items.count()
+    assert {r.status for r in rows} == {0}

@@ -155,7 +155,7 @@ def test_read_json_quarantined_splits_good_and_bad(spark, tmp_path):
     schema = StructType(
         [StructField("id", StringType()), StructField("size", LongType())]
     )
-    good, bad = read_json_quarantined(spark, str(p), schema)
+    good, bad, source = read_json_quarantined(spark, str(p), schema)
     got = {r.id: r.size for r in good.collect()}
     assert got == {"g1": 10, "g2": 20}
     raws = [r.raw for r in bad.collect()]
@@ -164,3 +164,9 @@ def test_read_json_quarantined_splits_good_and_bad(spark, tmp_path):
     assert any("not json" in r for r in raws)
     # schema of good side is exactly the declared schema (no corrupt col)
     assert [f.name for f in good.schema.fields] == ["id", "size"]
+    # caller owns the cache lifetime: the returned parent is the cached
+    # handle, and unpersisting it releases the only storage this reader
+    # created (no session-lifetime leak across repeated calls)
+    assert source.storageLevel.useMemory
+    source.unpersist()
+    assert not source.storageLevel.useMemory

@@ -577,11 +577,23 @@ def test_live_rollup_pipeline_incremental_and_exactly_once(spark, tmp_path):
         [(9, "2024-01-01T03:00:00", 9, "view", 9.0, "{}")],
         "event_id long, ts string, user_id long, event_type string, value double, props string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    last_applied = t.latest_meta()["batch_id"]
+    last_applied = t.latest_meta()["rollup_batch_id"]
     assert apply_rollup_batch(t, batch, last_applied) is False
+    # a regressed batch id (checkpoint recreated) skips AND warns loudly
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert apply_rollup_batch(t, batch, last_applied - 1) is False
+    assert any("checkpoint" in str(c.message) for c in caught)
     assert apply_rollup_batch(t, batch, last_applied + 1) is True
     got3 = {(r.hour.isoformat(), r.event_type): r.n_events for r in t.read(spark).collect()}
     assert got3[("2024-01-01T03:00:00", "view")] == 1
+    # an unrelated commit on the same table must NOT reset the guard:
+    # meta merges across commits (a replayed batch would double-count)
+    t.commit(t.read(spark), mode="overwrite")
+    assert t.latest_meta()["rollup_batch_id"] == last_applied + 1
+    assert apply_rollup_batch(t, batch, last_applied + 1) is False
 
 
 def test_transform_with_state_lifetime_totals(spark, tmp_path):
