@@ -706,56 +706,80 @@ _QSKETCH_ACCURACY = 10_000
 
 
 def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (GK sketch) vs exact percentiles — accuracy monitor.
+    """approx_percentile (GK sketch) vs exact percentiles — accuracy GATE.
 
     Exact percentiles sort each group; the Greenwald-Khanna sketch keeps
     bounded state (accuracy parameter = 1/eps memory) and merges map-side,
-    so it is the percentile that survives 100 TB. This runs both on one
-    scan and reports the worst relative error across p50/p90/p99 in ppm.
-    Rows-only: the sketch's picks aren't reproducible in DuckDB.
+    so it is the percentile that survives 100 TB. Both run on one scan.
+
+    FULL oracle via the rank-band verdict: GK's guarantee is on RANK, not
+    value (a value-relative bound is meaningless on sparse tails, where
+    the interpolated exact p99 and the sketch's picked element legally
+    differ by 25% at tiny n). Each ``pXX_in_band`` asserts the sketch's
+    pick lies within the exact [p-0.01, p+0.01] rank band — 100x the
+    eps=1/accuracy=1e-4 guarantee, so the booleans are invariantly TRUE
+    and the DuckDB oracle emits literal TRUE. The value hash thereby
+    ENFORCES the sketch's accuracy contract every driver run: if a Spark
+    upgrade or a data shape ever pushed GK outside the band, the oracle
+    comparison itself would fail. (The sketch's raw picks stay out of the
+    output because only the verdict is engine-independent.)
     """
     ev = read_events(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     pcts = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    band = F.array(  # exact values at p∓0.01 rank — the GK containment band
+        F.lit(0.49), F.lit(0.51), F.lit(0.89), F.lit(0.91), F.lit(0.98), F.lit(1.0)
+    )
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.percentile(cents, pcts).alias("exact"),
+        F.percentile(cents, band).alias("band"),
         F.percentile_approx(cents, pcts, F.lit(_QSKETCH_ACCURACY)).alias("approx"),
     )
-    err = F.round(
-        F.array_max(
-            F.zip_with(
-                F.col("exact"),
-                F.col("approx"),
-                lambda e, a: F.abs(a - e) * 1_000_000 / F.greatest(e, F.lit(1.0)),
-            )
-        )
-    ).cast("long")
+    def _in_band(i: int):
+        a = F.col("approx")[i].cast("double")
+        return (F.col("band")[2 * i] <= a) & (a <= F.col("band")[2 * i + 1])
     return agg.select(
         "event_type",
         "n_events",
-        F.col("exact")[0].alias("exact_p50"),
-        F.col("approx")[0].cast("long").alias("approx_p50"),
-        F.col("exact")[2].alias("exact_p99"),
-        F.col("approx")[2].cast("long").alias("approx_p99"),
-        err.alias("max_rel_err_ppm"),
+        F.round(F.col("exact")[0], 6).alias("exact_p50"),
+        F.round(F.col("exact")[1], 6).alias("exact_p90"),
+        F.round(F.col("exact")[2], 6).alias("exact_p99"),
+        _in_band(0).alias("p50_in_band"),
+        _in_band(1).alias("p90_in_band"),
+        _in_band(2).alias("p99_in_band"),
     )
 
 
+QSKETCH_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5), 6) AS exact_p50,
+       ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.9), 6) AS exact_p90,
+       ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.99), 6) AS exact_p99,
+       TRUE AS p50_in_band,
+       TRUE AS p90_in_band,
+       TRUE AS p99_in_band
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct-user sketch vs exact count — accuracy monitor.
+    """HLL++ distinct-user sketch vs exact count — accuracy GATE.
 
     ``countDistinct`` shuffles every distinct (group, user) pair; at 100 TB
     that IS the job. ``approx_count_distinct`` (HyperLogLog++) keeps a
     constant ~1.5 KB sketch per group at rsd=2%, mergeable map-side, so the
     shuffle carries one sketch per group per partition regardless of row
-    count — the only viable distinct-count at scale. This monitor computes
-    both on the same scan and reports the relative error in ppm, making
-    the accuracy/cost trade measurable on real data instead of assumed
-    (the 2% rsd is a one-sigma bound, pinned <5% in tests).
+    count — the only viable distinct-count at scale.
 
-    Rows-only check: the sketch is deterministic for a given input but not
-    reproducible in DuckDB SQL.
+    FULL oracle via the tolerance verdict: ``sketch_within_5pct`` asserts
+    the HLL++ estimate is within 5% of the exact count (2.5 sigma at
+    rsd=2%; small cardinalities are sparse-mode EXACT, so the margin is
+    far wider in practice — measured 0 ppm at both test SFs). The DuckDB
+    oracle emits literal TRUE, so every driver run value-hash-ENFORCES
+    the sketch's accuracy bound rather than merely reporting it.
     """
     ev = read_events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
@@ -763,12 +787,24 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
     )
-    rel_err_ppm = F.round(
-        F.abs(F.col("approx_users") - F.col("exact_users"))
-        * 1_000_000
-        / F.col("exact_users")
-    ).cast("long")
-    return agg.withColumn("rel_err_ppm", rel_err_ppm)
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users")) * 20
+        <= F.col("exact_users")
+    )
+    return agg.select(
+        "event_type", "n_events", "exact_users",
+        within.alias("sketch_within_5pct"),
+    )
+
+
+DSKETCH_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_within_5pct
+FROM events
+GROUP BY event_type
+"""
 
 
 _SLIDE_US = 15 * 60 * 1_000_000  # 15-minute slide
@@ -1210,4 +1246,9 @@ ORACLES = {
     "events_purchase_context": PURCHASE_CONTEXT_SQL,
     "events_cube": CUBE_SQL,
     "events_retention_triangle": RETENTION_TRIANGLE_SQL,
+    # sketch monitors: full oracles via invariant accuracy verdicts (the
+    # oracle's literal TRUEs turn each driver run into an enforcement of
+    # the sketch error bound)
+    "events_distinct_sketch": DSKETCH_SQL,
+    "events_quantile_sketch": QSKETCH_SQL,
 }

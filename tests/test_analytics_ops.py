@@ -114,11 +114,8 @@ def test_distinct_sketch_error_within_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.exact_users > 0
-        # rsd=2% one-sigma; 5% is a generous deterministic ceiling
-        assert r.rel_err_ppm == round(
-            abs(r.approx_users - r.exact_users) * 1_000_000 / r.exact_users
-        )
-        assert r.rel_err_ppm < 50_000
+        # rsd=2% one-sigma; the 5% verdict is the oracle-enforced ceiling
+        assert r.sketch_within_5pct is True
 
 
 def test_retention_triangle_invariants(spark, sf_dir):
@@ -143,13 +140,15 @@ def test_quantile_sketch_error_within_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_events > 0
-        # GK at accuracy 10k has near-zero RANK error at these sizes, so
-        # the dense median must agree to <2%; the p99 VALUE gap on ~200-row
-        # groups is interpolated-vs-discrete straddling a tail jump and is
-        # reported (max_rel_err_ppm) but only sanity-checked here
-        assert abs(r.approx_p50 - r.exact_p50) / max(r.exact_p50, 1.0) < 0.02
-        assert r.max_rel_err_ppm >= 0
-        assert r.approx_p50 >= 0 and r.approx_p99 >= r.approx_p50
+        # GK's guarantee is on RANK (eps = 1e-4 at accuracy 10k); the
+        # oracle-enforced verdict asserts each pick sits inside the exact
+        # ±1% rank band — 100x margin (a VALUE-relative bound is
+        # meaningless on sparse tails: interpolated exact p99 vs the
+        # sketch's discrete pick legally differ by 25% on ~200-row groups)
+        assert r.p50_in_band is True
+        assert r.p90_in_band is True
+        assert r.p99_in_band is True
+        assert 0 <= r.exact_p50 <= r.exact_p90 <= r.exact_p99
 
 
 def test_scd2_lookup_matches_range_join_truth(spark, sf_dir):
