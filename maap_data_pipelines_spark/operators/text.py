@@ -1072,6 +1072,129 @@ LIMIT {COOC_TOPK}
 """
 
 
+def doc_length_outliers(docs: DataFrame) -> DataFrame:
+    """Model-based formatting-outlier detection: OLS residuals as dataflow.
+
+    Fits ``n_chars ~ b0 + b1*n_ws_tokens + b2*n_vowels`` by ordinary least
+    squares and surfaces the 20 documents whose length deviates most from
+    the token-predicted value — the "weird formatting" signal (minified
+    blobs, ASCII art, concatenated URLs) that per-feature threshold
+    filters miss because each individual feature looks normal.
+
+    The distributed-ML shape: ALL sufficient statistics for the 3x3
+    normal equations (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y)
+    come from ONE map-side-combined aggregate over exact int64 features —
+    the same one-pass pattern as lineitem_corr_matrix, extended from
+    correlation to model FITTING. The solve is Cramer's rule on the 3x3
+    system (closed form, no iterative driver loop — contrast
+    embedding_kmeans), computed in doubles with the identical expression
+    on the oracle side; the 1-row coefficient frame broadcasts back onto
+    the corpus for residual scoring. At 100 TB: one scan + a 1-row
+    shuffle + a broadcast join — the cheapest possible supervised signal.
+
+    Determinism: ranking sorts by ROUND(|residual|, 6) DESC then doc_id,
+    so float noise below 1e-6 cannot reorder the cut.
+    """
+    spark = docs.sparkSession
+    lower = F.lower(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        _size(F.split(F.col("text"), " ")).alias("x1"),
+        _size(F.regexp_extract_all(lower, F.lit("[aeiou]"), 0)).alias("x2"),
+        F.length(F.col("text")).cast("long").alias("y"),
+    )
+    s = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        # doubles, identical term order to the oracle rendering
+        return (
+            a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+        )
+
+    d = [F.col(c).cast("double") for c in
+         ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y")]
+    n_, s1, s2, sy, s11, s12, s22, s1y, s2y = d
+    det = det3(n_, s1, s2, s1, s11, s12, s2, s12, s22)
+    det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    det1 = det3(n_, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    det2 = det3(n_, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    coef = s.select(
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+    )
+    pred = (
+        F.col("b0")
+        + F.col("b1") * F.col("x1").cast("double")
+        + F.col("b2") * F.col("x2").cast("double")
+    )
+    scored = feats.join(F.broadcast(coef)).select(
+        "doc_id",
+        "x1",
+        "x2",
+        "y",
+        F.round(pred, 6).alias("pred_chars"),
+        F.round(F.abs(F.col("y").cast("double") - pred), 6).alias("abs_resid"),
+    )
+    return scored.orderBy(F.desc("abs_resid"), "doc_id").limit(20)
+
+
+DOC_LENGTH_OUTLIERS_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS x1,
+         len(regexp_extract_all(lower(text), '[aeiou]')) AS x2,
+         length(text) AS y
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x1) AS DOUBLE) AS s1,
+         CAST(SUM(x2) AS DOUBLE) AS s2,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+         CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+         CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+         CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+         CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+  FROM feats
+),
+coef AS (
+  SELECT
+    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+       + s2 * (s1y * s12 - s11 * s2y))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       + s2 * (s1 * s12 - s11 * s2)) AS b0,
+    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+       + s2 * (s1 * s2y - s1y * s2))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       + s2 * (s1 * s12 - s11 * s2)) AS b1,
+    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+       + sy * (s1 * s12 - s11 * s2))
+      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       + s2 * (s1 * s12 - s11 * s2)) AS b2
+  FROM stats
+)
+SELECT doc_id, x1, x2, y,
+       ROUND(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE), 6) AS pred_chars,
+       ROUND(ABS(CAST(y AS DOUBLE)
+             - (b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE))), 6) AS abs_resid
+FROM feats CROSS JOIN coef
+ORDER BY abs_resid DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERY_SQL = {
     "bm25_topk": BM25_TOPK_SQL,
     "bm25_proximity_rerank": BM25_PROXIMITY_SQL,
@@ -1090,4 +1213,5 @@ QUERY_SQL = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "vocab_diff": VOCAB_DIFF_SQL,
     "fuzzy_word_pairs": FUZZY_WORD_PAIRS_SQL,
+    "doc_length_outliers": DOC_LENGTH_OUTLIERS_SQL,
 }

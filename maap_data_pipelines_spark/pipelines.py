@@ -21,6 +21,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -597,3 +600,86 @@ def run_live_rollup_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- declarative stage orchestration (retry / error routing) ---------------
+
+
+@dataclass
+class Stage:
+    """One orchestration stage with Step-Functions-style retry policy.
+
+    Parity: ``deploy/cdk/step_function_stack.py`` — every reference task
+    declares ``add_retry(interval, max_attempts)``, optionally filtered
+    to specific error types (``errors=["RasterioIOError"]`` on the
+    build-stac task), and the state machine routes exhausted tasks. The
+    engine's analogue is declarative data: a Stage carries its retry
+    policy; :func:`run_stages` executes the list.
+
+    ``fn(ctx) -> dict`` receives the accumulated context and returns
+    updates merged into it (the state-machine payload passing). Retries
+    apply only to exceptions matching ``retry_on`` (the errors= filter);
+    non-matching errors go straight to the exhausted route.
+    ``on_exhausted``: 'fail' re-raises (default — the unrouted Step
+    Functions failure), 'skip' records the failure and continues the DAG
+    (the Catch-route analogue; downstream stages see the unchanged ctx).
+    """
+
+    name: str
+    fn: Callable[[dict], dict | None]
+    max_attempts: int = 1
+    interval_seconds: float = 0.0
+    backoff_rate: float = 2.0
+    retry_on: tuple = (Exception,)
+    on_exhausted: str = "fail"
+
+
+def run_stages(
+    stages: list[Stage],
+    ctx: dict | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> tuple[dict, list[dict]]:
+    """Run stages sequentially with per-stage retry/catch; return receipts.
+
+    Receipts are one dict per ATTEMPT — (stage, attempt, status, error) —
+    so the run's whole control-flow history is ordinary data a caller can
+    land as a DataFrame, exactly like the submission sinks' receipt
+    discipline. ``sleep`` is injectable (tests pin the exponential
+    backoff schedule without waiting it out). This is driver-side CONTROL
+    flow only: stages launch Spark jobs; the orchestrator never touches
+    rows.
+    """
+    ctx = dict(ctx or {})
+    receipts: list[dict] = []
+    for st in stages:
+        if st.on_exhausted not in ("fail", "skip"):
+            raise ValueError(f"on_exhausted must be fail|skip: {st.on_exhausted!r}")
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                updates = st.fn(ctx)
+                if updates:
+                    ctx.update(updates)
+                receipts.append(
+                    {"stage": st.name, "attempt": attempt, "status": "ok",
+                     "error": None}
+                )
+                break
+            except Exception as e:  # noqa: BLE001 — routed, not swallowed
+                retryable = isinstance(e, st.retry_on)
+                if retryable and attempt < st.max_attempts:
+                    receipts.append(
+                        {"stage": st.name, "attempt": attempt,
+                         "status": "retried", "error": repr(e)}
+                    )
+                    sleep(st.interval_seconds * st.backoff_rate ** (attempt - 1))
+                    continue
+                receipts.append(
+                    {"stage": st.name, "attempt": attempt, "status": "failed",
+                     "error": repr(e)}
+                )
+                if st.on_exhausted == "fail":
+                    raise
+                break  # skip: error routed to receipts, DAG continues
+    return ctx, receipts

@@ -65,6 +65,10 @@ QUERIES = {
     "doc_perplexity": _wrap(text.doc_perplexity),
     "split_leakage": _wrap(curation.split_leakage),
     "dup_span_removal": _wrap(curation.dup_span_removal),
+    # r4 additions are APPENDED: documents keys ahead of these fill the
+    # in-flight driver window (registry ordering), appended keys rotate in
+    # next round
+    "doc_length_outliers": _wrap(text.doc_length_outliers),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

@@ -934,6 +934,94 @@ WHERE ROUND((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6)
 """
 
 
+_TILE_ZOOM = 4  # 16 x 16 grid
+
+
+def assets_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map tile rollup: assets per (quadkey, collection) at zoom 4.
+
+    The map-dashboard aggregation every geospatial catalog needs (the
+    reference renders per-collection maps from item geometry; a
+    catalog-scale engine pre-aggregates them): each asset's bbox centroid
+    lands in an integer tile, tiles get Bing-style quadkeys (one base-4
+    digit per zoom level, MSB first — a tile's quadkey is a PREFIX of all
+    its children's, so coarser zooms are a ``LIKE 'prefix%'`` or a
+    truncation rollup away), plus the Morton key (functions/zorder.py)
+    that makes tile ranges byte-sortable for layout.
+
+    Tiles are EQUIRECTANGULAR (uniform lat bands), not Web-Mercator: the
+    Mercator y-formula needs ln/tan, whose cross-engine float parity is
+    not guaranteed — tile assignment must be hash-exact, and a monitoring
+    rollup does not care about map projection aesthetics. At 100 TB this
+    is one map-side-combined groupBy over (2^2z x collections) keys —
+    cell count independent of asset count.
+    """
+    from ..functions.zorder import zorder_key
+
+    n = 1 << _TILE_ZOOM
+    b = bbox(spark, sf_dir)
+    cx = (F.col("min_x") + F.col("max_x")) / F.lit(2.0)
+    cy = (F.col("min_y") + F.col("max_y")) / F.lit(2.0)
+    tx = F.floor((cx + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
+    ty = F.floor((F.lit(90.0) - cy) / F.lit(180.0) * F.lit(float(n))).cast("long")
+    digits = [
+        (
+            F.shiftleft(
+                F.shiftright(F.col("tile_y"), _TILE_ZOOM - 1 - i).bitwiseAND(F.lit(1)), 1
+            )
+            + F.shiftright(F.col("tile_x"), _TILE_ZOOM - 1 - i).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for i in range(_TILE_ZOOM)
+    ]
+    cat = asset_catalog(spark, sf_dir).filter(F.col("ext") != "hdr").select(
+        "asset_id", "collection"
+    )
+    tiles = (
+        b.select("asset_id", tx.alias("tile_x"), ty.alias("tile_y"))
+        .withColumn("quadkey", F.concat(*digits))
+        .withColumn("morton", zorder_key(F.col("tile_x"), F.col("tile_y")))
+        .join(cat, "asset_id")
+    )
+    return tiles.groupBy("quadkey", "morton", "tile_x", "tile_y", "collection").agg(
+        F.count(F.lit(1)).alias("n_assets")
+    )
+
+
+def _tile_rollup_sql() -> str:
+    from ..functions.zorder import zorder_key_sql
+
+    n = 1 << _TILE_ZOOM
+    digits = " || ".join(
+        f"CAST((((tile_y >> {_TILE_ZOOM - 1 - i}) & 1) << 1)"
+        f" + ((tile_x >> {_TILE_ZOOM - 1 - i}) & 1) AS VARCHAR)"
+        for i in range(_TILE_ZOOM)
+    )
+    return f"""
+WITH {CATALOG_SQL},
+boxes AS (
+  SELECT asset_id,
+         least({_duck_lon(7)}, {_duck_lon(11)}, {_duck_lon(13)}, {_duck_lon(17)}) AS min_x,
+         least({_duck_lat(7)}, {_duck_lat(11)}, {_duck_lat(13)}, {_duck_lat(17)}) AS min_y,
+         greatest({_duck_lon(7)}, {_duck_lon(11)}, {_duck_lon(13)}, {_duck_lon(17)}) AS max_x,
+         greatest({_duck_lat(7)}, {_duck_lat(11)}, {_duck_lat(13)}, {_duck_lat(17)}) AS max_y
+  FROM catalog WHERE ext != 'hdr'
+),
+tiles AS (
+  SELECT asset_id,
+         CAST(FLOOR(((min_x + max_x) / 2.0 + 180.0) / 360.0 * {float(n)}) AS BIGINT) AS tile_x,
+         CAST(FLOOR((90.0 - (min_y + max_y) / 2.0) / 180.0 * {float(n)}) AS BIGINT) AS tile_y
+  FROM boxes
+)
+SELECT {digits} AS quadkey,
+       {zorder_key_sql('tile_x', 'tile_y')} AS morton,
+       tile_x, tile_y, c.collection,
+       CAST(COUNT(*) AS BIGINT) AS n_assets
+FROM tiles t JOIN catalog c USING (asset_id)
+WHERE c.ext != 'hdr'
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 QUERIES = {
     "assets_neighbor_join": assets_neighbor_join,
     "s3_discovery": s3_discovery,
@@ -950,6 +1038,7 @@ QUERIES = {
     "catalog_summary": catalog_summary,
     "cogify": cogify,
     "cmr_discovery": cmr_discovery,
+    "assets_tile_rollup": assets_tile_rollup,
 }
 
 ORACLES = {
@@ -968,4 +1057,5 @@ ORACLES = {
     "catalog_summary": CATALOG_SUMMARY_SQL,
     "cogify": COGIFY_SQL,
     "cmr_discovery": CMR_DISCOVERY_SQL,
+    "assets_tile_rollup": _tile_rollup_sql(),
 }

@@ -360,3 +360,36 @@ def test_surrogate_keys_big_window_is_partitioned(spark, sf_dir):
     )
     # exactly one SinglePartition exchange (the tiny offsets cumsum)
     assert plan.count("SinglePartition") == 1
+
+
+def test_tile_rollup_quadkey_structure(spark, sf_dir):
+    rows = registry.queries()["assets_tile_rollup"](spark, sf_dir).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        total += r.n_assets
+        assert len(r.quadkey) == 4 and set(r.quadkey) <= set("0123")
+        assert 0 <= r.tile_x < 16 and 0 <= r.tile_y < 16
+        # quadkey digits reconstruct the tile (prefix = parent tile at
+        # coarser zoom — the rollup-by-truncation property)
+        tx = ty = 0
+        for ch in r.quadkey:
+            d = int(ch)
+            tx = (tx << 1) | (d & 1)
+            ty = (ty << 1) | (d >> 1)
+        assert (tx, ty) == (r.tile_x, r.tile_y)
+    # every non-hdr asset lands in exactly one (tile, collection) cell
+    n_assets = registry.queries()["bbox"](spark, sf_dir).count()
+    assert total == n_assets
+
+
+def test_doc_length_outliers_ranking(spark, sf_dir):
+    rows = registry.queries()["doc_length_outliers"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    resids = [r.abs_resid for r in rows]
+    assert resids == sorted(resids, reverse=True)
+    for r in rows:
+        # prediction is the fitted plane at this doc's features
+        assert r.abs_resid == round(abs(r.y - r.pred_chars), 6) or (
+            abs(r.abs_resid - abs(r.y - r.pred_chars)) < 1e-6
+        )

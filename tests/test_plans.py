@@ -103,6 +103,8 @@ _BNLJ_ALLOWED = {
     "bm25_proximity_rerank",
     # single-row total-token broadcast feeding the lift denominator
     "term_cooccurrence",
+    # 1-row OLS coefficient frame broadcast onto the corpus for residuals
+    "doc_length_outliers",
 }
 
 
