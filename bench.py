@@ -125,6 +125,12 @@ HEADLINE = [
     "doc_surrogate_keys",
     "term_cooccurrence",
     "dedup_containment",
+    # round 4: quadkey map rollup, OLS outlier scoring, curriculum
+    # bucketing, matryoshka truncation recall
+    "assets_tile_rollup",
+    "doc_length_outliers",
+    "doc_curriculum",
+    "ann_matryoshka_recall",
 ]
 
 

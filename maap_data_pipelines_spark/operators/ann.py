@@ -893,3 +893,123 @@ GROUP BY vec_id
 """
 
 QUERY_SQL["semantic_decontaminate"] = SEMANTIC_DECONTAMINATE_SQL
+
+
+# -- Matryoshka truncation (dimension-reduction dial) ----------------------
+
+MRL_DIM = 32  # truncated prefix dimension (half the embedding)
+
+_COS_DIM_UDFS: dict[int, object] = {}
+
+
+def cosine_dim_udf(dim: int):
+    """Cosine over only the FIRST ``dim`` components (left-fold parity).
+
+    Matryoshka-representation-learning embeddings are trained so that any
+    prefix of the vector is itself a usable embedding; truncation is the
+    zero-infrastructure dimension-reduction dial (half the dims = half
+    the memory/FLOPs of every downstream scan). The engine's job is to
+    measure what that dial costs — see :func:`ann_matryoshka_recall`.
+    """
+    if dim not in _COS_DIM_UDFS:
+
+        @pandas_udf(DoubleType())
+        def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            if len(a) == 0:
+                return pd.Series([], dtype="float64")
+            A, B = _mat(a), _mat(b)
+            dot = A[:, 0] * B[:, 0]
+            sa = A[:, 0] * A[:, 0]
+            sb = B[:, 0] * B[:, 0]
+            for i in range(1, dim):
+                dot = dot + A[:, i] * B[:, i]
+                sa = sa + A[:, i] * A[:, i]
+                sb = sb + B[:, i] * B[:, i]
+            return pd.Series(dot / (np.sqrt(sa) * np.sqrt(sb)))
+
+        _COS_DIM_UDFS[dim] = _cos.asNondeterministic()
+    return _COS_DIM_UDFS[dim]
+
+
+def dot_dim_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1)
+    )
+
+
+def ssq_dim_sql(a: str, dim: int) -> str:
+    return " + ".join(
+        f"{a}[{i}]::DOUBLE * {a}[{i}]::DOUBLE" for i in range(1, dim + 1)
+    )
+
+
+def ann_matryoshka_topk(emb: DataFrame) -> DataFrame:
+    """Top-5 per query by cosine over the truncated MRL_DIM-dim prefix.
+
+    Same scoring shape as the brute truth (broadcast query side, exact
+    arithmetic) — the only change is which components participate. Exact
+    end-to-end, so the WHOLE truncated search is value-hash-oracled
+    (contrast the sketch-based ANN variants, whose outputs are oracled
+    through integer determinism).
+    """
+    from pyspark.sql.window import Window
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("ce"))
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_dim_udf(MRL_DIM)(F.col("qe"), F.col("ce")), 6).alias(
+            "cosine32"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine32"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= IVF_TOPK)
+    )
+
+
+ANN_MRL_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND((({dot_dim_sql('qe', 'ce', MRL_DIM)}) / (sqrt({ssq_dim_sql('qe', MRL_DIM)}) * sqrt({ssq_dim_sql('ce', MRL_DIM)}))), 6) AS cosine32
+  FROM (SELECT vec_id, embedding AS ce FROM embeddings) e
+  JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine32,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine32 DESC, vec_id) AS rnk
+FROM scored
+QUALIFY rnk <= {IVF_TOPK}
+"""
+
+
+def ann_matryoshka_recall(emb: DataFrame) -> DataFrame:
+    """Recall@5 of truncated-32-dim search vs the full-64-dim exact truth.
+
+    The dial's price tag: how much neighbor fidelity does dropping half
+    the dimensions cost on THIS corpus? Composes the existing truth and
+    the truncated search with the standard recall join — measured, not
+    assumed, exactly like the IVF/PQ/LSH monitors (every approximation in
+    this engine ships with its recall meter).
+    """
+    truth = ann_cosine_topk(emb).filter(F.col("rnk") <= IVF_TOPK).select(
+        "query_id", "vec_id"
+    )
+    approx = ann_matryoshka_topk(emb).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return (
+        truth.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(n_hits.alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / IVF_TOPK, 6))
+    )
+
+
+QUERY_SQL["ann_matryoshka_topk"] = ANN_MRL_TOPK_SQL
+QUERY_SQL["ann_matryoshka_recall"] = _recall_sql(ANN_MRL_TOPK_SQL)

@@ -1215,3 +1215,74 @@ QUERY_SQL = {
     "fuzzy_word_pairs": FUZZY_WORD_PAIRS_SQL,
     "doc_length_outliers": DOC_LENGTH_OUTLIERS_SQL,
 }
+
+
+def doc_curriculum(docs: DataFrame) -> DataFrame:
+    """Curriculum-phase manifest: quintile difficulty buckets by perplexity.
+
+    Curriculum learning orders training data easy→hard; the standard
+    difficulty proxy is LM perplexity (here the self-trained bigram LM of
+    :func:`doc_perplexity` — no external model). Buckets come from exact
+    interpolated QUANTILE THRESHOLDS (p20/p40/p60/p80 of avg_nll, a
+    1-row broadcast), NOT a global ntile: ranking every document in one
+    window is a single-partition sort, while threshold-compare is one
+    aggregate + a broadcast — the count-distribution trick that survives
+    100 TB. Boundary determinism: thresholds are computed from the same
+    rounded values both engines see, and bucket edges use `<=`, so a doc
+    exactly on a threshold lands identically everywhere.
+
+    Output: (bucket 0-4 easy→hard, n_docs, min_ppl, max_ppl, n_bigrams).
+    Note: the perplexity pipeline feeds both the thresholds and the
+    scoring pass (lazy plans recompute shared subtrees); a production
+    run materializes the scored frame once before phasing.
+    """
+    p = doc_perplexity(docs).select("doc_id", "n_bigrams", "avg_nll", "ppl")
+    thr = p.agg(
+        F.percentile(F.col("avg_nll"), F.lit(0.2)).alias("t1"),
+        F.percentile(F.col("avg_nll"), F.lit(0.4)).alias("t2"),
+        F.percentile(F.col("avg_nll"), F.lit(0.6)).alias("t3"),
+        F.percentile(F.col("avg_nll"), F.lit(0.8)).alias("t4"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("t1"), 0)
+        .when(F.col("avg_nll") <= F.col("t2"), 1)
+        .when(F.col("avg_nll") <= F.col("t3"), 2)
+        .when(F.col("avg_nll") <= F.col("t4"), 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    return (
+        p.join(F.broadcast(thr))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+        )
+    )
+
+
+DOC_CURRICULUM_SQL = f"""
+WITH p AS ({DOC_PERPLEXITY_SQL}),
+thr AS (
+  SELECT quantile_cont(avg_nll, 0.2) AS t1,
+         quantile_cont(avg_nll, 0.4) AS t2,
+         quantile_cont(avg_nll, 0.6) AS t3,
+         quantile_cont(avg_nll, 0.8) AS t4
+  FROM p
+)
+SELECT CAST(CASE WHEN avg_nll <= t1 THEN 0
+            WHEN avg_nll <= t2 THEN 1
+            WHEN avg_nll <= t3 THEN 2
+            WHEN avg_nll <= t4 THEN 3
+            ELSE 4 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(ppl) AS min_ppl,
+       MAX(ppl) AS max_ppl,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+FROM p CROSS JOIN thr
+GROUP BY 1
+"""
+
+QUERY_SQL["doc_curriculum"] = DOC_CURRICULUM_SQL

@@ -69,6 +69,7 @@ QUERIES = {
     # in-flight driver window (registry ordering), appended keys rotate in
     # next round
     "doc_length_outliers": _wrap(text.doc_length_outliers),
+    "doc_curriculum": _wrap(text.doc_curriculum),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

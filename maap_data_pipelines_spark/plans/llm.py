@@ -143,6 +143,10 @@ QUERIES = {
     "ann_pq_recall": _emb_plan(pq.ann_pq_recall),
     "ann_pq_rerank": _emb_plan(pq.ann_pq_rerank),
     "ann_pq_rerank_recall": _emb_plan(pq.ann_pq_rerank_recall),
+    # r4: matryoshka truncation dial + its recall meter (appended — llm
+    # sits after the r04 driver window in registry ordering)
+    "ann_matryoshka_topk": _emb_plan(ann.ann_matryoshka_topk),
+    "ann_matryoshka_recall": _emb_plan(ann.ann_matryoshka_recall),
 }
 
 ORACLES = {

@@ -137,3 +137,55 @@ def test_semantic_decontaminate_flags_paraphrase_twin(spark):
     }
     assert out.get(ann.DECON_EVAL_N + 1, (0,))[0] >= 1
     assert (ann.DECON_EVAL_N + 2) not in out
+
+
+def test_matryoshka_recall_measures_truncation_cost(spark, sf_dir):
+    """Truncated-32-dim search must be a real approximation: per-query
+    recall in [0, 1], nonzero on average (prefix halves correlate), and
+    the rollup exposes the dial's measured cost."""
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["ann_matryoshka_recall"](spark, sf_dir).collect()
+    assert len(rows) == 10  # one row per query
+    recalls = [r.recall for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert sum(recalls) / len(recalls) > 0.0
+    for r in rows:
+        assert r.recall == round(r.n_hits / 5, 6)
+
+
+def test_matryoshka_topk_is_exact_over_prefix(spark, sf_dir):
+    """The truncated search is EXACT over the 32-dim prefix: recompute one
+    query's cosines in numpy and pin the ordering."""
+    import numpy as np
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    got = [
+        (r.vec_id, r.cosine32)
+        for r in sorted(
+            registry.queries()["ann_matryoshka_topk"](spark, sf_dir)
+            .filter("query_id = 0")
+            .collect(),
+            key=lambda r: r.rnk,
+        )
+    ]
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)[:32]
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+    scored = sorted(
+        (
+            (
+                -round(
+                    float(v @ q / (np.sqrt(v @ v) * np.sqrt(q @ q))), 6
+                ),
+                vid,
+            )
+            for vid, v in emb.items()
+            if vid != 0
+        ),
+    )[:5]
+    assert [(vid, -c) for c, vid in scored] == got

@@ -240,3 +240,20 @@ def test_term_cooccurrence_matches_brute_force(spark, sf_dir):
     }
     got = {(r.term_a, r.term_b): r.n_cooc for r in term_cooccurrence(docs).collect()}
     assert got == want and got
+
+
+def test_doc_curriculum_buckets_partition_corpus(spark, sf_dir):
+    """Quintile difficulty buckets: every scored doc lands in exactly one
+    bucket, buckets are ordered by difficulty, sizes near-balanced."""
+    from maap_data_pipelines_spark import registry
+
+    rows = {r.bucket: r for r in registry.queries()["doc_curriculum"](spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    n_scored = registry.queries()["doc_perplexity"](spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows.values()) == n_scored
+    # quantile thresholds => sizes within one doc of n/5 on continuous data
+    sizes = [rows[b].n_docs for b in range(5)]
+    assert max(sizes) - min(sizes) <= max(2, n_scored // 20)
+    # easy->hard ordering: each bucket's hardest doc <= next bucket's
+    for b in range(4):
+        assert rows[b].max_ppl <= rows[b + 1].min_ppl
