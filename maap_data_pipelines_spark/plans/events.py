@@ -807,6 +807,70 @@ GROUP BY event_type
 """
 
 
+
+
+def events_segment_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap lattice: users per event-type combination.
+
+    "How many users did A and B but never C" is normally a chain of
+    self-joins or a 2^k-term Venn of COUNT DISTINCTs; the one-pass shape
+    is: collapse each user to a BITMASK of the event types they touched
+    (conditional max per type — one hash-agg with map-side combine), then
+    count users per exact mask. Output cardinality is <= 2^5 regardless
+    of user count, and every set-algebra question (any-of, all-of,
+    exactly) becomes integer mask arithmetic over 32 rows — the segment
+    dashboard a 100 TB events store answers from one scan + one
+    user-sized shuffle. Type->bit mapping is fixed alphabetical so masks
+    are stable across runs and engines.
+    """
+    ev = read_events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    mask = sum(
+        (
+            F.max(F.when(F.col("event_type") == t, 1 << i).otherwise(0))
+            for i, t in enumerate(types)
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    per_user = ev.groupBy("user_id").agg(mask.alias("mask"))
+    segs = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    labels = F.concat_ws(
+        "+",
+        *[
+            F.when(
+                F.shiftright(F.col("mask"), i).bitwiseAND(F.lit(1)) == 1, F.lit(t)
+            )
+            for i, t in enumerate(types)
+        ],
+    )
+    return segs.select("mask", labels.alias("segment"), "n_users")
+
+
+SEGMENT_LATTICE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+            + MAX(CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END)
+            + MAX(CASE WHEN event_type = 'signup' THEN 8 ELSE 0 END)
+            + MAX(CASE WHEN event_type = 'view' THEN 16 ELSE 0 END) AS BIGINT) AS mask
+  FROM events GROUP BY user_id
+)
+SELECT mask,
+       concat_ws('+',
+         CASE WHEN (mask >> 0) & 1 = 1 THEN 'click' END,
+         CASE WHEN (mask >> 1) & 1 = 1 THEN 'error' END,
+         CASE WHEN (mask >> 2) & 1 = 1 THEN 'purchase' END,
+         CASE WHEN (mask >> 3) & 1 = 1 THEN 'signup' END,
+         CASE WHEN (mask >> 4) & 1 = 1 THEN 'view' END) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user
+GROUP BY mask
+"""
+
+
 _SLIDE_US = 15 * 60 * 1_000_000  # 15-minute slide
 _WIN_SLOTS = 4  # 1-hour window / 15-minute slide
 
@@ -1221,6 +1285,7 @@ QUERIES = {
     "events_purchase_context": events_purchase_context,
     "events_cube": events_cube,
     "events_distinct_sketch": events_distinct_sketch,
+    "events_segment_lattice": events_segment_lattice,
     "events_retention_triangle": events_retention_triangle,
     "events_quantile_sketch": events_quantile_sketch,
 }
@@ -1251,4 +1316,5 @@ ORACLES = {
     # the sketch error bound)
     "events_distinct_sketch": DSKETCH_SQL,
     "events_quantile_sketch": QSKETCH_SQL,
+    "events_segment_lattice": SEGMENT_LATTICE_SQL,
 }

@@ -72,6 +72,7 @@ _CONFIRMED = {
 _DEFERRED = {
     "events_distinct_sketch",
     "events_quantile_sketch",
+    "events_segment_lattice",
 }
 
 

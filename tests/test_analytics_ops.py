@@ -393,3 +393,37 @@ def test_doc_length_outliers_ranking(spark, sf_dir):
         assert r.abs_resid == round(abs(r.y - r.pred_chars), 6) or (
             abs(r.abs_resid - abs(r.y - r.pred_chars)) < 1e-6
         )
+
+
+def test_segment_lattice_on_crafted_users(spark, tmp_path):
+    """Distinct type subsets land in distinct masks with stable labels
+    (the synthetic corpus is degenerate — every user does everything — so
+    the lattice structure is pinned on crafted data)."""
+    import datetime
+
+    rows = [
+        # user 1: view only; user 2: view+click; user 3: purchase only
+        (1, 1, "view"), (2, 1, "view"), (3, 2, "view"), (4, 2, "click"),
+        (5, 2, "click"), (6, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.datetime(2024, 1, 1, 0, i), uid, et, 1.0, "{}")
+            for i, (eid, uid, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from maap_data_pipelines_spark import registry
+
+    got = {
+        r.mask: (r.segment, r.n_users)
+        for r in registry.queries()["events_segment_lattice"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        16: ("view", 1),          # bit 4 = view
+        17: ("click+view", 1),    # bits 0+4
+        4: ("purchase", 1),       # bit 2
+    }

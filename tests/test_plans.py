@@ -105,6 +105,12 @@ _BNLJ_ALLOWED = {
     "term_cooccurrence",
     # 1-row OLS coefficient frame broadcast onto the corpus for residuals
     "doc_length_outliers",
+    # 1-row quantile-threshold frame broadcast for bucket assignment
+    "doc_curriculum",
+    # truncated-prefix brute search: same documented quadratic-baseline
+    # class as ann_cosine_topk, plus its recall composition
+    "ann_matryoshka_topk",
+    "ann_matryoshka_recall",
 }
 
 
@@ -229,3 +235,60 @@ def test_join_strategy_hints_agree(spark, sf_dir):
     assert "BroadcastHashJoin" in p_b
     assert "ShuffledHashJoin" in p_h
     assert "SortMergeJoin" in p_m
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """DPP pin: a partitioned fact joined to a filtered dim must prune
+    fact partitions at RUNTIME via the dim's build side (the broadcast
+    result reused as a partition filter). At 100 TB this is the difference
+    between scanning one month and scanning the table — free with
+    Catalyst, but only if the layout is partitioned and the join is
+    broadcast-able, so the shape is pinned here."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    fact_dir = str(tmp_path / "orders_by_prio")
+    read_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # DPP requires a SELECTIVE predicate on the dim side of a scan (a
+    # bare LocalRelation does not qualify) — a filtered parquet dim is
+    # the realistic shape anyway
+    dim_dir = str(tmp_path / "prio_dim")
+    spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("2-HIGH", "high"), ("5-LOW", "low")],
+        "o_orderpriority string, label string",
+    ).write.mode("overwrite").parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("label") == "urgent")
+    joined = fact.join(F.broadcast(dim), "o_orderpriority").groupBy("label").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.collect()[0]["label"] == "urgent"
+
+
+def test_batch_session_window_matches_lag_sessionize(spark, sf_dir):
+    """Unified-API pin: Spark's built-in session_window (the streaming
+    sessionizer) applied in BATCH must agree with the lag+running-sum
+    formulation events_sessionize uses — same gap, same session counts."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.plans.events import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts_batch", F.timestamp_micros(F.col("ts_us"))
+    )
+    sw = (
+        ev.groupBy("user_id", F.session_window("ts_batch", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r.user_id: r.n_sessions for r in sw.collect()}
+    want = {
+        r.user_id: r.n_sessions
+        for r in registry.queries()["events_sessionize"](spark, sf_dir).collect()
+    }
+    assert got == want
