@@ -417,3 +417,133 @@ QUERY_SQL.update(
         "ann_ivf_kmeans_recall": _ivf_kmeans_recall_sql(),
     }
 )
+
+
+# -- supervised class prototypes (nearest-centroid classification) ---------
+
+
+def _label_sums(emb: DataFrame) -> DataFrame:
+    q = emb.select("label", quantize_udf(F.col("embedding")).alias("qv"))
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(EMBED_DIM)],
+    )
+
+
+def embedding_label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean embedding (class prototypes) in int64 micro-units.
+
+    The building block of nearest-centroid labeling / prototype networks
+    / dataset cartography: one groupBy(label) with 64 per-dim sums
+    (map-side combine -> K x 64 shuffle cells regardless of corpus
+    size), centroid = floor(sum/count) in micro-units — the same exact
+    integer discipline as the k-means update, so the whole artifact is
+    value-hash-oracled. Emitted tall (label, dim, centroid_micro,
+    n_vectors): K x 64 rows, the layout a downstream join consumes.
+    """
+    sums = _label_sums(emb)
+    cv = F.array(
+        *[
+            F.floor(F.col(f"s{d}") / F.col("n_vectors")).cast("long")
+            for d in range(EMBED_DIM)
+        ]
+    )
+    wide = sums.select("label", "n_vectors", cv.alias("cv"))
+    return wide.select(
+        "label",
+        "n_vectors",
+        F.posexplode(F.col("cv")).alias("pos", "centroid_micro"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "centroid_micro",
+        "n_vectors",
+    )
+
+
+def embedding_label_confusion(emb: DataFrame) -> DataFrame:
+    """Nearest-centroid classification confusion matrix (exact int64).
+
+    How separable are the labels in embedding space? Assign every vector
+    to its nearest CLASS PROTOTYPE (integer L2 in micro-units, ties to
+    the lowest label) and cross-tabulate true vs predicted — the
+    zero-training classifier whose diagonal mass is the standard quick
+    read on embedding quality before anything expensive trains on them.
+
+    Scale shape: prototypes are a K x 64 int64 table (a few KB) that
+    rides the assignment UDF closure (the MLlib pattern shared with
+    Lloyd's iteration — one bounded driver collect, then a pure map
+    pass); the confusion rollup is a K x K-cell hash agg. Output:
+    (true_label, pred_label, n_vecs).
+    """
+    # Python int // floors (identical to the F.floor(sum/count) the tall
+    # centroid artifact publishes; |sum| < 2^53 keeps both exact)
+    sums = _label_sums(emb).collect()
+    cents = sorted(
+        (
+            int(r["label"]),
+            [r[f"s{d}"] // r["n_vectors"] for d in range(EMBED_DIM)],
+        )
+        for r in sums
+    )
+    a = _assign_udf(cents)
+    assigned = emb.select(
+        "label", a(quantize_udf(F.col("embedding"))).alias("ad")
+    ).select("label", F.col("ad.cid").alias("cid"))
+    return assigned.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("cid").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _qv_terms_sql() -> str:
+    """The quantized-embedding list literal (shared by _qv_sql and the
+    label-centroid CTEs, which also need the label column)."""
+    return ", ".join(
+        f"CAST(FLOOR(embedding[{i}]::DOUBLE * {KM_SCALE}) AS BIGINT)"
+        for i in range(1, EMBED_DIM + 1)
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH qemb AS MATERIALIZED (
+  SELECT vec_id, label, [{_qv_terms_sql()}] AS qv FROM embeddings
+),
+cent AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         [{", ".join(f"CAST(FLOOR(SUM(qv[{d}])::DOUBLE / COUNT(*)) AS BIGINT)" for d in range(1, EMBED_DIM + 1))}] AS cv
+  FROM qemb GROUP BY label
+)
+SELECT label,
+       unnest(range(1, {EMBED_DIM + 1})) AS dim,
+       unnest(cv) AS centroid_micro,
+       n_vectors
+FROM cent
+"""
+
+
+LABEL_CONFUSION_SQL = f"""
+WITH qemb AS MATERIALIZED (
+  SELECT vec_id, label, [{_qv_terms_sql()}] AS qv FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label AS clabel,
+         [{", ".join(f"CAST(FLOOR(SUM(qv[{d}])::DOUBLE / COUNT(*)) AS BIGINT)" for d in range(1, EMBED_DIM + 1))}] AS cv
+  FROM qemb GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT e.vec_id, e.label, c.clabel,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dist_sql('e.qv', 'c.cv')} ASC, c.clabel) AS r
+    FROM qemb e CROSS JOIN cent c
+  ) WHERE r = 1
+)
+SELECT label AS true_label, CAST(clabel AS BIGINT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM assigned GROUP BY 1, 2
+"""
+
+QUERY_SQL["embedding_label_centroids"] = LABEL_CENTROIDS_SQL
+QUERY_SQL["embedding_label_confusion"] = LABEL_CONFUSION_SQL

@@ -147,6 +147,8 @@ QUERIES = {
     # sits after the r04 driver window in registry ordering)
     "ann_matryoshka_topk": _emb_plan(ann.ann_matryoshka_topk),
     "ann_matryoshka_recall": _emb_plan(ann.ann_matryoshka_recall),
+    "embedding_label_centroids": _emb_plan(kmeans.embedding_label_centroids),
+    "embedding_label_confusion": _emb_plan(kmeans.embedding_label_confusion),
 }
 
 ORACLES = {

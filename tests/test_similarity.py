@@ -189,3 +189,42 @@ def test_matryoshka_topk_is_exact_over_prefix(spark, sf_dir):
         ),
     )[:5]
     assert [(vid, -c) for c, vid in scored] == got
+
+
+def test_label_centroids_shape_and_exactness(spark, sf_dir):
+    """K labels x 64 dims, each centroid_micro = floor(mean) recomputed in
+    numpy int arithmetic."""
+    import numpy as np
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    rows = registry.queries()["embedding_label_centroids"](spark, sf_dir).collect()
+    emb = read_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict = {}
+    for r in emb:
+        q = np.floor(np.array(r.embedding, dtype=np.float64) * 1_000_000).astype(
+            np.int64
+        )
+        by_label.setdefault(r.label, []).append(q)
+    labels = sorted(by_label)
+    assert len(rows) == len(labels) * 64
+    got = {(r.label, r.dim): (r.centroid_micro, r.n_vectors) for r in rows}
+    for lbl in labels:
+        V = np.stack(by_label[lbl])
+        for d in range(64):
+            want = int(V[:, d].sum()) // len(V)  # python floor division
+            assert got[(lbl, d + 1)] == (want, len(V))
+
+
+def test_label_confusion_conserves_and_beats_chance(spark, sf_dir):
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    rows = registry.queries()["embedding_label_confusion"](spark, sf_dir).collect()
+    n_vecs = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs  # every vector classified once
+    diag = sum(r.n_vecs for r in rows if r.true_label == r.pred_label)
+    n_labels = len({r.true_label for r in rows})
+    # nearest-centroid must beat 2x chance on labeled synthetic data
+    assert diag / n_vecs > 2.0 / n_labels
