@@ -375,3 +375,50 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM pieces a JOIN pieces b ON a.k = b.k AND a.piece = b.piece AND a.doc_id < b.doc_id
 WHERE CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) <= {PHASH_MAX_HAMMING}
 """
+
+
+def media_dedup_exact(media: DataFrame) -> DataFrame:
+    """Exact payload dedup: identical BYTES collapse, no decode needed.
+
+    The exact rung of the multimodal dedup family (the perceptual rung is
+    ``media_phash_dedup``): hash the raw payload column, group, survivor
+    = min doc_id — identical to text ``dedup_exact`` but over binary, so
+    re-encoded copies / duplicate uploads collapse before any expensive
+    decode touches them. One scan + hash agg with map-side combine; the
+    shuffle carries one row per distinct payload. Media type rides along
+    (same bytes under two declared types is a catalog inconsistency worth
+    seeing — the count per type is part of the artifact).
+    """
+    return (
+        media.groupBy(
+            F.md5(F.col("payload")).alias("payload_md5"),
+            F.col("media_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("n_bytes").alias("n_bytes"),
+        )
+    )
+
+
+# DuckDB's md5 takes VARCHAR only; the payload IS encode(text)'s UTF-8
+# bytes, and md5(VARCHAR) hashes the string's UTF-8 bytes — identical
+# digests by construction.
+MEDIA_DEDUP_EXACT_SQL = """
+WITH media AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         text
+  FROM documents
+)
+SELECT md5(text) AS payload_md5,
+       media_type,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id,
+       MAX(n_bytes) AS n_bytes
+FROM media
+GROUP BY 1, 2
+"""

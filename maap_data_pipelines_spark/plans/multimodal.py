@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
+    MEDIA_DEDUP_EXACT_SQL,
     MEDIA_PHASH_DEDUP_SQL,
+    media_dedup_exact as op_media_dedup_exact,
     media_phash_dedup,
     AUDIO_HOP_BYTES,
     AUDIO_WINDOW_BYTES,
@@ -135,6 +137,11 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_dedup(make_media_df(docs))
 
 
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return op_media_dedup_exact(make_media_df(docs))
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_phash_dedup": media_phash,
@@ -142,6 +149,9 @@ QUERIES = {
     "media_frame_sample": media_frame_sample,
     "media_resize": media_resize,
     "media_audio_windows": media_audio_windows,
+    # r4 addition: placed in registry._DEFERRED so the in-flight driver
+    # window (which this module feeds) is not displaced
+    "media_dedup_exact": media_dedup_exact,
 }
 
 ORACLES = {
@@ -151,4 +161,5 @@ ORACLES = {
     "media_resize": MEDIA_RESIZE_SQL,
     "media_audio_windows": MEDIA_AUDIO_WINDOWS_SQL,
     "media_phash_dedup": MEDIA_PHASH_DEDUP_SQL,
+    "media_dedup_exact": MEDIA_DEDUP_EXACT_SQL,
 }

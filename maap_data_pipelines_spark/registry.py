@@ -73,6 +73,7 @@ _DEFERRED = {
     "events_distinct_sketch",
     "events_quantile_sketch",
     "events_segment_lattice",
+    "media_dedup_exact",
 }
 
 

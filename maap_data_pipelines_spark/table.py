@@ -261,10 +261,27 @@ class VersionedTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Resolve a manifest (latest by default) and read exactly its files."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Resolve a manifest (latest by default) and read exactly its files.
+
+        ``merge_schema=True`` is the schema-evolution read: a snapshot
+        whose commits carry different (grown) schemas unions them with
+        NULL-fill for columns absent in older files — the Iceberg/Delta
+        add-column semantics, paid only when asked for (schema merging
+        reads every file's footer). Readers pinned to an old version see
+        the old schema unchanged; evolution is a property of the
+        snapshot being read, not of the table.
+        """
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError(f"empty table at {self.base}")
         dirs = self._load(v)["dirs"]
-        return spark.read.parquet(*dirs)
+        r = spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*dirs)

@@ -199,3 +199,56 @@ def test_compact_preserves_meta(spark, tmp_path):
     t.compact(spark)
     assert t.latest_meta() == {"batch_id": 7}
     assert t.read(spark).count() == 3
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Add-column evolution: a later commit may carry new columns; a
+    merge_schema read NULL-fills them for older files, a version-pinned
+    read keeps the old schema, and the default read is untouched."""
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "evo"))
+    t.commit(spark.range(3).selectExpr("id", "id * 2 AS a"))
+    t.commit(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS a", "'x' AS b"),
+        mode="append",
+    )
+    cur = t.read(spark, merge_schema=True)
+    assert set(cur.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in cur.collect()}
+    assert rows[1] == (2, None)  # old file NULL-fills the grown column
+    assert rows[4] == (8, "x")
+    # old snapshot unaffected by evolution
+    assert set(t.read(spark, version=0).columns) == {"id", "a"}
+
+
+def test_reused_exchange_on_self_join(spark, sf_dir):
+    """Plan pin: aggregating once and self-joining the result must REUSE
+    the shuffle (ReusedExchange), not recompute the subtree — the
+    multi-consumer cost model the engine's operators are designed
+    around (see SURVEY perf lessons: minhash 4 scans -> 2)."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    agg = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = agg.alias("l").join(agg.alias("r"), "o_custkey")
+    # a broadcast join rewrites one side's exchange into a
+    # BroadcastExchange (no longer identical -> nothing to reuse), so
+    # disable broadcast; and AQE performs the same reuse at runtime via
+    # stage caching (invisible in the pre-execution plan string), so the
+    # STATIC planner's ReuseExchange rule is what this pin can see
+    prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_a = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_a)
+    assert "ReusedExchange" in plan, plan[:1500]
