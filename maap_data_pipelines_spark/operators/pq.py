@@ -441,3 +441,174 @@ QUERY_SQL.update(
         "ann_pq_rerank_recall": ANN_PQ_RERANK_RECALL_SQL,
     }
 )
+
+
+# -- IVFADC: IVF cell restriction composed with PQ/ADC scoring -------------
+
+IVFPQ_NPROBE = 2
+
+
+def _adc_table(emb: DataFrame, q: DataFrame, cb):
+    """The broadcastable (query, s, code, d) ADC distance table.
+
+    Queries are a fixed tiny sample, so their quantized subvectors
+    collect to the driver and the exact int64 codeword distances are
+    computed there — Q x S x K rows, a few KB, the table every ADC
+    variant broadcasts.
+    """
+    spark = emb.sparkSession
+    queries = sorted(
+        (r.vec_id, list(r.qv))
+        for r in q.filter(F.col("vec_id") < N_QUERIES).collect()
+    )
+    dt_rows = []
+    for qid, qv in queries:
+        for s in range(PQ_S):
+            sub = qv[s * PQ_DIM : (s + 1) * PQ_DIM]
+            for code, cv in cb[s]:
+                d = sum((a - b) * (a - b) for a, b in zip(sub, cv))
+                dt_rows.append((qid, s, code, d))
+    return spark.createDataFrame(
+        dt_rows, "query_id long, s long, code long, d long"
+    )
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame, topk: int = IVF_TOPK, nprobe: int = IVFPQ_NPROBE
+) -> DataFrame:
+    """IVFADC — the production billion-scale ANN shape (Jegou et al.):
+    IVF cell restriction THEN PQ/ADC scoring of only the probed cells.
+
+    The two dials compose: the coarse quantizer prunes the candidate set
+    ~K/nprobe-fold BEFORE any scoring, and each surviving candidate
+    costs S table lookups instead of 64 multiplies — memory AND compute
+    bounded, which is why real vector stores ship exactly this stack.
+    Here both stages reuse their existing oracled operators (ivf_assign's
+    argmax-cosine cells; the PQ codebooks/encode/ADC pipeline), so the
+    COMPOSITION stays integer/rounding-exact end-to-end and carries a
+    full value-hash oracle.
+
+    Scale shape: cells and codes are corpus-sized map passes; the probed
+    candidate list is an equi-join on cell; ADC scoring joins the tiny
+    broadcast (query, s, code, d) table — the shuffle carries only
+    probed (query, candidate) pairs.
+    """
+    from .ann import ivf_assign, ivf_centroids
+
+    q, cb, enc = _encoded(emb)
+    dt = _adc_table(emb, q, cb)
+    cents = ivf_centroids(emb)
+    cells = ivf_assign(emb, cents).select("vec_id", "cell")
+    qcells = ivf_assign(
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, k_cells=nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    allowed = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    cand = (
+        allowed.join(enc, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_S - 1))).alias("s"),
+            F.col("codes"),
+        )
+        .withColumn("code", F.expr("codes[s]"))
+        .select("query_id", "vec_id", "s", "code")
+    )
+    scored = (
+        cand.join(F.broadcast(dt), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "vec_id", "dist", "rnk")
+    )
+
+
+def ann_ivfpq_recall(emb: DataFrame) -> DataFrame:
+    """Recall@5 of the full IVFADC stack vs exact-L2 truth.
+
+    The compounded approximation (cell pruning x code quantization) gets
+    ONE meter: misses now come from either stage, and comparing this
+    against ann_pq_recall (ADC alone) and ann_ivf_recall (cells alone)
+    attributes the loss — the triage a production index tune starts with.
+    """
+    truth = ann_l2_topk(emb).select("query_id", "vec_id")
+    approx = ann_ivfpq_topk(emb).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    n_hits = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    return (
+        truth.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(n_hits.alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / IVF_TOPK, 6))
+    )
+
+
+def _ivfpq_sql(nprobe: int = IVFPQ_NPROBE) -> str:
+    from .ann import IVF_K, cosine_sql
+
+    return f"""
+{_pq_ctes()},
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings WHERE vec_id < {IVF_K}
+),
+cscored AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROUND({cosine_sql('e.embedding', 'c.cemb')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, centroid_id AS cell
+  FROM cscored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, centroid_id AS cell
+  FROM cscored WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) <= {nprobe}
+),
+allowed AS (
+  SELECT q.query_id, c.vec_id
+  FROM cells c JOIN qcells q USING (cell)
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT a.query_id, a.vec_id, CAST(SUM(dt.d) AS BIGINT) AS dist
+  FROM allowed a
+  JOIN enc e ON e.vec_id = a.vec_id
+  JOIN dt ON dt.query_id = a.query_id AND dt.s = e.s AND dt.code = e.code
+  GROUP BY a.query_id, a.vec_id
+)
+SELECT query_id, vec_id, dist,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk
+FROM scored
+QUALIFY rnk <= {IVF_TOPK}
+"""
+
+
+ANN_IVFPQ_TOPK_SQL = _ivfpq_sql()
+
+ANN_IVFPQ_RECALL_SQL = f"""
+WITH truth_outer AS (
+  SELECT query_id, vec_id FROM ({ANN_L2_TOPK_SQL})
+),
+appr AS (
+  SELECT query_id, vec_id, 1 AS hit FROM ({ANN_IVFPQ_TOPK_SQL})
+)
+SELECT t.query_id,
+       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) / {IVF_TOPK}, 6) AS recall
+FROM truth_outer t LEFT JOIN appr a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+GROUP BY t.query_id
+"""
+
+QUERY_SQL["ann_ivfpq_topk"] = ANN_IVFPQ_TOPK_SQL
+QUERY_SQL["ann_ivfpq_recall"] = ANN_IVFPQ_RECALL_SQL

@@ -149,6 +149,8 @@ QUERIES = {
     "ann_matryoshka_recall": _emb_plan(ann.ann_matryoshka_recall),
     "embedding_label_centroids": _emb_plan(kmeans.embedding_label_centroids),
     "embedding_label_confusion": _emb_plan(kmeans.embedding_label_confusion),
+    "ann_ivfpq_topk": _emb_plan(pq.ann_ivfpq_topk),
+    "ann_ivfpq_recall": _emb_plan(pq.ann_ivfpq_recall),
 }
 
 ORACLES = {
