@@ -1286,3 +1286,119 @@ GROUP BY 1
 """
 
 QUERY_SQL["doc_curriculum"] = DOC_CURRICULUM_SQL
+
+
+# --- retrieval_rrf_fusion: hybrid lexical + vector-space retrieval --------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOPK = 10
+
+
+def retrieval_rrf_fusion(docs: DataFrame) -> DataFrame:
+    """Hybrid retrieval: BM25 and TF-cosine lists fused by RRF.
+
+    The production hybrid-search shape: two rankers with complementary
+    failure modes (BM25's saturated lexical match; sparse TF-cosine's
+    length-normalized vector-space view over the SAME inverted index)
+    each produce a per-query top-10, and reciprocal rank fusion combines
+    them: rrf(d) = sum over lists of 1/(60 + rank_d). Rank positions are
+    integers, so the fusion score is computed in exact micro-units
+    (1_000_000 div (60 + rank)) — no float ever enters the fused
+    ordering, and a document missing from one list contributes exactly 0
+    (standard RRF). The cosine ranker drops the per-query norm (constant
+    within a query partition — cannot change its ordering) so its score
+    is one sqrt + one division, round 6, the engine-parity discipline.
+
+    Scale shape: both rankers share one tf/df/dl aggregation pass; the
+    fusion itself is a full outer join of two topk×queries frames —
+    trivially small regardless of corpus size. The interesting property
+    at 100 TB is what is ABSENT: no dense index is consulted, yet the
+    fused list behaves like hybrid search because the two sparse views
+    disagree exactly where hybrid search pays off.
+
+    Output: (query_id, doc_id, bm25_rnk, cos_rnk, rrf_micro, rnk) with
+    rank 0 marking "absent from that ranker's top-10".
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        "doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ssq = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ssq"))
+    q = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id BIGINT, term STRING",
+    )
+    cdot = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").alias("dot"))
+    )
+    cscore = cdot.join(ssq, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("dot") / F.sqrt(F.col("ssq")), 6).alias("cosine"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    ctop = (
+        cscore.withColumn("cos_rnk", F.row_number().over(wc).cast("long"))
+        .filter(F.col("cos_rnk") <= RRF_TOPK)
+        .select("query_id", "doc_id", "cos_rnk")
+    )
+    btop = bm25_topk(docs).select(
+        "query_id", "doc_id", F.col("rnk").alias("bm25_rnk")
+    )
+    contrib = f"CAST(1000000 AS BIGINT) div ({RRF_K} + %s)"
+    fused = (
+        btop.join(ctop, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("bm25_rnk"), F.lit(0).cast("long")).alias("bm25_rnk"),
+            F.coalesce(F.col("cos_rnk"), F.lit(0).cast("long")).alias("cos_rnk"),
+            (
+                F.coalesce(F.expr(contrib % "bm25_rnk"), F.lit(0).cast("long"))
+                + F.coalesce(F.expr(contrib % "cos_rnk"), F.lit(0).cast("long"))
+            ).alias("rrf_micro"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), "doc_id")
+    return fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+
+
+RETRIEVAL_RRF_FUSION_SQL = f"""
+WITH {_BM25_CTES},
+ssq AS (SELECT doc_id, SUM(tf * tf) AS ssq FROM tf GROUP BY doc_id),
+cdot AS (
+  SELECT q.query_id, tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS dot
+  FROM tf JOIN q USING (term)
+  GROUP BY q.query_id, tf.doc_id
+),
+cscore AS (
+  SELECT query_id, doc_id, ROUND(dot / sqrt(ssq::DOUBLE), 6) AS cosine
+  FROM cdot JOIN ssq USING (doc_id)
+),
+ctop AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS cos_rnk
+  FROM cscore
+  QUALIFY cos_rnk <= {RRF_TOPK}
+),
+btop AS (SELECT query_id, doc_id, rnk AS bm25_rnk FROM ranked WHERE rnk <= {BM25_TOPK}),
+fused AS (
+  SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+         COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(b.bm25_rnk, 0) AS bm25_rnk,
+         COALESCE(c.cos_rnk, 0) AS cos_rnk,
+         CAST(COALESCE(1000000 // ({RRF_K} + b.bm25_rnk), 0)
+            + COALESCE(1000000 // ({RRF_K} + c.cos_rnk), 0) AS BIGINT) AS rrf_micro
+  FROM btop b
+  FULL OUTER JOIN ctop c ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+)
+SELECT query_id, doc_id, bm25_rnk, cos_rnk, rrf_micro,
+       row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rnk
+FROM fused
+"""
+
+QUERY_SQL["retrieval_rrf_fusion"] = RETRIEVAL_RRF_FUSION_SQL

@@ -70,6 +70,7 @@ QUERIES = {
     # next round
     "doc_length_outliers": _wrap(text.doc_length_outliers),
     "doc_curriculum": _wrap(text.doc_curriculum),
+    "retrieval_rrf_fusion": _wrap(text.retrieval_rrf_fusion),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

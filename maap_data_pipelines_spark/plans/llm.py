@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import ann, dedup, kmeans, pq, text
+from ..operators import ann, dedup, kmeans, pq, quant, text
 from ..sources.catalog import read_table
 
 
@@ -151,6 +151,12 @@ QUERIES = {
     "embedding_label_confusion": _emb_plan(kmeans.embedding_label_confusion),
     "ann_ivfpq_topk": _emb_plan(pq.ann_ivfpq_topk),
     "ann_ivfpq_recall": _emb_plan(pq.ann_ivfpq_recall),
+    "ann_sq8_topk": _emb_plan(quant.ann_sq8_topk),
+    "ann_sq8_recall": _emb_plan(quant.ann_sq8_recall),
+    "ann_bq_topk": _emb_plan(quant.ann_bq_topk),
+    "ann_bq_recall": _emb_plan(quant.ann_bq_recall),
+    "ann_bq_rerank": _emb_plan(quant.ann_bq_rerank),
+    "ann_bq_rerank_recall": _emb_plan(quant.ann_bq_rerank_recall),
 }
 
 ORACLES = {
@@ -158,5 +164,6 @@ ORACLES = {
     **ann.QUERY_SQL,
     **kmeans.QUERY_SQL,
     **pq.QUERY_SQL,
+    **quant.QUERY_SQL,
     "corpus_curation": CORPUS_CURATION_SQL,
 }

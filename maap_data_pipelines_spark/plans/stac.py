@@ -1022,6 +1022,134 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
+# --- 17. bbox intersection join (grid partition + duplicate avoidance) ----
+
+_OV_CELL = 100  # grid cell edge, tenth-degrees (10 deg)
+_OV_SHIFT = 2000  # shifts tenth-degree coords non-negative before div
+
+
+def _footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact per-asset footprint boxes in INTEGER tenth-degrees.
+
+    Centroid reuses :func:`assets_neighbor_join`'s point arithmetic; the
+    half-extents (0.2-1.0 deg per axis) are derived from asset_id so both
+    engines regenerate them. Integer coords = no float-boundary
+    ambiguity anywhere in the join predicate.
+    """
+    cat = asset_catalog(spark, sf_dir).filter(F.col("ext") != "hdr")
+    k = F.col("asset_id")
+    return cat.select(
+        "asset_id",
+        ((k * 7 % 3600) - 1800).alias("cx"),
+        ((k * 7 % 1700) - 850).alias("cy"),
+        (k * 19 % 9 + 2).alias("w"),
+        (k * 23 % 9 + 2).alias("h"),
+    ).select(
+        "asset_id",
+        (F.col("cx") - F.col("w")).alias("xlo"),
+        (F.col("cx") + F.col("w")).alias("xhi"),
+        (F.col("cy") - F.col("h")).alias("ylo"),
+        (F.col("cy") + F.col("h")).alias("yhi"),
+    )
+
+
+def assets_bbox_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All intersecting footprint pairs + overlap area, via grid partition.
+
+    The RECTANGLE sibling of :func:`assets_neighbor_join` (range join,
+    not distance join): each box is exploded to every grid cell it
+    touches (box edge <= 2 tenth-deg cells per axis, so fan-out <= 4),
+    candidates meet in an EQUI-join on (cell_x, cell_y), and the exact
+    closed-interval test filters them. Two boxes can share SEVERAL
+    cells, so instead of a global ``distinct`` (a second full shuffle of
+    the result) each qualifying pair is emitted by exactly ONE cell —
+    the cell containing the intersection's lower-left corner (the PBSM
+    duplicate-avoidance rule). The oracle is the brute inequality join,
+    so every driver run re-proves both binning completeness AND the
+    single-reporter rule. All coordinates are integer tenths: the
+    predicate, the reporter test, and the area are int64-exact.
+
+    Scale shape: <=4x map-side explode into a shuffle hash join on the
+    cell key; dense regions split under AQE skew-join; output work is
+    proportional to true intersections, never all pairs.
+    """
+    fp = _footprints(spark, sf_dir)
+    a = fp.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("xlo").alias("xlo_a"),
+        F.col("xhi").alias("xhi_a"),
+        F.col("ylo").alias("ylo_a"),
+        F.col("yhi").alias("yhi_a"),
+        F.expr(f"sequence((xlo + {_OV_SHIFT}) div {_OV_CELL},"
+               f" (xhi + {_OV_SHIFT}) div {_OV_CELL})").alias("gxs"),
+        F.expr(f"sequence((ylo + {_OV_SHIFT}) div {_OV_CELL},"
+               f" (yhi + {_OV_SHIFT}) div {_OV_CELL})").alias("gys"),
+    ).select(
+        "asset_a", "xlo_a", "xhi_a", "ylo_a", "yhi_a",
+        F.explode("gxs").alias("gx"),
+        F.col("gys"),
+    ).select("asset_a", "xlo_a", "xhi_a", "ylo_a", "yhi_a", "gx",
+             F.explode("gys").alias("gy"))
+    b = fp.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("xlo").alias("xlo_b"),
+        F.col("xhi").alias("xhi_b"),
+        F.col("ylo").alias("ylo_b"),
+        F.col("yhi").alias("yhi_b"),
+        F.expr(f"sequence((xlo + {_OV_SHIFT}) div {_OV_CELL},"
+               f" (xhi + {_OV_SHIFT}) div {_OV_CELL})").alias("gxs"),
+        F.expr(f"sequence((ylo + {_OV_SHIFT}) div {_OV_CELL},"
+               f" (yhi + {_OV_SHIFT}) div {_OV_CELL})").alias("gys"),
+    ).select(
+        "asset_b", "xlo_b", "xhi_b", "ylo_b", "yhi_b",
+        F.explode("gxs").alias("gx"),
+        F.col("gys"),
+    ).select("asset_b", "xlo_b", "xhi_b", "ylo_b", "yhi_b", "gx",
+             F.explode("gys").alias("gy"))
+    ixlo = F.greatest(F.col("xlo_a"), F.col("xlo_b"))
+    iylo = F.greatest(F.col("ylo_a"), F.col("ylo_b"))
+    return (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .filter(
+            (F.col("xlo_a") <= F.col("xhi_b")) & (F.col("xlo_b") <= F.col("xhi_a"))
+            & (F.col("ylo_a") <= F.col("yhi_b")) & (F.col("ylo_b") <= F.col("yhi_a"))
+        )
+        .filter(
+            (F.col("gx") == F.expr(f"(greatest(xlo_a, xlo_b) + {_OV_SHIFT}) div {_OV_CELL}"))
+            & (F.col("gy") == F.expr(f"(greatest(ylo_a, ylo_b) + {_OV_SHIFT}) div {_OV_CELL}"))
+        )
+        .select(
+            "asset_a",
+            "asset_b",
+            (
+                (F.least(F.col("xhi_a"), F.col("xhi_b")) - ixlo)
+                * (F.least(F.col("yhi_a"), F.col("yhi_b")) - iylo)
+            ).cast("long").alias("overlap_area_t2"),
+        )
+    )
+
+
+BBOX_OVERLAP_SQL = f"""
+WITH {CATALOG_SQL},
+fp AS (
+  SELECT asset_id,
+         (asset_id * 7 % 3600) - 1800 - (asset_id * 19 % 9 + 2) AS xlo,
+         (asset_id * 7 % 3600) - 1800 + (asset_id * 19 % 9 + 2) AS xhi,
+         (asset_id * 7 % 1700) - 850 - (asset_id * 23 % 9 + 2) AS ylo,
+         (asset_id * 7 % 1700) - 850 + (asset_id * 23 % 9 + 2) AS yhi
+  FROM catalog WHERE ext != 'hdr'
+)
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       CAST((LEAST(a.xhi, b.xhi) - GREATEST(a.xlo, b.xlo))
+          * (LEAST(a.yhi, b.yhi) - GREATEST(a.ylo, b.ylo)) AS BIGINT)
+         AS overlap_area_t2
+FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+WHERE a.xlo <= b.xhi AND b.xlo <= a.xhi
+  AND a.ylo <= b.yhi AND b.ylo <= a.yhi
+"""
+
+
 QUERIES = {
     "assets_neighbor_join": assets_neighbor_join,
     "s3_discovery": s3_discovery,
@@ -1039,6 +1167,7 @@ QUERIES = {
     "cogify": cogify,
     "cmr_discovery": cmr_discovery,
     "assets_tile_rollup": assets_tile_rollup,
+    "assets_bbox_overlap": assets_bbox_overlap,
 }
 
 ORACLES = {
@@ -1058,4 +1187,5 @@ ORACLES = {
     "cogify": COGIFY_SQL,
     "cmr_discovery": CMR_DISCOVERY_SQL,
     "assets_tile_rollup": _tile_rollup_sql(),
+    "assets_bbox_overlap": BBOX_OVERLAP_SQL,
 }

@@ -74,6 +74,16 @@ _DEFERRED = {
     "events_quantile_sketch",
     "events_segment_lattice",
     "media_dedup_exact",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "ann_sq8_topk",
+    "ann_sq8_recall",
+    "ann_bq_topk",
+    "ann_bq_recall",
+    "ann_bq_rerank",
+    "ann_bq_rerank_recall",
+    "retrieval_rrf_fusion",
+    "assets_bbox_overlap",
 }
 
 

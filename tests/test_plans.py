@@ -111,6 +111,22 @@ _BNLJ_ALLOWED = {
     # class as ann_cosine_topk, plus its recall composition
     "ann_matryoshka_topk",
     "ann_matryoshka_recall",
+    # compressed-scan tier (operators/quant.py): the SQ8/BQ scan IS a
+    # full-corpus x N_QUERIES pass by design (the compression makes each
+    # candidate cheap, not the candidate set small) — 10-row broadcast
+    # build side, O(10N) like ann_cosine_topk; recalls compose ann_l2_topk
+    "ann_sq8_topk",
+    "ann_sq8_recall",
+    "ann_bq_topk",
+    "ann_bq_recall",
+    "ann_bq_rerank",
+    "ann_bq_rerank_recall",
+    # IVFADC composes ivf_assign's K-centroid broadcast cross (the
+    # allow-listed ann_ivf_kmeans_topk shape); the recall adds ann_l2_topk
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    # composes bm25_topk, inheriting its single-row stats broadcast
+    "retrieval_rrf_fusion",
 }
 
 
