@@ -923,3 +923,157 @@ QUERY_SQL = {
     "domain_rebalance": DOMAIN_REBALANCE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection (hashed n-gram features).
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SRC = "src0"  # the "looks like this" target distribution
+DSIR_BUCKETS = 1024  # hashed feature space (unigrams + bigrams)
+DSIR_SELECT_K = 50  # raw docs promoted into the target-like subset
+
+
+def dsir_importance(docs: DataFrame) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023), the
+    hashed-n-gram variant, with a log-free rational scoring surrogate.
+
+    DSIR ranks raw documents by how target-like their hashed n-gram
+    features are: features = md5-hashed unigrams AND bigrams folded into
+    DSIR_BUCKETS buckets (the portable engine hash — both engines
+    regenerate it bit-identically), target = docs from DSIR_TARGET_SRC,
+    raw = everything else. The paper scores log p_target(f)/p_raw(f);
+    transcendental logs have no cross-engine float parity, so this
+    implementation keeps the per-feature evidence as the add-one-
+    smoothed RATE RATIO in exact micro-units —
+    score(f) = 1e6 * (ct_f+1) * (Nr+B) div ((cr_f+1) * (Nt+B)) —
+    and aggregates a document by the MEAN ratio over its feature
+    occurrences (arithmetic-mean surrogate for the geometric mean;
+    monotone in the same per-feature evidence, integer-exact
+    end-to-end). Deterministic selection replaces Gumbel sampling: the
+    top-DSIR_SELECT_K raw docs by (weight desc, doc_id). int64
+    headroom: 1e6 * ct * Nr needs ct * Nr < 9.2e12 — rescale the 1e6
+    before targets beyond ~10^6 tokens.
+
+    Scale shape: two feature-count aggregates (bucket-sized, B rows
+    each — broadcastable regardless of corpus size), one broadcast join
+    of raw-doc features against the B-row score table, one per-doc
+    aggregate. No UDFs, no Python, no floats.
+
+    Output: (doc_id, n_feats, weight_micro, sel_rank, selected).
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    uni = docs.select(
+        "doc_id",
+        "source",
+        F.explode(words).alias("tok"),
+    ).select("doc_id", "source", (md5_long(F.col("tok")) % DSIR_BUCKETS).alias("g"))
+    z = F.arrays_zip(
+        F.slice(words, 1, n - 1).alias("w1"), F.slice(words, 2, n - 1).alias("w2")
+    )
+    bi = (
+        docs.select("doc_id", "source", F.explode(z).alias("bg"))
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).alias("tok"),
+        )
+        .select(
+            "doc_id", "source", (md5_long(F.col("tok")) % DSIR_BUCKETS).alias("g")
+        )
+    )
+    feats = uni.unionAll(bi).localCheckpoint()
+    is_t = F.col("source") == DSIR_TARGET_SRC
+    tc = feats.filter(is_t).groupBy("g").agg(F.count(F.lit(1)).alias("ct"))
+    rc = feats.filter(~is_t).groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
+    totals = feats.agg(
+        F.sum(is_t.cast("long")).alias("nt"),
+        F.sum((~is_t).cast("long")).alias("nr"),
+    )
+    grid = docs.sparkSession.range(DSIR_BUCKETS).select(F.col("id").alias("g"))
+    scores = (
+        grid.join(tc, "g", "left")
+        .join(rc, "g", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "g",
+            F.expr(
+                f"(1000000 * (coalesce(ct, 0) + 1) * (nr + {DSIR_BUCKETS}))"
+                f" div ((coalesce(cr, 0) + 1) * (nt + {DSIR_BUCKETS}))"
+            ).alias("score"),
+        )
+    )
+    per_doc = (
+        feats.filter(~is_t)
+        .join(F.broadcast(scores), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("score").alias("wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr("wsum div n_feats").alias("weight_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("weight_micro"), "doc_id")
+    return (
+        per_doc.withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "selected",
+            (F.col("sel_rank") <= DSIR_SELECT_K).cast("long"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH uni AS (
+  SELECT doc_id, source,
+         ({md5_long_sql("unnest(string_split(lower(text), ' '))")})
+           % {DSIR_BUCKETS} AS g
+  FROM documents
+),
+bw AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+),
+bi AS (
+  SELECT doc_id, source,
+         ({md5_long_sql("unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))")})
+           % {DSIR_BUCKETS} AS g
+  FROM bw
+),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+tc AS (SELECT g, COUNT(*) AS ct FROM feats WHERE source = '{DSIR_TARGET_SRC}' GROUP BY g),
+rc AS (SELECT g, COUNT(*) AS cr FROM feats WHERE source <> '{DSIR_TARGET_SRC}' GROUP BY g),
+nt AS (SELECT COUNT(*) AS nt FROM feats WHERE source = '{DSIR_TARGET_SRC}'),
+nr AS (SELECT COUNT(*) AS nr FROM feats WHERE source <> '{DSIR_TARGET_SRC}'),
+grid AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS g),
+scores AS (
+  SELECT grid.g,
+         (1000000 * (COALESCE(tc.ct, 0) + 1) * (nr.nr + {DSIR_BUCKETS}))
+           // ((COALESCE(rc.cr, 0) + 1) * (nt.nt + {DSIR_BUCKETS})) AS score
+  FROM grid
+  LEFT JOIN tc ON tc.g = grid.g
+  LEFT JOIN rc ON rc.g = grid.g
+  CROSS JOIN nt CROSS JOIN nr
+),
+per_doc AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(s.score) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS weight_micro
+  FROM feats f JOIN scores s USING (g)
+  WHERE f.source <> '{DSIR_TARGET_SRC}'
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, weight_micro,
+       row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS sel_rank,
+       CAST(CASE WHEN row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+                 <= {DSIR_SELECT_K} THEN 1 ELSE 0 END AS BIGINT) AS selected
+FROM per_doc
+"""
+
+QUERY_SQL["dsir_importance"] = DSIR_IMPORTANCE_SQL

@@ -241,7 +241,8 @@ def dedup_minhash_lsh(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _sig_bands_ctes() -> str:
+    """The shing/hashed/sig/bands CTE block shared by the LSH oracles."""
     hm = f"({md5_long_sql('s')}) % {MERSENNE_31}"
     mins = ",\n         ".join(
         f"MIN((hm * {a} + {b}) % {MERSENNE_31}) AS m{j}"
@@ -258,25 +259,32 @@ def _minhash_sql() -> str:
         )
         for b in range(BANDS)
     )
-    match_sum = " + ".join(
-        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(NUM_PERM)
-    )
-    return f"""
-WITH shing AS ({_DUCK_SHING}),
+    return f"""shing AS ({_DUCK_SHING}),
 hashed AS (SELECT doc_id, {hm} AS hm FROM shing),
 sig AS (SELECT doc_id,
          {mins}
         FROM hashed GROUP BY doc_id),
 bands AS (
   {band_rows}
-),
+)"""
+
+
+def _match_sum_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(NUM_PERM)
+    )
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_sig_bands_ctes()},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       ROUND(({match_sum}) / CAST({NUM_PERM} AS DOUBLE), 6) AS est_jaccard
+       ROUND(({_match_sum_sql()}) / CAST({NUM_PERM} AS DOUBLE), 6) AS est_jaccard
 FROM pairs
 JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
@@ -1002,3 +1010,140 @@ QUERY_SQL = {
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "dedup_triangles": DEDUP_TRIANGLES_SQL,
 }
+
+
+# --- incremental MinHash-LSH: probe a batch against the corpus index ------
+
+INC_NEAR_DUP_EST = 0.5  # admit batch docs whose best estimator stays below
+
+
+def dedup_minhash_incremental(docs: DataFrame) -> DataFrame:
+    """Near-dup admission for an incoming batch via LSH index probing.
+
+    The NEAR-duplicate sibling of :func:`dedup_incremental` (which only
+    catches byte-identical text): the incoming batch (source =
+    INCREMENTAL_BATCH_SOURCE) is banded and probed against the existing
+    corpus's band index — a batch doc is rejected when any existing doc
+    shares a band AND the signature estimator says est_jaccard >=
+    INC_NEAR_DUP_EST. This is the steady-state production dedup shape:
+    the corpus side is the persisted LSH index (here rebuilt per run for
+    the oracle; a deployment checkpoints the band table and appends to
+    it), and each ingest batch costs one equi-join of batch-bands
+    against index-bands — NEVER a corpus self-join. Per batch doc the
+    verdict is auditable: candidate count, best estimator, admit flag.
+
+    Output: (doc_id, n_candidates, max_est_jaccard, admitted) for every
+    distinct batch doc; docs with zero band collisions admit with
+    n_candidates = 0 and max_est_jaccard = 0.0.
+    """
+    is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
+    sig = _minhash_sig(docs).localCheckpoint()
+    srcs = docs.select("doc_id", "source")
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
+            for b in range(BANDS)
+        ]
+    )
+    bands = (
+        sig.join(srcs, "doc_id")
+        .select("doc_id", "sig", "source", F.explode(band_structs).alias("bk"))
+        .select(
+            "doc_id",
+            "sig",
+            "source",
+            F.col("bk.band_id").alias("band_id"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+    probe = bands.filter(is_batch).select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("sig").alias("sa"),
+        "band_id",
+        "band_key",
+    )
+    index = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("sig").alias("sb"),
+        "band_id",
+        "band_key",
+    )
+    cand = (
+        probe.join(index, ["band_id", "band_key"])
+        .select("batch_doc", "corpus_doc", "sa", "sb")
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y), lambda m: m
+        )
+    )
+    per_doc = (
+        cand.select(
+            "batch_doc",
+            F.round(matches / F.lit(float(NUM_PERM)), 6).alias("est"),
+        )
+        .groupBy("batch_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("est").alias("max_est_jaccard"),
+        )
+    )
+    batch_docs = docs.filter(is_batch).select("doc_id").distinct()
+    return (
+        batch_docs.join(
+            per_doc, batch_docs.doc_id == per_doc.batch_doc, "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("max_est_jaccard"), F.lit(0.0)).alias(
+                "max_est_jaccard"
+            ),
+            F.when(
+                F.coalesce(F.col("max_est_jaccard"), F.lit(0.0))
+                < INC_NEAR_DUP_EST,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("admitted"),
+        )
+    )
+
+
+DEDUP_MINHASH_INCREMENTAL_SQL = f"""
+WITH {_sig_bands_ctes()},
+src AS (SELECT doc_id, source FROM documents),
+sbands AS (SELECT b.doc_id, b.band_id, b.band_key, s.source
+           FROM bands b JOIN src s USING (doc_id)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+  FROM sbands a JOIN sbands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.source = '{INCREMENTAL_BATCH_SOURCE}'
+    AND b.source <> '{INCREMENTAL_BATCH_SOURCE}'
+),
+per_doc AS (
+  SELECT c.batch_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(ROUND(({_match_sum_sql()}) / CAST({NUM_PERM} AS DOUBLE), 6))
+           AS max_est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.batch_doc
+  JOIN sig sb ON sb.doc_id = c.corpus_doc
+  GROUP BY c.batch_doc
+)
+SELECT d.doc_id,
+       COALESCE(p.n_candidates, 0) AS n_candidates,
+       COALESCE(p.max_est_jaccard, 0.0) AS max_est_jaccard,
+       CAST(CASE WHEN COALESCE(p.max_est_jaccard, 0.0) < {INC_NEAR_DUP_EST}
+                 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+FROM (SELECT DISTINCT doc_id FROM documents
+      WHERE source = '{INCREMENTAL_BATCH_SOURCE}') d
+LEFT JOIN per_doc p ON p.batch_doc = d.doc_id
+"""
+
+QUERY_SQL["dedup_minhash_incremental"] = DEDUP_MINHASH_INCREMENTAL_SQL

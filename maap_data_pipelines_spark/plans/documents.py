@@ -71,6 +71,7 @@ QUERIES = {
     "doc_length_outliers": _wrap(text.doc_length_outliers),
     "doc_curriculum": _wrap(text.doc_curriculum),
     "retrieval_rrf_fusion": _wrap(text.retrieval_rrf_fusion),
+    "dsir_importance": _wrap(curation.dsir_importance),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

@@ -151,6 +151,7 @@ QUERIES = {
     "embedding_label_confusion": _emb_plan(kmeans.embedding_label_confusion),
     "ann_ivfpq_topk": _emb_plan(pq.ann_ivfpq_topk),
     "ann_ivfpq_recall": _emb_plan(pq.ann_ivfpq_recall),
+    "dedup_minhash_incremental": _doc_plan(dedup.dedup_minhash_incremental),
     "ann_sq8_topk": _emb_plan(quant.ann_sq8_topk),
     "ann_sq8_recall": _emb_plan(quant.ann_sq8_recall),
     "ann_bq_topk": _emb_plan(quant.ann_bq_topk),

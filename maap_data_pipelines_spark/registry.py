@@ -76,6 +76,8 @@ _DEFERRED = {
     "media_dedup_exact",
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
+    "dedup_minhash_incremental",
+    "dsir_importance",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",

@@ -127,6 +127,8 @@ _BNLJ_ALLOWED = {
     "ann_ivfpq_recall",
     # composes bm25_topk, inheriting its single-row stats broadcast
     "retrieval_rrf_fusion",
+    # single-row (nt, nr) feature-total broadcast feeding the score table
+    "dsir_importance",
 }
 
 
