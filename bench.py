@@ -131,6 +131,15 @@ HEADLINE = [
     "doc_length_outliers",
     "doc_curriculum",
     "ann_matryoshka_recall",
+    # late round 4: composed IVFADC, quantized-scan tiers, hybrid RRF
+    # retrieval, rectangle range join, incremental LSH admission, DSIR
+    "ann_ivfpq_topk",
+    "ann_sq8_topk",
+    "ann_bq_rerank",
+    "retrieval_rrf_fusion",
+    "assets_bbox_overlap",
+    "dedup_minhash_incremental",
+    "dsir_importance",
 ]
 
 

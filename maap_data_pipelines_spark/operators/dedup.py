@@ -1039,23 +1039,7 @@ def dedup_minhash_incremental(docs: DataFrame) -> DataFrame:
     is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
     sig = _minhash_sig(docs).localCheckpoint()
     srcs = docs.select("doc_id", "source")
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
-            for b in range(BANDS)
-        ]
-    )
-    bands = (
-        sig.join(srcs, "doc_id")
-        .select("doc_id", "sig", "source", F.explode(band_structs).alias("bk"))
-        .select(
-            "doc_id",
-            "sig",
-            "source",
-            F.col("bk.band_id").alias("band_id"),
-            F.col("bk.band_key").alias("band_key"),
-        )
-    )
+    bands = _explode_bands(sig.join(srcs, "doc_id"), extra_cols=("source",))
     probe = bands.filter(is_batch).select(
         F.col("doc_id").alias("batch_doc"),
         F.col("sig").alias("sa"),
@@ -1068,6 +1052,50 @@ def dedup_minhash_incremental(docs: DataFrame) -> DataFrame:
         "band_id",
         "band_key",
     )
+    batch_docs = docs.filter(is_batch).select("doc_id").distinct()
+    return lsh_admission_verdict(probe, index, batch_docs)
+
+
+def _explode_bands(sig: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, sig, *extra, band_id, band_key): one row per LSH band."""
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
+            for b in range(BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", "sig", *extra_cols, F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "sig",
+        *extra_cols,
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def probe_bands(docs: DataFrame) -> DataFrame:
+    """Signature + band rows for a standalone doc frame (doc_id, text).
+
+    The reusable half of :func:`dedup_minhash_incremental`: signatures
+    are doc-local (hash-only), so a batch's bands computed in isolation
+    are bit-identical to the same docs banded inside the full corpus —
+    which is what lets a STREAM micro-batch probe a pre-built index.
+    """
+    return _explode_bands(_minhash_sig(docs))
+
+
+def lsh_admission_verdict(
+    probe: DataFrame, index: DataFrame, batch_docs: DataFrame
+) -> DataFrame:
+    """Admission verdict for probe bands vs an index: the shared kernel
+    of the batch operator and its streaming foreachBatch twin.
+
+    probe: (batch_doc, sa, band_id, band_key); index: (corpus_doc, sb,
+    band_id, band_key); batch_docs: (doc_id) — every batch doc gets a
+    row even with zero collisions.
+    """
     cand = (
         probe.join(index, ["band_id", "band_key"])
         .select("batch_doc", "corpus_doc", "sa", "sb")
@@ -1089,7 +1117,6 @@ def dedup_minhash_incremental(docs: DataFrame) -> DataFrame:
             F.max("est").alias("max_est_jaccard"),
         )
     )
-    batch_docs = docs.filter(is_batch).select("doc_id").distinct()
     return (
         batch_docs.join(
             per_doc, batch_docs.doc_id == per_doc.batch_doc, "left"

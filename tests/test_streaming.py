@@ -667,3 +667,51 @@ def test_transform_with_state_lifetime_totals(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_lsh_admission_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming near-dup admission (foreachBatch probing the static
+    band index) must equal the BATCH dedup_minhash_incremental verdicts
+    row-for-row on the same documents — signatures are doc-local, so
+    micro-batching cannot change any verdict."""
+    from maap_data_pipelines_spark.operators.dedup import (
+        INCREMENTAL_BATCH_SOURCE,
+        dedup_minhash_incremental,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+    from maap_data_pipelines_spark.streaming.admission import (
+        build_band_index,
+        streaming_lsh_admission,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch_expected = {
+        r.doc_id: (r.n_candidates, r.max_est_jaccard, r.admitted)
+        for r in dedup_minhash_incremental(docs).collect()
+    }
+    assert batch_expected, "sf dir must contain batch-source docs"
+
+    corpus = docs.filter(docs.source != INCREMENTAL_BATCH_SOURCE)
+    incoming = docs.filter(docs.source == INCREMENTAL_BATCH_SOURCE).select(
+        "doc_id", "text", "source"
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # two micro-batches: split the incoming docs across two files
+    rows = [r.asDict() for r in incoming.collect()]
+    half = max(1, len(rows) // 2)
+    _write_events(src / "a.json", rows[:half])
+    _write_events(src / "b.json", rows[half:])
+
+    index = build_band_index(corpus.select("doc_id", "text"))
+    out = str(tmp_path / "verdicts")
+    q = streaming_lsh_admission(
+        spark, str(src), index, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.n_candidates, r.max_est_jaccard, r.admitted)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch_expected
