@@ -547,3 +547,99 @@ FROM assigned GROUP BY 1, 2
 
 QUERY_SQL["embedding_label_centroids"] = LABEL_CENTROIDS_SQL
 QUERY_SQL["embedding_label_confusion"] = LABEL_CONFUSION_SQL
+
+
+# --- 1-NN label probe: the standard embedding-quality eval ----------------
+
+KNN_EVAL_N = 100  # bounded eval slice (vec_id < KNN_EVAL_N)
+
+
+def embedding_knn_accuracy(emb: DataFrame) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy per class, exact int64.
+
+    The kNN probe every embedding-model eval starts with, one rung above
+    :func:`embedding_label_confusion`'s prototype classifier: each eval
+    vector (a bounded slice, vec_id < KNN_EVAL_N) is labeled by its
+    single nearest OTHER vector under integer-L2 in micro-units — no
+    prototypes, so it measures local neighborhood purity rather than
+    global class separation; the gap between the two numbers is the
+    classic "classes are multi-modal" diagnostic. Deterministic ties
+    (dist, vec_id), exact counts, one division+round per class row.
+
+    Scale shape: the same documented eval-bounded scan class as
+    ann_cosine_topk — KNN_EVAL_N x corpus Arrow-batched rows, linear in
+    the corpus, constant in eval size; per-class output is label-count
+    rows.
+    """
+    from pyspark.sql.window import Window
+
+    from .pq import _l2_udf  # deferred: pq imports this module
+
+    q = emb.select(
+        "vec_id", "label", quantize_udf(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    ev = q.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("qq"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(ev))
+        .filter(F.col("vec_id") != F.col("eval_id"))
+        .select(
+            "eval_id",
+            "true_label",
+            "vec_id",
+            F.col("label").alias("pred_label"),
+            _l2_udf(F.col("qv"), F.col("qq")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("eval_id").orderBy("dist", "vec_id")
+    nn = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("eval_id", "true_label", "pred_label")
+    )
+    return (
+        nn.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_eval"), 6)
+        )
+    )
+
+
+KNN_ACCURACY_SQL = f"""
+WITH qemb AS MATERIALIZED (
+  SELECT vec_id, label, [{_qv_terms_sql()}] AS qv FROM embeddings
+),
+ev AS (
+  SELECT vec_id AS eval_id, label AS true_label, qv AS qq
+  FROM qemb WHERE vec_id < {KNN_EVAL_N}
+),
+nn AS (
+  SELECT eval_id, true_label, pred_label FROM (
+    SELECT v.eval_id, v.true_label, e.label AS pred_label,
+           row_number() OVER (
+             PARTITION BY v.eval_id
+             ORDER BY {_dist_sql('e.qv', 'v.qq')} ASC, e.vec_id) AS r
+    FROM qemb e CROSS JOIN ev v
+    WHERE e.vec_id <> v.eval_id
+  ) WHERE r = 1
+)
+SELECT true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6) AS accuracy
+FROM nn
+GROUP BY true_label
+"""
+
+QUERY_SQL["embedding_knn_accuracy"] = KNN_ACCURACY_SQL

@@ -78,6 +78,7 @@ _DEFERRED = {
     "ann_ivfpq_recall",
     "dedup_minhash_incremental",
     "dsir_importance",
+    "embedding_knn_accuracy",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",

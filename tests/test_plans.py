@@ -129,6 +129,8 @@ _BNLJ_ALLOWED = {
     "retrieval_rrf_fusion",
     # single-row (nt, nr) feature-total broadcast feeding the score table
     "dsir_importance",
+    # eval-bounded brute 1-NN scan (same documented class as ann_cosine_topk)
+    "embedding_knn_accuracy",
 }
 
 
