@@ -1104,7 +1104,88 @@ FROM documents
 """
 
 
+# --- orders_revenue_ewma: integer exponential smoothing (recurrence) ------
+
+EWMA_NUM, EWMA_DEN = 1, 4  # alpha = 1/4: s_t = (x_t + 3 s_{t-1}) div 4
+
+
+def orders_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority EWMA of monthly revenue — a SEQUENTIAL recurrence with
+    a full value-hash oracle.
+
+    Exponential smoothing is the one dashboard primitive the engine's
+    window toolbox can't express (each output depends on the previous
+    OUTPUT, not a frame of inputs). The recurrence runs entirely inside
+    one ``aggregate`` higher-order expression per key: the month series
+    is assembled with sort_array(collect_list(struct)) — bounded by
+    months-per-key, never by order count — and folded left with the
+    integer rule s_t = (x_t + 3*s_{t-1}) div 4 (alpha = 1/4 kept
+    rational; cents are non-negative so truncating div == floor on both
+    engines). The oracle is a recursive CTE stepping the same rule —
+    proving Spark's fold and DuckDB's recursion compute the identical
+    sequence. Scale shape: the heavy work (monthly cents) is a map-side-
+    combined groupBy; the fold touches #months elements per key.
+
+    Output: (priority, month_idx, cents, ewma_cents) — all int64.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("month_idx"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    series = monthly.groupBy("priority").agg(
+        F.sort_array(F.collect_list(F.struct("month_idx", "cents"))).alias("ms")
+    )
+    fold = (
+        "aggregate(ms,"
+        " CAST(array() AS array<struct<month_idx: bigint, cents: bigint,"
+        " ewma_cents: bigint>>),"
+        " (acc, m) -> array_append(acc, named_struct("
+        "   'month_idx', m.month_idx, 'cents', m.cents,"
+        "   'ewma_cents', CASE WHEN size(acc) = 0 THEN m.cents"
+        f"      ELSE (m.cents + {EWMA_DEN - EWMA_NUM} * element_at(acc, -1).ewma_cents)"
+        f"           div {EWMA_DEN} END)))"
+    )
+    return (
+        series.select("priority", F.explode(F.expr(fold)).alias("r"))
+        .select(
+            "priority",
+            F.col("r.month_idx").alias("month_idx"),
+            F.col("r.cents").alias("cents"),
+            F.col("r.ewma_cents").alias("ewma_cents"),
+        )
+    )
+
+
+REVENUE_EWMA_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_idx,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT priority, month_idx, cents,
+         row_number() OVER (PARTITION BY priority ORDER BY month_idx) AS rn
+  FROM monthly
+),
+r AS (
+  SELECT priority, month_idx, cents, rn, cents AS ewma_cents
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.priority, s.month_idx, s.cents, s.rn,
+         (s.cents + {EWMA_DEN - EWMA_NUM} * r.ewma_cents) // {EWMA_DEN}
+  FROM seq s JOIN r ON s.priority = r.priority AND s.rn = r.rn + 1
+)
+SELECT priority, month_idx, cents, ewma_cents FROM r
+"""
+
+
 QUERIES = {
+    "orders_revenue_ewma": orders_revenue_ewma,
     "customer_entity_resolution": customer_entity_resolution,
     "doc_surrogate_keys": doc_surrogate_keys,
     "lineitem_corr_matrix": lineitem_corr_matrix,
@@ -1152,4 +1233,5 @@ ORACLES = {
     "doc_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "lineitem_scd2_lookup": SCD2_LOOKUP_SQL,
     "orders_profile": profile_sql("orders", ORDERS_COLS),
+    "orders_revenue_ewma": REVENUE_EWMA_SQL,
 }

@@ -79,6 +79,7 @@ _DEFERRED = {
     "dedup_minhash_incremental",
     "dsir_importance",
     "embedding_knn_accuracy",
+    "orders_revenue_ewma",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
