@@ -934,36 +934,9 @@ DSIR_BUCKETS = 1024  # hashed feature space (unigrams + bigrams)
 DSIR_SELECT_K = 50  # raw docs promoted into the target-like subset
 
 
-def dsir_importance(docs: DataFrame) -> DataFrame:
-    """Data Selection with Importance Resampling (Xie et al. 2023), the
-    hashed-n-gram variant, with a log-free rational scoring surrogate.
-
-    DSIR ranks raw documents by how target-like their hashed n-gram
-    features are: features = md5-hashed unigrams AND bigrams folded into
-    DSIR_BUCKETS buckets (the portable engine hash — both engines
-    regenerate it bit-identically), target = docs from DSIR_TARGET_SRC,
-    raw = everything else. The paper scores log p_target(f)/p_raw(f);
-    transcendental logs have no cross-engine float parity, so this
-    implementation keeps the per-feature evidence as the add-one-
-    smoothed RATE RATIO in exact micro-units —
-    score(f) = 1e6 * (ct_f+1) * (Nr+B) div ((cr_f+1) * (Nt+B)) —
-    and aggregates a document by the MEAN ratio over its feature
-    occurrences (arithmetic-mean surrogate for the geometric mean;
-    monotone in the same per-feature evidence, integer-exact
-    end-to-end). Deterministic selection replaces Gumbel sampling: the
-    top-DSIR_SELECT_K raw docs by (weight desc, doc_id). int64
-    headroom: 1e6 * ct * Nr needs ct * Nr < 9.2e12 — rescale the 1e6
-    before targets beyond ~10^6 tokens.
-
-    Scale shape: two feature-count aggregates (bucket-sized, B rows
-    each — broadcastable regardless of corpus size), one broadcast join
-    of raw-doc features against the B-row score table, one per-doc
-    aggregate. No UDFs, no Python, no floats.
-
-    Output: (doc_id, n_feats, weight_micro, sel_rank, selected).
-    """
-    from pyspark.sql.window import Window
-
+def _dsir_feats_scores(docs: DataFrame):
+    """(feats, scores): hashed feature rows + the B-row micro-unit score
+    table — the shared front half of dsir_importance / dsir_auc."""
     words = F.split(F.lower(F.col("text")), " ")
     n = F.size(words)
     uni = docs.select(
@@ -1006,6 +979,41 @@ def dsir_importance(docs: DataFrame) -> DataFrame:
             ).alias("score"),
         )
     )
+    return feats, scores
+
+
+def dsir_importance(docs: DataFrame) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023), the
+    hashed-n-gram variant, with a log-free rational scoring surrogate.
+
+    DSIR ranks raw documents by how target-like their hashed n-gram
+    features are: features = md5-hashed unigrams AND bigrams folded into
+    DSIR_BUCKETS buckets (the portable engine hash — both engines
+    regenerate it bit-identically), target = docs from DSIR_TARGET_SRC,
+    raw = everything else. The paper scores log p_target(f)/p_raw(f);
+    transcendental logs have no cross-engine float parity, so this
+    implementation keeps the per-feature evidence as the add-one-
+    smoothed RATE RATIO in exact micro-units —
+    score(f) = 1e6 * (ct_f+1) * (Nr+B) div ((cr_f+1) * (Nt+B)) —
+    and aggregates a document by the MEAN ratio over its feature
+    occurrences (arithmetic-mean surrogate for the geometric mean;
+    monotone in the same per-feature evidence, integer-exact
+    end-to-end). Deterministic selection replaces Gumbel sampling: the
+    top-DSIR_SELECT_K raw docs by (weight desc, doc_id). int64
+    headroom: 1e6 * ct * Nr needs ct * Nr < 9.2e12 — rescale the 1e6
+    before targets beyond ~10^6 tokens.
+
+    Scale shape: two feature-count aggregates (bucket-sized, B rows
+    each — broadcastable regardless of corpus size), one broadcast join
+    of raw-doc features against the B-row score table, one per-doc
+    aggregate. No UDFs, no Python, no floats.
+
+    Output: (doc_id, n_feats, weight_micro, sel_rank, selected).
+    """
+    from pyspark.sql.window import Window
+
+    feats, scores = _dsir_feats_scores(docs)
+    is_t = F.col("source") == DSIR_TARGET_SRC
     per_doc = (
         feats.filter(~is_t)
         .join(F.broadcast(scores), "g")
@@ -1077,3 +1085,121 @@ FROM per_doc
 """
 
 QUERY_SQL["dsir_importance"] = DSIR_IMPORTANCE_SQL
+
+
+def dsir_auc(docs: DataFrame) -> DataFrame:
+    """Mann-Whitney AUC of the DSIR weights: does selection separate?
+
+    The selection-quality meter dsir_importance needs next to it: score
+    EVERY document (target AND raw) with the same B-row score table and
+    compute the exact tie-corrected rank-sum AUC of "weight separates
+    target from raw" — the probability a random target doc outranks a
+    random raw doc. Ranks are kept integer by working in DOUBLED rank
+    units: a tie group's average rank is rank_min + (cnt-1)/2, so
+    2*avg = 2*rank_min + cnt - 1 (exact int64), giving
+    AUC = (R2_t - n_t*(n_t+1)) / (2*n_t*n_r) with one final division,
+    round 6 — no float ever enters the ranking. An AUC near 0.5 means
+    the hashed-feature signal is not separating and selection is noise;
+    the meter exists to catch exactly that silent failure.
+
+    Scale shape: the per-doc weight pass is the same broadcast join as
+    dsir_importance; the rank is ONE global sort of doc-count rows
+    (summary-op class, like vocab_overlap) emitting a single row.
+    """
+    feats, scores = _dsir_feats_scores(docs)
+    weights = (
+        feats.join(F.broadcast(scores), "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("score").alias("wsum"),
+        )
+        .select(
+            "doc_id",
+            (F.col("source") == DSIR_TARGET_SRC).cast("long").alias("is_target"),
+            F.expr("wsum div n_feats").alias("weight_micro"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_rank = Window.orderBy("weight_micro")
+    w_tie = Window.partitionBy("weight_micro")
+    ranked = weights.select(
+        "is_target",
+        (
+            2 * F.rank().over(w_rank).cast("long")
+            + F.count(F.lit(1)).over(w_tie).cast("long")
+            - 1
+        ).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("is_target").alias("n_target"),
+        F.sum(1 - F.col("is_target")).alias("n_raw"),
+        F.sum(F.col("r2") * F.col("is_target")).alias("r2t"),
+    )
+    return agg.select(
+        "n_target",
+        "n_raw",
+        F.round(
+            (F.col("r2t") - F.col("n_target") * (F.col("n_target") + 1))
+            / (2 * F.col("n_target") * F.col("n_raw")),
+            6,
+        ).alias("auc"),
+    )
+
+
+DSIR_AUC_SQL = f"""
+WITH uni AS (
+  SELECT doc_id, source,
+         ({md5_long_sql("unnest(string_split(lower(text), ' '))")})
+           % {DSIR_BUCKETS} AS g
+  FROM documents
+),
+bw AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+),
+bi AS (
+  SELECT doc_id, source,
+         ({md5_long_sql("unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))")})
+           % {DSIR_BUCKETS} AS g
+  FROM bw
+),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+tc AS (SELECT g, COUNT(*) AS ct FROM feats WHERE source = '{DSIR_TARGET_SRC}' GROUP BY g),
+rc AS (SELECT g, COUNT(*) AS cr FROM feats WHERE source <> '{DSIR_TARGET_SRC}' GROUP BY g),
+nt AS (SELECT COUNT(*) AS nt FROM feats WHERE source = '{DSIR_TARGET_SRC}'),
+nr AS (SELECT COUNT(*) AS nr FROM feats WHERE source <> '{DSIR_TARGET_SRC}'),
+grid AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS g),
+scores AS (
+  SELECT grid.g,
+         (1000000 * (COALESCE(tc.ct, 0) + 1) * (nr.nr + {DSIR_BUCKETS}))
+           // ((COALESCE(rc.cr, 0) + 1) * (nt.nt + {DSIR_BUCKETS})) AS score
+  FROM grid
+  LEFT JOIN tc ON tc.g = grid.g
+  LEFT JOIN rc ON rc.g = grid.g
+  CROSS JOIN nt CROSS JOIN nr
+),
+weights AS (
+  SELECT f.doc_id,
+         CAST(CASE WHEN f.source = '{DSIR_TARGET_SRC}' THEN 1 ELSE 0 END AS BIGINT)
+           AS is_target,
+         CAST(SUM(s.score) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS weight_micro
+  FROM feats f JOIN scores s USING (g)
+  GROUP BY f.doc_id, f.source
+),
+ranked AS (
+  SELECT is_target,
+         2 * rank() OVER (ORDER BY weight_micro)
+           + COUNT(*) OVER (PARTITION BY weight_micro) - 1 AS r2
+  FROM weights
+)
+SELECT CAST(SUM(is_target) AS BIGINT) AS n_target,
+       CAST(SUM(1 - is_target) AS BIGINT) AS n_raw,
+       ROUND((CAST(SUM(r2 * is_target) AS BIGINT)
+              - CAST(SUM(is_target) AS BIGINT) * (CAST(SUM(is_target) AS BIGINT) + 1))
+             / (2 * CAST(SUM(is_target) AS BIGINT) * CAST(SUM(1 - is_target) AS BIGINT)),
+             6) AS auc
+FROM ranked
+"""
+
+QUERY_SQL["dsir_auc"] = DSIR_AUC_SQL

@@ -1174,3 +1174,86 @@ LEFT JOIN per_doc p ON p.batch_doc = d.doc_id
 """
 
 QUERY_SQL["dedup_minhash_incremental"] = DEDUP_MINHASH_INCREMENTAL_SQL
+
+
+# --- k-core decomposition of the candidate graph (bounded peel) -----------
+
+KCORE_K = 3  # the core order extracted
+KCORE_ROUNDS = 6  # fixed peel rounds — both engines run exactly this many
+
+
+def dedup_kcore(docs: DataFrame) -> DataFrame:
+    """Nodes of the MinHash candidate graph's k-core (k=3), bounded peel.
+
+    The DENSITY rung of the dedup-graph toolbox: components
+    (dedup_clusters) say "connected", triangles (dedup_triangles) count
+    local closure, and the k-core answers "which docs sit inside a
+    mutually-duplicating cluster" — a node survives only while it keeps
+    >= k surviving neighbors, so chains and stars peel away and tightly
+    cross-linked near-dup blobs remain (template/boilerplate families,
+    the ones worth human review before mass deletion).
+
+    Peeling runs a FIXED KCORE_ROUNDS rounds in BOTH engines (each
+    round: degree count -> drop nodes with deg < k -> drop their
+    edges), so the output is deterministic parity regardless of
+    convergence; 6 rounds peel any chain of length < 2^... — in
+    practice the test-SF graphs converge in <= 3 (the invariant test
+    asserts a 7th round changes nothing). Each round is one map-side-
+    combined degree agg + two semi-joins — the same per-round shape as
+    connected_components, cost bounded by surviving edges.
+
+    Output: (doc_id, degree) — surviving core members with their final
+    within-core degree.
+    """
+    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    for _ in range(KCORE_ROUNDS):
+        deg = und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("doc_a")
+        und = (
+            und.join(keep, "doc_a")
+            .join(keep.select(F.col("doc_a").alias("doc_b")), "doc_b")
+            .localCheckpoint()
+        )
+    return (
+        und.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        f"pairs_full AS ({DEDUP_MINHASH_SQL})",
+        """und0 AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs_full
+  UNION
+  SELECT doc_b, doc_a FROM pairs_full
+)""",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""k{i} AS (
+  SELECT a FROM und{i - 1} GROUP BY a HAVING COUNT(*) >= {KCORE_K})"""
+        )
+        ctes.append(
+            f"""und{i} AS MATERIALIZED (
+  SELECT u.a, u.b FROM und{i - 1} u
+  JOIN k{i} ka ON ka.a = u.a
+  JOIN k{i} kb ON kb.a = u.b)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM und{KCORE_ROUNDS}
+GROUP BY a
+"""
+    )
+
+
+DEDUP_KCORE_SQL = _kcore_sql()
+
+QUERY_SQL["dedup_kcore"] = DEDUP_KCORE_SQL

@@ -1,9 +1,11 @@
 """Product quantization (PQ): the memory-bounded ANN rung above IVF.
 
 At 100 TB of vectors the index itself is the problem: float32 x 64 dims
-= 256 B/vector. PQ compresses each vector to S code bytes (here 8) by
-splitting dims into S subspaces and learning a tiny k-means codebook per
-subspace; search scores candidates with the ADC trick — the query
+= 256 B/vector. PQ compresses each vector to S codes of 4 bits each
+(S = 8, K = 16 codewords -> 4 bytes nibble-packed; the stored codes
+column is 8 small ints for SQL-oracle clarity) by splitting dims into S
+subspaces and learning a tiny k-means codebook per subspace; search
+scores candidates with the ADC trick — the query
 precomputes its distance to every codeword (S x K entries), and each
 candidate costs S table lookups instead of 64 multiplies. This is the
 Jegou et al. (2011) design every billion-scale vector store ships.

@@ -72,6 +72,7 @@ QUERIES = {
     "doc_curriculum": _wrap(text.doc_curriculum),
     "retrieval_rrf_fusion": _wrap(text.retrieval_rrf_fusion),
     "dsir_importance": _wrap(curation.dsir_importance),
+    "dsir_auc": _wrap(curation.dsir_auc),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

@@ -1184,7 +1184,106 @@ SELECT priority, month_idx, cents, ewma_cents FROM r
 """
 
 
+# --- orders_bootstrap_ci: Poisson bootstrap over order revenue ------------
+
+BOOT_B = 32  # bootstrap replicas
+# Inverse-CDF thresholds for Poisson(lambda=1) in micro-units (cumulative
+# probabilities floor(P*1e6)): deterministic CONSTANTS both engines share,
+# replacing any RNG — the draw is a hash-derived uniform against these.
+_POIS1_CUM = (367879, 735758, 919698, 980960, 996340, 999416, 999928, 999999)
+
+
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean order revenue: B replica means, ranked.
+
+    THE scalable bootstrap (Chamandy et al.: resampling-with-replacement
+    at cluster scale): instead of materializing B resamples, every row
+    independently contributes a Poisson(1) count to each replica — one
+    scan, B-fold map-side expansion, no sampling shuffle. Randomness is
+    replaced by the engine's portable hash: u = md5('boot'||b||':'||key)
+    mod 1e6 against fixed inverse-CDF thresholds, so both engines draw
+    the IDENTICAL pseudo-counts and the whole estimator is value-hash-
+    oracled. Replica mean = one ROUND(sum/sum, 6); the rank column makes
+    empirical CI reads trivial (rank 2 / rank B-1 brackets the central
+    93.75% band at B = 32).
+
+    Scale shape: explode(sequence(0, B-1)) -> map-side-combined groupBy
+    replica (B cells total regardless of order count) -> a B-row window.
+    Output: (replica, n_draws, mean_cents, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    u = (
+        md5_long(
+            F.concat(
+                F.lit("boot"),
+                F.col("replica").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+        % 1_000_000
+    )
+    cnt = F.lit(len(_POIS1_CUM)).cast("long")
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        cnt = F.when(F.col("u") < _POIS1_CUM[k], F.lit(k)).otherwise(cnt)
+    rep = (
+        orders.select(
+            "o_orderkey",
+            cents.alias("cents"),
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("replica"),
+        )
+        .withColumn("u", u)
+        .withColumn("cnt", cnt.cast("long"))
+        .groupBy("replica")
+        .agg(
+            F.sum("cnt").alias("n_draws"),
+            F.sum(F.col("cnt") * F.col("cents")).alias("wsum"),
+        )
+        .select(
+            F.col("replica").cast("long").alias("replica"),
+            "n_draws",
+            F.round(F.col("wsum") / F.col("n_draws"), 6).alias("mean_cents"),
+        )
+    )
+    w = Window.orderBy("mean_cents", "replica")
+    return rep.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def _bootstrap_sql() -> str:
+    cnt = f"{len(_POIS1_CUM)}"
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        cnt = f"CASE WHEN u < {_POIS1_CUM[k]} THEN {k} ELSE {cnt} END"
+    return f"""
+WITH rep AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         g.b AS replica,
+         ({md5_long_sql("'boot' || CAST(g.b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")})
+           % 1000000 AS u
+  FROM orders, UNNEST(generate_series(0, {BOOT_B - 1})) AS g(b)
+),
+cnts AS (SELECT replica, cents, CAST({cnt} AS BIGINT) AS cnt FROM rep),
+means AS (
+  SELECT CAST(replica AS BIGINT) AS replica,
+         CAST(SUM(cnt) AS BIGINT) AS n_draws,
+         ROUND(CAST(SUM(cnt * cents) AS BIGINT) / CAST(SUM(cnt) AS BIGINT), 6)
+           AS mean_cents
+  FROM cnts GROUP BY replica
+)
+SELECT replica, n_draws, mean_cents,
+       row_number() OVER (ORDER BY mean_cents, replica) AS rnk
+FROM means
+"""
+
+
+BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+
 QUERIES = {
+    "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
     "customer_entity_resolution": customer_entity_resolution,
     "doc_surrogate_keys": doc_surrogate_keys,
@@ -1234,4 +1333,5 @@ ORACLES = {
     "lineitem_scd2_lookup": SCD2_LOOKUP_SQL,
     "orders_profile": profile_sql("orders", ORDERS_COLS),
     "orders_revenue_ewma": REVENUE_EWMA_SQL,
+    "orders_bootstrap_ci": BOOTSTRAP_CI_SQL,
 }

@@ -152,6 +152,7 @@ QUERIES = {
     "ann_ivfpq_topk": _emb_plan(pq.ann_ivfpq_topk),
     "ann_ivfpq_recall": _emb_plan(pq.ann_ivfpq_recall),
     "dedup_minhash_incremental": _doc_plan(dedup.dedup_minhash_incremental),
+    "dedup_kcore": _doc_plan(dedup.dedup_kcore),
     "embedding_knn_accuracy": _emb_plan(kmeans.embedding_knn_accuracy),
     "ann_sq8_topk": _emb_plan(quant.ann_sq8_topk),
     "ann_sq8_recall": _emb_plan(quant.ann_sq8_recall),

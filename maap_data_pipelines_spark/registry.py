@@ -80,6 +80,9 @@ _DEFERRED = {
     "dsir_importance",
     "embedding_knn_accuracy",
     "orders_revenue_ewma",
+    "dsir_auc",
+    "dedup_kcore",
+    "orders_bootstrap_ci",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",

@@ -216,3 +216,47 @@ def test_containment_catches_what_jaccard_misses(spark, sf_dir):
         assert r.containment >= (0.9 if r.n_common >= 10 else 0.8)
     # ...and at least some of them sit BELOW the resemblance threshold
     assert any(r.jaccard < 0.5 for r in excerpt_pairs)
+
+
+def test_kcore_peel_converged_and_valid(spark, sf_dir):
+    """Every surviving k-core node keeps degree >= k, and a SEVENTH peel
+    round changes nothing — the fixed 6-round bound converges at test SF
+    (parity would hold regardless; this pins that the bound is honest)."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.operators import dedup
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    core = dedup.dedup_kcore(docs)
+    rows = core.collect()
+    if rows:  # degree floor: every member keeps >= k within-core neighbors
+        assert min(r.degree for r in rows) >= dedup.KCORE_K
+    # a 7th round is a no-op: no surviving node drops below k
+    survivors = {r.doc_id for r in rows}
+    edges = dedup.dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    surviving_edges = [
+        (r.doc_a, r.doc_b)
+        for r in und.collect()
+        if r.doc_a in survivors and r.doc_b in survivors
+    ]
+    from collections import Counter
+
+    deg = Counter(a for a, _ in surviving_edges)
+    assert all(deg[n] >= dedup.KCORE_K for n in survivors)
+
+
+def test_streaming_admission_verdict_consistency(spark, sf_dir):
+    """dedup_minhash_incremental's admitted flag is exactly
+    (max_est_jaccard < INC_NEAR_DUP_EST), and candidates imply a
+    band collision recorded in n_candidates."""
+    from maap_data_pipelines_spark.operators import dedup
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for r in dedup.dedup_minhash_incremental(docs).collect():
+        assert r.admitted == (1 if r.max_est_jaccard < dedup.INC_NEAR_DUP_EST else 0)
+        assert (r.n_candidates == 0) == (r.max_est_jaccard == 0.0)

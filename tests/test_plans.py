@@ -131,6 +131,8 @@ _BNLJ_ALLOWED = {
     "dsir_importance",
     # eval-bounded brute 1-NN scan (same documented class as ann_cosine_topk)
     "embedding_knn_accuracy",
+    # inherits dsir_importance's single-row feature-total broadcast
+    "dsir_auc",
 }
 
 
