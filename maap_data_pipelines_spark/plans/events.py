@@ -225,6 +225,108 @@ GROUP BY c.user_id, c.t_view, c.t_click
 """
 
 
+WF_WINDOW_US = 2 * 3_600 * 1_000_000  # windowed-funnel horizon: 2 h
+
+
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (windowFunnel semantics): view -> click ->
+    purchase, the WHOLE sequence within WF_WINDOW_US of the anchor view.
+
+    The conversion-rate number product analytics actually reports — the
+    unbounded funnel (events_funnel) counts conversions that took weeks.
+    Anchor = each user's FIRST view (the standard greedy anchor; a later
+    view could in principle open a window an earlier one missed — the
+    greedy choice is deterministic and documented, matching ClickHouse's
+    windowFunnel). Same one-shuffle stacked-conditional-window shape as
+    events_funnel, with the horizon folded into each stage predicate.
+
+    Output: one row — stage reach counts + exact conversion rates.
+    """
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    horizon = F.col("t_view") + F.lit(WF_WINDOW_US)
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("t_view"))
+                    & (F.col("ts_us") <= horizon),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t_click"))
+                    & (F.col("ts_us") <= horizon),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias("n_click"),
+        F.sum(F.col("t_purchase").isNotNull().cast("long")).alias("n_purchase"),
+    ).select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") / F.col("n_view"), 6).alias("view_to_click"),
+        F.round(F.col("n_purchase") / F.col("n_view"), 6).alias("view_to_purchase"),
+    )
+
+
+WINDOWED_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT v.user_id, v.t_view, MIN(epoch_us(e.ts)) AS t_click
+  FROM v LEFT JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click'
+   AND epoch_us(e.ts) > v.t_view
+   AND epoch_us(e.ts) <= v.t_view + {WF_WINDOW_US}
+  GROUP BY v.user_id, v.t_view
+),
+p AS (
+  SELECT c.user_id, c.t_view, c.t_click, MIN(epoch_us(e.ts)) AS t_purchase
+  FROM c LEFT JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) > c.t_click
+   AND epoch_us(e.ts) <= c.t_view + {WF_WINDOW_US}
+  GROUP BY c.user_id, c.t_view, c.t_click
+)
+SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       ROUND(CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 6)
+         AS view_to_click,
+       ROUND(CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 6)
+         AS view_to_purchase
+FROM p
+"""
+
+
+
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attributed to the last prior click.
 
@@ -1278,6 +1380,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
+    "events_windowed_funnel": events_windowed_funnel,
     "events_asof_attribution": events_asof_attribution,
     "events_rollup_multigrain": events_rollup_multigrain,
     "events_value_quantiles": events_value_quantiles,
@@ -1304,6 +1407,7 @@ ORACLES = {
     "events_sessionize": SESSIONIZE_SQL,
     "events_json_props": JSON_PROPS_SQL,
     "events_funnel": FUNNEL_SQL,
+    "events_windowed_funnel": WINDOWED_FUNNEL_SQL,
     "events_asof_attribution": ASOF_SQL,
     "events_rollup_multigrain": MULTIGRAIN_SQL,
     "events_value_quantiles": QUANTILES_SQL,

@@ -83,6 +83,7 @@ _DEFERRED = {
     "dsir_auc",
     "dedup_kcore",
     "orders_bootstrap_ci",
+    "events_windowed_funnel",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
