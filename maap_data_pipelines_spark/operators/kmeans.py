@@ -643,3 +643,119 @@ GROUP BY true_label
 """
 
 QUERY_SQL["embedding_knn_accuracy"] = KNN_ACCURACY_SQL
+
+
+def embedding_fisher_ratio(emb: DataFrame) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio: between-class over
+    within-class scatter, exact int64 micro-units.
+
+    The feature-level drill-down under the classifier probes: which of
+    the 64 dimensions actually carry label signal? Scatters are computed
+    around the FLOORED integer centroids (the same artifact
+    embedding_label_centroids emits), so every term is exact:
+    between_d = sum_l n_l*(c_l,d - g_d)^2 (g = floored global mean),
+    within_d = sum_x (x_d - c_label(x),d)^2, fisher = one division,
+    round 6. High-fisher dims drive separability (and are what a
+    matryoshka-style truncation should keep); a flat profile says the
+    signal is distributed — the diagnostic read before any projection.
+
+    Scale shape: centroids are a K x 64 aggregate; the within pass is
+    one broadcast join on label + zip_with + posexplode into a 64-cell
+    map-side-combined aggregate — linear, one scan.
+    """
+    q = emb.select(
+        "label", quantize_udf(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    sums = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(EMBED_DIM)],
+    )
+    cents = sums.select(
+        "label",
+        "n_vectors",
+        F.array(
+            *[
+                F.floor(F.col(f"s{d}") / F.col("n_vectors")).cast("long")
+                for d in range(EMBED_DIM)
+            ]
+        ).alias("cv"),
+    )
+    gm = q.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(EMBED_DIM)],
+    ).select(
+        F.array(
+            *[
+                F.floor(F.col(f"s{d}") / F.col("n_all")).cast("long")
+                for d in range(EMBED_DIM)
+            ]
+        ).alias("gv")
+    )
+    between = (
+        cents.crossJoin(F.broadcast(gm))
+        .select(
+            F.posexplode(
+                F.expr("zip_with(cv, gv, (c, g) -> n_vectors * (c - g) * (c - g))")
+            ).alias("pos", "b")
+        )
+        .groupBy("pos")
+        .agg(F.sum("b").alias("between_ss"))
+    )
+    within = (
+        q.join(F.broadcast(cents.select("label", "cv")), "label")
+        .select(
+            F.posexplode(
+                F.expr("zip_with(qv, cv, (x, c) -> (x - c) * (x - c))")
+            ).alias("pos", "wsq")
+        )
+        .groupBy("pos")
+        .agg(F.sum("wsq").alias("within_ss"))
+    )
+    return (
+        between.join(within, "pos")
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            "between_ss",
+            "within_ss",
+            F.round(F.col("between_ss") / F.col("within_ss"), 6).alias("fisher"),
+        )
+    )
+
+
+_FISHER_CENT_MEANS = ", ".join(
+    f"CAST(FLOOR(SUM(qv[{d}])::DOUBLE / COUNT(*)) AS BIGINT)"
+    for d in range(1, EMBED_DIM + 1)
+)
+
+FISHER_RATIO_SQL = f"""
+WITH qemb AS MATERIALIZED (
+  SELECT vec_id, label, [{_qv_terms_sql()}] AS qv FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label, COUNT(*) AS n_vectors, [{_FISHER_CENT_MEANS}] AS cv
+  FROM qemb GROUP BY label
+),
+gm AS (
+  SELECT [{_FISHER_CENT_MEANS}] AS gv FROM qemb
+),
+between_ AS (
+  SELECT g.i AS pos,
+         CAST(SUM(c.n_vectors * (c.cv[g.i] - gm.gv[g.i])
+                  * (c.cv[g.i] - gm.gv[g.i])) AS BIGINT) AS between_ss
+  FROM cent c CROSS JOIN gm, UNNEST(generate_series(1, {EMBED_DIM})) AS g(i)
+  GROUP BY g.i
+),
+within_ AS (
+  SELECT g.i AS pos,
+         CAST(SUM((e.qv[g.i] - c.cv[g.i]) * (e.qv[g.i] - c.cv[g.i]))
+              AS BIGINT) AS within_ss
+  FROM qemb e JOIN cent c USING (label),
+       UNNEST(generate_series(1, {EMBED_DIM})) AS g(i)
+  GROUP BY g.i
+)
+SELECT CAST(b.pos AS BIGINT) AS dim, b.between_ss, w.within_ss,
+       ROUND(b.between_ss / w.within_ss, 6) AS fisher
+FROM between_ b JOIN within_ w ON b.pos = w.pos
+"""
+
+QUERY_SQL["embedding_fisher_ratio"] = FISHER_RATIO_SQL

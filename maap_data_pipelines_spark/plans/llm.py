@@ -154,6 +154,7 @@ QUERIES = {
     "dedup_minhash_incremental": _doc_plan(dedup.dedup_minhash_incremental),
     "dedup_kcore": _doc_plan(dedup.dedup_kcore),
     "embedding_knn_accuracy": _emb_plan(kmeans.embedding_knn_accuracy),
+    "embedding_fisher_ratio": _emb_plan(kmeans.embedding_fisher_ratio),
     "ann_sq8_topk": _emb_plan(quant.ann_sq8_topk),
     "ann_sq8_recall": _emb_plan(quant.ann_sq8_recall),
     "ann_bq_topk": _emb_plan(quant.ann_bq_topk),

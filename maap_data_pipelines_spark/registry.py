@@ -84,6 +84,7 @@ _DEFERRED = {
     "dedup_kcore",
     "orders_bootstrap_ci",
     "events_windowed_funnel",
+    "embedding_fisher_ratio",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",

@@ -133,6 +133,8 @@ _BNLJ_ALLOWED = {
     "embedding_knn_accuracy",
     # inherits dsir_importance's single-row feature-total broadcast
     "dsir_auc",
+    # single-row global-mean broadcast crossed into the K centroid rows
+    "embedding_fisher_ratio",
 }
 
 
