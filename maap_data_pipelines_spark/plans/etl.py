@@ -1282,7 +1282,87 @@ FROM means
 BOOTSTRAP_CI_SQL = _bootstrap_sql()
 
 
+# --- orders_lineitem_reconcile: fact-to-fact DQ reconciliation ------------
+
+RECONCILE_TOPK = 20
+
+
+def orders_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fact reconciliation: order header total vs its lineitem sum.
+
+    The warehouse trust check every finance pipeline runs nightly: join
+    the two fact tables on the business key, compare the header amount
+    against the aggregated detail amount in exact integer cents, and
+    surface the worst discrepancies (orders with NO detail rows included
+    — coalesced to 0, the classic orphan-header defect). Output is the
+    top-RECONCILE_TOPK by absolute difference (ties by key) so the row
+    set is deterministic and bounded however large the mismatch
+    population is.
+
+    Scale shape: one map-side-combined detail aggregate (one row per
+    order before the join), then a key equi-join between two fact
+    tables — the canonical candidate for bucketed tables
+    (sinks.write_bucketed_table persists bucket+sort metadata so this
+    join runs with ZERO exchange nightly); the top-k is a
+    TakeOrderedAndProject, no full sort.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("order_cents"),
+    )
+    line = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "lineitem_cents"
+            )
+        )
+    )
+    joined = (
+        orders.join(line, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "order_cents",
+            F.coalesce(F.col("lineitem_cents"), F.lit(0).cast("long")).alias(
+                "lineitem_cents"
+            ),
+        )
+        .withColumn("diff_cents", F.col("order_cents") - F.col("lineitem_cents"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.abs(F.col("diff_cents")).desc(), "o_orderkey")
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= RECONCILE_TOPK)
+    )
+
+
+RECONCILE_SQL = f"""
+WITH line AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS lineitem_cents
+  FROM lineitem GROUP BY 1
+),
+joined AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+         COALESCE(l.lineitem_cents, 0) AS lineitem_cents,
+         CAST(round(o.o_totalprice * 100) AS BIGINT)
+           - COALESCE(l.lineitem_cents, 0) AS diff_cents
+  FROM orders o LEFT JOIN line l USING (o_orderkey)
+)
+SELECT o_orderkey, order_cents, lineitem_cents, diff_cents,
+       row_number() OVER (ORDER BY abs(diff_cents) DESC, o_orderkey) AS rnk
+FROM joined
+QUALIFY rnk <= {RECONCILE_TOPK}
+"""
+
+
 QUERIES = {
+    "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
     "customer_entity_resolution": customer_entity_resolution,
@@ -1334,4 +1414,5 @@ ORACLES = {
     "orders_profile": profile_sql("orders", ORDERS_COLS),
     "orders_revenue_ewma": REVENUE_EWMA_SQL,
     "orders_bootstrap_ci": BOOTSTRAP_CI_SQL,
+    "orders_lineitem_reconcile": RECONCILE_SQL,
 }

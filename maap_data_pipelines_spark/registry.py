@@ -85,6 +85,7 @@ _DEFERRED = {
     "orders_bootstrap_ci",
     "events_windowed_funnel",
     "embedding_fisher_ratio",
+    "orders_lineitem_reconcile",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
