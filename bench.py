@@ -140,6 +140,16 @@ HEADLINE = [
     "assets_bbox_overlap",
     "dedup_minhash_incremental",
     "dsir_importance",
+    # final round-4 batch: eval meters, recurrence, bootstrap, graph
+    # density, cross-fact DQ, windowed funnel
+    "embedding_knn_accuracy",
+    "embedding_fisher_ratio",
+    "orders_revenue_ewma",
+    "orders_bootstrap_ci",
+    "orders_lineitem_reconcile",
+    "dedup_kcore",
+    "dsir_auc",
+    "events_windowed_funnel",
 ]
 
 

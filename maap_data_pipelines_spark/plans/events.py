@@ -327,6 +327,77 @@ FROM p
 
 
 
+SKEW_TOPK = 20
+
+
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health report for the user_id key: hot keys + their share.
+
+    The diagnostic you run BEFORE choosing a skew strategy (salting /
+    AQE skew-join / replicated join): per-key cardinalities, each hot
+    key's share of total rows in exact micro-units, and the cumulative
+    share of the top-20 — if the top keys own a material fraction of the
+    rows, a plain shuffle on this key will straggle and the salted
+    variants (events_salted_rollup, operators/skew.py) are the remedy.
+    Bounded deterministic output: top-SKEW_TOPK by (count desc, key).
+
+    Scale shape: one map-side-combined count per key, a 1-row totals
+    broadcast, and a TakeOrderedAndProject top-k — the report itself
+    never shuffles more than the key cardinality.
+    """
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    totals = counts.agg(
+        F.sum("n_events").alias("total_events"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= SKEW_TOPK)
+        .select(
+            "user_id",
+            "n_events",
+            "n_keys",
+            F.expr("n_events * 1000000 div total_events").alias("share_micro"),
+            F.expr(
+                "sum(n_events) over (order by n_events desc, user_id"
+                " rows between unbounded preceding and current row)"
+                " * 1000000 div total_events"
+            ).alias("cum_share_micro"),
+            "rnk",
+        )
+    )
+
+
+KEY_SKEW_REPORT_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+         COUNT(*) AS n_keys
+  FROM counts
+),
+ranked AS (
+  SELECT c.user_id, c.n_events, t.n_keys, t.total_events,
+         row_number() OVER (ORDER BY c.n_events DESC, c.user_id) AS rnk,
+         CAST(SUM(c.n_events) OVER (ORDER BY c.n_events DESC, c.user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_events
+  FROM counts c CROSS JOIN totals t
+)
+SELECT user_id, n_events, n_keys,
+       n_events * 1000000 // total_events AS share_micro,
+       cum_events * 1000000 // total_events AS cum_share_micro,
+       rnk
+FROM ranked
+WHERE rnk <= {SKEW_TOPK}
+"""
+
+
+
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attributed to the last prior click.
 
@@ -1381,6 +1452,7 @@ QUERIES = {
     "events_json_props": events_json_props,
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
+    "events_key_skew_report": events_key_skew_report,
     "events_asof_attribution": events_asof_attribution,
     "events_rollup_multigrain": events_rollup_multigrain,
     "events_value_quantiles": events_value_quantiles,
@@ -1408,6 +1480,7 @@ ORACLES = {
     "events_json_props": JSON_PROPS_SQL,
     "events_funnel": FUNNEL_SQL,
     "events_windowed_funnel": WINDOWED_FUNNEL_SQL,
+    "events_key_skew_report": KEY_SKEW_REPORT_SQL,
     "events_asof_attribution": ASOF_SQL,
     "events_rollup_multigrain": MULTIGRAIN_SQL,
     "events_value_quantiles": QUANTILES_SQL,

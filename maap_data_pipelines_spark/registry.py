@@ -86,6 +86,7 @@ _DEFERRED = {
     "events_windowed_funnel",
     "embedding_fisher_ratio",
     "orders_lineitem_reconcile",
+    "events_key_skew_report",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",

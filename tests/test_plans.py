@@ -135,6 +135,8 @@ _BNLJ_ALLOWED = {
     "dsir_auc",
     # single-row global-mean broadcast crossed into the K centroid rows
     "embedding_fisher_ratio",
+    # single-row (total, n_keys) broadcast crossed into per-key counts
+    "events_key_skew_report",
 }
 
 
