@@ -759,3 +759,110 @@ FROM between_ b JOIN within_ w ON b.pos = w.pos
 """
 
 QUERY_SQL["embedding_fisher_ratio"] = FISHER_RATIO_SQL
+
+
+TRIPLET_EVAL_N = 100  # bounded anchor slice (vec_id < TRIPLET_EVAL_N)
+
+
+def embedding_triplets(emb: DataFrame) -> DataFrame:
+    """Triplet mining: (anchor, hardest positive, hardest negative).
+
+    The training artifact metric-learning / contrastive fine-tuning
+    consumes: for each anchor (bounded slice, vec_id < TRIPLET_EVAL_N)
+    pick the NEAREST other vector sharing its label (the easy positive)
+    and the NEAREST vector with a DIFFERENT label (the hard negative —
+    the pair that actually shapes the margin). Distances are exact
+    int64 micro-unit L2, ties (dist, vec_id); ``margin_ok`` flags
+    anchors whose positive is strictly closer than their negative —
+    the fraction of true triplets IS the batch's triplet-accuracy
+    metric, so the miner and its quality meter are one output.
+
+    Scale shape: one eval-bounded Arrow-batched scan (the documented
+    ann_cosine_topk class) feeding two conditional-min window picks —
+    no second corpus pass for the negative side.
+    """
+    from pyspark.sql.window import Window
+
+    from .pq import _l2_udf  # deferred: pq imports this module
+
+    q = emb.select(
+        "vec_id", "label", quantize_udf(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    anchors = q.filter(F.col("vec_id") < TRIPLET_EVAL_N).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("qv").alias("aq"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            _l2_udf(F.col("qv"), F.col("aq")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("anchor_id")
+    same = F.col("label") == F.col("anchor_label")
+    picked = (
+        scored.withColumn(
+            "pos_key",
+            F.min(F.when(same, F.struct("dist", "vec_id"))).over(w),
+        )
+        .withColumn(
+            "neg_key",
+            F.min(F.when(~same, F.struct("dist", "vec_id"))).over(w),
+        )
+        .groupBy("anchor_id", "anchor_label")
+        .agg(F.first("pos_key").alias("p"), F.first("neg_key").alias("n"))
+    )
+    # anchors whose label has no second member (or no other label) have no
+    # valid triplet — dropped, matching the oracle's inner join
+    return (
+        picked.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("p.vec_id").alias("positive_id"),
+            F.col("p.dist").alias("pos_dist"),
+            F.col("n.vec_id").alias("negative_id"),
+            F.col("n.dist").alias("neg_dist"),
+            (F.col("p.dist") < F.col("n.dist")).cast("long").alias("margin_ok"),
+        )
+    )
+
+
+EMBEDDING_TRIPLETS_SQL = f"""
+WITH qemb AS MATERIALIZED (
+  SELECT vec_id, label, [{_qv_terms_sql()}] AS qv FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, qv AS aq
+  FROM qemb WHERE vec_id < {TRIPLET_EVAL_N}
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+         CAST({_dist_sql('e.qv', 'a.aq')} AS BIGINT) AS dist
+  FROM qemb e CROSS JOIN anchors a
+  WHERE e.vec_id <> a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, anchor_label, vec_id AS positive_id, dist AS pos_dist
+  FROM scored WHERE label = anchor_label
+  QUALIFY row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) = 1
+),
+neg AS (
+  SELECT anchor_id, vec_id AS negative_id, dist AS neg_dist
+  FROM scored WHERE label <> anchor_label
+  QUALIFY row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) = 1
+)
+SELECT p.anchor_id, p.anchor_label, p.positive_id, p.pos_dist,
+       n.negative_id, n.neg_dist,
+       CAST(CASE WHEN p.pos_dist < n.neg_dist THEN 1 ELSE 0 END AS BIGINT)
+         AS margin_ok
+FROM pos p JOIN neg n USING (anchor_id)
+"""
+
+QUERY_SQL["embedding_triplets"] = EMBEDDING_TRIPLETS_SQL

@@ -155,6 +155,7 @@ QUERIES = {
     "dedup_kcore": _doc_plan(dedup.dedup_kcore),
     "embedding_knn_accuracy": _emb_plan(kmeans.embedding_knn_accuracy),
     "embedding_fisher_ratio": _emb_plan(kmeans.embedding_fisher_ratio),
+    "embedding_triplets": _emb_plan(kmeans.embedding_triplets),
     "ann_sq8_topk": _emb_plan(quant.ann_sq8_topk),
     "ann_sq8_recall": _emb_plan(quant.ann_sq8_recall),
     "ann_bq_topk": _emb_plan(quant.ann_bq_topk),

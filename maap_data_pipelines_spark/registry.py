@@ -87,6 +87,7 @@ _DEFERRED = {
     "embedding_fisher_ratio",
     "orders_lineitem_reconcile",
     "events_key_skew_report",
+    "embedding_triplets",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",

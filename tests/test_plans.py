@@ -137,6 +137,8 @@ _BNLJ_ALLOWED = {
     "embedding_fisher_ratio",
     # single-row (total, n_keys) broadcast crossed into per-key counts
     "events_key_skew_report",
+    # eval-bounded brute scan (ann_cosine_topk class) feeding window picks
+    "embedding_triplets",
 }
 
 
