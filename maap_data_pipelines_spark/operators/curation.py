@@ -1103,8 +1103,10 @@ def dsir_auc(docs: DataFrame) -> DataFrame:
     the meter exists to catch exactly that silent failure.
 
     Scale shape: the per-doc weight pass is the same broadcast join as
-    dsir_importance; the rank is ONE global sort of doc-count rows
-    (summary-op class, like vocab_overlap) emitting a single row.
+    dsir_importance; the rank-sum is computed per DISTINCT weight (one
+    map-side-combined groupBy, then a running window over the grouped
+    frame — sized by the score-value range, never the corpus), emitting
+    a single row.
     """
     feats, scores = _dsir_feats_scores(docs)
     weights = (
@@ -1122,20 +1124,36 @@ def dsir_auc(docs: DataFrame) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w_rank = Window.orderBy("weight_micro")
-    w_tie = Window.partitionBy("weight_micro")
-    ranked = weights.select(
-        "is_target",
-        (
-            2 * F.rank().over(w_rank).cast("long")
-            + F.count(F.lit(1)).over(w_tie).cast("long")
-            - 1
-        ).alias("r2"),
+    # Rank-sum WITHOUT a per-doc global rank window (that would serialize
+    # every document through one partition): aggregate per DISTINCT weight
+    # first, then run the running-count window over the grouped frame —
+    # its size is bounded by the score-value range, not the corpus. A tie
+    # group at cumulative offset B with c members and t targets
+    # contributes t * (2*B + c + 1) doubled-rank units (each target's
+    # 2*rank_min + c - 1 with rank_min = B + 1).
+    groups = weights.groupBy("weight_micro").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("is_target").alias("t"),
     )
-    agg = ranked.agg(
-        F.sum("is_target").alias("n_target"),
-        F.sum(1 - F.col("is_target")).alias("n_raw"),
-        F.sum(F.col("r2") * F.col("is_target")).alias("r2t"),
+    w_cum = Window.orderBy("weight_micro").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    contrib = groups.select(
+        "c",
+        "t",
+        (
+            F.col("t")
+            * (
+                2 * F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+                + F.col("c")
+                + 1
+            )
+        ).alias("r2t_g"),
+    )
+    agg = contrib.agg(
+        F.sum("t").alias("n_target"),
+        F.sum(F.col("c") - F.col("t")).alias("n_raw"),
+        F.sum("r2t_g").alias("r2t"),
     )
     return agg.select(
         "n_target",

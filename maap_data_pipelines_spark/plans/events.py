@@ -351,11 +351,17 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("total_events"),
         F.count(F.lit(1)).alias("n_keys"),
     )
+    # top-k FIRST via TakeOrderedAndProject (partial top-k per map task,
+    # no global sort); the rank/cumulative windows then run over the
+    # SKEW_TOPK-row frame only — a corpus-wide global running-sum window
+    # would serialize every key through one partition. cum at rank r only
+    # ever involves rows of rank <= r, so restricting to the top-k first
+    # changes nothing.
+    top = counts.orderBy(F.desc("n_events"), "user_id").limit(SKEW_TOPK)
     w = Window.orderBy(F.desc("n_events"), "user_id")
     return (
-        counts.crossJoin(F.broadcast(totals))
+        top.crossJoin(F.broadcast(totals))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= SKEW_TOPK)
         .select(
             "user_id",
             "n_events",
