@@ -1008,10 +1008,12 @@ def dsir_importance(docs: DataFrame) -> DataFrame:
     of raw-doc features against the B-row score table, one per-doc
     aggregate. No UDFs, no Python, no floats.
 
-    Output: (doc_id, n_feats, weight_micro, sel_rank, selected).
+    Output: (doc_id, n_feats, weight_micro, selected) — selected marks
+    the top-DSIR_SELECT_K by (weight desc, doc_id), computed as a
+    TakeOrderedAndProject top-K broadcast back onto the weights (a
+    per-doc global rank window would serialize the corpus through one
+    partition; K ids broadcast instead).
     """
-    from pyspark.sql.window import Window
-
     feats, scores = _dsir_feats_scores(docs)
     is_t = F.col("source") == DSIR_TARGET_SRC
     per_doc = (
@@ -1028,13 +1030,16 @@ def dsir_importance(docs: DataFrame) -> DataFrame:
             F.expr("wsum div n_feats").alias("weight_micro"),
         )
     )
-    w = Window.orderBy(F.desc("weight_micro"), "doc_id")
-    return (
-        per_doc.withColumn("sel_rank", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "selected",
-            (F.col("sel_rank") <= DSIR_SELECT_K).cast("long"),
-        )
+    topk = (
+        per_doc.orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(DSIR_SELECT_K)
+        .select("doc_id", F.lit(1).alias("sel"))
+    )
+    return per_doc.join(F.broadcast(topk), "doc_id", "left").select(
+        "doc_id",
+        "n_feats",
+        "weight_micro",
+        F.coalesce(F.col("sel"), F.lit(0)).cast("long").alias("selected"),
     )
 
 
@@ -1078,7 +1083,6 @@ per_doc AS (
   GROUP BY f.doc_id
 )
 SELECT doc_id, n_feats, weight_micro,
-       row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS sel_rank,
        CAST(CASE WHEN row_number() OVER (ORDER BY weight_micro DESC, doc_id)
                  <= {DSIR_SELECT_K} THEN 1 ELSE 0 END AS BIGINT) AS selected
 FROM per_doc
