@@ -404,6 +404,73 @@ WHERE rnk <= {SKEW_TOPK}
 
 
 
+BURST_BASELINE_H = 24  # trailing baseline horizon (hours)
+BURST_RATIO_MICRO = 3_000_000  # flag hours >= 3x their trailing-24h mean
+
+
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours where an event type bursts >= 3x its trailing-24h mean rate.
+
+    The streaming-adjacent anomaly monitor events_hourly_anomaly (global
+    z-scores) cannot express: burstiness is LOCAL — an hour is anomalous
+    relative to what that type was doing YESTERDAY, not relative to the
+    all-time distribution. ratio = cnt * 24 * 1e6 div trailing_sum in
+    exact micro-units (trailing mean = trailing_sum/24 folded into the
+    numerator — no division until the single integer div); hours whose
+    trailing window is empty are excluded (no baseline, no verdict —
+    deterministic on both engines).
+
+    Scale shape: one map-side-combined (type, hour) count, then ONE
+    RANGE-frame window per type ordered by integer hour index — state
+    per partition is the 24-row frame, and partitions are event types,
+    so no corpus-sized window anywhere. Output: burst rows only.
+    """
+    ev = read_events(spark, sf_dir)
+    counts = (
+        ev.select("event_type", F.expr(f"ts_us div {_HOUR_US}").alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-BURST_BASELINE_H, -1)
+    )
+    flagged = (
+        counts.withColumn("trailing_cnt", F.sum("cnt").over(w))
+        .filter(F.col("trailing_cnt").isNotNull() & (F.col("trailing_cnt") > 0))
+        .withColumn(
+            "ratio_micro",
+            F.expr(f"cnt * {BURST_BASELINE_H} * 1000000 div trailing_cnt"),
+        )
+        .filter(F.col("ratio_micro") >= BURST_RATIO_MICRO)
+    )
+    return flagged.select(
+        "event_type", "hour_idx", "cnt", "trailing_cnt", "ratio_micro"
+    )
+
+
+BURST_DETECTION_SQL = f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hour_idx, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+trail AS (
+  SELECT event_type, hour_idx, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour_idx
+              RANGE BETWEEN {BURST_BASELINE_H} PRECEDING AND 1 PRECEDING)
+           AS BIGINT) AS trailing_cnt
+  FROM counts
+)
+SELECT event_type, hour_idx, cnt, trailing_cnt,
+       cnt * {BURST_BASELINE_H} * 1000000 // trailing_cnt AS ratio_micro
+FROM trail
+WHERE trailing_cnt IS NOT NULL AND trailing_cnt > 0
+  AND cnt * {BURST_BASELINE_H} * 1000000 // trailing_cnt >= {BURST_RATIO_MICRO}
+"""
+
+
+
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attributed to the last prior click.
 
@@ -1459,6 +1526,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_windowed_funnel": events_windowed_funnel,
     "events_key_skew_report": events_key_skew_report,
+    "events_burst_detection": events_burst_detection,
     "events_asof_attribution": events_asof_attribution,
     "events_rollup_multigrain": events_rollup_multigrain,
     "events_value_quantiles": events_value_quantiles,
@@ -1487,6 +1555,7 @@ ORACLES = {
     "events_funnel": FUNNEL_SQL,
     "events_windowed_funnel": WINDOWED_FUNNEL_SQL,
     "events_key_skew_report": KEY_SKEW_REPORT_SQL,
+    "events_burst_detection": BURST_DETECTION_SQL,
     "events_asof_attribution": ASOF_SQL,
     "events_rollup_multigrain": MULTIGRAIN_SQL,
     "events_value_quantiles": QUANTILES_SQL,

@@ -88,6 +88,7 @@ _DEFERRED = {
     "orders_lineitem_reconcile",
     "events_key_skew_report",
     "embedding_triplets",
+    "events_burst_detection",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
