@@ -287,3 +287,34 @@ def _attribution_join(
         "click_id",
         "click_ts",
     )
+
+
+def streaming_enriched_rollup(
+    spark: SparkSession, source_dir: str, dim: DataFrame, fmt: str = "json"
+) -> DataFrame:
+    """Stream-static enrichment: events joined to a static dimension
+    BEFORE the windowed rollup.
+
+    The remaining join shape in the streaming matrix (alongside the
+    stream-stream interval joins and the foreachBatch index probe): the
+    static side is re-read per micro-batch by Spark and broadcast when
+    small, so dimension updates between micro-batches are picked up
+    without restarting the query, and NO state is kept for the join
+    itself — only the downstream windowed aggregation holds state,
+    bounded by its watermark. Rollup grain: (user segment, 1 h window).
+    """
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format(fmt)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.join(F.broadcast(dim), "user_id")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )

@@ -715,3 +715,57 @@ def test_streaming_lsh_admission_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == batch_expected
+
+
+def test_streaming_enriched_rollup_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment + windowed rollup equals the
+    batch groupBy on identical input (the dimension is joined per
+    micro-batch, join keeps no state)."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.streaming.rollup import (
+        EVENT_SCHEMA,
+        streaming_enriched_rollup,
+    )
+
+    src = tmp_path / "enrich"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:15:00", "user_id": 2, "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:05:00", "user_id": 1, "event_type": "click", "value": 4.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:25:00", "user_id": 3, "event_type": "view", "value": 8.0, "props": "{}"},
+    ]
+    _write_events(src / "a.json", rows[:2])
+    _write_events(src / "b.json", rows[2:])
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "gold")], ["user_id", "segment"]
+    )
+
+    q = (
+        streaming_enriched_rollup(spark, str(src), dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.segment, r.window.start.isoformat()): (r.n_events, r.value_cents)
+        for r in spark.sql("select * from enriched").collect()
+    }
+    batch = (
+        spark.read.schema(EVENT_SCHEMA).json(str(src))
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    want = {
+        (r.segment, r.window.start.isoformat()): (r.n_events, r.value_cents)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) == 3
