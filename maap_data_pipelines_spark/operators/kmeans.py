@@ -866,3 +866,145 @@ FROM pos p JOIN neg n USING (anchor_id)
 """
 
 QUERY_SQL["embedding_triplets"] = EMBEDDING_TRIPLETS_SQL
+
+
+# --- distributed PCA: top principal component via power iteration ---------
+
+PCA_ITERS = 3
+PCA_VSCALE = 1000  # per-round renormalization: v <- w * 1000 div max|w|
+
+
+def embedding_pca_top(emb: DataFrame) -> DataFrame:
+    """Top principal direction of the embedding cloud, integer-exact.
+
+    Distributed PCA's two halves, both in the engine's exact discipline:
+
+    1. the CENTERED second-moment matrix C[d,e] = sum (x_d - g_d)(x_e -
+       g_e) over the corpus, where g is the floored integer mean — the
+       classic A^T A explode-join (two posexplodes joined on vec_id,
+       4096 cells after map-side combine; at larger widths this becomes
+       one mapInPandas outer-product pass, same cells);
+    2. POWER ITERATION for the dominant eigenvector: v_{t+1} =
+       (C v_t) div max(1, max|C v_t| div 1000) — max-abs renormalization
+       to ~+-1000 with the DIVISOR pre-scaled (divide-first keeps every
+       intermediate inside int64; a w*1000 numerator overflows at round
+       2), replacing the float 2-norm; the direction converges
+       identically, only the scale convention differs. PCA_ITERS fixed rounds, both engines run exactly the
+       same unrolled recurrence, so the oracle value-hashes the entire
+       pipeline. int64 headroom: |C| <= (2e6)^2 * N needs N < 2e6 at
+       micro scale — rescale the quantizer before larger corpora.
+
+    The deflation-free top component is the embedding-drift monitor
+    (compare across snapshots) and the whitening/centering input every
+    downstream projection starts with.
+
+    Output: (dim, component_scaled) — 64 rows, max-abs-normalized to
+    roughly +-1000 (exact bound 1000 + divisor truncation slack).
+    """
+    q = _micro_with_id(emb)
+    gm = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(EMBED_DIM)],
+    ).select(
+        F.array(
+            *[
+                F.floor(F.col(f"s{d}") / F.col("n")).cast("long")
+                for d in range(EMBED_DIM)
+            ]
+        ).alias("gv")
+    )
+    centered = q.crossJoin(F.broadcast(gm)).select(
+        "vec_id", F.expr("zip_with(qv, gv, (x, g) -> x - g)").alias("xc")
+    )
+    a = centered.select("vec_id", F.posexplode("xc").alias("d", "xd"))
+    b = centered.select("vec_id", F.posexplode("xc").alias("e", "xe"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("d", "e")
+        .agg(F.sum(F.col("xd") * F.col("xe")).alias("c"))
+        .localCheckpoint()
+    )
+    # power iteration: the 64-vector state is a bounded driver round-trip
+    # per round (the MLlib iteration shape, like the k-means centroids)
+    v = [1] * EMBED_DIM
+    for _ in range(PCA_ITERS):
+        vf = F.array(*[F.lit(int(x)).cast("long") for x in v])
+        w = (
+            cov.withColumn("vv", vf)
+            .groupBy("d")
+            .agg(F.sum(F.expr("c * vv[e]")).alias("w"))
+            .collect()
+        )
+        wd = {r.d: r.w for r in w}
+        wvec = [wd.get(d, 0) for d in range(EMBED_DIM)]
+        s = max(abs(x) for x in wvec) or 1
+        sv = max(1, s // PCA_VSCALE)
+        v = [x // sv if x >= 0 else -((-x) // sv) for x in wvec]
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(d + 1, int(v[d])) for d in range(EMBED_DIM)],
+        "dim long, component_scaled long",
+    )
+
+
+def _micro_with_id(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", quantize_udf(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+
+
+def _pca_sql() -> str:
+    """Unrolled power-iteration oracle over the centered moment matrix.
+
+    Truncating division must match Python's behavior on negatives:
+    Python // floors while DuckDB // truncates, so the Spark/driver side
+    uses sign-split magnitude division (-((-x) * S // s)) and the SQL
+    mirrors it with the same CASE.
+    """
+    gm_terms = ", ".join(
+        f"CAST(FLOOR(SUM(qv[{d}])::DOUBLE / COUNT(*)) AS BIGINT)"
+        for d in range(1, EMBED_DIM + 1)
+    )
+    ctes = [
+        f"qemb AS MATERIALIZED ({_qv_sql()})",
+        f"gm AS (SELECT [{gm_terms}] AS gv FROM qemb)",
+        f"""centered AS MATERIALIZED (
+  SELECT vec_id,
+         [{", ".join(f"qv[{d}] - gv[{d}]" for d in range(1, EMBED_DIM + 1))}] AS xc
+  FROM qemb CROSS JOIN gm)""",
+        f"""cov AS MATERIALIZED (
+  SELECT ga.i AS d, gb.i AS e,
+         CAST(SUM(c.xc[ga.i] * c.xc[gb.i]) AS BIGINT) AS c
+  FROM centered c,
+       UNNEST(generate_series(1, {EMBED_DIM})) AS ga(i),
+       UNNEST(generate_series(1, {EMBED_DIM})) AS gb(i)
+  GROUP BY ga.i, gb.i)""",
+        f"""v0 AS (SELECT unnest(generate_series(1, {EMBED_DIM})) AS d, CAST(1 AS BIGINT) AS v)""",
+    ]
+    for i in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT cov.d, CAST(SUM(cov.c * v.v) AS BIGINT) AS w
+  FROM cov JOIN v{i - 1} v ON v.d = cov.e
+  GROUP BY cov.d)"""
+        )
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT d, CASE WHEN w >= 0
+                 THEN w // (SELECT GREATEST(GREATEST(MAX(ABS(w)), 1) // {PCA_VSCALE}, 1) FROM w{i})
+                 ELSE -((-w) // (SELECT GREATEST(GREATEST(MAX(ABS(w)), 1) // {PCA_VSCALE}, 1) FROM w{i}))
+            END AS v
+  FROM w{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(d AS BIGINT) AS dim, v AS component_scaled FROM v{PCA_ITERS}
+"""
+    )
+
+
+EMBEDDING_PCA_TOP_SQL = _pca_sql()
+
+QUERY_SQL["embedding_pca_top"] = EMBEDDING_PCA_TOP_SQL

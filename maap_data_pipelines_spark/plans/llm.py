@@ -156,6 +156,7 @@ QUERIES = {
     "embedding_knn_accuracy": _emb_plan(kmeans.embedding_knn_accuracy),
     "embedding_fisher_ratio": _emb_plan(kmeans.embedding_fisher_ratio),
     "embedding_triplets": _emb_plan(kmeans.embedding_triplets),
+    "embedding_pca_top": _emb_plan(kmeans.embedding_pca_top),
     "ann_sq8_topk": _emb_plan(quant.ann_sq8_topk),
     "ann_sq8_recall": _emb_plan(quant.ann_sq8_recall),
     "ann_bq_topk": _emb_plan(quant.ann_bq_topk),

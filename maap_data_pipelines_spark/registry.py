@@ -89,6 +89,7 @@ _DEFERRED = {
     "events_key_skew_report",
     "embedding_triplets",
     "events_burst_detection",
+    "embedding_pca_top",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
