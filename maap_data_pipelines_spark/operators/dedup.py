@@ -1196,9 +1196,11 @@ def dedup_kcore(docs: DataFrame) -> DataFrame:
     Peeling runs a FIXED KCORE_ROUNDS rounds in BOTH engines (each
     round: degree count -> drop nodes with deg < k -> drop their
     edges), so the output is deterministic parity regardless of
-    convergence; 6 rounds peel any chain of length < 2^... — in
-    practice the test-SF graphs converge in <= 3 (the invariant test
-    asserts a 7th round changes nothing). Each round is one map-side-
+    convergence; each round peels one layer of sub-k nodes, so 6 rounds
+    suffice for any graph whose peel depth is <= 6 — in practice the
+    test-SF graphs converge in <= 3 (the invariant test asserts a 7th
+    round changes nothing; raise KCORE_ROUNDS for deeper chain
+    topologies). Each round is one map-side-
     combined degree agg + two semi-joins — the same per-round shape as
     connected_components, cost bounded by surviving edges.
 

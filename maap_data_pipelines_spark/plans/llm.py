@@ -109,6 +109,98 @@ LEFT JOIN near n USING (doc_id)
 """
 
 
+
+OUTLIER_TOPK = 3
+
+
+def doc_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding outliers: the docs to review before training.
+
+    The first CROSS-TABLE operator joining the text corpus to its
+    embedding table (doc_id = vec_id): each source's docs get an integer
+    micro-unit centroid (floor(sum/count), the label-centroid
+    discipline), and the OUTLIER_TOPK docs farthest from their own
+    source's centroid surface as review candidates — mislabeled scrapes,
+    boilerplate contamination, and encoding garbage all show up as
+    within-source embedding outliers long before they show up in loss
+    curves. Exact int64 distances, deterministic ties (dist desc,
+    doc_id).
+
+    Scale shape: one equi-join docs-to-embeddings on the id, a
+    source-count-sized centroid aggregate broadcast back, zip_with
+    distance, per-source WindowGroupLimit top-k.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        kmeans.quantize_udf(F.col("embedding")).alias("qv"),
+    )
+    j = docs.join(q, "doc_id").localCheckpoint()
+    cents = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(kmeans.EMBED_DIM)],
+    ).select(
+        "source",
+        F.array(
+            *[
+                F.floor(F.col(f"s{d}") / F.col("n_docs")).cast("long")
+                for d in range(kmeans.EMBED_DIM)
+            ]
+        ).alias("cv"),
+    )
+    scored = j.join(F.broadcast(cents), "source").select(
+        "source",
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("dist"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= OUTLIER_TOPK)
+    )
+
+
+_OUTLIER_QV = ", ".join(
+    f"CAST(FLOOR(embedding[{i}]::DOUBLE * 1000000) AS BIGINT)"
+    for i in range(1, 65)
+)
+_OUTLIER_MEANS = ", ".join(
+    f"CAST(FLOOR(SUM(qv[{d}])::DOUBLE / COUNT(*)) AS BIGINT)"
+    for d in range(1, 65)
+)
+_OUTLIER_DIST = " + ".join(
+    f"(j.qv[{i}]-c.cv[{i}])*(j.qv[{i}]-c.cv[{i}])" for i in range(1, 65)
+)
+
+DOC_EMBEDDING_OUTLIERS_SQL = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS doc_id, [{_OUTLIER_QV}] AS qv FROM embeddings
+),
+j AS MATERIALIZED (
+  SELECT d.source, d.doc_id, q.qv
+  FROM documents d JOIN q USING (doc_id)
+),
+cents AS (
+  SELECT source, [{_OUTLIER_MEANS}] AS cv
+  FROM j GROUP BY source
+),
+scored AS (
+  SELECT j.source, j.doc_id,
+         CAST({_OUTLIER_DIST} AS BIGINT) AS dist
+  FROM j JOIN cents c USING (source)
+)
+SELECT source, doc_id, dist,
+       row_number() OVER (PARTITION BY source ORDER BY dist DESC, doc_id) AS rnk
+FROM scored
+QUALIFY rnk <= {OUTLIER_TOPK}
+"""
+
 QUERIES = {
     "corpus_curation": corpus_curation,
     "dedup_exact": _doc_plan(dedup.dedup_exact),
@@ -157,6 +249,7 @@ QUERIES = {
     "embedding_fisher_ratio": _emb_plan(kmeans.embedding_fisher_ratio),
     "embedding_triplets": _emb_plan(kmeans.embedding_triplets),
     "embedding_pca_top": _emb_plan(kmeans.embedding_pca_top),
+    "doc_embedding_outliers": doc_embedding_outliers,
     "ann_sq8_topk": _emb_plan(quant.ann_sq8_topk),
     "ann_sq8_recall": _emb_plan(quant.ann_sq8_recall),
     "ann_bq_topk": _emb_plan(quant.ann_bq_topk),
@@ -172,4 +265,5 @@ ORACLES = {
     **pq.QUERY_SQL,
     **quant.QUERY_SQL,
     "corpus_curation": CORPUS_CURATION_SQL,
+    "doc_embedding_outliers": DOC_EMBEDDING_OUTLIERS_SQL,
 }

@@ -90,6 +90,7 @@ _DEFERRED = {
     "embedding_triplets",
     "events_burst_detection",
     "embedding_pca_top",
+    "doc_embedding_outliers",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
