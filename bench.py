@@ -150,6 +150,10 @@ HEADLINE = [
     "dedup_kcore",
     "dsir_auc",
     "events_windowed_funnel",
+    "embedding_triplets",
+    "events_burst_detection",
+    "embedding_pca_top",
+    "doc_embedding_outliers",
 ]
 
 
