@@ -1361,7 +1361,105 @@ QUALIFY rnk <= {RECONCILE_TOPK}
 """
 
 
+# --- orders_cohort_ltv: cumulative value curve per acquisition cohort -----
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per cohort user by month.
+
+    The VALUE companion to order_cohort_retention's activity counts —
+    retention says who came back, LTV says what the cohort is worth:
+    per (cohort month, months-since-acquisition) the cohort's cumulative
+    cents and the per-user LTV (one division over exact integers, round
+    6). The cumulative window is partitioned by cohort and ordered by
+    the month offset, so frame state is bounded by the calendar
+    (months^2 output grain, independent of customer count); cohort
+    sizes ride a broadcast back onto the curve.
+
+    Output: (cohort_month, months_since, n_users, cum_revenue_cents,
+    ltv_cents_per_user).
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("order_month").alias("cohort_month")
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.countDistinct("o_custkey").alias("n_users")
+    )
+    monthly = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.col("order_month"), F.col("cohort_month"))
+            .cast("long")
+            .alias("months_since"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        monthly.withColumn("cum_revenue_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "months_since",
+            "n_users",
+            "cum_revenue_cents",
+            F.round(F.col("cum_revenue_cents") / F.col("n_users"), 6).alias(
+                "ltv_cents_per_user"
+            ),
+        )
+    )
+
+
+COHORT_LTV_SQL = """
+WITH om AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey, MIN(order_month) AS cohort_month FROM om GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_month, COUNT(DISTINCT o_custkey) AS n_users
+  FROM firsts GROUP BY cohort_month
+),
+monthly AS (
+  SELECT f.cohort_month,
+         CAST(datediff('month', f.cohort_month, om.order_month) AS BIGINT)
+           AS months_since,
+         CAST(SUM(om.cents) AS BIGINT) AS rev_cents
+  FROM om JOIN firsts f USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_month, months_since,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+              ORDER BY months_since
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_revenue_cents
+  FROM monthly
+)
+SELECT c.cohort_month, c.months_since, s.n_users, c.cum_revenue_cents,
+       ROUND(c.cum_revenue_cents / s.n_users, 6) AS ltv_cents_per_user
+FROM cum c JOIN sizes s USING (cohort_month)
+"""
+
+
 QUERIES = {
+    "orders_cohort_ltv": orders_cohort_ltv,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -1415,4 +1513,5 @@ ORACLES = {
     "orders_revenue_ewma": REVENUE_EWMA_SQL,
     "orders_bootstrap_ci": BOOTSTRAP_CI_SQL,
     "orders_lineitem_reconcile": RECONCILE_SQL,
+    "orders_cohort_ltv": COHORT_LTV_SQL,
 }

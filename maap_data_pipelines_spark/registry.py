@@ -91,6 +91,7 @@ _DEFERRED = {
     "events_burst_detection",
     "embedding_pca_top",
     "doc_embedding_outliers",
+    "orders_cohort_ltv",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
