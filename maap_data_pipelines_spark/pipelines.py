@@ -564,6 +564,54 @@ def apply_rollup_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
     return True
 
 
+
+def run_embedding_health_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """One-stop embedding-space health report before anything trains.
+
+    Composes the labeled-embedding eval battery into a single artifact
+    directory + summary dict — the go/no-go read a training run starts
+    with: 1-NN neighborhood purity (local), nearest-centroid confusion
+    (global separability), per-dimension Fisher ratios (which dims
+    carry signal), the top principal direction (drift fingerprint —
+    diff it across snapshots), and the per-source outlier review queue.
+    Every component is an already-oracled registered operator; the
+    report is their composition, persisted as parquet per section.
+    """
+    from .operators import kmeans as km
+    from .plans.llm import doc_embedding_outliers
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sections = {
+        "knn_accuracy": km.embedding_knn_accuracy(emb),
+        "label_confusion": km.embedding_label_confusion(emb),
+        "fisher_ratio": km.embedding_fisher_ratio(emb),
+        "pca_top": km.embedding_pca_top(emb),
+        "outliers": doc_embedding_outliers(spark, sf_dir),
+    }
+    for name, df in sections.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    knn = spark.read.parquet(os.path.join(out_dir, "knn_accuracy"))
+    acc = knn.agg(
+        (F.sum("n_correct") / F.sum("n_eval")).alias("a")
+    ).collect()[0][0]
+    conf = spark.read.parquet(os.path.join(out_dir, "label_confusion"))
+    diag = conf.agg(
+        F.sum(
+            F.when(F.col("true_label") == F.col("pred_label"), F.col("n_vecs"))
+            .otherwise(0)
+        ).alias("d"),
+        F.sum("n_vecs").alias("t"),
+    ).collect()[0]
+    fisher = spark.read.parquet(os.path.join(out_dir, "fisher_ratio"))
+    top_dim = fisher.orderBy(F.desc("fisher")).limit(1).collect()[0]
+    return {
+        "knn_accuracy": round(float(acc), 6),
+        "centroid_accuracy": round(diag.d / diag.t, 6),
+        "top_fisher_dim": int(top_dim.dim),
+        "top_fisher": float(top_dim.fisher),
+        "n_outliers": spark.read.parquet(os.path.join(out_dir, "outliers")).count(),
+    }
+
 def run_live_rollup_pipeline(
     spark: SparkSession,
     landing_dir: str,

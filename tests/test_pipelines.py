@@ -283,3 +283,23 @@ def test_incremental_ingest_admits_only_new_content(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(state + "/corpus").collect()
     }
     assert ids == {1, 2, 11}  # min-doc_id survivors only
+
+
+def test_embedding_health_report(spark, sf_dir, tmp_path):
+    """The composed embedding-health product: all five sections persist,
+    and the summary metrics are consistent with the section tables."""
+    from maap_data_pipelines_spark.pipelines import run_embedding_health_report
+
+    out = str(tmp_path / "health")
+    rep = run_embedding_health_report(spark, sf_dir, out)
+    assert set(rep) == {
+        "knn_accuracy", "centroid_accuracy", "top_fisher_dim",
+        "top_fisher", "n_outliers",
+    }
+    assert 0.0 <= rep["knn_accuracy"] <= 1.0
+    assert 0.0 <= rep["centroid_accuracy"] <= 1.0
+    assert 1 <= rep["top_fisher_dim"] <= 64
+    assert rep["n_outliers"] > 0
+    import os
+    for section in ("knn_accuracy", "label_confusion", "fisher_ratio", "pca_top", "outliers"):
+        assert spark.read.parquet(os.path.join(out, section)).count() > 0
