@@ -1225,3 +1225,73 @@ FROM ranked
 """
 
 QUERY_SQL["dsir_auc"] = DSIR_AUC_SQL
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each doc is first-occurrence content?
+# ---------------------------------------------------------------------------
+
+NOVELTY_NGRAM = 3
+
+
+def doc_ngram_novelty(docs: DataFrame) -> DataFrame:
+    """Per-doc novelty: fraction of its distinct 3-grams it PIONEERED.
+
+    Ingestion-order novelty (doc_id as arrival order): a 3-gram's
+    pioneer is the minimum doc_id containing it, and a document's
+    novelty is the share of its distinct 3-grams whose pioneer it is —
+    near-1 means fresh content, near-0 means the doc is assembled from
+    n-grams the corpus already had (boilerplate, templates, quotation
+    mass). The monotone complement of dup_ngram_mass: that measures
+    how much of a doc is duplicated ANYWHERE; novelty credits the FIRST
+    copy and charges the rest, which is what an arrival-ordered ingest
+    filter actually wants.
+
+    Scale shape: distinct (shingle-hash, doc) pairs -> min-doc per
+    shingle (map-side-combined) -> one equi-join back on the 8-byte
+    hash -> per-doc counts; every shuffle carries hashes, never text.
+    """
+    sh = (
+        _shingle_rows(docs, NOVELTY_NGRAM)
+        .select("doc_id", md5_long(F.col("shingle")).alias("g"))
+        .distinct()
+    )
+    pioneer = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(pioneer, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias(
+                "n_pioneered"
+            ),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_pioneered") / F.col("n_shingles"), 6)
+        )
+    )
+
+
+_NOVELTY_SHINGLES = f"""
+  SELECT DISTINCT doc_id,
+         {md5_long_sql(
+             "array_to_string(ws[i:i+" + str(NOVELTY_NGRAM - 1) + "], ' ')"
+         )} AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       UNNEST(range(1, len(ws) - {NOVELTY_NGRAM - 2})) AS t(i)
+"""
+
+DOC_NGRAM_NOVELTY_SQL = f"""
+WITH sh AS ({_NOVELTY_SHINGLES}),
+pioneer AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN sh.doc_id = p.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pioneered,
+       ROUND(CAST(SUM(CASE WHEN sh.doc_id = p.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS BIGINT), 6) AS novelty
+FROM sh JOIN pioneer p USING (g)
+GROUP BY sh.doc_id
+"""
+
+QUERY_SQL["doc_ngram_novelty"] = DOC_NGRAM_NOVELTY_SQL

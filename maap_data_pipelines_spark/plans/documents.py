@@ -73,6 +73,7 @@ QUERIES = {
     "retrieval_rrf_fusion": _wrap(text.retrieval_rrf_fusion),
     "dsir_importance": _wrap(curation.dsir_importance),
     "dsir_auc": _wrap(curation.dsir_auc),
+    "doc_ngram_novelty": _wrap(curation.doc_ngram_novelty),
 }
 
 # bpe_token_stats: rows-only (iterative merge application is not

@@ -92,6 +92,7 @@ _DEFERRED = {
     "embedding_pca_top",
     "doc_embedding_outliers",
     "orders_cohort_ltv",
+    "doc_ngram_novelty",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
