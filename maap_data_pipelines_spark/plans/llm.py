@@ -201,6 +201,116 @@ FROM scored
 QUALIFY rnk <= {OUTLIER_TOPK}
 """
 
+
+CURATION_MIN_NOVELTY = 0.2
+
+
+def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full five-stage curation cascade — the engine's 200th operator
+    and its most complete end-to-end decision.
+
+    Extends :func:`corpus_curation`'s quality -> exact-dup -> near-dup
+    cascade with the two duplicate classes MinHash-resemblance misses:
+      4. contained  — the doc appears as the HIGHER id in a containment
+                      pair (excerpts/quotes/syndication; containment
+                      >= 0.8 while Jaccard can be arbitrarily low);
+      5. stale      — ingestion-order novelty < CURATION_MIN_NOVELTY
+                      (the doc is assembled from 3-grams the corpus
+                      already had — boilerplate/template mass).
+    First-fail-wins reason order is fixed, so the reason histogram is a
+    stable monitorable artifact; every stage reuses its own oracled
+    operator and the composition carries one oracle.
+    """
+    from ..operators import curation
+
+    docs = read_table(spark, sf_dir, "documents")
+    quality = text.quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("q_ok")
+    )
+    exact_survivor = dedup.dedup_exact(docs).select(
+        F.col("canonical_doc_id").alias("doc_id"), F.lit(True).alias("is_survivor")
+    )
+    near_rejects = (
+        dedup.dedup_minhash_lsh(docs)
+        .filter(F.col("est_jaccard") >= CURATION_NEAR_DUP_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    contained = (
+        dedup.dedup_containment(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_contained", F.lit(True))
+    )
+    stale = (
+        curation.doc_ngram_novelty(docs)
+        .filter(F.col("novelty") < CURATION_MIN_NOVELTY)
+        .select("doc_id")
+        .withColumn("is_stale", F.lit(True))
+    )
+    reason = (
+        F.when(~F.col("q_ok"), "quality")
+        .when(F.col("is_survivor").isNull(), "exact_dup")
+        .when(F.col("near_dup").isNotNull(), "near_dup")
+        .when(F.col("is_contained").isNotNull(), "contained")
+        .when(F.col("is_stale").isNotNull(), "stale")
+        .otherwise("ok")
+    )
+    return (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(exact_survivor, "doc_id", "left")
+        .join(near_rejects, "doc_id", "left")
+        .join(contained, "doc_id", "left")
+        .join(stale, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "ok")
+    )
+
+
+def _curation_extended_sql() -> str:
+    from ..operators.curation import DOC_NGRAM_NOVELTY_SQL
+
+    reason = f"""CASE WHEN NOT q.q_ok THEN 'quality'
+            WHEN s.is_survivor IS NULL THEN 'exact_dup'
+            WHEN n.near_dup IS NOT NULL THEN 'near_dup'
+            WHEN c.is_contained IS NOT NULL THEN 'contained'
+            WHEN st.is_stale IS NOT NULL THEN 'stale'
+            ELSE 'ok' END"""
+    return f"""
+WITH quality AS (
+  SELECT doc_id, keep AS q_ok FROM ({text.QUALITY_FILTER_SQL})
+),
+surv AS (
+  SELECT canonical_doc_id AS doc_id, TRUE AS is_survivor
+  FROM ({dedup.DEDUP_EXACT_SQL})
+),
+near AS (
+  SELECT DISTINCT doc_b AS doc_id, TRUE AS near_dup
+  FROM ({dedup.DEDUP_MINHASH_SQL})
+  WHERE est_jaccard >= {CURATION_NEAR_DUP_JACCARD}
+),
+cont AS (
+  SELECT DISTINCT doc_b AS doc_id, TRUE AS is_contained
+  FROM ({dedup.CONTAINMENT_SQL})
+),
+stale AS (
+  SELECT doc_id, TRUE AS is_stale
+  FROM ({DOC_NGRAM_NOVELTY_SQL})
+  WHERE novelty < {CURATION_MIN_NOVELTY}
+)
+SELECT d.doc_id,
+       {reason} AS reason,
+       ({reason}) = 'ok' AS keep
+FROM documents d
+JOIN quality q USING (doc_id)
+LEFT JOIN surv s USING (doc_id)
+LEFT JOIN near n USING (doc_id)
+LEFT JOIN cont c USING (doc_id)
+LEFT JOIN stale st USING (doc_id)
+"""
+
 QUERIES = {
     "corpus_curation": corpus_curation,
     "dedup_exact": _doc_plan(dedup.dedup_exact),
@@ -250,6 +360,7 @@ QUERIES = {
     "embedding_triplets": _emb_plan(kmeans.embedding_triplets),
     "embedding_pca_top": _emb_plan(kmeans.embedding_pca_top),
     "doc_embedding_outliers": doc_embedding_outliers,
+    "corpus_curation_extended": corpus_curation_extended,
     "ann_sq8_topk": _emb_plan(quant.ann_sq8_topk),
     "ann_sq8_recall": _emb_plan(quant.ann_sq8_recall),
     "ann_bq_topk": _emb_plan(quant.ann_bq_topk),
@@ -266,4 +377,5 @@ ORACLES = {
     **quant.QUERY_SQL,
     "corpus_curation": CORPUS_CURATION_SQL,
     "doc_embedding_outliers": DOC_EMBEDDING_OUTLIERS_SQL,
+    "corpus_curation_extended": _curation_extended_sql(),
 }

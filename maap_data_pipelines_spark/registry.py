@@ -93,6 +93,7 @@ _DEFERRED = {
     "doc_embedding_outliers",
     "orders_cohort_ltv",
     "doc_ngram_novelty",
+    "corpus_curation_extended",
     "ann_sq8_topk",
     "ann_sq8_recall",
     "ann_bq_topk",
