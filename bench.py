@@ -154,6 +154,9 @@ HEADLINE = [
     "events_burst_detection",
     "embedding_pca_top",
     "doc_embedding_outliers",
+    "orders_cohort_ltv",
+    "doc_ngram_novelty",
+    "corpus_curation_extended",
 ]
 
 
