@@ -86,7 +86,17 @@ def streaming_lsh_admission(
         )
         batch_docs = batch_df.select("doc_id").distinct()
         verdict = lsh_admission_verdict(probe, index, batch_docs)
-        verdict.write.mode("append").parquet(out_dir)
+        # replay-idempotent sink: each micro-batch owns its batch_id
+        # partition and OVERWRITES it (dynamic partition overwrite), so a
+        # replayed batch — checkpoint recovery, at-least-once delivery —
+        # rewrites identical rows instead of appending duplicates
+        (
+            verdict.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)

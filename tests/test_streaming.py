@@ -769,3 +769,45 @@ def test_streaming_enriched_rollup_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_streaming_lsh_admission_replay_idempotent(spark, sf_dir, tmp_path):
+    """A full replay (checkpoint deleted, every file re-delivered) must
+    leave the verdict table byte-identical — the dynamic per-batch
+    partition overwrite rewrites rather than appends."""
+    import shutil
+
+    from maap_data_pipelines_spark.operators.dedup import INCREMENTAL_BATCH_SOURCE
+    from maap_data_pipelines_spark.sources.catalog import read_table
+    from maap_data_pipelines_spark.streaming.admission import (
+        build_band_index,
+        streaming_lsh_admission,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(docs.source != INCREMENTAL_BATCH_SOURCE)
+    incoming = docs.filter(docs.source == INCREMENTAL_BATCH_SOURCE).select(
+        "doc_id", "text", "source"
+    )
+    src = tmp_path / "replay_in"
+    src.mkdir()
+    _write_events(src / "a.json", [r.asDict() for r in incoming.collect()])
+    index = build_band_index(corpus.select("doc_id", "text"))
+    out = str(tmp_path / "replay_out")
+    ckpt = str(tmp_path / "replay_ckpt")
+
+    streaming_lsh_admission(spark, str(src), index, out, ckpt).awaitTermination(120)
+    first = sorted(
+        (r.doc_id, r.n_candidates, r.max_est_jaccard, r.admitted)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first
+
+    # replay everything: nuke the checkpoint so batch 0 re-fires
+    shutil.rmtree(ckpt)
+    streaming_lsh_admission(spark, str(src), index, out, ckpt).awaitTermination(120)
+    second = sorted(
+        (r.doc_id, r.n_candidates, r.max_est_jaccard, r.admitted)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert second == first  # no duplicates, no drift
