@@ -275,3 +275,30 @@ def test_dup_span_removal_separate_spans_stay_separate(spark):
     assert [r.doc_id for r in rows] == [2, 2]
     assert (rows[0].span_start, rows[0].span_end) == (1, 10)
     assert (rows[1].span_start, rows[1].span_end) == (16, 25)
+
+
+def test_novelty_pioneer_conservation(spark, sf_dir):
+    """Every distinct 3-gram has exactly ONE pioneer, so the sum of
+    pioneered counts over docs equals the corpus's distinct-shingle
+    count — the conservation law the novelty metric rests on. Also:
+    novelty is in (0, 1] and doc 0 (nothing earlier) scores exactly 1."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.operators import curation
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    nov = curation.doc_ngram_novelty(docs)
+    total_pioneered = nov.agg(F.sum("n_pioneered")).collect()[0][0]
+    distinct_shingles = (
+        curation._shingle_rows(docs, curation.NOVELTY_NGRAM)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert total_pioneered == distinct_shingles
+    rows = {r.doc_id: r for r in nov.collect()}
+    # novelty = 0 is legitimate (a doc that pioneered nothing)
+    assert all(0 <= r.novelty <= 1.0 for r in rows.values())
+    first_doc = min(rows)
+    assert rows[first_doc].novelty == 1.0
