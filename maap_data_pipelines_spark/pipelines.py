@@ -535,7 +535,12 @@ def apply_rollup_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
     stream's checkpoint was deleted/recreated (ids restart at 0) — every
     new batch would silently skip, so that case warns loudly.
     """
-    last = table.latest_meta().get("rollup_batch_id")
+    meta = table.latest_meta()
+    # Legacy fallback: tables committed before the guard key was
+    # namespaced recorded it as 'batch_id'. Without this, the first
+    # replayed micro-batch after an upgrade would pass the guard and be
+    # double-applied into the additive merge.
+    last = meta.get("rollup_batch_id", meta.get("batch_id"))
     if last is not None and batch_id <= last:
         if batch_id < last:
             import warnings
@@ -544,8 +549,9 @@ def apply_rollup_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
                 f"apply_rollup_batch: batch_id {batch_id} < recorded "
                 f"high-water mark {last} — was the stream checkpoint "
                 "deleted? All batches will be skipped until ids pass "
-                f"{last}; clear the table's rollup_batch_id meta to "
-                "resume (and expect a full backfill).",
+                f"{last}; clear the guard via table.commit(df, meta="
+                "{'rollup_batch_id': None}) — a None meta value deletes "
+                "the key — to resume (and expect a full backfill).",
                 stacklevel=2,
             )
         return False

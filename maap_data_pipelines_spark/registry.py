@@ -62,6 +62,26 @@ _CONFIRMED = {
     "events_cube", "events_retention_triangle",
     "token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "quality_filter", "term_topk", "bigram_topk",
+    # r04 window: etl (22) + multimodal (5) + events (6) + tpch (2) +
+    # documents (15) — CORRECTNESS_r04.json, 50/50 green.
+    "customer_entity_resolution", "doc_surrogate_keys", "lineitem_corr_matrix",
+    "orders_scd2", "lineitem_salted_part_revenue", "orders_zorder_layout",
+    "orders_rfm", "doc_split_assign", "doc_stratified_sample",
+    "doc_sample_exact_k", "documents_checksum", "orders_snapshot_diff",
+    "compaction_plan", "orders_dq_expectations", "orders_revenue_trend",
+    "orders_monthly_gapfill", "orders_price_quantiles",
+    "lineitem_manifest_pruning", "bloom_customer_filter", "doc_weighted_sample",
+    "lineitem_scd2_lookup", "orders_profile",
+    "media_metadata", "media_phash_dedup", "media_frame_sample",
+    "media_resize", "media_audio_windows",
+    "events_attribution_latency", "sessions_campaign_overlap",
+    "events_transition_matrix", "events_user_paths", "events_salted_rollup",
+    "events_sliding_trend",
+    "orders_trailing_year", "orders_value_deciles",
+    "tfidf_top_terms", "bm25_topk", "bm25_proximity_rerank",
+    "term_cooccurrence", "dedup_containment", "doc_cosine_topk", "vocab_diff",
+    "vocab_overlap", "fuzzy_word_pairs", "documents_profile", "decontaminate",
+    "repetition_stats", "pii_scan", "domain_mixture", "dup_ngram_mass",
 }
 
 
@@ -69,40 +89,7 @@ _CONFIRMED = {
 # window composition was fixed): they sort after every other unconfirmed
 # key so the in-flight window is not displaced; they enter a window next
 # rotation. Clear entries as they reach _CONFIRMED.
-_DEFERRED = {
-    "events_distinct_sketch",
-    "events_quantile_sketch",
-    "events_segment_lattice",
-    "media_dedup_exact",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall",
-    "dedup_minhash_incremental",
-    "dsir_importance",
-    "embedding_knn_accuracy",
-    "orders_revenue_ewma",
-    "dsir_auc",
-    "dedup_kcore",
-    "orders_bootstrap_ci",
-    "events_windowed_funnel",
-    "embedding_fisher_ratio",
-    "orders_lineitem_reconcile",
-    "events_key_skew_report",
-    "embedding_triplets",
-    "events_burst_detection",
-    "embedding_pca_top",
-    "doc_embedding_outliers",
-    "orders_cohort_ltv",
-    "doc_ngram_novelty",
-    "corpus_curation_extended",
-    "ann_sq8_topk",
-    "ann_sq8_recall",
-    "ann_bq_topk",
-    "ann_bq_recall",
-    "ann_bq_rerank",
-    "ann_bq_rerank_recall",
-    "retrieval_rrf_fusion",
-    "assets_bbox_overlap",
-}
+_DEFERRED: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -125,10 +112,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             if k in oracled and k not in _CONFIRMED and k in _DEFERRED
         }
     )
+    # Unconfirmed rows-only keys sort directly after unconfirmed oracled
+    # keys: once the oracled backlog fits in one window, the rows-only
+    # keys take the remaining slots and get their (weaker) driver record.
     ordered.update(
-        {k: v for k, v in out.items() if k in oracled and k in _CONFIRMED}
+        {
+            k: v
+            for k, v in out.items()
+            if k not in oracled and k not in _CONFIRMED
+        }
     )
-    ordered.update({k: v for k, v in out.items() if k not in oracled})
+    ordered.update({k: v for k, v in out.items() if k in _CONFIRMED})
     return ordered
 
 

@@ -77,13 +77,18 @@ def read_binary_assets(
 
 
 def read_json_quarantined(
-    spark: SparkSession, path: str, schema: StructType
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    return_source: bool = False,
+):
     """PERMISSIVE JSON read that quarantines bad rows instead of failing.
 
-    Returns ``(good, bad, source)``: good rows parsed against the
-    explicit schema, bad rows as their raw text (the ``_corrupt_record``
-    channel) for a quarantine sink, and the CACHED shared parent scan.
+    Returns ``(good, bad)``: good rows parsed against the explicit
+    schema, bad rows as their raw text (the ``_corrupt_record`` channel)
+    for a quarantine sink. With ``return_source=True`` returns
+    ``(good, bad, source)`` where ``source`` is the CACHED shared parent
+    scan — the default stays a 2-tuple for callers of the original API.
     This is the dataflow answer to the reference's per-record try/except
     (one malformed granule must not kill a 100 TB ingest, and silently
     dropping it is worse): the same scan feeds both outputs, and the
@@ -92,9 +97,10 @@ def read_json_quarantined(
     Caching contract: the parent is cached before splitting — Spark
     disallows queries that reference ONLY the corrupt-record column on a
     lazy scan (SPARK-21610), and one materialization feeds both sides.
-    The CALLER owns the cache's lifetime: after materializing both
-    outputs (writes/actions), call ``source.unpersist()`` — otherwise
-    repeated calls accumulate executor storage for the session lifetime.
+    With ``return_source=True`` the CALLER owns the cache's lifetime:
+    after materializing both outputs (writes/actions), call
+    ``source.unpersist()`` — otherwise repeated calls accumulate
+    executor storage for the session lifetime.
     """
     full = StructType(
         list(schema.fields) + [StructField("_corrupt_record", StringType())]
@@ -109,7 +115,7 @@ def read_json_quarantined(
         F.col("_corrupt_record").alias("raw")
     )
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    return good, bad, df
+    return (good, bad, df) if return_source else (good, bad)
 
 
 def read_json_granules(spark: SparkSession, path: str) -> DataFrame:

@@ -290,18 +290,29 @@ def _attribution_join(
 
 
 def streaming_enriched_rollup(
-    spark: SparkSession, source_dir: str, dim: DataFrame, fmt: str = "json"
+    spark: SparkSession,
+    source_dir: str,
+    dim: DataFrame,
+    fmt: str = "json",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment: events joined to a static dimension
     BEFORE the windowed rollup.
 
     The remaining join shape in the streaming matrix (alongside the
-    stream-stream interval joins and the foreachBatch index probe): the
-    static side is re-read per micro-batch by Spark and broadcast when
-    small, so dimension updates between micro-batches are picked up
-    without restarting the query, and NO state is kept for the join
-    itself — only the downstream windowed aggregation holds state,
-    bounded by its watermark. Rollup grain: (user segment, 1 h window).
+    stream-stream interval joins and the foreachBatch index probe).
+    NO state is kept for the join itself — only the downstream windowed
+    aggregation holds state, bounded by its watermark. Rollup grain:
+    (user segment, 1 h window).
+
+    Dimension freshness: Spark re-evaluates the static side per
+    micro-batch ONLY when ``dim`` is source-backed (a file/table read) —
+    updates to the underlying files are then picked up without
+    restarting the query. A cached/checkpointed/in-memory dim is frozen
+    at plan time; re-create the query to refresh it. ``broadcast_dim``
+    defaults to True (typical dims are small); pass False for a large
+    dimension so the planner can pick a shuffle-side strategy instead of
+    forcing a broadcast that would OOM the driver.
     """
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -309,8 +320,9 @@ def streaming_enriched_rollup(
         .option("maxFilesPerTrigger", 1)
         .load(source_dir)
     )
+    dim_side = F.broadcast(dim) if broadcast_dim else dim
     return (
-        stream.join(F.broadcast(dim), "user_id")
+        stream.join(dim_side, "user_id")
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"), "segment")
         .agg(

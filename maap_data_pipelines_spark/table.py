@@ -89,17 +89,21 @@ class VersionedTable:
         no existing data file is touched. ``meta`` merges into (never
         replaces) the previous commit's meta — guards owned by other
         writers (e.g. a rollup stream's applied batch id) survive
-        unrelated commits. Namespace your keys accordingly.
+        unrelated commits. Namespace your keys accordingly. A meta value
+        of ``None`` DELETES that key — the only way to clear a guard
+        (e.g. ``rollup_batch_id`` after a checkpoint rebuild) through
+        the public API.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         # meta MERGES into the previous commit's meta (new keys win) rather
         # than replacing it: a plain commit() or merge_upsert() on a table
         # that also carries a stream's applied-batch-id guard must not
-        # silently reset that guard (which would re-admit replayed batches)
+        # silently reset that guard (which would re-admit replayed batches).
+        # None values are tombstones: explicit, intentional key removal.
         merged_meta = dict(self.latest_meta())
         merged_meta.update(meta or {})
-        meta = merged_meta
+        meta = {k: v for k, v in merged_meta.items() if v is not None}
         prev = self.latest_version()
         new_dir = os.path.join(
             self.base, "data", f"c{0 if prev is None else prev + 1:06d}"

@@ -155,7 +155,12 @@ def test_read_json_quarantined_splits_good_and_bad(spark, tmp_path):
     schema = StructType(
         [StructField("id", StringType()), StructField("size", LongType())]
     )
-    good, bad, source = read_json_quarantined(spark, str(p), schema)
+    # default return is the original 2-tuple API
+    good2, bad2 = read_json_quarantined(spark, str(p), schema)
+    assert {r.id: r.size for r in good2.collect()} == {"g1": 10, "g2": 20}
+    good, bad, source = read_json_quarantined(
+        spark, str(p), schema, return_source=True
+    )
     got = {r.id: r.size for r in good.collect()}
     assert got == {"g1": 10, "g2": 20}
     raws = [r.raw for r in bad.collect()]

@@ -594,6 +594,37 @@ def test_live_rollup_pipeline_incremental_and_exactly_once(spark, tmp_path):
     t.commit(t.read(spark), mode="overwrite")
     assert t.latest_meta()["rollup_batch_id"] == last_applied + 1
     assert apply_rollup_batch(t, batch, last_applied + 1) is False
+    # operator recovery path: a None meta value clears the guard, after
+    # which a restarted stream's batch 0 is applied again
+    t.commit(t.read(spark), mode="overwrite", meta={"rollup_batch_id": None})
+    assert "rollup_batch_id" not in t.latest_meta()
+    assert apply_rollup_batch(t, batch, 0) is True
+
+
+def test_apply_rollup_batch_legacy_batch_id_guard(spark, tmp_path):
+    """Tables committed before the guard key was namespaced recorded it
+    as 'batch_id'; the guard must fall back to it or the first replayed
+    batch after upgrade double-counts."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.pipelines import apply_rollup_batch
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "legacy"))
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:00", 1, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    seed = batch.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    t.commit(seed, meta={"batch_id": 3})  # pre-upgrade layout
+    assert apply_rollup_batch(t, batch, 3) is False  # replay: skipped
+    assert apply_rollup_batch(t, batch, 4) is True
+    assert t.latest_meta()["rollup_batch_id"] == 4
 
 
 def test_transform_with_state_lifetime_totals(spark, tmp_path):

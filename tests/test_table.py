@@ -201,6 +201,18 @@ def test_compact_preserves_meta(spark, tmp_path):
     assert t.read(spark).count() == 3
 
 
+def test_commit_meta_none_deletes_key(spark, tmp_path):
+    """A meta value of None is a tombstone: the only public-API way to
+    clear a guard key (e.g. rollup_batch_id after a checkpoint rebuild)
+    now that meta merges across commits."""
+    t = VersionedTable(str(tmp_path / "tomb"))
+    t.commit(spark.range(2), meta={"rollup_batch_id": 5, "owner": "mv"})
+    t.commit(spark.range(2, 3), meta={"rollup_batch_id": None})
+    assert t.latest_meta() == {"owner": "mv"}
+    # older versions still show the key (manifests are immutable)
+    assert t._load(0)["meta"]["rollup_batch_id"] == 5
+
+
 def test_schema_evolution_read(spark, tmp_path):
     """Add-column evolution: a later commit may carry new columns; a
     merge_schema read NULL-fills them for older files, a version-pinned

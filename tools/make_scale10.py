@@ -12,9 +12,15 @@ replica-disjoint keys, preserving the per-replica workload shape exactly:
   points per k-means cell — exactly how a larger corpus behaves).
 - ``events``: event_id/user_id shifted (10x users, same time range — day
   bins get 10x denser, the realistic growth direction).
-- ``orders``: o_orderkey/o_custkey shifted.
-- remaining dims copied once (they are dimension tables; a bigger fact
-  side is the scale axis that matters).
+- ``orders``/``lineitem``/``customer``: the whole cross-fact spine is
+  replicated together (o_orderkey/o_custkey, l_orderkey, c_custkey all
+  shifted by the same per-replica offset), so every replica's orders
+  find their lineitems and customers — q3/q5/q18-style joins measure a
+  faithful 10x workload, not orphan headers. part/supplier keys on
+  lineitem are left unshifted: those dims are copied once and stay
+  shared, which is the realistic growth direction (more facts, same
+  catalog).
+- remaining dims (region/nation/part/supplier) copied once.
 
 Usage: python tools/make_scale10.py [src_sf_dir] [out_dir] [replicas]
 """
@@ -67,6 +73,8 @@ def main() -> int:
         "embeddings": (["vec_id"], False),
         "events": (["event_id", "user_id"], False),
         "orders": (["o_orderkey", "o_custkey"], False),
+        "lineitem": (["l_orderkey"], False),
+        "customer": (["c_custkey"], False),
     }
     for name, (ids, suffix) in plans.items():
         df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
@@ -76,7 +84,7 @@ def main() -> int:
             big = big.unionByName(p)
         big.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
         print(name, "->", big.count(), "rows")
-    for name in ("region", "nation", "customer", "supplier", "part", "lineitem"):
+    for name in ("region", "nation", "supplier", "part"):
         s = os.path.join(src, f"{name}.parquet")
         d = os.path.join(out, f"{name}.parquet")
         if os.path.isdir(s):
