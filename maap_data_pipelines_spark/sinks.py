@@ -464,8 +464,12 @@ def submit_items(
 ) -> DataFrame:
     """Submit item JSON documents in batches; return a receipts DataFrame.
 
-    Output: (item_id, batch_size, status) — one row per item, status from
-    the transport's HTTP code for its batch.
+    Output: (item_id, batch_size, status) — one row per item. A transport
+    returning an int stamps that HTTP code on the whole batch; a transport
+    returning a list of ints (one per payload item) reports PER-ITEM
+    statuses — the ``report_batch_item_failures`` shape from the
+    reference's SQS event sources (deploy/cdk/queue_stack.py:25-55), where
+    one bad item must not fail (or force a retry of) its whole batch.
 
     ``dry_run=True`` is the reference's short-circuit
     (``submit-stac/handler.py:115-118``): the transport is NEVER called —
@@ -484,11 +488,20 @@ def submit_items(
                 status = (
                     0 if dry_run else transport(chunk["doc"].tolist(), endpoint)
                 )
+                if isinstance(status, (list, tuple)):
+                    if len(status) != len(chunk):
+                        raise ValueError(
+                            "per-item transport returned "
+                            f"{len(status)} statuses for {len(chunk)} items"
+                        )
+                    statuses = list(status)
+                else:
+                    statuses = [status] * len(chunk)
                 yield pd.DataFrame(
                     {
                         "item_id": chunk["item_id"].astype(str),
                         "batch_size": len(chunk),
-                        "status": status,
+                        "status": statuses,
                     }
                 )
 
