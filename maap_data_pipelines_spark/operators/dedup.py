@@ -1204,8 +1204,14 @@ def dedup_kcore(docs: DataFrame) -> DataFrame:
     combined degree agg + two semi-joins — the same per-round shape as
     connected_components, cost bounded by surviving edges.
 
-    Output: (doc_id, degree) — surviving core members with their final
-    within-core degree.
+    Output: (doc_id, degree, converged) — surviving core members with
+    their final within-core degree. ``converged`` is the truncation
+    verdict: true iff a further peel round would change nothing (every
+    surviving node already has >= k surviving neighbors). At 100x scale
+    a graph with peel depth > KCORE_ROUNDS returns a SUPERSET of the
+    true core — converged=false makes that visible to the consumer
+    instead of silently trusted. The flag is a broadcast 1-row
+    aggregate, not a shuffle.
     """
     edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
     und = edges.union(
@@ -1219,10 +1225,13 @@ def dedup_kcore(docs: DataFrame) -> DataFrame:
             .join(keep.select(F.col("doc_a").alias("doc_b")), "doc_b")
             .localCheckpoint()
         )
-    return (
-        und.groupBy(F.col("doc_a").alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("degree"))
+    core = und.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree")
     )
+    verdict = core.agg(
+        F.coalesce(F.min("degree") >= KCORE_K, F.lit(True)).alias("converged")
+    )
+    return core.join(F.broadcast(verdict))
 
 
 def _kcore_sql() -> str:
@@ -1245,13 +1254,20 @@ def _kcore_sql() -> str:
   JOIN k{i} ka ON ka.a = u.a
   JOIN k{i} kb ON kb.a = u.b)"""
         )
+    ctes.append(
+        f"""core AS (
+  SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM und{KCORE_ROUNDS}
+  GROUP BY a)"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
-FROM und{KCORE_ROUNDS}
-GROUP BY a
+SELECT doc_id, degree,
+       (SELECT COALESCE(MIN(degree) >= {KCORE_K}, TRUE) FROM core)
+           AS converged
+FROM core
 """
     )
 

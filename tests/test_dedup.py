@@ -232,6 +232,9 @@ def test_kcore_peel_converged_and_valid(spark, sf_dir):
     rows = core.collect()
     if rows:  # degree floor: every member keeps >= k within-core neighbors
         assert min(r.degree for r in rows) >= dedup.KCORE_K
+        # the truncation verdict agrees: a min-degree >= k core means a
+        # further peel round would change nothing
+        assert all(r.converged for r in rows)
     # a 7th round is a no-op: no surviving node drops below k
     survivors = {r.doc_id for r in rows}
     edges = dedup.dedup_minhash_lsh(docs).select("doc_a", "doc_b")
