@@ -516,6 +516,43 @@ def route_queue_records(
     return out
 
 
+def run_discovery_spec(
+    spark: SparkSession, spec: list[dict], **defaults
+) -> DataFrame:
+    """Declarative multi-collection onboarding: a run-spec as data.
+
+    The reference drives per-collection discovery/cogify options from
+    config (deploy/config.py + RESOURCES.md — one entry per collection,
+    the deploy loops them into state-machine inputs). The engine's twin:
+    ``spec`` is a list of discovery event dicts, each optionally carrying
+    a per-collection adapter context under ``"ctx"`` (``root`` /
+    ``csv_path`` / ``granules`` / ``transport``) that overrides the
+    shared ``defaults``. Every event routes through
+    :func:`dispatch_discovery`; the per-collection frames union by name
+    (missing optional columns NULL-fill) into ONE receipts DataFrame
+    stamped with ``collection`` and ``execution`` lineage columns — so
+    onboarding N collections is one config value and one job, and the
+    result is ordinary dataflow (filter by collection, count per
+    execution, feed build_stac_items).
+
+    Scale note: the union is plan-level (no shuffle); each branch keeps
+    its own pushed-down listing/scan, and downstream consumers see one
+    frame partitioned as the branches produced it.
+    """
+    out: DataFrame | None = None
+    for event in spec:
+        ctx = {**defaults, **event.get("ctx", {})}
+        d = dispatch_discovery(spark, event, **ctx).withColumn(
+            "execution", F.lit(execution_name(event))
+        )
+        # the adapters already emit `collection` with their own
+        # defaulting (e.g. s3: prefix.rstrip('/')) — keep it
+        out = d if out is None else out.unionByName(d, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("empty discovery spec")
+    return out
+
+
 def apply_rollup_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
     """Merge one micro-batch of raw events into an hourly rollup table.
 

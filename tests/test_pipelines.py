@@ -213,6 +213,56 @@ def test_dispatch_discovery_routes_all_three_modes(spark, tmp_path):
         dispatch_discovery(spark, {"discovery": "ftp"})
 
 
+def test_run_discovery_spec_three_collections(spark, tmp_path):
+    """Config-driven onboarding: a 3-collection run-spec (s3 + inventory
+    + cmr) routes each event and unions receipts into one lineage-stamped
+    frame — deploy/config.py's per-collection config loop as data."""
+    import json as _json
+
+    from maap_data_pipelines_spark.pipelines import run_discovery_spec
+
+    root = tmp_path / "bucket"
+    (root / "pre").mkdir(parents=True)
+    (root / "pre" / "a.tif").write_bytes(b"x")
+    csv = tmp_path / "inv.csv"
+    csv.write_text("s3_path\ns3://b/t1.tif\n")
+    s3rel = "http://esipfed.org/ns/fedsearch/1.1/s3#"
+    body = _json.dumps(
+        {"feed": {"entry": [
+            {"id": "G1", "links": [{"rel": s3rel, "href": "s3://b/g1.nc"}]}
+        ]}}
+    )
+    spec = [
+        {"discovery": "s3", "collection": "CollS3", "prefix": "pre/"},
+        {
+            "discovery": "inventory",
+            "collection": "CollInv",
+            "ctx": {"csv_path": str(csv)},
+        },
+        {
+            "discovery": "cmr",
+            "collection": "CollCmr",
+            "version": "1",
+            "ctx": {"transport": lambda url: (200, {"CMR-Hits": "1"}, body)},
+        },
+    ]
+    got = run_discovery_spec(spark, spec, root=str(root))
+    rows = got.collect()
+    by_coll = {r.collection: r for r in rows}
+    assert set(by_coll) == {"CollS3", "CollInv", "CollCmr"}
+    assert by_coll["CollS3"].remote_fileurl == "s3://local/pre/a.tif"
+    assert by_coll["CollCmr"].remote_fileurl == "s3://b/g1.nc"
+    # execution lineage is the trigger's deterministic job name
+    assert by_coll["CollS3"].execution == "CollS3-0001"
+    # one frame, filterable per collection like any other table
+    assert got.filter("collection = 'CollInv'").count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        run_discovery_spec(spark, [])
+
+
 def test_route_queue_records_groups_by_collection(spark, tmp_path):
     """Proxy twin: 3 queued events, 2 collections -> 2 unioned frames."""
     from maap_data_pipelines_spark.pipelines import route_queue_records
