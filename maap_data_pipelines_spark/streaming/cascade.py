@@ -1,0 +1,335 @@
+"""Streaming five-stage curation cascade: corpus_curation_extended on a
+stream, with per-batch state probing instead of corpus recompute.
+
+The batch cascade (plans/llm.py corpus_curation_extended) decides
+quality -> exact_dup -> near_dup -> contained -> stale per document,
+first-fail-wins. Every non-local stage has ARRIVAL-ORDER semantics
+(doc_id as ingestion order): exact-dup's canonical is the MIN doc_id per
+content hash, near-dup/containment reject the HIGHER id of each pair,
+and novelty's pioneer is the MIN doc_id per 3-gram. "Min over the whole
+corpus" is prefix-decidable — a doc is the min iff no EARLIER doc
+collides — so a stream that sees the same docs in doc_id order can emit
+the IDENTICAL verdicts micro-batch by micro-batch, each doc judged
+against (persisted state) + (earlier docs in its own batch). The
+equivalence test pins stream-out == batch corpus_curation_extended
+row-for-row.
+
+State = four append-only tables, one per evidence type, each written
+partitioned by batch_id with dynamic partition overwrite (a replayed
+micro-batch rewrites identical partitions — same idempotency contract
+as streaming_lsh_admission's sink):
+
+* hashes   (text_md5)            — exact-dup probe (anti-join);
+* bands    (corpus_doc, sb, band_id, band_key) — near-dup LSH probe,
+  the same index shape streaming_lsh_admission probes;
+* postings (doc_id, sh)          — containment shingle inverted index
+  (md5-hashed 3-word shingles);
+* grams    (g)                   — novelty pioneer set (distinct 3-gram
+  hashes ever seen).
+
+Per micro-batch every probe is an equi-join of the (small) batch side
+against one state table — never a corpus self-join. Scale notes for the
+two state aggregates: the containment document-frequency guard
+(NGRAM_MAX_DF) is evaluated over state+batch postings per batch here;
+a deployment maintains it additively (table.merge_aggregate keyed on
+shingle) and buckets the postings table by shingle hash so each probe
+shuffles only the batch side. The guard uses PREFIX df while the batch
+operator uses final global df — verdicts can differ only for shingles
+that cross the cap between a doc's arrival and end-of-corpus, a regime
+the pinned test confirms is absent at test SF (max df ~ tens vs cap
+100) and that at scale means the stream is strictly more conservative
+about hot shingles later, never earlier.
+
+Precondition for bit-equality with the batch cascade: arrival order ==
+doc_id order (the cascade's tie-break key). Out-of-order arrival still
+yields a valid ARRIVAL-order curation — which is what a live admission
+pipeline means by first-copy-wins — it just no longer replays the
+batch decision for the same ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..operators.curation import NOVELTY_NGRAM, _shingle_rows
+from ..operators.dedup import (
+    CONTAIN_MIN,
+    NGRAM_MAX_DF,
+    _shingles_df,
+    dedup_minhash_lsh,
+    lsh_admission_verdict,
+    probe_bands,
+)
+from ..operators.text import quality_filter
+from .admission import DOC_SCHEMA
+
+# Thresholds mirror plans/llm.py's cascade constants; imported lazily in
+# _cascade_verdicts to avoid a plans<->streaming import cycle.
+
+
+def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """State table read that tolerates the not-yet-created first batch."""
+    try:
+        return spark.read.parquet(path).drop("batch_id")
+    except Exception:  # noqa: BLE001 — first batch: no state dir yet
+        return spark.createDataFrame([], schema)
+
+
+def _append_state(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent state append: the batch owns its batch_id partition."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def _cascade_verdicts(
+    batch_df: DataFrame,
+    hashes: DataFrame,
+    bands: DataFrame,
+    postings: DataFrame,
+    grams: DataFrame,
+) -> DataFrame:
+    """(doc_id, reason, keep) for one micro-batch vs the state tables.
+
+    Each stage = state probe OR intra-batch check, matching the batch
+    cascade's a<b / min-id semantics given in-order arrival.
+    """
+    from ..plans.llm import CURATION_MIN_NOVELTY, CURATION_NEAR_DUP_JACCARD
+
+    docs = batch_df.select("doc_id", "text").localCheckpoint()
+
+    # 1. quality — doc-local
+    q = quality_filter(docs).select("doc_id", F.col("keep").alias("q_ok"))
+
+    # 2. exact dup — hash in state, or an earlier batch doc shares it
+    hashed = docs.select("doc_id", F.md5("text").alias("text_md5"))
+    in_state = hashed.join(hashes, "text_md5", "left_semi")
+    batch_min = hashed.groupBy("text_md5").agg(F.min("doc_id").alias("first"))
+    in_batch = (
+        hashed.join(batch_min, "text_md5")
+        .filter(F.col("doc_id") > F.col("first"))
+        .select("doc_id")
+    )
+    exact_dup = (
+        in_state.select("doc_id")
+        .union(in_batch)
+        .distinct()
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+
+    # 3. near dup — LSH probe vs state index + intra-batch pairs
+    batch_bands = probe_bands(docs)
+    probe = batch_bands.select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("sig").alias("sa"),
+        "band_id",
+        "band_key",
+    )
+    vs_state = (
+        lsh_admission_verdict(probe, bands, docs.select("doc_id"))
+        .filter(F.col("max_est_jaccard") >= CURATION_NEAR_DUP_JACCARD)
+        .select("doc_id")
+    )
+    vs_batch = (
+        dedup_minhash_lsh(docs)
+        .filter(F.col("est_jaccard") >= CURATION_NEAR_DUP_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+    )
+    near = (
+        vs_state.union(vs_batch).distinct().withColumn("near_dup", F.lit(True))
+    )
+
+    # 4. containment — shingle inverted-index probe, prefix df guard
+    batch_sh = (
+        _shingles_df(docs)
+        .select("doc_id", md5_long(F.col("s")).alias("sh"))
+        .distinct()
+    )
+    all_sh = postings.unionByName(batch_sh)
+    df_ok = (
+        all_sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .select("sh")
+    )
+    state_f = postings.join(df_ok, "sh", "left_semi")
+    batch_f = batch_sh.join(df_ok, "sh", "left_semi")
+    sizes = batch_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    # pairs: earlier doc (state, or smaller-id batch doc) x batch doc
+    earlier = state_f.select(F.col("doc_id").alias("doc_a"), "sh").unionByName(
+        batch_f.select(F.col("doc_id").alias("doc_a"), "sh")
+    )
+    common = (
+        earlier.join(
+            batch_f.select(F.col("doc_id").alias("doc_b"), "sh"), "sh"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # the batch cascade rejects doc_b when containment >= CONTAIN_MIN;
+    # containment = n_common / min(na, nb) — but n_common <= min(na, nb)
+    # and we only need "exists a with n_common/min(na,nb) >= 0.8", and
+    # since n_common <= na always, n_common/min(na,nb) >= n_common/nb:
+    # test against both dividers exactly as the batch op does
+    sizes_a = (
+        state_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+        .unionByName(
+            batch_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+        )
+        .groupBy("doc_id")
+        .agg(F.max("na").alias("na"))
+        .select(F.col("doc_id").alias("doc_a"), "na")
+    )
+    contained = (
+        common.join(sizes_a, "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), "nb"), "doc_b")
+        .filter(
+            F.round(F.col("n_common") / F.least("na", "nb"), 6) >= CONTAIN_MIN
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_contained", F.lit(True))
+    )
+
+    # 5. stale — novelty vs state pioneer set + intra-batch pioneers
+    doc_g = (
+        _shingle_rows(docs, NOVELTY_NGRAM)
+        .select("doc_id", md5_long(F.col("shingle")).alias("g"))
+        .distinct()
+    )
+    seen = grams.select("g").withColumn("in_state", F.lit(True))
+    batch_pioneer = doc_g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    nov = (
+        doc_g.join(seen, "g", "left")
+        .join(batch_pioneer, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (
+                    F.col("in_state").isNull()
+                    & (F.col("doc_id") == F.col("first_doc"))
+                ).cast("long")
+            ).alias("n_pioneered"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_pioneered") / F.col("n_shingles"), 6)
+        )
+    )
+    stale = (
+        nov.filter(F.col("novelty") < CURATION_MIN_NOVELTY)
+        .select("doc_id")
+        .withColumn("is_stale", F.lit(True))
+    )
+
+    reason = (
+        F.when(~F.col("q_ok"), "quality")
+        .when(F.col("is_exact_dup").isNotNull(), "exact_dup")
+        .when(F.col("near_dup").isNotNull(), "near_dup")
+        .when(F.col("is_contained").isNotNull(), "contained")
+        .when(F.col("is_stale").isNotNull(), "stale")
+        .otherwise("ok")
+    )
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(exact_dup, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(contained, "doc_id", "left")
+        .join(stale, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "ok")
+    )
+
+
+def streaming_curation_cascade(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Stream JSON docs; emit per-doc five-stage curation verdicts.
+
+    foreachBatch (like streaming_lsh_admission, and for the same reason:
+    the verdicts need per-doc maxima over collisions plus rows for
+    collision-free docs). Each batch probes the four state tables under
+    ``state_dir``, writes its verdict rows to ``out_dir`` and appends
+    its own evidence to the state — all five writes are per-batch_id
+    dynamic partition overwrites, so a replayed micro-batch rewrites
+    identical rows instead of double-counting state.
+    """
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashes = _read_state(spark, f"{state_dir}/hashes", "text_md5 string")
+        bands = _read_state(
+            spark,
+            f"{state_dir}/bands",
+            "corpus_doc long, sb array<long>, band_id int, band_key long",
+        )
+        postings = _read_state(
+            spark, f"{state_dir}/postings", "doc_id long, sh long"
+        )
+        grams = _read_state(spark, f"{state_dir}/grams", "g long")
+
+        verdicts = _cascade_verdicts(batch_df, hashes, bands, postings, grams)
+        (
+            verdicts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+        docs = batch_df.select("doc_id", "text")
+        _append_state(
+            docs.select(F.md5("text").alias("text_md5")).distinct(),
+            f"{state_dir}/hashes",
+            batch_id,
+        )
+        _append_state(
+            probe_bands(docs).select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("sig").alias("sb"),
+                "band_id",
+                "band_key",
+            ),
+            f"{state_dir}/bands",
+            batch_id,
+        )
+        _append_state(
+            _shingles_df(docs)
+            .select("doc_id", md5_long(F.col("s")).alias("sh"))
+            .distinct(),
+            f"{state_dir}/postings",
+            batch_id,
+        )
+        _append_state(
+            _shingle_rows(docs, NOVELTY_NGRAM)
+            .select(md5_long(F.col("shingle")).alias("g"))
+            .distinct(),
+            f"{state_dir}/grams",
+            batch_id,
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
