@@ -157,6 +157,10 @@ HEADLINE = [
     "orders_cohort_ltv",
     "doc_ngram_novelty",
     "corpus_curation_extended",
+    # round 6: exploded media histogram (mapInPandas decode path) +
+    # vocabulary-join BPE tokenization gate
+    "media_features",
+    "bpe_token_stats",
 ]
 
 
@@ -195,17 +199,28 @@ def main() -> int:
         spread[key] = round(runs[-1] - runs[0], 3)
     total = round(sum(timings.values()), 3)
     # Field order matters: artifact captures may keep only the TAIL of
-    # stdout, so the headline scalars (metric/value/unit/runs/sf) go LAST
-    # in the line — a truncated capture loses per-query detail, never the
-    # total. The full line is also written to BENCH_LOCAL.json next to
-    # this script so the complete record survives any stdout truncation.
+    # stdout (observed: a 2000-char tail window). Emit the noise bars
+    # (spread) FIRST — they are the expendable detail — then the MEDIANS
+    # immediately before the headline scalars, so any truncated capture
+    # reads medians + total, never spread mistaken for timings (that
+    # artifact inverted r04/r05 comparisons). The full line is also
+    # written to BENCH_LOCAL.json so the complete record always survives.
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    n_cpus = os.cpu_count() or 1
     line = json.dumps(
         {
-            "queries": timings,
             "spread": spread,
+            "queries": timings,
             "n_queries": len(timings),
             "runs": n_runs,
             "sf": sf,
+            # pre-run 1-min load average vs CPU count: co-tenant noise
+            # flag for cross-round comparisons (this host swings ~2.4x)
+            "load1": round(load1, 2),
+            "idle": bool(load1 >= 0 and load1 < 0.5 * n_cpus),
             "unit": "sec",
             "metric": "headline_total",
             "value": total,

@@ -12,9 +12,13 @@ O(|vocab|), not O(|corpus|).
 
 The merge table is a fixed model artifact (constants below, tuned to the
 lowercase-ascii corpus); ``bpe_encode`` is the reference implementation
-the Arrow UDF vectorizes. No SQL oracle exists for iterative merge
-application, so the registered query takes the driver's rows-only check;
-exact tokenizations are pinned by tests/test_bpe.py instead.
+the Arrow UDF vectorizes. Iterative merge application is not directly
+SQL-expressible, so the REGISTERED queries use the sketch-monitor trick
+(see events_quantile_sketch): exact SQL-replicable columns plus verdict
+booleans asserting mathematical invariants of a correct BPE, which the
+DuckDB oracle emits as literal TRUE — the driver's value hash thereby
+ENFORCES the tokenizer's contract every run. Exact tokenizations and
+merge sequences are additionally pinned by tests/test_bpe.py.
 """
 
 from __future__ import annotations
@@ -213,3 +217,107 @@ def train_bpe(docs: DataFrame, n_merges: int = TRAIN_MERGES) -> DataFrame:
     return spark.createDataFrame(
         learned, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+# -- driver-checkable gate renderings (the sketch-monitor trick) ------------
+
+
+def bpe_token_stats_gate(docs: DataFrame) -> DataFrame:
+    """Oracle-checkable rendering of :func:`bpe_token_stats`.
+
+    Exact columns (n_words, n_chars) are SQL-replicable; the token count
+    itself is gated by two invariants of a correct BPE over non-empty
+    words — every word encodes to >= 1 and <= len(word) tokens, so
+    summed per document: n_words <= n_bpe_tokens <= n_chars. The DuckDB
+    oracle emits literal TRUE for the verdicts: a broken tokenizer
+    (dropped words, phantom splits, zero counts) flips a verdict and
+    fails the value hash. Exact per-word tokenizations are pinned by
+    tests/test_bpe.py.
+    """
+    stats = bpe_token_stats(docs)
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        (F.col("n_bpe_tokens") >= F.col("n_words")).alias("tokens_ge_words"),
+        (F.col("n_bpe_tokens") <= F.col("n_chars")).alias("tokens_le_chars"),
+    )
+
+
+# No double/leading/trailing spaces in the corpus (asserted by
+# tests/test_bpe.py), so words = spaces + 1 and chars = length - spaces.
+BPE_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       TRUE AS tokens_ge_words,
+       TRUE AS tokens_le_chars
+FROM documents
+"""
+
+
+def bpe_train_gate(docs: DataFrame, n_merges: int = TRAIN_MERGES) -> DataFrame:
+    """Oracle-checkable rendering of :func:`train_bpe`.
+
+    One verdict row: the ROUND-0 argmax pair and count are SQL-exact
+    (one weighted bigram count over the char-split vocab — no iteration
+    yet), so DuckDB replicates them value-for-value; rounds 1..n are
+    gated by invariants of a correct trainer — the winning pair count is
+    non-increasing in rank (any pair a later round can pick existed, at
+    no higher count, when an earlier round picked its argmax), every
+    count clears the >= 2 stop threshold, and no pair is learned twice
+    (its occurrences were consumed by its own merge). ``n_merges_learned``
+    pins that training runs the full budget on this corpus. Exact merge
+    sequences are pinned by tests/test_bpe.py.
+    """
+    from pyspark.sql import Window
+
+    merges = train_bpe(docs, n_merges)
+    # <= n_merges rows of driver-built data: the single-partition window
+    # is a deliberate driver-side summary, not a scale path.
+    w = Window.orderBy("merge_rank")
+    flags = merges.select(
+        "merge_rank",
+        "left",
+        "right",
+        "pair_count",
+        F.coalesce(
+            F.lag("pair_count").over(w) >= F.col("pair_count"), F.lit(True)
+        ).alias("noninc"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_merges_learned"),
+        F.min_by("left", "merge_rank").alias("first_left"),
+        F.min_by("right", "merge_rank").alias("first_right"),
+        F.min_by("pair_count", "merge_rank").alias("first_pair_count"),
+        F.min("noninc").alias("counts_nonincreasing"),
+        F.min(F.col("pair_count") >= 2).alias("counts_ge_2"),
+        (
+            F.count_distinct(F.concat_ws(" ", "left", "right"))
+            == F.count(F.lit(1))
+        ).alias("pairs_distinct"),
+    )
+
+
+BPE_TRAIN_SQL = f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INT), 1) AS a,
+         substring(w, CAST(i + 1 AS INT), 1) AS b,
+         CAST(SUM(n) AS BIGINT) AS c
+  FROM words, UNNEST(generate_series(1, CAST(length(w) - 1 AS INT))) AS g(i)
+  WHERE length(w) >= 2
+  GROUP BY 1, 2
+),
+top AS (SELECT a, b, c FROM pairs ORDER BY c DESC, a, b LIMIT 1)
+SELECT CAST({TRAIN_MERGES} AS BIGINT) AS n_merges_learned,
+       a AS first_left, b AS first_right, c AS first_pair_count,
+       TRUE AS counts_nonincreasing,
+       TRUE AS counts_ge_2,
+       TRUE AS pairs_distinct
+FROM top
+"""

@@ -101,6 +101,60 @@ def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
     return media.mapInPandas(_batches, schema=schema)
 
 
+FEATURE_WEIGHT_MICRO = 1_000_000
+
+
+def extract_feature_histogram(media: DataFrame, allow_stub: bool = True) -> DataFrame:
+    """Exploded, exact-integer rendering of :func:`extract_features`.
+
+    One row per (doc, non-zero bucket): ``n_bucket_bytes`` is the exact
+    byte count in the bucket and ``weight_micro`` the L1 weight in
+    integer micro-units (count * 1e6 div total — both operands
+    non-negative, so truncating division is exact and portable). Same
+    Arrow-batched mapInPandas decode plumbing as extract_features; the
+    flat-integer shape makes the whole decode path value-hash checkable
+    against a SQL oracle (driver canonicalizers cannot hash array
+    columns). Zero shuffle; output partitioning inherited from the scan.
+    """
+    schema = (
+        "doc_id bigint, media_type string, bucket bigint, "
+        "n_bucket_bytes bigint, weight_micro bigint"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "media_type", "bucket",
+                                   "n_bucket_bytes", "weight_micro")}
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = decode_media(payload, mt, allow_stub=allow_stub)
+                if len(arr) == 0:
+                    continue
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+                total = int(hist.sum())
+                for b in np.nonzero(hist)[0]:
+                    c = int(hist[b])
+                    out["doc_id"].append(int(doc_id))
+                    out["media_type"].append(mt)
+                    out["bucket"].append(int(b))
+                    out["n_bucket_bytes"].append(c)
+                    out["weight_micro"].append(c * FEATURE_WEIGHT_MICRO // total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "media_type": pd.Series(out["media_type"], dtype="object"),
+                    "bucket": pd.Series(out["bucket"], dtype="int64"),
+                    "n_bucket_bytes": pd.Series(out["n_bucket_bytes"], dtype="int64"),
+                    "weight_micro": pd.Series(out["weight_micro"], dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        _batches, schema=schema
+    )
+
+
 FRAME_BYTES = 64
 FRAME_SAMPLE_EVERY = 4
 

@@ -44,8 +44,8 @@ QUERIES = {
     "term_cooccurrence": _wrap(text.term_cooccurrence),
     "dedup_containment": _wrap(dedup.dedup_containment),
     "doc_cosine_topk": _wrap(text.doc_cosine_topk),
-    "bpe_token_stats": _wrap(bpe.bpe_token_stats),
-    "bpe_train_merges": _wrap(bpe.train_bpe),
+    "bpe_token_stats": _wrap(bpe.bpe_token_stats_gate),
+    "bpe_train_merges": _wrap(bpe.bpe_train_gate),
     "vocab_diff": _wrap(text.vocab_diff),
     "vocab_overlap": _wrap(text.vocab_overlap),
     "fuzzy_word_pairs": _wrap(text.fuzzy_word_pairs),
@@ -76,10 +76,13 @@ QUERIES = {
     "doc_ngram_novelty": _wrap(curation.doc_ngram_novelty),
 }
 
-# bpe_token_stats: rows-only (iterative merge application is not
-# SQL-expressible; exact tokenizations pinned in tests/test_bpe.py)
 ORACLES = dict(text.QUERY_SQL)
 ORACLES.update(curation.QUERY_SQL)
 ORACLES.update(sketch.QUERY_SQL)
 ORACLES["dedup_containment"] = dedup.CONTAINMENT_SQL
 ORACLES["documents_profile"] = profile_sql("documents", DOC_COLS)
+# bpe keys: full oracles via invariant verdicts (exact SQL-replicable
+# columns + literal-TRUE invariants of a correct tokenizer/trainer — the
+# sketch-monitor trick; exact sequences stay pinned in tests/test_bpe.py)
+ORACLES["bpe_token_stats"] = bpe.BPE_TOKEN_STATS_SQL
+ORACLES["bpe_train_merges"] = bpe.BPE_TRAIN_SQL

@@ -1,10 +1,13 @@
 """Registered multimodal plans.
 
-``media_metadata`` is fully oracle-checked (metadata derivation is pure
-column arithmetic); ``media_features`` exercises the real mapInPandas
-binary-decode plumbing with the stubbed codec and gets the driver's
-rows-only check (byte-level histograms are not expressible in the SQL
-oracle — the plumbing shape is pinned by tests/test_multimodal.py).
+All keys are fully oracle-checked. ``media_features`` exercises the real
+mapInPandas binary-decode plumbing with the stubbed codec; under the
+ASCII byte==char stub identity the byte histogram IS SQL-expressible, so
+it registers the exploded exact-integer rendering (doc_id, media_type,
+bucket, n_bucket_bytes, weight_micro) — flat integers the driver can
+value-hash (array<double> outputs crash its pandas canonicalizer). The
+array-valued feature API (extract_features) remains for callers and is
+pinned by tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -18,11 +21,13 @@ from ..operators.multimodal import (
     media_phash_dedup,
     AUDIO_HOP_BYTES,
     AUDIO_WINDOW_BYTES,
+    FEATURE_DIM,
+    FEATURE_WEIGHT_MICRO,
     FRAME_BYTES,
     FRAME_SAMPLE_EVERY,
     RESIZE_FACTOR,
     audio_windows,
-    extract_features,
+    extract_feature_histogram,
     frame_sample,
     make_media_df,
     media_metadata_summary,
@@ -58,7 +63,31 @@ GROUP BY media_type
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return extract_features(make_media_df(docs), allow_stub=True)
+    return extract_feature_histogram(make_media_df(docs), allow_stub=True)
+
+
+# Payloads are the documents' UTF-8 bytes and the corpus is ASCII, so the
+# byte histogram is the codepoint%16 histogram over chars; weight_micro
+# uses truncating integer division on non-negative operands (portable).
+MEDIA_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE length(text) >= 1
+),
+b AS (
+  SELECT doc_id, media_type, n,
+         ascii(substring(text, CAST(p AS INT), 1)) % {FEATURE_DIM} AS bucket
+  FROM m, UNNEST(generate_series(1, CAST(n AS INT))) AS g(p)
+)
+SELECT doc_id, media_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_bucket_bytes,
+       CAST(COUNT(*) * {FEATURE_WEIGHT_MICRO} // MAX(n) AS BIGINT) AS weight_micro
+FROM b
+GROUP BY doc_id, media_type, bucket
+"""
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +185,7 @@ QUERIES = {
 
 ORACLES = {
     "media_metadata": MEDIA_METADATA_SQL,
-    # media_features: rows-only (binary histogram not SQL-expressible)
+    "media_features": MEDIA_FEATURES_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "media_audio_windows": MEDIA_AUDIO_WINDOWS_SQL,
