@@ -577,6 +577,7 @@ def apply_rollup_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
     # namespaced recorded it as 'batch_id'. Without this, the first
     # replayed micro-batch after an upgrade would pass the guard and be
     # double-applied into the additive merge.
+    legacy_used = "rollup_batch_id" not in meta and "batch_id" in meta
     last = meta.get("rollup_batch_id", meta.get("batch_id"))
     if last is not None and batch_id <= last:
         if batch_id < last:
@@ -598,11 +599,18 @@ def apply_rollup_batch(table, batch_df: DataFrame, batch_id: int) -> bool:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+    new_meta = {"rollup_batch_id": batch_id}
+    if legacy_used:
+        # one-time migration: the un-namespaced key is shared across
+        # writers (table.py's documented hazard) — retire it (None
+        # tombstone deletes) so subsequent reads use only the namespaced
+        # guard and a foreign 'batch_id' can never suppress rollups.
+        new_meta["batch_id"] = None
     table.merge_aggregate(
         part,
         keys=["hour", "event_type"],
         sum_cols=["n_events", "value_cents"],
-        meta={"rollup_batch_id": batch_id},
+        meta=new_meta,
     )
     return True
 

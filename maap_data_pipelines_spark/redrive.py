@@ -64,6 +64,11 @@ def submit_with_retry_queue(
     keeping the higher attempt count, so a re-run of the same submission
     is idempotent on the queue.
     """
+    # Materialize the receipts EXACTLY ONCE (eager localCheckpoint): the
+    # plan embeds the side-effecting transport, so every downstream action
+    # (the failure join, the queue upsert, the caller's consumption of the
+    # returned frame) must read this materialized result — re-executing
+    # the plan would re-submit every item.
     receipts = submit_items(
         items,
         endpoint,
@@ -72,7 +77,7 @@ def submit_with_retry_queue(
         batch_size=batch_size,
         transport=transport,
         dry_run=dry_run,
-    )
+    ).localCheckpoint()
     payload = items.select(
         F.col(id_col).alias("item_id"), F.col(json_col).alias("doc")
     )
@@ -131,6 +136,11 @@ def redrive(
     if pending.isEmpty():
         return spark.createDataFrame([], schema)
 
+    # Submit once: eager localCheckpoint materializes the receipts before
+    # any consumer acts, so the queue/DLQ transition and the returned
+    # frame are all derived from the SAME transport run (a lazy plan
+    # would re-invoke the transport per action and could even base the
+    # transition on different statuses than the caller sees).
     receipts = submit_items(
         pending,
         endpoint,
@@ -138,7 +148,7 @@ def redrive(
         json_col="doc",
         batch_size=batch_size,
         transport=transport,
-    )
+    ).localCheckpoint()
     # One pass over (small) failures: join receipts back to payload +
     # attempt counts, then split by outcome. Cache: three consumers.
     merged = (

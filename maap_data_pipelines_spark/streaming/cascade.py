@@ -10,9 +10,9 @@ and novelty's pioneer is the MIN doc_id per 3-gram. "Min over the whole
 corpus" is prefix-decidable — a doc is the min iff no EARLIER doc
 collides — so a stream that sees the same docs in doc_id order can emit
 the IDENTICAL verdicts micro-batch by micro-batch, each doc judged
-against (persisted state) + (earlier docs in its own batch). The
-equivalence test pins stream-out == batch corpus_curation_extended
-row-for-row.
+against (persisted state) + (earlier docs in its own batch). tests/test_streaming.py::test_streaming_curation_cascade_matches_batch
+pins stream-out == batch corpus_curation_extended row-for-row over 3
+micro-batches; ..._replay_idempotent pins the checkpoint-deleted replay.
 
 State = four append-only tables, one per evidence type, each written
 partitioned by batch_id with dynamic partition overwrite (a replayed
@@ -69,12 +69,35 @@ from .admission import DOC_SCHEMA
 # _cascade_verdicts to avoid a plans<->streaming import cycle.
 
 
-def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """State table read that tolerates the not-yet-created first batch."""
-    try:
-        return spark.read.parquet(path).drop("batch_id")
-    except Exception:  # noqa: BLE001 — first batch: no state dir yet
+def _state_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe via the Hadoop FS API (works for any
+    supported filesystem). Only a genuinely-missing table reads as empty;
+    every other failure (corrupt footer, transient FS error) propagates
+    and fails the micro-batch instead of silently admitting duplicates."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _read_state(
+    spark: SparkSession, path: str, schema: str, batch_id: int
+) -> DataFrame:
+    """Read one state table as seen by ``batch_id``.
+
+    Filters to partitions with batch_id STRICTLY EARLIER than the current
+    batch: a micro-batch replayed after a crash mid-_one_batch (verdicts
+    written, some state appends done) must not see its OWN evidence as
+    prior state — self-collision would rewrite every verdict as a dup.
+    With the filter, a replay sees exactly the pre-crash state and
+    rewrites identical rows (the idempotency contract)."""
+    if not _state_exists(spark, path):
         return spark.createDataFrame([], schema)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("batch_id") < batch_id)
+        .drop("batch_id")
+    )
 
 
 def _append_state(df: DataFrame, path: str, batch_id: int) -> None:
@@ -204,7 +227,10 @@ def _cascade_verdicts(
         .select("doc_id", md5_long(F.col("shingle")).alias("g"))
         .distinct()
     )
-    seen = grams.select("g").withColumn("in_state", F.lit(True))
+    # a gram pioneered in batch i re-appears in batch j's append: dedup
+    # across partitions or the left join multiplies doc_g rows, inflating
+    # n_shingles and deflating novelty for later docs
+    seen = grams.select("g").distinct().withColumn("in_state", F.lit(True))
     batch_pioneer = doc_g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     nov = (
         doc_g.join(seen, "g", "left")
@@ -270,16 +296,19 @@ def streaming_curation_cascade(
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        hashes = _read_state(spark, f"{state_dir}/hashes", "text_md5 string")
+        hashes = _read_state(
+            spark, f"{state_dir}/hashes", "text_md5 string", batch_id
+        )
         bands = _read_state(
             spark,
             f"{state_dir}/bands",
             "corpus_doc long, sb array<long>, band_id int, band_key long",
+            batch_id,
         )
         postings = _read_state(
-            spark, f"{state_dir}/postings", "doc_id long, sh long"
+            spark, f"{state_dir}/postings", "doc_id long, sh long", batch_id
         )
-        grams = _read_state(spark, f"{state_dir}/grams", "g long")
+        grams = _read_state(spark, f"{state_dir}/grams", "g long", batch_id)
 
         verdicts = _cascade_verdicts(batch_df, hashes, bands, postings, grams)
         (

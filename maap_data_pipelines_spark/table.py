@@ -77,6 +77,12 @@ class VersionedTable:
         v = self.latest_version()
         return {} if v is None else self._load(v).get("meta", {})
 
+    def meta_of(self, version: int) -> dict:
+        """Meta of a specific retained version (time-travel companion to
+        ``read(version=...)`` — e.g. find the snapshot a given stream
+        batch saw by scanning versions' recorded batch ids)."""
+        return self._load(version).get("meta", {})
+
     # -- write path --------------------------------------------------------
 
     def commit(

@@ -137,3 +137,44 @@ def test_dry_run_never_enqueues(spark, tmp_path):
     )
     assert {r.status for r in receipts.collect()} == {0}
     assert queue.latest_version() is None or queue.read(spark).isEmpty()
+
+
+def _logging_transport(log_path, poison_status=500):
+    # appends each submitted doc to a file: executor-side evidence of how
+    # many times the transport actually ran (local[...] shares the FS)
+    def t(payload, endpoint):
+        with open(log_path, "a") as f:
+            f.writelines(doc + "\n" for doc in payload)
+        return [poison_status if "poison" in doc else 200 for doc in payload]
+
+    return t
+
+
+def test_transport_runs_exactly_once_per_item(spark, tmp_path):
+    """The receipts plan embeds a side-effecting transport; it must be
+    materialized exactly once. Both submit paths take multiple actions on
+    receipt-derived frames (failure join, queue/DLQ commits) AND return
+    the frame to the caller — without the eager checkpoint each action
+    re-submits every pending item (duplicate deliveries, and a transition
+    based on different statuses than the caller sees)."""
+    queue = VersionedTable(str(tmp_path / "q"))
+    dlq = VersionedTable(str(tmp_path / "d"))
+    items = _items(spark)  # 5 items, 2 poison
+
+    log1 = tmp_path / "sent_submit.log"
+    receipts = submit_with_retry_queue(
+        items, "e", queue, transport=_logging_transport(str(log1))
+    )
+    receipts.count()
+    receipts.collect()  # caller consumes the returned frame repeatedly
+    sent = log1.read_text().splitlines()
+    assert len(sent) == 5 and len(set(sent)) == 5
+
+    log2 = tmp_path / "sent_redrive.log"
+    rd = redrive(
+        spark, queue, "e", dlq, transport=_logging_transport(str(log2), 200)
+    )
+    rd.count()
+    assert {r.item_id: r.status for r in rd.collect()} == {"it1": 200, "it3": 200}
+    resent = log2.read_text().splitlines()
+    assert len(resent) == 2 and len(set(resent)) == 2
