@@ -14,10 +14,11 @@ against (persisted state) + (earlier docs in its own batch). tests/test_streamin
 pins stream-out == batch corpus_curation_extended row-for-row over 3
 micro-batches; ..._replay_idempotent pins the checkpoint-deleted replay.
 
-State = four append-only tables, one per evidence type, each written
-partitioned by batch_id with dynamic partition overwrite (a replayed
-micro-batch rewrites identical partitions — same idempotency contract
-as streaming_lsh_admission's sink):
+State = five append-only evidence tables, each written partitioned by
+batch_id with dynamic partition overwrite (a replayed micro-batch
+rewrites identical partitions — same idempotency contract as
+streaming_lsh_admission's sink), plus one additively-maintained
+aggregate (``dfcounts``, a VersionedTable — see below):
 
 * hashes   (text_md5)            — exact-dup probe (anti-join);
 * bands    (corpus_doc, sb, band_id, band_key) — near-dup LSH probe,
@@ -25,20 +26,32 @@ as streaming_lsh_admission's sink):
 * postings (doc_id, sh)          — containment shingle inverted index
   (md5-hashed 3-word shingles);
 * grams    (g)                   — novelty pioneer set (distinct 3-gram
-  hashes ever seen).
+  hashes ever seen);
+* doc_sizes (doc_id, n_sh)       — per-doc distinct shingle counts (the
+  containment denominator for state docs);
+* dfcounts (sh, df)              — per-shingle document frequency, the
+  NGRAM_MAX_DF guard, maintained additively.
 
 Per micro-batch every probe is an equi-join of the (small) batch side
-against one state table — never a corpus self-join. Scale notes for the
-two state aggregates: the containment document-frequency guard
-(NGRAM_MAX_DF) is evaluated over state+batch postings per batch here;
-a deployment maintains it additively (table.merge_aggregate keyed on
-shingle) and buckets the postings table by shingle hash so each probe
-shuffles only the batch side. The guard uses PREFIX df while the batch
-operator uses final global df — verdicts can differ only for shingles
-that cross the cap between a doc's arrival and end-of-corpus, a regime
-the pinned test confirms is absent at test SF (max df ~ tens vs cap
-100) and that at scale means the stream is strictly more conservative
-about hot shingles later, never earlier.
+against one state table — never a corpus self-join, and never a
+state-side shuffle: every join against a state table broadcasts the
+batch side, so the state scans stream through BroadcastHashJoins
+(tests/test_streaming.py pins the containment probe's plan; bucketing
+the state tables by key becomes the fallback only when batches outgrow
+the broadcast threshold). The containment document-frequency guard
+(NGRAM_MAX_DF) is maintained ADDITIVELY: per-shingle df lives in a
+``VersionedTable`` under ``state_dir/dfcounts``, merge_aggregate-d once
+per batch (work proportional to the batch's keys, not the postings
+history) behind a recorded-batch-id guard, and each batch READS the df
+snapshot recorded strictly before it (time travel) so a replay sees the
+identical guard. State-doc set sizes for the containment denominator
+come from an append-only ``doc_sizes`` table (df-UNFILTERED — identical
+to the filtered size while no shingle has crossed the cap, the regime
+the pinned test confirms at test SF where max df ~ tens vs cap 100).
+The guard uses PREFIX df while the batch operator uses final global df —
+verdicts can differ only for shingles that cross the cap between a
+doc's arrival and end-of-corpus; at scale that means the stream is
+strictly more conservative about hot shingles later, never earlier.
 
 Precondition for bit-equality with the batch cascade: arrival order ==
 doc_id order (the cascade's tie-break key). Out-of-order arrival still
@@ -63,7 +76,12 @@ from ..operators.dedup import (
     probe_bands,
 )
 from ..operators.text import quality_filter
+from ..table import VersionedTable
 from .admission import DOC_SCHEMA
+
+#: meta key guarding the additive df merge (namespaced — table.py meta
+#: merges across commits, so unrelated writers cannot reset it)
+DF_BATCH_KEY = "cascade_df_batch_id"
 
 # Thresholds mirror plans/llm.py's cascade constants; imported lazily in
 # _cascade_verdicts to avoid a plans<->streaming import cycle.
@@ -111,12 +129,89 @@ def _append_state(df: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
+def _df_version_before(dft: VersionedTable, batch_id: int) -> int | None:
+    """Latest dfcounts version whose recorded batch id is < ``batch_id``.
+
+    The replay-exactness companion to the state tables' partition filter:
+    a replayed batch must read the df snapshot it originally saw, not one
+    that already includes its own (or later) contributions."""
+    for v in reversed(dft.versions()):
+        b = dft.meta_of(v).get(DF_BATCH_KEY)
+        if b is not None and b < batch_id:
+            return v
+    return None
+
+
+def _containment_stage(
+    postings: DataFrame,
+    doc_sizes: DataFrame,
+    batch_sh: DataFrame,
+    df_prior: DataFrame,
+) -> DataFrame:
+    """Containment rejects for one micro-batch; state side never shuffles.
+
+    df guard: prefix df(sh) = prior table value + in-batch count — no
+    re-aggregation of the postings history. Every join that touches a
+    state table (``df_prior``, ``postings``, ``doc_sizes``) broadcasts
+    the batch-bounded side, so the state scans stream through
+    BroadcastHashJoins with zero state-side exchange (the plan test pins
+    this). Denominator sizes: batch docs use their df-filtered in-batch
+    counts; state docs use ``doc_sizes`` (unfiltered — equal until a
+    shingle crosses the cap, see module docstring).
+    """
+    batch_counts = batch_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("dfb"))
+    prior_hits = df_prior.join(F.broadcast(batch_counts.select("sh")), "sh")
+    totals = (
+        batch_counts.join(F.broadcast(prior_hits), "sh", "left")
+        .select(
+            "sh",
+            (F.col("dfb") + F.coalesce(F.col("df"), F.lit(0))).alias("df"),
+        )
+    )
+    df_ok = totals.filter(F.col("df") <= NGRAM_MAX_DF).select("sh")
+    batch_f = batch_sh.join(F.broadcast(df_ok), "sh", "left_semi")
+    sizes_b = batch_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    earlier = postings.select(F.col("doc_id").alias("doc_a"), "sh").unionByName(
+        batch_f.select(F.col("doc_id").alias("doc_a"), "sh")
+    )
+    common = (
+        earlier.join(
+            F.broadcast(batch_f.select(F.col("doc_id").alias("doc_b"), "sh")),
+            "sh",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes_a = (
+        doc_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+        .unionByName(
+            sizes_b.select(F.col("doc_id").alias("doc_a"), F.col("nb").alias("na"))
+        )
+        .join(F.broadcast(common.select("doc_a").distinct()), "doc_a", "left_semi")
+        .groupBy("doc_a")
+        .agg(F.max("na").alias("na"))
+    )
+    return (
+        common.join(F.broadcast(sizes_a), "doc_a")
+        .join(F.broadcast(sizes_b.select(F.col("doc_id").alias("doc_b"), "nb")), "doc_b")
+        .filter(
+            F.round(F.col("n_common") / F.least("na", "nb"), 6) >= CONTAIN_MIN
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_contained", F.lit(True))
+    )
+
+
 def _cascade_verdicts(
     batch_df: DataFrame,
     hashes: DataFrame,
     bands: DataFrame,
     postings: DataFrame,
     grams: DataFrame,
+    doc_sizes: DataFrame,
+    df_prior: DataFrame,
 ) -> DataFrame:
     """(doc_id, reason, keep) for one micro-batch vs the state tables.
 
@@ -168,58 +263,13 @@ def _cascade_verdicts(
         vs_state.union(vs_batch).distinct().withColumn("near_dup", F.lit(True))
     )
 
-    # 4. containment — shingle inverted-index probe, prefix df guard
+    # 4. containment — additive prefix-df guard + broadcast-batch probes
     batch_sh = (
         _shingles_df(docs)
         .select("doc_id", md5_long(F.col("s")).alias("sh"))
         .distinct()
     )
-    all_sh = postings.unionByName(batch_sh)
-    df_ok = (
-        all_sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= NGRAM_MAX_DF)
-        .select("sh")
-    )
-    state_f = postings.join(df_ok, "sh", "left_semi")
-    batch_f = batch_sh.join(df_ok, "sh", "left_semi")
-    sizes = batch_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
-    # pairs: earlier doc (state, or smaller-id batch doc) x batch doc
-    earlier = state_f.select(F.col("doc_id").alias("doc_a"), "sh").unionByName(
-        batch_f.select(F.col("doc_id").alias("doc_a"), "sh")
-    )
-    common = (
-        earlier.join(
-            batch_f.select(F.col("doc_id").alias("doc_b"), "sh"), "sh"
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # the batch cascade rejects doc_b when containment >= CONTAIN_MIN;
-    # containment = n_common / min(na, nb) — but n_common <= min(na, nb)
-    # and we only need "exists a with n_common/min(na,nb) >= 0.8", and
-    # since n_common <= na always, n_common/min(na,nb) >= n_common/nb:
-    # test against both dividers exactly as the batch op does
-    sizes_a = (
-        state_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-        .unionByName(
-            batch_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-        )
-        .groupBy("doc_id")
-        .agg(F.max("na").alias("na"))
-        .select(F.col("doc_id").alias("doc_a"), "na")
-    )
-    contained = (
-        common.join(sizes_a, "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), "nb"), "doc_b")
-        .filter(
-            F.round(F.col("n_common") / F.least("na", "nb"), 6) >= CONTAIN_MIN
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("is_contained", F.lit(True))
-    )
+    contained = _containment_stage(postings, doc_sizes, batch_sh, df_prior)
 
     # 5. stale — novelty vs state pioneer set + intra-batch pioneers
     doc_g = (
@@ -309,8 +359,20 @@ def streaming_curation_cascade(
             spark, f"{state_dir}/postings", "doc_id long, sh long", batch_id
         )
         grams = _read_state(spark, f"{state_dir}/grams", "g long", batch_id)
+        doc_sizes = _read_state(
+            spark, f"{state_dir}/doc_sizes", "doc_id long, n_sh long", batch_id
+        )
+        dft = VersionedTable(f"{state_dir}/dfcounts")
+        dfv = _df_version_before(dft, batch_id)
+        df_prior = (
+            dft.read(spark, dfv)
+            if dfv is not None
+            else spark.createDataFrame([], "sh long, df long")
+        )
 
-        verdicts = _cascade_verdicts(batch_df, hashes, bands, postings, grams)
+        verdicts = _cascade_verdicts(
+            batch_df, hashes, bands, postings, grams, doc_sizes, df_prior
+        )
         (
             verdicts.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -335,11 +397,16 @@ def streaming_curation_cascade(
             f"{state_dir}/bands",
             batch_id,
         )
-        _append_state(
+        batch_sh = (
             _shingles_df(docs)
             .select("doc_id", md5_long(F.col("s")).alias("sh"))
-            .distinct(),
-            f"{state_dir}/postings",
+            .distinct()
+            .localCheckpoint()  # feeds postings, doc_sizes AND the df merge
+        )
+        _append_state(batch_sh, f"{state_dir}/postings", batch_id)
+        _append_state(
+            batch_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")),
+            f"{state_dir}/doc_sizes",
             batch_id,
         )
         _append_state(
@@ -349,6 +416,18 @@ def streaming_curation_cascade(
             f"{state_dir}/grams",
             batch_id,
         )
+        # additive df maintenance, LAST and guarded: merge_aggregate is
+        # NOT idempotent (re-adding double-counts), so a replay whose id
+        # does not exceed the recorded high-water mark skips the merge —
+        # its verdicts above already read the versioned pre-batch snapshot.
+        last = dft.latest_meta().get(DF_BATCH_KEY)
+        if last is None or batch_id > last:
+            dft.merge_aggregate(
+                batch_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")),
+                keys=["sh"],
+                sum_cols=["df"],
+                meta={DF_BATCH_KEY: batch_id},
+            )
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)

@@ -947,3 +947,44 @@ def test_streaming_curation_cascade_replay_idempotent(spark, sf_dir, tmp_path):
         (r.doc_id, r.reason, r.keep) for r in spark.read.parquet(out).collect()
     )
     assert second == first  # no self-collision, no duplicates, no drift
+
+
+def test_cascade_containment_probe_state_side_never_shuffles(spark, tmp_path):
+    """The steady-state scale contract of the streaming cascade: per
+    micro-batch, the containment stage joins three STATE tables
+    (df_prior, postings, doc_sizes) by broadcasting the batch-bounded
+    side — the state scans must stream through BroadcastHashJoins with
+    no state-side exchange (no sort-merge / shuffled-hash join anywhere
+    in the stage; the only exchanges are over batch-derived aggregates)."""
+    from maap_data_pipelines_spark.streaming.cascade import _containment_stage
+
+    def _tbl(name, df):
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        return spark.read.parquet(p)  # a real file scan, as _one_batch sees
+
+    postings = _tbl(
+        "postings",
+        spark.createDataFrame(
+            [(1, 100), (1, 101), (2, 100), (2, 102)], "doc_id long, sh long"
+        ),
+    )
+    doc_sizes = _tbl(
+        "doc_sizes", spark.createDataFrame([(1, 2), (2, 2)], "doc_id long, n_sh long")
+    )
+    df_prior = _tbl(
+        "dfcounts",
+        spark.createDataFrame([(100, 2), (101, 1), (102, 1)], "sh long, df long"),
+    )
+    batch_sh = spark.createDataFrame(
+        [(10, 100), (10, 101), (11, 103)], "doc_id long, sh long"
+    )
+    out = _containment_stage(postings, doc_sizes, batch_sh, df_prior)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # and it still computes: doc 10 shares both shingles of docs 1 and 2
+    got = {r.doc_id for r in out.collect()}
+    assert got == {10}
