@@ -158,9 +158,12 @@ HEADLINE = [
     "doc_ngram_novelty",
     "corpus_curation_extended",
     # round 6: exploded media histogram (mapInPandas decode path) +
-    # vocabulary-join BPE tokenization gate
+    # vocabulary-join BPE tokenization gate + count-min sketch + greedy
+    # MMR diversified retrieval
     "media_features",
     "bpe_token_stats",
+    "events_cms_topk",
+    "retrieval_mmr_topk",
 ]
 
 

@@ -248,4 +248,125 @@ FROM probed JOIN truth USING (k)
 """
 
 
+# --- count-min sketch ------------------------------------------------------
+
+CMS_D = 4  # depth: independent hash rows; estimate = min across rows
+CMS_W = 1024  # width: buckets per row; expected overcount ~ N/W per row
+CMS_TOPK = 20
+
+
+def _cms_bucket_spark(col: str, d: int):
+    """Row-d bucket from the d-th disjoint md5 slice (engine-portable)."""
+    lo = 1 + 8 * d
+    return (
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({col} AS STRING)), {lo}, 8), 16, 10) AS BIGINT)"
+        )
+        % CMS_W
+    )
+
+
+def cms_frequency(df: DataFrame, key_col: str, topk: int = CMS_TOPK) -> DataFrame:
+    """Count-min sketch point estimates vs exact counts for the top keys.
+
+    The mergeable fixed-size FREQUENCY sketch completing the family
+    (HLL: distinct, GK: quantiles, Misra-Gries: exact heavy hitters):
+    unlike MG's candidate set, a CMS answers point queries for keys
+    chosen AFTER the scan, and two sketches merge by cell-wise addition —
+    the shape a fleet of ingest shards ships to a coordinator. Build is
+    one scan: each occurrence increments one bucket per depth row
+    (explode x CMS_D, map-side combined), so the shuffle carries at most
+    CMS_D x CMS_W = 4096 cells regardless of corpus size; estimates take
+    the min across rows (collisions only ever ADD, so est >= exact —
+    the one-sided CMS guarantee, visible in ``overcount`` >= 0).
+
+    Hashes are md5-slice-derived (the Bloom pattern), so the sketch table
+    and every estimate reproduce bit-for-bit in SQL: the accuracy report
+    carries a FULL value-hash oracle — overcounts are measured numbers,
+    not a waived claim. Output: the ``topk`` keys by exact count
+    (deterministic ties), each with its exact count, CMS estimate and
+    overcount.
+    """
+    keys = df.select(F.col(key_col).alias("k"))
+    cells = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_bucket_spark("k", d).alias("bucket"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.d", "p.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), key_col).limit(topk)
+    probes = top.select(
+        key_col,
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket_spark(key_col, d).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "exact_count", "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy(key_col, "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            key_col,
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
+def cms_frequency_sql(table: str, key_col: str, topk: int = CMS_TOPK) -> str:
+    def bucket(col: str, d: str) -> str:
+        return (
+            f"CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), "
+            f"1 + 8 * {d}, 8)) AS BIGINT) % {CMS_W}"
+        )
+
+    depths = ", ".join(str(d) for d in range(CMS_D))
+    return f"""
+WITH rows_ AS (
+  SELECT t.d, {bucket(key_col, 't.d')} AS bucket
+  FROM {table}, UNNEST([{depths}]) AS t(d)
+),
+cells AS (SELECT d, bucket, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+exact AS (
+  SELECT {key_col}, COUNT(*) AS exact_count FROM {table} GROUP BY 1
+),
+top AS (
+  SELECT * FROM exact ORDER BY exact_count DESC, {key_col} LIMIT {topk}
+),
+probes AS (
+  SELECT {key_col}, exact_count, t.d, {bucket(key_col, 't.d')} AS bucket
+  FROM top, UNNEST([{depths}]) AS t(d)
+)
+SELECT {key_col},
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(MIN(c) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c) - exact_count AS BIGINT) AS overcount
+FROM probes JOIN cells USING (d, bucket)
+GROUP BY {key_col}, exact_count
+"""
+
+
 QUERY_SQL = {"heavy_hitters": HEAVY_HITTERS_SQL}

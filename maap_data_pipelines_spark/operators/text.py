@@ -1402,3 +1402,208 @@ FROM fused
 """
 
 QUERY_SQL["retrieval_rrf_fusion"] = RETRIEVAL_RRF_FUSION_SQL
+
+
+# -- MMR diversified retrieval ----------------------------------------------
+
+MMR_K = 5  # diversified picks per query (greedy rounds, unrolled)
+
+
+def retrieval_mmr_topk(docs: DataFrame) -> DataFrame:
+    """Maximal-marginal-relevance rerank of the BM25 pool: top-5 DIVERSE.
+
+    The RAG-context selection shape: a plain top-k hands the model five
+    near-copies of the same best passage; MMR picks greedily by
+    mmr(d) = rel(d) - max_{s in selected} sim(d, s) (lambda = 1/2 with
+    the constant folded out — argmax-invariant), trading relevance
+    against redundancy. Everything stays exact int64 so the greedy
+    argmax never depends on float association order:
+
+    - rel = BM25 score micro-normalized within the pool
+      ((score * 1e6) div pool_max);
+    - sim = squared-cosine surrogate in micro-units
+      ((dot^2 * 1e6) div (ssq_a * ssq_b)) — monotone in cosine (tf >= 0
+      so dot >= 0), sqrt-free. int64 headroom: needs ssq < ~3e6, i.e.
+      docs far beyond any tokenizable length before it matters.
+
+    Scale shape: the corpus-wide stage is bm25_topk's inverted index;
+    everything after restricts to the <= topk x queries pool (pairwise
+    sims are pool^2-bounded, the greedy rounds are MMR_K unrolled joins
+    over pool-sized frames). The sequential dependency is inherent to
+    greedy MMR; its cost is bounded by MMR_K, never by corpus size.
+    Output: (query_id, mmr_rank, doc_id, rel, max_sim, mmr).
+    """
+    from pyspark.sql.window import Window
+
+    pool = bm25_topk(docs).localCheckpoint()  # pool + sims: two consumers
+    pmax = pool.groupBy("query_id").agg(F.max("score").alias("smax"))
+    rel = (
+        pool.join(F.broadcast(pmax), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("(score * 1000000) div smax").alias("rel"),
+        )
+        .localCheckpoint()
+    )
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    tf = (
+        docs.select("doc_id", word)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    pool_docs = pool.select("doc_id").distinct()
+    ptf = tf.join(F.broadcast(pool_docs), "doc_id", "left_semi").localCheckpoint()
+    norms = ptf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("ssq")
+    )
+    a = ptf.select("term", F.col("doc_id").alias("da"), F.col("tf").alias("ta"))
+    b = ptf.select("term", F.col("doc_id").alias("db"), F.col("tf").alias("tb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("ta") * F.col("tb")).alias("dot"))
+    )
+    simp = (
+        dots.join(norms.select(F.col("doc_id").alias("da"), F.col("ssq").alias("sa")), "da")
+        .join(norms.select(F.col("doc_id").alias("db"), F.col("ssq").alias("sb")), "db")
+        .select("da", "db", F.expr("(dot * dot * 1000000) div (sa * sb)").alias("sim"))
+    )
+    sims = simp.unionByName(
+        simp.select(F.col("db").alias("da"), F.col("da").alias("db"), "sim")
+    )
+    qd = pool.select("query_id", "doc_id")
+    simq = (
+        sims.join(qd.select("query_id", F.col("doc_id").alias("da")), "da")
+        .join(qd.select(F.col("query_id").alias("qb"), F.col("doc_id").alias("db")), "db")
+        .filter(F.col("query_id") == F.col("qb"))
+        .select("query_id", "da", "db", "sim")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("mmr"), "doc_id")
+    selected = (
+        rel.withColumn("max_sim", F.lit(0).cast("long"))
+        .withColumn("mmr", F.col("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            "doc_id",
+            "rel",
+            "max_sim",
+            "mmr",
+        )
+    )
+    for r in range(2, MMR_K + 1):
+        ms = (
+            simq.join(
+                selected.select("query_id", F.col("doc_id").alias("db")),
+                ["query_id", "db"],
+                "left_semi",
+            )
+            .groupBy("query_id", F.col("da").alias("doc_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            rel.join(
+                selected.select("query_id", "doc_id"),
+                ["query_id", "doc_id"],
+                "left_anti",
+            )
+            .join(ms, ["query_id", "doc_id"], "left")
+            .select(
+                "query_id",
+                "doc_id",
+                "rel",
+                F.coalesce("max_sim", F.lit(0).cast("long")).alias("max_sim"),
+            )
+            .withColumn("mmr", F.col("rel") - F.col("max_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("long").alias("mmr_rank"),
+                "doc_id",
+                "rel",
+                "max_sim",
+                "mmr",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
+
+
+def _mmr_round_sql(r: int) -> str:
+    prev = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, r))
+    return f"""
+sel{r} AS MATERIALIZED (
+  SELECT query_id, CAST({r} AS BIGINT) AS mmr_rank, doc_id, rel, max_sim, mmr
+  FROM (
+    SELECT c.query_id, c.doc_id, c.rel,
+           CAST(COALESCE(m.max_sim, 0) AS BIGINT) AS max_sim,
+           c.rel - CAST(COALESCE(m.max_sim, 0) AS BIGINT) AS mmr,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY c.rel - CAST(COALESCE(m.max_sim, 0) AS BIGINT) DESC, c.doc_id
+           ) AS rn
+    FROM (
+      SELECT rel.* FROM rel
+      LEFT JOIN ({prev}) s USING (query_id, doc_id) WHERE s.doc_id IS NULL
+    ) c
+    LEFT JOIN (
+      SELECT sq.query_id, sq.da AS doc_id, CAST(MAX(sq.sim) AS BIGINT) AS max_sim
+      FROM simq sq JOIN ({prev}) s ON s.query_id = sq.query_id AND s.doc_id = sq.db
+      GROUP BY 1, 2
+    ) m ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+  ) WHERE rn = 1
+)"""
+
+
+RETRIEVAL_MMR_TOPK_SQL = f"""
+WITH {_BM25_CTES},
+topd AS MATERIALIZED (
+  SELECT query_id, doc_id, score FROM ranked WHERE rnk <= {BM25_TOPK}
+),
+pmax AS (SELECT query_id, MAX(score) AS smax FROM topd GROUP BY 1),
+rel AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST((score * 1000000) // smax AS BIGINT) AS rel
+  FROM topd JOIN pmax USING (query_id)
+),
+ptf AS MATERIALIZED (
+  SELECT doc_id, term, tf FROM tf
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM topd)
+),
+norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS ssq FROM ptf GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM ptf a JOIN ptf b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+simp AS (
+  SELECT da, db, CAST((dot * dot * 1000000) // (na.ssq * nb.ssq) AS BIGINT) AS sim
+  FROM dots JOIN norms na ON na.doc_id = da JOIN norms nb ON nb.doc_id = db
+),
+sims AS (SELECT da, db, sim FROM simp UNION ALL SELECT db AS da, da AS db, sim FROM simp),
+simq AS MATERIALIZED (
+  SELECT pa.query_id, s.da, s.db, s.sim
+  FROM sims s
+  JOIN topd pa ON pa.doc_id = s.da
+  JOIN topd pb ON pb.doc_id = s.db AND pb.query_id = pa.query_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, doc_id, rel,
+         CAST(0 AS BIGINT) AS max_sim, rel AS mmr
+  FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+    FROM rel
+  ) WHERE rn = 1
+),
+{",".join(_mmr_round_sql(r) for r in range(2, MMR_K + 1))}
+SELECT * FROM sel1
+{" ".join(f"UNION ALL SELECT * FROM sel{r}" for r in range(2, MMR_K + 1))}
+"""
+
+QUERY_SQL["retrieval_mmr_topk"] = RETRIEVAL_MMR_TOPK_SQL

@@ -71,6 +71,7 @@ QUERIES = {
     "doc_length_outliers": _wrap(text.doc_length_outliers),
     "doc_curriculum": _wrap(text.doc_curriculum),
     "retrieval_rrf_fusion": _wrap(text.retrieval_rrf_fusion),
+    "retrieval_mmr_topk": _wrap(text.retrieval_mmr_topk),
     "dsir_importance": _wrap(curation.dsir_importance),
     "dsir_auc": _wrap(curation.dsir_auc),
     "doc_ngram_novelty": _wrap(curation.doc_ngram_novelty),

@@ -1055,6 +1055,28 @@ GROUP BY event_type
 
 
 
+def events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch user-frequency estimates vs exact counts.
+
+    See :func:`maap_data_pipelines_spark.operators.sketch.cms_frequency`
+    — the mergeable fixed-size frequency sketch (4x1024 cells at any
+    corpus size), with md5-slice hashes so the whole report carries a
+    full value-hash oracle.
+    """
+    from ..operators.sketch import cms_frequency
+
+    return cms_frequency(read_events(spark, sf_dir), "user_id")
+
+
+def _cms_sql() -> str:
+    from ..operators.sketch import cms_frequency_sql
+
+    return cms_frequency_sql("events", "user_id")
+
+
+CMS_TOPK_SQL = _cms_sql()
+
+
 def events_segment_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact audience-overlap lattice: users per event-type combination.
 
@@ -1537,6 +1559,7 @@ QUERIES = {
     "events_segment_lattice": events_segment_lattice,
     "events_retention_triangle": events_retention_triangle,
     "events_quantile_sketch": events_quantile_sketch,
+    "events_cms_topk": events_cms_topk,
 }
 
 ORACLES = {
@@ -1569,4 +1592,7 @@ ORACLES = {
     "events_distinct_sketch": DSKETCH_SQL,
     "events_quantile_sketch": QSKETCH_SQL,
     "events_segment_lattice": SEGMENT_LATTICE_SQL,
+    # count-min: md5-slice hashes make the sketch table AND the estimates
+    # reproduce bit-for-bit in SQL — full value parity, not a verdict
+    "events_cms_topk": CMS_TOPK_SQL,
 }

@@ -68,3 +68,30 @@ def test_bloom_membership_synthetic_accuracy(spark):
     assert r.n_true == 250
     assert r.n_false_negative == 0
     assert r.n_maybe >= 250  # every true member flagged maybe
+
+
+def test_cms_one_sided_guarantee_and_exactness(spark, sf_dir):
+    """CMS point estimates: never under-count (collisions only add), and
+    at test cardinalities (~thousands of keys into 4x1024 cells) the min
+    across 4 rows should usually land on an uncollided cell."""
+    rows = registry.queries()["events_cms_topk"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.overcount >= 0  # the deterministic CMS guarantee
+        assert r.cms_estimate == r.exact_count + r.overcount
+    # the top keys by exact count are heavy; estimates stay proportional
+    assert all(r.cms_estimate <= 2 * r.exact_count + 200 for r in rows)
+
+
+def test_cms_synthetic_counts(spark):
+    """Skewed synthetic stream: the heavy key's estimate is exact unless
+    a (deterministic) collision adds mass — and the report ranks by
+    exact count with deterministic ties."""
+    from maap_data_pipelines_spark.operators.sketch import cms_frequency
+
+    rows = [(1,)] * 100 + [(2,)] * 50 + [(k,) for k in range(3, 33)]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {r.user_id: r for r in cms_frequency(df, "user_id", topk=5).collect()}
+    assert got[1].exact_count == 100 and got[1].overcount >= 0
+    assert got[2].exact_count == 50
+    assert len(got) == 5

@@ -257,3 +257,57 @@ def test_doc_curriculum_buckets_partition_corpus(spark, sf_dir):
     # easy->hard ordering: each bucket's hardest doc <= next bucket's
     for b in range(4):
         assert rows[b].max_ppl <= rows[b + 1].min_ppl
+
+
+def test_mmr_diversifies_near_duplicate_pool(spark):
+    """Crafted corpus: three near-identical top docs + two distinct ones.
+    Plain BM25 top-5 is dominated by the copies; MMR must pick the best
+    copy FIRST (pure relevance), then prefer the distinct docs over the
+    remaining copies (their sim to the selected copy is ~1e6 micro)."""
+    from maap_data_pipelines_spark.operators.text import retrieval_mmr_topk
+
+    base = "hash join hash join hash join probe build"
+    docs = spark.createDataFrame(
+        [
+            (0, base + " alpha"),
+            (1, base + " beta"),
+            (2, base + " gamma"),
+            (3, "hash join over sorted runs with spill control and merge"),
+            (4, "join order search hash table sizing and partition tuning"),
+            (5, "completely unrelated text about gardening and soup"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.mmr_rank, r.doc_id)
+        for r in retrieval_mmr_topk(docs)
+        .filter("query_id = 0")  # query 0 = ('hash', 'join')
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert out[0][0] == 1 and out[0][1] in (0, 1, 2)  # best copy first
+    picked = [d for _, d in out]
+    # both distinct relevant docs beat the two remaining near-copies
+    assert picked.index(3) < 3 or picked.index(4) < 3
+    copies_in_top3 = sum(1 for d in picked[:3] if d in (0, 1, 2))
+    assert copies_in_top3 == 1  # diversification actually happened
+
+
+def test_mmr_rel_monotone_and_schema(spark, sf_dir):
+    """On the real corpus: 5 picks per query, rank-1 is the BM25 argmax,
+    mmr = rel - max_sim holds exactly, and all values are int64 micro."""
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["retrieval_mmr_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for q, picks in by_q.items():
+        picks.sort(key=lambda r: r.mmr_rank)
+        assert [p.mmr_rank for p in picks] == list(range(1, len(picks) + 1))
+        assert picks[0].max_sim == 0 and picks[0].mmr == picks[0].rel
+        assert picks[0].rel == 1_000_000  # pool max normalizes to 1.0
+        for p in picks:
+            assert p.mmr == p.rel - p.max_sim
+            assert 0 <= p.max_sim <= 1_000_000
