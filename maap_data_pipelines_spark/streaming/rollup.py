@@ -330,3 +330,72 @@ def streaming_enriched_rollup(
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
     )
+
+
+def streaming_cms_merge(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+):
+    """Maintain a count-min sketch across micro-batches: sketches MERGE.
+
+    The property that makes CMS the frequency monitor of a streaming
+    ingest fleet: two sketches over disjoint data merge by CELL-WISE
+    ADDITION, so each micro-batch contributes its own 4x1024 cell table
+    and ``VersionedTable.merge_aggregate`` folds it into the running
+    sketch — state is O(CMS_D x CMS_W) forever, per-batch work is one
+    bounded aggregation, and the merged table answers point queries for
+    keys chosen AFTER ingestion (what Misra-Gries candidates cannot do).
+
+    Exactly-once per the rollup-stream contract: the applied batch id
+    rides the table meta under a namespaced guard
+    (``pipelines.apply_rollup_batch`` pattern) — merge_aggregate is
+    additive, so a replayed batch must skip, not re-add.
+    tests pin stream-merged cells == one-shot batch cells bit-for-bit.
+    """
+    from ..operators.sketch import CMS_D, _cms_bucket_spark
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("cms_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replay: the additive merge must not double-count
+        cells = (
+            batch_df.select(F.col(key_col).alias("k"))
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(d).alias("d"),
+                                _cms_bucket_spark("k", d).alias("bucket"),
+                            )
+                            for d in range(CMS_D)
+                        ]
+                    )
+                ).alias("p")
+            )
+            .select("p.d", "p.bucket")
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        table.merge_aggregate(
+            cells, keys=["d", "bucket"], sum_cols=["c"],
+            meta={"cms_batch_id": batch_id},
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
