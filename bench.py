@@ -164,6 +164,8 @@ HEADLINE = [
     "bpe_token_stats",
     "events_cms_topk",
     "retrieval_mmr_topk",
+    "cluster_topics",
+    "packing_efficiency",
 ]
 
 

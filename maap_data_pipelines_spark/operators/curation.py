@@ -1295,3 +1295,72 @@ GROUP BY sh.doc_id
 """
 
 QUERY_SQL["doc_ngram_novelty"] = DOC_NGRAM_NOVELTY_SQL
+
+
+# -- sequence-length bucketing / packing efficiency -------------------------
+
+PACK_BUCKETS = (64, 128, 256, 512)
+
+
+def packing_efficiency(docs: DataFrame) -> DataFrame:
+    """Padding/truncation waste per sequence-length bucket — the report
+    you read before choosing a batching strategy for pretraining.
+
+    Fixed-length batching pads every sequence to the batch max;
+    length-BUCKETED batching (this report's subject) pads only to the
+    bucket boundary and truncates at the top bucket. Per bucket:
+    exact document count, raw/kept token totals, padded slots
+    (bucket - kept per doc) and truncated overflow, plus the padding
+    share of the bucket's slot budget in integer micro-units —
+    ``padding_micro = padded*1e6 div (n_docs*bucket)``. Token count is
+    the exact whitespace word count (the corpus tokenizer's unit
+    upstream of BPE; swap in bpe_token_stats's counts for model-true
+    budgets). One scan, one 4-row aggregate — corpus-size independent
+    output, map-side combined.
+    """
+    from .text import words_col
+
+    n = F.size(words_col(F.lower(F.col("text")))).cast("long")
+    bucket = F.lit(PACK_BUCKETS[-1]).cast("long")
+    for b in reversed(PACK_BUCKETS[:-1]):
+        bucket = F.when(n <= b, F.lit(b).cast("long")).otherwise(bucket)
+    kept = F.least(F.col("n"), F.col("bucket"))
+    return (
+        docs.select(n.alias("n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum(kept).alias("kept_tokens"),
+            F.sum(F.col("bucket") - kept).alias("padded_tokens"),
+            F.sum(F.greatest(F.col("n") - F.col("bucket"), F.lit(0).cast("long"))).alias(
+                "truncated_tokens"
+            ),
+        )
+        .withColumn(
+            "padding_micro",
+            F.expr("(padded_tokens * 1000000) div (n_docs * bucket)"),
+        )
+    )
+
+
+_PACK_CASE = "CASE " + " ".join(
+    f"WHEN n <= {b} THEN {b}" for b in PACK_BUCKETS[:-1]
+) + f" ELSE {PACK_BUCKETS[-1]} END"
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH d AS (
+  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n FROM documents
+),
+b AS (SELECT n, CAST({_PACK_CASE} AS BIGINT) AS bucket FROM d)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(LEAST(n, bucket)) AS BIGINT) AS kept_tokens,
+       CAST(SUM(bucket - LEAST(n, bucket)) AS BIGINT) AS padded_tokens,
+       CAST(SUM(GREATEST(n - bucket, 0)) AS BIGINT) AS truncated_tokens,
+       CAST((SUM(bucket - LEAST(n, bucket)) * 1000000) // (COUNT(*) * bucket) AS BIGINT) AS padding_micro
+FROM b GROUP BY bucket
+"""
+
+QUERY_SQL["packing_efficiency"] = PACKING_EFFICIENCY_SQL

@@ -75,6 +75,7 @@ QUERIES = {
     "dsir_importance": _wrap(curation.dsir_importance),
     "dsir_auc": _wrap(curation.dsir_auc),
     "doc_ngram_novelty": _wrap(curation.doc_ngram_novelty),
+    "packing_efficiency": _wrap(curation.packing_efficiency),
 }
 
 ORACLES = dict(text.QUERY_SQL)

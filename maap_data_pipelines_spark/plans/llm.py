@@ -367,6 +367,10 @@ QUERIES = {
     "ann_bq_recall": _emb_plan(quant.ann_bq_recall),
     "ann_bq_rerank": _emb_plan(quant.ann_bq_rerank),
     "ann_bq_rerank_recall": _emb_plan(quant.ann_bq_rerank_recall),
+    "cluster_topics": lambda spark, sf_dir: kmeans.cluster_topics(
+        read_table(spark, sf_dir, "embeddings"),
+        read_table(spark, sf_dir, "documents"),
+    ),
 }
 
 ORACLES = {

@@ -302,3 +302,32 @@ def test_novelty_pioneer_conservation(spark, sf_dir):
     assert all(0 <= r.novelty <= 1.0 for r in rows.values())
     first_doc = min(rows)
     assert rows[first_doc].novelty == 1.0
+
+
+def test_packing_efficiency_crafted(spark):
+    """Known word counts → exact bucket assignment, padding and
+    truncation accounting."""
+    from maap_data_pipelines_spark.operators.curation import (
+        PACK_BUCKETS,
+        packing_efficiency,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(["w"] * n))
+
+    docs = spark.createDataFrame(
+        [doc(0, 10), doc(1, 64), doc(2, 65), doc(3, 600)],
+        "doc_id long, text string",
+    )
+    got = {r.bucket: r for r in packing_efficiency(docs).collect()}
+    assert set(got) == {64, 128, 512}
+    b64 = got[64]
+    assert b64.n_docs == 2 and b64.total_tokens == 74
+    assert b64.padded_tokens == (64 - 10) + (64 - 64)
+    assert b64.truncated_tokens == 0
+    assert b64.padding_micro == (54 * 1_000_000) // (2 * 64)
+    b128 = got[128]
+    assert b128.n_docs == 1 and b128.padded_tokens == 63
+    b512 = got[512]  # 600-word doc: clipped at the top bucket
+    assert b512.kept_tokens == 512 and b512.truncated_tokens == 88
+    assert b512.padded_tokens == 0

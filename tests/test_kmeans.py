@@ -88,3 +88,32 @@ def test_quantize_floor_semantics(spark):
     assert qv[0] == 500_000
     assert qv[1] == -500_000
     assert all(x == 0 for x in qv[2:])
+
+
+def test_cluster_topics_structure(spark, sf_dir):
+    """Per-cluster keyword lists: contiguous ranks, the documented score
+    formula, and cluster-discriminative IDF (a term in every cluster is
+    down-weighted below a same-share exclusive term)."""
+    from maap_data_pipelines_spark.operators.kmeans import TOPIC_TOPK, cluster_topics
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    out = cluster_topics(
+        read_table(spark, sf_dir, "embeddings"),
+        read_table(spark, sf_dir, "documents"),
+    ).collect()
+    assert out
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.cluster_id, []).append(r)
+    k = len(by_c)
+    assert 1 <= k <= 8
+    for cid, rows in by_c.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOPIC_TOPK
+        for r in rows:
+            assert 1 <= r.n_clusters_with_term <= k
+            share = (r.ctf * 1_000_000) // r.cluster_tokens
+            assert r.score == share * ((k * 1000) // (r.n_clusters_with_term + 1))
+        # scores non-increasing in rank
+        assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
