@@ -132,3 +132,26 @@ def read_json_granules(spark: SparkSession, path: str) -> DataFrame:
         F.element_at(s3_links, 1)["href"].alias("data_url"),
         F.size(links).cast("long").alias("n_links"),
     )
+
+
+def read_xml_metadata(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Distributed XML metadata ingest via Spark 4's NATIVE xml source.
+
+    Geospatial catalogs ship sidecar metadata as XML (ISO 19115 / FGDC /
+    CMR's echo10) — the reference's discovery path ignores them; at
+    scale they are just another dataset: one row per ``row_tag`` element,
+    read distributed. An explicit ``schema`` keeps the read single-pass
+    (schema inference double-scans AND, for XML, parses every document
+    twice — the CSV inferSchema lesson applies doubly); pass None only
+    in exploration. Attributes surface with the ``_`` prefix, nested
+    elements as structs — standard spark-xml semantics, now built in.
+    """
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

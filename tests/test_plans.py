@@ -142,6 +142,8 @@ _BNLJ_ALLOWED = {
     # 1-row `converged` verdict aggregate broadcast-crossed onto the
     # component output (operators/dedup.py) — benign at any scale
     "dedup_kcore",
+    # 1-row cluster-count broadcast crossed into the (cid, term) scores
+    "cluster_topics",
 }
 
 

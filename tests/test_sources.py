@@ -175,3 +175,39 @@ def test_read_json_quarantined_splits_good_and_bad(spark, tmp_path):
     assert source.storageLevel.useMemory
     source.unpersist()
     assert not source.storageLevel.useMemory
+
+
+def test_read_xml_metadata(spark, tmp_path):
+    """Spark 4 native XML: one row per rowTag element, explicit schema
+    single-pass read, attributes under the `_` prefix."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from maap_data_pipelines_spark.sources.formats import read_xml_metadata
+
+    p = tmp_path / "meta"
+    p.mkdir()
+    (p / "granules.xml").write_text(
+        "<granules>"
+        "<granule status=\"ok\"><id>7</id><name>n7</name><cloud>12.5</cloud></granule>"
+        "<granule status=\"bad\"><id>8</id><name>n8</name><cloud>93.0</cloud></granule>"
+        "</granules>"
+    )
+    schema = StructType(
+        [
+            StructField("_status", StringType()),
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("cloud", DoubleType()),
+        ]
+    )
+    df = read_xml_metadata(spark, str(p), "granule", schema)
+    rows = {r.id: (r.name, r.cloud, r._status) for r in df.collect()}
+    assert rows == {7: ("n7", 12.5, "ok"), 8: ("n8", 93.0, "bad")}
+    # projection/filter push into the scan like any other source
+    assert df.filter("cloud < 50").count() == 1
