@@ -663,6 +663,53 @@ def run_embedding_health_report(spark: SparkSession, sf_dir: str, out_dir: str) 
         "n_outliers": spark.read.parquet(os.path.join(out_dir, "outliers")).count(),
     }
 
+def run_retrieval_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """One-stop retrieval-stack evaluation over the document corpus.
+
+    The search-quality companion to :func:`run_embedding_health_report`:
+    for the fixed query battery it persists the full ranking stack —
+    BM25 lexical top-k, the hybrid RRF fusion, and the MMR-diversified
+    context selection — and reads back the summary a retrieval owner
+    actually checks: per-query pool depth, how much the fused order
+    disagrees with pure BM25 (fusion doing work), and how much relevance
+    MMR trades per pick for diversity (redundancy present at all?).
+    Every component is an already-oracled registered operator; the
+    report is their composition, persisted as parquet per section.
+    """
+    from .operators import text as tx
+
+    docs = read_table(spark, sf_dir, "documents")
+    sections = {
+        "bm25": tx.bm25_topk(docs),
+        "rrf": tx.retrieval_rrf_fusion(docs),
+        "mmr": tx.retrieval_mmr_topk(docs),
+    }
+    for name, df in sections.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    bm25 = spark.read.parquet(os.path.join(out_dir, "bm25"))
+    rrf = spark.read.parquet(os.path.join(out_dir, "rrf"))
+    mmr = spark.read.parquet(os.path.join(out_dir, "mmr"))
+    n_queries = bm25.select("query_id").distinct().count()
+    # fused-vs-lexical disagreement: share of fused top-10 rows whose
+    # fused rank differs from their BM25 rank (0 = fusion is a no-op)
+    moved = rrf.filter("rnk <= 10").agg(
+        F.sum((F.col("rnk") != F.col("bm25_rnk")).cast("long")).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    # MMR's price of diversity: mean relevance given up per non-seed pick
+    # (rel is pool-normalized micro, so this reads as ppm of the best doc)
+    div = mmr.filter("mmr_rank > 1").agg(
+        F.avg(F.col("rel") - F.col("mmr")).alias("paid"),
+        F.avg("max_sim").alias("redundancy"),
+    ).collect()[0]
+    return {
+        "n_queries": int(n_queries),
+        "fused_moved_share": round(moved.m / moved.n, 6),
+        "mmr_relevance_paid_micro": round(float(div.paid), 1),
+        "mmr_mean_max_sim_micro": round(float(div.redundancy), 1),
+    }
+
+
 def run_live_rollup_pipeline(
     spark: SparkSession,
     landing_dir: str,

@@ -1,0 +1,58 @@
+"""Partitioning-independence: THE distributed-correctness property.
+
+A query whose RESULT depends on the shuffle width, AQE replanning, or
+input split layout is wrong at any scale — per-partition tie-breaks,
+first()-style nondeterminism, and unstable float association orders all
+surface as cross-run drift long before they surface as wrong answers on
+a single layout. This sweep re-executes a deliberately intricate sample
+of registered queries under different runtime partitioning regimes and
+pins bit-identical results (every operator keeps exact integer /
+deterministic-tie discipline precisely so this holds).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from maap_data_pipelines_spark import registry
+
+# window functions over ties, salting, iterative graph/centroid rounds,
+# sketch pruning, greedy selection — the shapes partitioning breaks first
+KEYS = [
+    "top_customers_window",
+    "events_salted_rollup",
+    "doc_surrogate_keys",
+    "heavy_hitters",
+    "dedup_clusters",
+    "orders_running_revenue",
+    "bm25_topk",
+    "events_sessionize",
+    "events_cms_topk",
+    "retrieval_mmr_topk",
+    "embedding_kmeans",
+    "cluster_topics",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_result_invariant_under_partitioning(spark, sf_dir, key):
+    fn = registry.queries()[key]
+    conf = spark.conf
+    base_parts = conf.get("spark.sql.shuffle.partitions")
+    base_aqe = conf.get("spark.sql.adaptive.enabled")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "32")
+        conf.set("spark.sql.adaptive.enabled", "true")
+        a = _canon(fn(spark, sf_dir))
+        conf.set("spark.sql.shuffle.partitions", "5")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        b = _canon(fn(spark, sf_dir))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", base_parts)
+        conf.set("spark.sql.adaptive.enabled", base_aqe)
+    assert a == b and a, key

@@ -353,3 +353,28 @@ def test_embedding_health_report(spark, sf_dir, tmp_path):
     import os
     for section in ("knn_accuracy", "label_confusion", "fisher_ratio", "pca_top", "outliers"):
         assert spark.read.parquet(os.path.join(out, section)).count() > 0
+
+
+def test_retrieval_report(spark, sf_dir, tmp_path):
+    """The composed retrieval-stack product: all three ranking sections
+    persist and the summary metrics are consistent and in range."""
+    from maap_data_pipelines_spark.pipelines import run_retrieval_report
+
+    out = str(tmp_path / "retrieval")
+    rep = run_retrieval_report(spark, sf_dir, out)
+    assert set(rep) == {
+        "n_queries", "fused_moved_share",
+        "mmr_relevance_paid_micro", "mmr_mean_max_sim_micro",
+    }
+    assert rep["n_queries"] >= 1
+    assert 0.0 <= rep["fused_moved_share"] <= 1.0
+    assert rep["mmr_relevance_paid_micro"] >= 0
+    assert 0 <= rep["mmr_mean_max_sim_micro"] <= 1_000_000
+    import os
+    for section in ("bm25", "rrf", "mmr"):
+        assert spark.read.parquet(os.path.join(out, section)).count() > 0
+    # MMR output is exactly the diversified heads of the BM25 pools
+    mmr = spark.read.parquet(os.path.join(out, "mmr"))
+    bm25 = spark.read.parquet(os.path.join(out, "bm25"))
+    pool = {(r.query_id, r.doc_id) for r in bm25.collect()}
+    assert all((r.query_id, r.doc_id) in pool for r in mmr.collect())
