@@ -45,6 +45,7 @@ def test_result_invariant_under_partitioning(spark, sf_dir, key):
     conf = spark.conf
     base_parts = conf.get("spark.sql.shuffle.partitions")
     base_aqe = conf.get("spark.sql.adaptive.enabled")
+    base_split = conf.get("spark.sql.files.maxPartitionBytes")
     try:
         conf.set("spark.sql.shuffle.partitions", "32")
         conf.set("spark.sql.adaptive.enabled", "true")
@@ -52,7 +53,13 @@ def test_result_invariant_under_partitioning(spark, sf_dir, key):
         conf.set("spark.sql.shuffle.partitions", "5")
         conf.set("spark.sql.adaptive.enabled", "false")
         b = _canon(fn(spark, sf_dir))
+        # third regime: shred the SCAN into many tiny input splits (the
+        # "different file layout / executor count" stand-in)
+        conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        c = _canon(fn(spark, sf_dir))
     finally:
         conf.set("spark.sql.shuffle.partitions", base_parts)
         conf.set("spark.sql.adaptive.enabled", base_aqe)
+        conf.set("spark.sql.files.maxPartitionBytes", base_split)
     assert a == b and a, key
+    assert a == c, f"{key}: result depends on input split layout"
