@@ -166,6 +166,7 @@ HEADLINE = [
     "retrieval_mmr_topk",
     "cluster_topics",
     "packing_efficiency",
+    "curation_yield_report",
 ]
 
 

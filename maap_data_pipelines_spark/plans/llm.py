@@ -269,6 +269,72 @@ def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-reason document AND token yield of the five-stage cascade.
+
+    The number a data team actually reports upstream: "X% of documents,
+    Y% of tokens survive curation — and here is where the rest went".
+    Token mass matters separately from doc count because rejects skew
+    long (near-dups, boilerplate) or short (quality): a 5% doc cut can
+    be a 20% token cut. One row per verdict reason with exact doc/token
+    counts and integer-micro corpus shares; composes the oracled cascade
+    verdicts with the exact whitespace token count (swap in
+    bpe_token_stats for model-true budgets).
+    """
+    verdicts = corpus_curation_extended(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.size(F.split(F.lower(F.col("text")), " "))).cast("long").alias("n_tokens"),
+    )
+    per = (
+        verdicts.join(toks, "doc_id")
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "reason",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_docs * 1000000) div t_docs").alias("doc_share_micro"),
+            F.expr("(n_tokens * 1000000) div t_tokens").alias("token_share_micro"),
+        )
+    )
+
+
+def _curation_yield_sql() -> str:
+    return f"""
+WITH verdicts AS ({_curation_extended_sql()}),
+toks AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT v.reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+  FROM verdicts v JOIN toks t USING (doc_id)
+  GROUP BY v.reason
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS t_tokens
+  FROM per
+)
+SELECT reason, n_docs, n_tokens,
+       CAST((n_docs * 1000000) // t_docs AS BIGINT) AS doc_share_micro,
+       CAST((n_tokens * 1000000) // t_tokens AS BIGINT) AS token_share_micro
+FROM per CROSS JOIN tot
+"""
+
+
 def _curation_extended_sql() -> str:
     from ..operators.curation import DOC_NGRAM_NOVELTY_SQL
 
@@ -371,6 +437,7 @@ QUERIES = {
         read_table(spark, sf_dir, "embeddings"),
         read_table(spark, sf_dir, "documents"),
     ),
+    "curation_yield_report": curation_yield_report,
 }
 
 ORACLES = {
@@ -382,4 +449,5 @@ ORACLES = {
     "corpus_curation": CORPUS_CURATION_SQL,
     "doc_embedding_outliers": DOC_EMBEDDING_OUTLIERS_SQL,
     "corpus_curation_extended": _curation_extended_sql(),
+    "curation_yield_report": _curation_yield_sql(),
 }
