@@ -167,6 +167,7 @@ HEADLINE = [
     "cluster_topics",
     "packing_efficiency",
     "curation_yield_report",
+    "customer_k_anonymity",
 ]
 
 

@@ -1458,8 +1458,69 @@ FROM cum c JOIN sizes s USING (cohort_month)
 """
 
 
+K_ANON_THRESHOLD = 5
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity histogram over the customer quasi-identifiers.
+
+    The privacy-engineering read before any customer-grain export: rows
+    whose quasi-identifier combination (nation, market segment, account
+    balance band) is shared by fewer than K_ANON_THRESHOLD customers are
+    re-identifiable by linkage. Output is the equivalence-class SIZE
+    histogram — one row per class size k with the class count, row
+    count, integer-micro row share and the at-risk flag — so the
+    release decision ("suppress or generalize every k<5 class") is a
+    read off the table. Two hash-aggs; output cardinality bounded by
+    max class size, never by customer count. Balance banding is
+    FLOOR(acctbal/1000) — one IEEE double op both engines share.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    hist = classes.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k").alias("n_rows"),
+    )
+    tot = hist.agg(F.sum("n_rows").alias("t_rows"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_classes",
+            "n_rows",
+            F.expr("(n_rows * 1000000) div t_rows").alias("row_share_micro"),
+            (F.col("k") < K_ANON_THRESHOLD).alias("at_risk"),
+        )
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM customer GROUP BY 1, 2, 3
+),
+hist AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(k) AS BIGINT) AS n_rows
+  FROM classes GROUP BY k
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t_rows FROM hist)
+SELECT k, n_classes, n_rows,
+       CAST((n_rows * 1000000) // t_rows AS BIGINT) AS row_share_micro,
+       k < {K_ANON_THRESHOLD} AS at_risk
+FROM hist CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
+    "customer_k_anonymity": customer_k_anonymity,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -1514,4 +1575,5 @@ ORACLES = {
     "orders_bootstrap_ci": BOOTSTRAP_CI_SQL,
     "orders_lineitem_reconcile": RECONCILE_SQL,
     "orders_cohort_ltv": COHORT_LTV_SQL,
+    "customer_k_anonymity": K_ANONYMITY_SQL,
 }
