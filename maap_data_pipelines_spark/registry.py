@@ -15,14 +15,19 @@ from .plans import documents, etl, events, llm, multimodal, sqlapi, stac, tpch, 
 
 # External correctness harnesses consume the registry front-to-back with a
 # bounded budget (50 keys per round).  queries() therefore orders keys in
-# three tiers:
+# five tiers:
 #   1. full-oracle keys NOT yet externally confirmed (the rotation window),
 #      in _MODULES order;
-#   2. full-oracle keys already confirmed in a previous round (_CONFIRMED);
-#   3. rows-only keys (no oracle) at the global tail, so they never displace
-#      a fully-oracled query from the verified prefix.
+#   2. unconfirmed full-oracle keys deliberately deferred (_DEFERRED);
+#   3. unconfirmed rows-only keys (none as of r6 — every registered key
+#      carries a full oracle);
+#   4. deliberate regression re-confirmations (_RECONFIRM, ordered) — the
+#      window's remaining slots re-prove the most intricate machinery;
+#   5. the remaining confirmed keys.
 # After each round, fold the round's green keys into _CONFIRMED — the next
-# window then rotates automatically to never-confirmed keys.
+# window then rotates automatically to never-confirmed keys. The ordering
+# CONTRACT (not any literal key list) is pinned by
+# tests/test_plans.py::test_registry_rotation_contract.
 _MODULES = [etl, multimodal, events, tpch, documents, tpch2, stac, llm, sqlapi]
 
 # Keys green in the official CORRECTNESS_r02 + CORRECTNESS_r03 records
