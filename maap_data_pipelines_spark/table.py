@@ -83,6 +83,36 @@ class VersionedTable:
         batch saw by scanning versions' recorded batch ids)."""
         return self._load(version).get("meta", {})
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Audit log of retained versions (DESCRIBE HISTORY analogue).
+
+        One row per retained manifest: version, number of data dirs the
+        snapshot references, dirs ADDED relative to the previous retained
+        version (0 for pure overwrites of shrinking snapshots), and the
+        commit meta as a JSON string. Driver cost is one tiny JSON read
+        per manifest — never touches data files — so the audit is free
+        even on a petabyte table.
+        """
+        import json as _json
+
+        rows = []
+        prev_dirs: set[str] = set()
+        for v in self.versions():
+            m = self._load(v)
+            dirs = list(m.get("dirs", []))
+            rows.append(
+                (
+                    v,
+                    len(dirs),
+                    len(set(dirs) - prev_dirs),
+                    _json.dumps(m.get("meta", {}), sort_keys=True),
+                )
+            )
+            prev_dirs = set(dirs)
+        return spark.createDataFrame(
+            rows, "version int, n_dirs int, n_added_dirs int, meta_json string"
+        )
+
     # -- write path --------------------------------------------------------
 
     def commit(

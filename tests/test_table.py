@@ -264,3 +264,24 @@ def test_reused_exchange_on_self_join(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
         spark.conf.set("spark.sql.adaptive.enabled", prev_a)
     assert "ReusedExchange" in plan, plan[:1500]
+
+
+def test_history_audit_log(spark, tmp_path):
+    """history(): one row per retained version, added-dirs delta, meta
+    as JSON; survives vacuum (drops pruned versions from the log)."""
+    import json
+
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "h"))
+    t.commit(spark.range(3), meta={"who": "a"})
+    t.commit(spark.range(3, 5), mode="append", meta={"who": "b"})
+    t.commit(spark.range(9), mode="overwrite")
+    h = {r.version: r for r in t.history(spark).collect()}
+    assert sorted(h) == [0, 1, 2]
+    assert h[0].n_dirs == 1 and h[0].n_added_dirs == 1
+    assert h[1].n_dirs == 2 and h[1].n_added_dirs == 1  # append adds one
+    assert h[2].n_dirs == 1 and h[2].n_added_dirs == 1  # overwrite: new dir
+    assert json.loads(h[1].meta_json)["who"] == "b"  # meta merge carries
+    t.vacuum(keep_last=1)
+    assert [r.version for r in t.history(spark).collect()] == [2]
