@@ -168,6 +168,8 @@ HEADLINE = [
     "packing_efficiency",
     "curation_yield_report",
     "customer_k_anonymity",
+    "doc_weighted_sample_exact_k",
+    "vocab_growth",
 ]
 
 

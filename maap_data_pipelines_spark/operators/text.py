@@ -1607,3 +1607,81 @@ SELECT * FROM sel1
 """
 
 QUERY_SQL["retrieval_mmr_topk"] = RETRIEVAL_MMR_TOPK_SQL
+
+
+# -- vocabulary growth (Heaps' law read) ------------------------------------
+
+VOCAB_GROWTH_DECILES = 10
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """Vocabulary-vs-token growth curve in ingestion order (Heaps' law).
+
+    The corpus-composition monitor: natural text grows vocabulary like
+    V ~ k*T^b (b ~ 0.5) — a curve that suddenly flattens means incoming
+    data re-hashes what the corpus already had (crawl loop, template
+    flood), one that steepens means an encoding/tokenization break or a
+    genuinely new domain. Ingestion order = doc_id (the engine-wide
+    convention); the corpus is split into 10 equal doc_id deciles and
+    each term is attributed to the decile of its PIONEER (min doc_id) —
+    so per-decile new-term counts and the cumulative curve come from one
+    vocabulary-sized aggregate (never a per-checkpoint rescan; the
+    10-row cumulative window is over decile rows only).
+    """
+    from pyspark.sql.window import Window
+
+    d = VOCAB_GROWTH_DECILES
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    occ = docs.select("doc_id", word)
+    mx = docs.agg((F.max("doc_id") + 1).alias("n_ids"))
+    dec = F.least(
+        F.lit(d - 1), F.expr(f"(doc_id * {d}) div n_ids")
+    ).cast("long").alias("decile")
+    first = (
+        occ.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+        .join(F.broadcast(mx))
+        .select(dec)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_new_terms"))
+    )
+    toks = (
+        occ.join(F.broadcast(mx))
+        .select(dec)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        first.join(toks, "decile")
+        .withColumn("cum_vocab", F.sum("n_new_terms").over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+mx AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
+first AS (
+  SELECT LEAST({VOCAB_GROWTH_DECILES - 1},
+               (MIN(doc_id) * {VOCAB_GROWTH_DECILES}) // n_ids) AS decile
+  FROM occ, mx GROUP BY term, n_ids
+),
+firsts AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new_terms
+  FROM first GROUP BY decile
+),
+toks AS (
+  SELECT LEAST({VOCAB_GROWTH_DECILES - 1},
+               (doc_id * {VOCAB_GROWTH_DECILES}) // n_ids) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM occ, mx GROUP BY 1
+)
+SELECT decile, n_new_terms, n_tokens,
+       CAST(SUM(n_new_terms) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab,
+       CAST(SUM(n_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens
+FROM firsts JOIN toks USING (decile)
+"""
+
+QUERY_SQL["vocab_growth"] = VOCAB_GROWTH_SQL

@@ -76,6 +76,7 @@ QUERIES = {
     "dsir_auc": _wrap(curation.dsir_auc),
     "doc_ngram_novelty": _wrap(curation.doc_ngram_novelty),
     "packing_efficiency": _wrap(curation.packing_efficiency),
+    "vocab_growth": _wrap(text.vocab_growth),
 }
 
 ORACLES = dict(text.QUERY_SQL)

@@ -1518,9 +1518,55 @@ FROM hist CROSS JOIN tot
 """
 
 
+WESK_K = 100
+_WESK_U = 1_000_000
+
+
+def doc_weighted_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k length-weighted sample: A-ES priority sampling, no RNG.
+
+    The exact-size companion to :func:`doc_weighted_sample` (Bernoulli,
+    variable size): Efraimidis-Spirakis assigns each doc the priority
+    ln(u)/w (u uniform from the doc_id hash, w = n_chars) and keeps the
+    top k — a one-pass, mergeable, reshard-stable weighted sample whose
+    inclusion probabilities match sequential weighted draws. u comes
+    from the same md5 gate as every other sampler (reproducible under
+    retries/backfills); ln is the one transcendental, computed once and
+    rounded (the doc_perplexity float discipline) with doc_id breaking
+    ties. Top-k is orderBy+limit — TakeOrderedAndProject, the
+    distributed partial top-k, never a global sort.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    u = md5_long(F.concat(F.lit("wesk:"), F.col("doc_id").cast("string"))) % _WESK_U + 1
+    pri = F.round(
+        (F.log(u.cast("double")) - F.log(F.lit(float(_WESK_U)))) / F.col("n_chars"),
+        9,
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            u.alias("u_micro"), pri.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(WESK_K)
+    )
+
+
+WEIGHTED_SAMPLE_EXACT_K_SQL = f"""
+SELECT doc_id, source, n_chars,
+       ({md5_long_sql("'wesk:' || CAST(doc_id AS VARCHAR)")} % {_WESK_U} + 1) AS u_micro,
+       ROUND((LN(CAST(({md5_long_sql("'wesk:' || CAST(doc_id AS VARCHAR)")} % {_WESK_U} + 1) AS DOUBLE))
+              - LN({_WESK_U}.0)) / n_chars, 9) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id
+LIMIT {WESK_K}
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
+    "doc_weighted_sample_exact_k": doc_weighted_sample_exact_k,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -1576,4 +1622,5 @@ ORACLES = {
     "orders_lineitem_reconcile": RECONCILE_SQL,
     "orders_cohort_ltv": COHORT_LTV_SQL,
     "customer_k_anonymity": K_ANONYMITY_SQL,
+    "doc_weighted_sample_exact_k": WEIGHTED_SAMPLE_EXACT_K_SQL,
 }
