@@ -170,6 +170,9 @@ HEADLINE = [
     "customer_k_anonymity",
     "doc_weighted_sample_exact_k",
     "vocab_growth",
+    "events_forecast_holt",
+    "events_changepoint",
+    "customer_pareto_frontier",
 ]
 
 

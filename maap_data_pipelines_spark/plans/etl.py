@@ -1563,10 +1563,104 @@ LIMIT {WESK_K}
 """
 
 
+SKYLINE_BUCKET_CENTS = 100_000_00  # 100k-dollar value-range buckets
+
+
+def customer_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of customers on (total spend, order count).
+
+    The multi-objective shortlist query: a customer is ON the frontier
+    iff nobody both spends at least as much AND orders at least as often
+    with one strict — the classic SKYLINE operator relational engines
+    lack. The naive form is a quadratic dominance self-join; the 2-D
+    scale shape is a SORTED PREFIX MAX, and the global sort it implies
+    is avoided with the doc_surrogate_keys value-range-bucket pattern:
+
+      1. per-customer exact aggregates (one map-side-combined groupBy);
+      2. per-(bucket, total) max order count — bucket = total div 100k$,
+         so the cross-bucket cumulative max is a window over BUCKET rows
+         only, and the within-bucket prefix max partitions by bucket
+         (frame bounded by distinct totals per bucket, never by
+         customer count);
+      3. dominated iff a strictly-richer total's max count >= mine, or
+         my own total group's max count > mine.
+
+    Every comparison is exact int64 (cents), so the frontier is
+    reshard-stable; the oracle is the brute NOT EXISTS dominance join —
+    parity re-proves the bucketed prefix-max decomposition.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    per_total = per_cust.groupBy("total_cents").agg(
+        F.max("n_orders").alias("total_max_n")
+    ).withColumn("bucket", F.expr(f"total_cents div {SKYLINE_BUCKET_CENTS}"))
+    # cross-bucket: max count per bucket -> cumulative max over STRICTLY
+    # richer buckets (window over bucket rows only)
+    per_bucket = per_total.groupBy("bucket").agg(
+        F.max("total_max_n").alias("bucket_max_n")
+    )
+    wb = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    higher_bucket = per_bucket.withColumn(
+        "higher_bucket_max_n", F.max("bucket_max_n").over(wb)
+    ).select("bucket", "higher_bucket_max_n")
+    # within-bucket: prefix max over strictly greater totals
+    ww = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("total_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strict = (
+        per_total.withColumn("within_strict_max_n", F.max("total_max_n").over(ww))
+        .join(higher_bucket, "bucket", "left")
+        .select(
+            "total_cents",
+            "total_max_n",
+            F.greatest(
+                F.coalesce("within_strict_max_n", F.lit(-1).cast("long")),
+                F.coalesce("higher_bucket_max_n", F.lit(-1).cast("long")),
+            ).alias("strict_max_n"),
+        )
+    )
+    return (
+        per_cust.join(strict, "total_cents")
+        .filter(
+            ~(
+                (F.col("strict_max_n") >= F.col("n_orders"))
+                | (F.col("total_max_n") > F.col("n_orders"))
+            )
+        )
+        .select("c_custkey", "total_cents", "n_orders")
+    )
+
+
+PARETO_FRONTIER_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT a.c_custkey, a.total_cents, a.n_orders
+FROM per_cust a
+WHERE NOT EXISTS (
+  SELECT 1 FROM per_cust b
+  WHERE b.total_cents >= a.total_cents AND b.n_orders >= a.n_orders
+    AND (b.total_cents > a.total_cents OR b.n_orders > a.n_orders)
+)
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
     "doc_weighted_sample_exact_k": doc_weighted_sample_exact_k,
+    "customer_pareto_frontier": customer_pareto_frontier,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -1623,4 +1717,5 @@ ORACLES = {
     "orders_cohort_ltv": COHORT_LTV_SQL,
     "customer_k_anonymity": K_ANONYMITY_SQL,
     "doc_weighted_sample_exact_k": WEIGHTED_SAMPLE_EXACT_K_SQL,
+    "customer_pareto_frontier": PARETO_FRONTIER_SQL,
 }

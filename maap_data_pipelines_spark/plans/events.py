@@ -1077,6 +1077,181 @@ def _cms_sql() -> str:
 CMS_TOPK_SQL = _cms_sql()
 
 
+_DAY_US = 86400 * 1_000_000
+HOLT_DEN = 4  # alpha = beta = 1/4, kept rational
+
+
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing of daily counts + next-day forecast.
+
+    The forecasting rung above orders_revenue_ewma's single smoother:
+    TWO coupled sequential recurrences (level and trend), which no
+    window frame can express — each output depends on both previous
+    OUTPUTS. Both run inside one ``aggregate`` fold per type over the
+    sort_array-assembled day series (bounded by days-per-type, never by
+    event count):
+
+        l_t = floor((x_t + 3*(l_{t-1} + b_{t-1})) / 4)
+        b_t = floor(((l_t - l_{t-1}) + 3*b_{t-1}) / 4)
+
+    floor(x/4.0) (not ``div``) because the trend goes NEGATIVE on
+    declining series and truncation vs floor differ below zero — the
+    documented cross-engine hazard. The oracle is a recursive CTE
+    stepping identical rules. Output rides the fitted series with the
+    one-step-ahead forecast (level + trend) per row; the last row's
+    forecast_next IS tomorrow's prediction.
+    """
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        (F.col("ts_us") - F.col("ts_us") % _DAY_US).alias("day_us"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day_us", "n"))).alias("ds")
+    )
+    prev_lt = "(element_at(acc, -1).level + element_at(acc, -1).trend)"
+    new_level = (
+        f"CAST(FLOOR((d.n + 3 * {prev_lt}) / 4.0D) AS BIGINT)"
+    )
+    fold = (
+        "aggregate(ds,"
+        " CAST(array() AS array<struct<day_us: bigint, n: bigint,"
+        " level: bigint, trend: bigint>>),"
+        " (acc, d) -> array_append(acc, named_struct("
+        "   'day_us', d.day_us, 'n', d.n,"
+        f"  'level', CASE WHEN size(acc) = 0 THEN d.n ELSE {new_level} END,"
+        "   'trend', CASE WHEN size(acc) = 0 THEN CAST(0 AS BIGINT)"
+        f"     ELSE CAST(FLOOR((({new_level} - element_at(acc, -1).level)"
+        "            + 3 * element_at(acc, -1).trend) / 4.0D) AS BIGINT)"
+        " END)))"
+    )
+    return (
+        series.select("event_type", F.explode(F.expr(fold)).alias("r"))
+        .select(
+            "event_type",
+            F.col("r.day_us").alias("day_us"),
+            F.col("r.n").alias("n_events"),
+            F.col("r.level").alias("level"),
+            F.col("r.trend").alias("trend"),
+            (F.col("r.level") + F.col("r.trend")).alias("forecast_next"),
+        )
+    )
+
+
+FORECAST_HOLT_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+daily AS (
+  SELECT event_type,
+         CAST(ts_us - ts_us % {_DAY_US} AS BIGINT) AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, day_us, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day_us) AS rn
+  FROM daily
+),
+holt AS (
+  SELECT event_type, day_us, n, rn, n AS level, CAST(0 AS BIGINT) AS trend
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day_us, s.n, s.rn,
+         CAST(FLOOR((s.n + 3 * (h.level + h.trend)) / 4.0) AS BIGINT) AS level,
+         CAST(FLOOR(((CAST(FLOOR((s.n + 3 * (h.level + h.trend)) / 4.0) AS BIGINT)
+                      - h.level) + 3 * h.trend) / 4.0) AS BIGINT) AS trend
+  FROM holt h JOIN seq s
+    ON s.event_type = h.event_type AND s.rn = h.rn + 1
+)
+SELECT event_type, day_us, n AS n_events, level, trend,
+       CAST(level + trend AS BIGINT) AS forecast_next
+FROM holt
+"""
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type over hourly counts.
+
+    The global-drift complement to events_burst_detection's local ratio
+    and events_hourly_anomaly's pointwise z-score: the cumulative sum of
+    deviations from the type's own mean peaks exactly where the series'
+    mean SHIFTS (Page's CUSUM). Deviations stay exact by scaling through
+    the hour count — cusum_h = sum_{{i<=h}} (n*c_i - total) — so the
+    argmax hour and the peak are int64, with (|peak| desc, hour asc)
+    deterministic tie-breaks. One hourly rollup (map-side combined) +
+    one per-type cumulative window (partitioned by type, frame bounded
+    by hours-per-type) + a 1-row-per-type rank pick.
+    """
+    ev = read_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("c").alias("total")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        hourly.join(stats, "event_type")
+        .withColumn(
+            "cusum", F.sum(F.col("n_hours") * F.col("c") - F.col("total")).over(w)
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), "hour_us"
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("total").alias("total_events"),
+            F.col("hour_us").alias("change_hour_us"),
+            F.col("cusum").alias("cusum_peak_scaled"),
+            F.when(F.col("cusum") > 0, F.lit(1))
+            .when(F.col("cusum") < 0, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("direction"),
+        )
+    )
+
+
+CHANGEPOINT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+hourly AS (
+  SELECT event_type,
+         CAST(ts_us - ts_us % {3600 * 1_000_000} AS BIGINT) AS hour_us,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS total
+  FROM hourly GROUP BY 1
+),
+cusum AS (
+  SELECT h.event_type, h.hour_us, s.n_hours, s.total,
+         CAST(SUM(s.n_hours * h.c - s.total)
+              OVER (PARTITION BY h.event_type ORDER BY h.hour_us) AS BIGINT) AS cusum
+  FROM hourly h JOIN stats s USING (event_type)
+)
+SELECT event_type, n_hours, total AS total_events,
+       hour_us AS change_hour_us, cusum AS cusum_peak_scaled,
+       CAST(CASE WHEN cusum > 0 THEN 1 WHEN cusum < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
+FROM cusum
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ABS(cusum) DESC, hour_us) = 1
+"""
+
+
 def events_segment_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact audience-overlap lattice: users per event-type combination.
 
@@ -1560,6 +1735,8 @@ QUERIES = {
     "events_retention_triangle": events_retention_triangle,
     "events_quantile_sketch": events_quantile_sketch,
     "events_cms_topk": events_cms_topk,
+    "events_forecast_holt": events_forecast_holt,
+    "events_changepoint": events_changepoint,
 }
 
 ORACLES = {
@@ -1595,4 +1772,6 @@ ORACLES = {
     # count-min: md5-slice hashes make the sketch table AND the estimates
     # reproduce bit-for-bit in SQL — full value parity, not a verdict
     "events_cms_topk": CMS_TOPK_SQL,
+    "events_forecast_holt": FORECAST_HOLT_SQL,
+    "events_changepoint": CHANGEPOINT_SQL,
 }
