@@ -173,6 +173,7 @@ HEADLINE = [
     "events_forecast_holt",
     "events_changepoint",
     "customer_pareto_frontier",
+    "dedup_pair_diffstats",
 ]
 
 

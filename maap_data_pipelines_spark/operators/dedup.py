@@ -1275,3 +1275,51 @@ FROM core
 DEDUP_KCORE_SQL = _kcore_sql()
 
 QUERY_SQL["dedup_kcore"] = DEDUP_KCORE_SQL
+
+
+def dedup_pair_diffstats(docs: DataFrame) -> DataFrame:
+    """Review artifact for MinHash near-dup pairs: what ACTUALLY differs.
+
+    The human-in-the-loop read behind any dedup threshold decision:
+    for every candidate pair the exact character-level evidence —
+    levenshtein distance (JVM built-in, candidate pairs only — never
+    corpus-quadratic; per-pair cost bounded by document length squared),
+    length delta, and the edit share of the longer doc in integer
+    micro-units. A pair with high est_jaccard but a large edit share is
+    a shingle-collision false positive; low edit share at modest jaccard
+    is a near-copy the threshold missed — the two failure modes a
+    threshold audit looks for, now one table.
+    """
+    pairs = dedup_minhash_lsh(docs)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.length("text_a").cast("long").alias("len_a"),
+            F.length("text_b").cast("long").alias("len_b"),
+            F.levenshtein("text_a", "text_b").cast("long").alias("lev_dist"),
+        )
+        .withColumn(
+            "edit_share_micro",
+            F.expr("(lev_dist * 1000000) div greatest(len_a, len_b)"),
+        )
+    )
+
+
+DEDUP_PAIR_DIFFSTATS_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_SQL})
+SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       CAST(length(a.text) AS BIGINT) AS len_a,
+       CAST(length(b.text) AS BIGINT) AS len_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev_dist,
+       CAST((levenshtein(a.text, b.text) * 1000000)
+            // GREATEST(length(a.text), length(b.text)) AS BIGINT) AS edit_share_micro
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+"""

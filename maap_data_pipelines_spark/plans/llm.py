@@ -438,6 +438,7 @@ QUERIES = {
         read_table(spark, sf_dir, "documents"),
     ),
     "curation_yield_report": curation_yield_report,
+    "dedup_pair_diffstats": _doc_plan(dedup.dedup_pair_diffstats),
 }
 
 ORACLES = {
@@ -450,4 +451,5 @@ ORACLES = {
     "doc_embedding_outliers": DOC_EMBEDDING_OUTLIERS_SQL,
     "corpus_curation_extended": _curation_extended_sql(),
     "curation_yield_report": _curation_yield_sql(),
+    "dedup_pair_diffstats": dedup.DEDUP_PAIR_DIFFSTATS_SQL,
 }
