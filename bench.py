@@ -174,6 +174,7 @@ HEADLINE = [
     "events_changepoint",
     "customer_pareto_frontier",
     "dedup_pair_diffstats",
+    "referential_integrity_census",
 ]
 
 

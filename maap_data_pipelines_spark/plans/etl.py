@@ -1656,11 +1656,84 @@ WHERE NOT EXISTS (
 """
 
 
+_RI_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def referential_integrity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan census over EVERY foreign-key edge of the star schema.
+
+    The whole-warehouse generalization of orders_dq_expectations' single
+    RI check: one row per FK edge with child row count, distinct child
+    keys, orphan rows (no matching parent) and orphan share in integer
+    micro-units. Each edge costs one distinct-key anti-join against the
+    parent's key column (never a row-level join — the child side
+    aggregates to its key set first, so the join input is key-distinct),
+    then orphan ROWS are recovered by joining counts back. The union of
+    five 1-row frames is the census a nightly DQ gate asserts against.
+    """
+    out = None
+    for child, ck, parent, pk in _RI_EDGES:
+        c = read_table(spark, sf_dir, child)
+        p = read_table(spark, sf_dir, parent)
+        keys = c.groupBy(F.col(ck).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+        orphans = keys.join(
+            p.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+        )
+        row = keys.agg(
+            F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+            F.sum("n").alias("n_child_rows"),
+            F.count(F.lit(1)).alias("n_child_keys"),
+        ).crossJoin(
+            F.broadcast(
+                orphans.agg(
+                    F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_orphan_rows"),
+                    F.count(F.lit(1)).alias("n_orphan_keys"),
+                )
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.withColumn(
+        "orphan_share_micro",
+        F.expr("(n_orphan_rows * 1000000) div n_child_rows"),
+    )
+
+
+def _ri_census_sql() -> str:
+    parts = []
+    for child, ck, parent, pk in _RI_EDGES:
+        parts.append(f"""
+SELECT '{child}.{ck}->{parent}.{pk}' AS fk_edge,
+       CAST(SUM(n) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+       CAST(COALESCE(SUM(CASE WHEN orphan THEN n END), 0) AS BIGINT) AS n_orphan_rows,
+       CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+       CAST((COALESCE(SUM(CASE WHEN orphan THEN n END), 0) * 1000000)
+            // SUM(n) AS BIGINT) AS orphan_share_micro
+FROM (
+  SELECT c.{ck} AS k, COUNT(*) AS n,
+         MAX(p.{pk}) IS NULL AS orphan
+  FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+    ON p.{pk} = c.{ck}
+  GROUP BY c.{ck}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+RI_CENSUS_SQL = _ri_census_sql()
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
     "doc_weighted_sample_exact_k": doc_weighted_sample_exact_k,
     "customer_pareto_frontier": customer_pareto_frontier,
+    "referential_integrity_census": referential_integrity_census,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -1718,4 +1791,5 @@ ORACLES = {
     "customer_k_anonymity": K_ANONYMITY_SQL,
     "doc_weighted_sample_exact_k": WEIGHTED_SAMPLE_EXACT_K_SQL,
     "customer_pareto_frontier": PARETO_FRONTIER_SQL,
+    "referential_integrity_census": RI_CENSUS_SQL,
 }
