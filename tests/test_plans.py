@@ -144,6 +144,14 @@ _BNLJ_ALLOWED = {
     "dedup_kcore",
     # 1-row cluster-count broadcast crossed into the (cid, term) scores
     "cluster_topics",
+    # 1-row corpus-totals broadcasts crossed into per-group shares
+    # (the single-row-stats class: bm25/dsir/fisher above)
+    "curation_yield_report",
+    "customer_k_anonymity",
+    "vocab_growth",
+    # five 1-row per-edge summary frames, each crossing its 1-row orphan
+    # aggregate before the union
+    "referential_integrity_census",
 }
 
 
