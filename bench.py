@@ -175,6 +175,7 @@ HEADLINE = [
     "customer_pareto_frontier",
     "dedup_pair_diffstats",
     "referential_integrity_census",
+    "ann_ivf_nprobe_curve",
 ]
 
 

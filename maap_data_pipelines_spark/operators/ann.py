@@ -1013,3 +1013,94 @@ def ann_matryoshka_recall(emb: DataFrame) -> DataFrame:
 
 QUERY_SQL["ann_matryoshka_topk"] = ANN_MRL_TOPK_SQL
 QUERY_SQL["ann_matryoshka_recall"] = _recall_sql(ANN_MRL_TOPK_SQL)
+
+
+NPROBE_CURVE = (1, 2, 4)
+
+
+def ann_ivf_nprobe_curve(emb: DataFrame) -> DataFrame:
+    """The IVF tuning curve: recall@5 AND candidate volume per nprobe.
+
+    The single-point recall monitors (ann_ivf_recall / _recall2) answer
+    "is the index healthy"; THIS answers "where should the dial sit" —
+    one row per nprobe in {1, 2, 4} with the mean recall (exact
+    rational: total hits * 1e6 div (queries * 5)) and the exact number
+    of candidates scored (sum of probed-cell sizes minus the Q
+    self-pairs) — the price axis the recall axis trades against.
+    Composes the oracled recall operator unchanged per point; candidate
+    volume is one probed-cells-to-cell-sizes equi-join per point, so
+    the curve costs ~|curve| recall queries, never a new scoring path.
+    """
+    cents = ivf_centroids(emb)
+    assign = ivf_assign(emb, cents).select("vec_id", "cell")
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    out = None
+    for np_ in NPROBE_CURVE:
+        rec = ann_ivf_recall(emb, nprobe=np_)
+        agg = rec.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_hits").alias("n_hits_total"),
+        )
+        probes = ivf_assign(
+            emb.filter(F.col("vec_id") < N_QUERIES), cents, k_cells=np_
+        ).select("vec_id", "cell")
+        cand = probes.join(sizes, "cell").agg(
+            (F.sum("n") - F.count_distinct("vec_id")).alias("n_candidates")
+        )
+        row = (
+            agg.crossJoin(F.broadcast(cand))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_queries",
+                "n_hits_total",
+                F.expr(
+                    f"(n_hits_total * 1000000) div (n_queries * {IVF_TOPK})"
+                ).alias("recall_mean_micro"),
+                "n_candidates",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _nprobe_curve_block(np_: int) -> str:
+    return f"""
+SELECT CAST({np_} AS BIGINT) AS nprobe,
+       CAST(r.n_queries AS BIGINT) AS n_queries,
+       CAST(r.n_hits_total AS BIGINT) AS n_hits_total,
+       CAST((r.n_hits_total * 1000000) // (r.n_queries * {IVF_TOPK}) AS BIGINT)
+         AS recall_mean_micro,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates
+FROM (
+  SELECT COUNT(*) AS n_queries, SUM(n_hits) AS n_hits_total
+  FROM ({_recall_sql(_ivf_sql(np_))})
+) r
+CROSS JOIN (
+  WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings WHERE vec_id < {IVF_K}
+  ),
+  scored AS (
+    SELECT e.vec_id, c.centroid_id,
+           ROUND({cosine_sql('e.embedding', 'c.cemb')}, 6) AS ccos
+    FROM embeddings e CROSS JOIN cents c
+  ),
+  assigned AS (
+    SELECT vec_id, centroid_id AS cell FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) = 1
+  ),
+  cellsizes AS (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY 1),
+  probes AS (
+    SELECT vec_id, centroid_id AS cell FROM scored WHERE vec_id < {N_QUERIES}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) <= {np_}
+  )
+  SELECT SUM(cs.n) - COUNT(DISTINCT p.vec_id) AS n_candidates
+  FROM probes p JOIN cellsizes cs USING (cell)
+) c
+"""
+
+
+ANN_IVF_NPROBE_CURVE_SQL = "\nUNION ALL\n".join(
+    _nprobe_curve_block(np_) for np_ in NPROBE_CURVE
+)
+
+QUERY_SQL["ann_ivf_nprobe_curve"] = ANN_IVF_NPROBE_CURVE_SQL

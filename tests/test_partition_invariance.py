@@ -31,6 +31,14 @@ KEYS = [
     "retrieval_mmr_topk",
     "embedding_kmeans",
     "cluster_topics",
+    # r6 second-half additions: bucketed prefix-max (THE
+    # partitioning-sensitive shape), sequential folds, window+rank picks
+    "customer_pareto_frontier",
+    "events_forecast_holt",
+    "events_changepoint",
+    "doc_weighted_sample_exact_k",
+    "referential_integrity_census",
+    "dedup_pair_diffstats",
 ]
 
 

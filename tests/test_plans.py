@@ -152,6 +152,10 @@ _BNLJ_ALLOWED = {
     # five 1-row per-edge summary frames, each crossing its 1-row orphan
     # aggregate before the union
     "referential_integrity_census",
+    # three recall points, each inheriting the K-centroid broadcast
+    # cross (the allow-listed ann_ivf_topk shape) + a 1-row candidate
+    # total cross per point
+    "ann_ivf_nprobe_curve",
 }
 
 
