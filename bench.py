@@ -176,6 +176,7 @@ HEADLINE = [
     "dedup_pair_diffstats",
     "referential_integrity_census",
     "ann_ivf_nprobe_curve",
+    "media_phash_clusters",
 ]
 
 

@@ -476,3 +476,45 @@ SELECT md5(text) AS payload_md5,
 FROM media
 GROUP BY 1, 2
 """
+
+
+def media_phash_clusters(media: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over the perceptual-hash pair graph.
+
+    Completes the multimodal dedup story the way dedup_clusters
+    completes the text one: pairwise near-dup verdicts
+    (:func:`media_phash_dedup`) answer "are these two the same image";
+    the component labels answer "how many distinct images do I actually
+    have, and which uploads are copies of which canonical" — min-doc_id
+    labeling via the same pointer-jumping CC (O(log diameter) rounds),
+    so re-encoded families collapse to one canonical id regardless of
+    how the pairwise edges happened to land.
+    """
+    from .dedup import connected_components
+
+    edges = media_phash_dedup(media).select("doc_a", "doc_b")
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels, _ = connected_components(und, max_iter=max_iter)
+    return labels
+
+
+MEDIA_PHASH_CLUSTERS_SQL = f"""
+WITH pairs_full AS ({MEDIA_PHASH_DEDUP_SQL}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs_full
+  UNION
+  SELECT doc_b, doc_a FROM pairs_full
+),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT u.a, r.lab FROM und u JOIN r ON r.node = u.b
+  )
+  SELECT node, lab FROM r
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id
+FROM reach GROUP BY node
+"""

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
     MEDIA_DEDUP_EXACT_SQL,
+    MEDIA_PHASH_CLUSTERS_SQL,
     MEDIA_PHASH_DEDUP_SQL,
+    media_phash_clusters as op_media_phash_clusters,
     media_dedup_exact as op_media_dedup_exact,
     media_phash_dedup,
     AUDIO_HOP_BYTES,
@@ -166,6 +168,11 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_dedup(make_media_df(docs))
 
 
+def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return op_media_phash_clusters(make_media_df(docs))
+
+
 def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return op_media_dedup_exact(make_media_df(docs))
@@ -181,6 +188,7 @@ QUERIES = {
     # r4 addition: placed in registry._DEFERRED so the in-flight driver
     # window (which this module feeds) is not displaced
     "media_dedup_exact": media_dedup_exact,
+    "media_phash_clusters": media_phash_clusters,
 }
 
 ORACLES = {
@@ -191,4 +199,5 @@ ORACLES = {
     "media_audio_windows": MEDIA_AUDIO_WINDOWS_SQL,
     "media_phash_dedup": MEDIA_PHASH_DEDUP_SQL,
     "media_dedup_exact": MEDIA_DEDUP_EXACT_SQL,
+    "media_phash_clusters": MEDIA_PHASH_CLUSTERS_SQL,
 }
