@@ -177,6 +177,8 @@ HEADLINE = [
     "referential_integrity_census",
     "ann_ivf_nprobe_curve",
     "media_phash_clusters",
+    "supplier_return_sla",
+    "orders_gap_distribution",
 ]
 
 

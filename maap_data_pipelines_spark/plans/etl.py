@@ -1728,12 +1728,127 @@ FROM (
 RI_CENSUS_SQL = _ri_census_sql()
 
 
+def supplier_return_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier return rate with a Wilson 95% interval — SLA with
+    UNCERTAINTY, not just a point rate.
+
+    Ranking suppliers by raw return rate punishes small samples (one
+    return in three lines reads 33%); the Wilson score interval keeps
+    the comparison honest — the LOWER bound is the defensible "at least
+    this bad" number an SLA review sorts by. z = 2 kept rational, the
+    whole interval rationalized over n: (k + 2 +- 2*sqrt(k(n-k)/n + 1))
+    / (n + 4) — exact integer counts into one division chain + one sqrt
+    + ROUND 6 per bound (IEEE ops both engines compute bit-identically;
+    the z-score-anomaly float discipline). One scan, supplier-sized
+    output.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returned"),
+    )
+    root = F.sqrt(
+        F.col("n_returned") * (F.col("n_lines") - F.col("n_returned"))
+        / F.col("n_lines")
+        + F.lit(1.0)
+    )
+    return agg.select(
+        "suppkey",
+        "n_lines",
+        "n_returned",
+        F.round(F.col("n_returned") / F.col("n_lines"), 6).alias("return_rate"),
+        F.round((F.col("n_returned") + 2 - 2 * root) / (F.col("n_lines") + 4), 6).alias(
+            "wilson_low"
+        ),
+        F.round((F.col("n_returned") + 2 + 2 * root) / (F.col("n_lines") + 4), 6).alias(
+            "wilson_high"
+        ),
+    )
+
+
+SUPPLIER_RETURN_SLA_SQL = """
+WITH agg AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+  FROM lineitem GROUP BY 1
+)
+SELECT suppkey, n_lines, n_returned,
+       ROUND(n_returned / n_lines, 6) AS return_rate,
+       ROUND((n_returned + 2 - 2 * sqrt(n_returned * (n_lines - n_returned) / n_lines + 1.0))
+             / (n_lines + 4), 6) AS wilson_low,
+       ROUND((n_returned + 2 + 2 * sqrt(n_returned * (n_lines - n_returned) / n_lines + 1.0))
+             / (n_lines + 4), 6) AS wilson_high
+FROM agg
+"""
+
+
+def orders_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap histogram: how long until a customer reorders.
+
+    The recency/churn read behind every retention model: consecutive
+    order gaps per customer (lag over the customer's own timeline —
+    one shuffle on the natural key), bucketed into power-of-two day
+    bands via bit length (no float log2, the doc_length_histogram
+    trick), with exact counts and integer-micro shares. Same-day repeat
+    orders land in bucket 0. Output bounded by ~11 bands at any scale.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("long").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    bucketed = gaps.select(
+        F.when(F.col("gap_days") <= 0, F.lit(0).cast("long"))
+        .otherwise(F.length(F.conv(F.col("gap_days").cast("string"), 10, 2)).cast("long"))
+        .alias("gap_bucket")
+    )
+    hist = bucketed.groupBy("gap_bucket").agg(F.count(F.lit(1)).alias("n_gaps"))
+    tot = hist.agg(F.sum("n_gaps").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "gap_bucket",
+            "n_gaps",
+            F.expr("(n_gaps * 1000000) div t").alias("share_micro"),
+        )
+    )
+
+
+ORDERS_GAP_SQL = """
+WITH gaps AS (
+  SELECT datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+),
+b AS (
+  SELECT CASE WHEN gap_days <= 0 THEN 0
+              ELSE CAST(length(bin(gap_days)) AS BIGINT) END AS gap_bucket
+  FROM gaps WHERE gap_days IS NOT NULL
+),
+hist AS (SELECT gap_bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps FROM b GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS t FROM hist)
+SELECT gap_bucket, n_gaps,
+       CAST((n_gaps * 1000000) // t AS BIGINT) AS share_micro
+FROM hist CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
     "doc_weighted_sample_exact_k": doc_weighted_sample_exact_k,
     "customer_pareto_frontier": customer_pareto_frontier,
     "referential_integrity_census": referential_integrity_census,
+    "supplier_return_sla": supplier_return_sla,
+    "orders_gap_distribution": orders_gap_distribution,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -1792,4 +1907,6 @@ ORACLES = {
     "doc_weighted_sample_exact_k": WEIGHTED_SAMPLE_EXACT_K_SQL,
     "customer_pareto_frontier": PARETO_FRONTIER_SQL,
     "referential_integrity_census": RI_CENSUS_SQL,
+    "supplier_return_sla": SUPPLIER_RETURN_SLA_SQL,
+    "orders_gap_distribution": ORDERS_GAP_SQL,
 }
