@@ -179,6 +179,7 @@ HEADLINE = [
     "media_phash_clusters",
     "supplier_return_sla",
     "orders_gap_distribution",
+    "embedding_intrinsic_dim",
 ]
 
 

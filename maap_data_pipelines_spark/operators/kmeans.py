@@ -1099,3 +1099,96 @@ QUALIFY rnk <= {TOPIC_TOPK}
 """
 
 QUERY_SQL["cluster_topics"] = CLUSTER_TOPICS_SQL
+
+
+def embedding_intrinsic_dim(emb: DataFrame) -> DataFrame:
+    """TWO-NN intrinsic-dimension estimate of the embedding manifold.
+
+    Facco et al. (2017): for each point the ratio mu = r2/r1 of its two
+    nearest-neighbor distances is (under local uniformity) Pareto with
+    shape = the INTRINSIC dimension — the manifold dimension the data
+    actually occupies, regardless of the 64 ambient dims. The MLE is
+    d = n / sum ln(mu_i); with squared integer distances that is
+    2n / sum(ln d2 - ln d1). The read before choosing index parameters:
+    quantizers, LSH plane counts and recall targets all scale with
+    INTRINSIC, not ambient, dimension.
+
+    Engine parity: each per-point term is quantized to an int64 micro
+    value (one ROUND of a double both engines compute identically), so
+    the cross-partition SUM is exact integer arithmetic — no float
+    association order anywhere. Eval slice bounded (vec_id <
+    KNN_EVAL_N), exact 2-NN via the documented eval-bounded brute scan
+    (linear in corpus, constant in eval size); zero-distance duplicates
+    excluded (they carry no ratio information).
+    """
+    from pyspark.sql.window import Window
+
+    from .pq import _l2_udf  # deferred: pq imports this module
+
+    q = emb.select("vec_id", quantize_udf(F.col("embedding")).alias("qv")).localCheckpoint()
+    ev = q.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"), F.col("qv").alias("qq")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(ev))
+        .filter(F.col("vec_id") != F.col("eval_id"))
+        .select("eval_id", "vec_id", _l2_udf(F.col("qv"), F.col("qq")).alias("dist"))
+        .filter(F.col("dist") > 0)
+    )
+    w = Window.partitionBy("eval_id").orderBy("dist", "vec_id")
+    two = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 2)
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nn"),
+            F.min("dist").alias("d1"),
+            F.max("dist").alias("d2"),
+        )
+        .filter(F.col("n_nn") == 2)
+    )
+    terms = two.select(
+        F.round((F.log(F.col("d2")) - F.log(F.col("d1"))) * 1_000_000)
+        .cast("long")
+        .alias("term_micro")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("term_micro").alias("sum_ln_ratio_micro"),
+    ).select(
+        "n_points",
+        "sum_ln_ratio_micro",
+        F.round(
+            2.0 * F.col("n_points") * 1_000_000 / F.col("sum_ln_ratio_micro"), 3
+        ).alias("intrinsic_dim"),
+    )
+
+
+INTRINSIC_DIM_SQL = f"""
+WITH q AS MATERIALIZED ({_qv_sql()}),
+ev AS (SELECT vec_id AS eval_id, qv AS qq FROM q WHERE vec_id < {KNN_EVAL_N}),
+scored AS (
+  SELECT e.eval_id, c.vec_id, {_dist_sql('c.qv', 'e.qq')} AS dist
+  FROM q c CROSS JOIN ev e
+  WHERE c.vec_id <> e.eval_id AND {_dist_sql('c.qv', 'e.qq')} > 0
+),
+two AS (
+  SELECT eval_id, COUNT(*) AS n_nn, MIN(dist) AS d1, MAX(dist) AS d2
+  FROM (
+    SELECT eval_id, vec_id, dist,
+           row_number() OVER (PARTITION BY eval_id ORDER BY dist, vec_id) AS r
+    FROM scored
+  ) WHERE r <= 2
+  GROUP BY eval_id
+  HAVING COUNT(*) = 2
+),
+terms AS (
+  SELECT CAST(ROUND((LN(d2) - LN(d1)) * 1000000) AS BIGINT) AS term_micro FROM two
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(term_micro) AS BIGINT) AS sum_ln_ratio_micro,
+       ROUND(2.0 * COUNT(*) * 1000000 / SUM(term_micro), 3) AS intrinsic_dim
+FROM terms
+"""
+
+QUERY_SQL["embedding_intrinsic_dim"] = INTRINSIC_DIM_SQL

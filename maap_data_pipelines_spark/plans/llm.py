@@ -440,6 +440,7 @@ QUERIES = {
     "curation_yield_report": curation_yield_report,
     "dedup_pair_diffstats": _doc_plan(dedup.dedup_pair_diffstats),
     "ann_ivf_nprobe_curve": _emb_plan(ann.ann_ivf_nprobe_curve),
+    "embedding_intrinsic_dim": _emb_plan(kmeans.embedding_intrinsic_dim),
 }
 
 ORACLES = {
