@@ -180,6 +180,7 @@ HEADLINE = [
     "supplier_return_sla",
     "orders_gap_distribution",
     "embedding_intrinsic_dim",
+    "events_bot_detection",
 ]
 
 

@@ -1252,6 +1252,78 @@ QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ABS(cusum) DESC, hou
 """
 
 
+BOT_MIN_EVENTS = 20
+BOT_CV_MICRO_MAX = 250_000  # flag: gap coefficient-of-variation < 0.25
+
+
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timing-regularity bot signal: users whose inter-event gaps are
+    suspiciously UNIFORM.
+
+    Humans are bursty (gap CV near or above 1, the exponential-arrival
+    signature); schedulers and replay scripts tick (CV near 0). Per
+    user with >= BOT_MIN_EVENTS events: exact gap count, mean gap, and
+    the coefficient of variation in integer micro-units via the
+    all-integer variance algebra (n*sum(g^2) - (sum g)^2 under one
+    sqrt — the z-score discipline; gaps are epoch-us int64s, no float
+    accumulation anywhere). ``bot_flag`` = CV below 0.25. One
+    user-partitioned lag pass + one aggregate; output bounded by user
+    count, flag threshold is the tunable.
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # gaps in whole SECONDS: epoch-us gaps squared overflow int64
+    # (a day is 8.6e10 us; squared is 7e21) — seconds keep n*sum(g^2)
+    # inside int64 headroom at any realistic per-user history
+    gaps = (
+        ev.select(
+            "user_id",
+            F.expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) div 1000000").alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+    ).filter((F.col("n_gaps") >= BOT_MIN_EVENTS - 1) & (F.col("sg") > 0))
+    # cv = sd/mean = sqrt(n*sg2 - sg^2) / sg  (exact ints under the sqrt)
+    cv_micro = F.round(
+        F.sqrt((F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double"))
+        / F.col("sg") * 1_000_000
+    ).cast("long")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.expr("sg div n_gaps").alias("mean_gap_s"),
+        cv_micro.alias("cv_micro"),
+    ).withColumn("bot_flag", F.col("cv_micro") < BOT_CV_MICRO_MAX)
+
+
+BOT_DETECTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+gaps AS (
+  SELECT user_id,
+         (ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) // 1000000 AS g
+  FROM ev
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g * g) AS BIGINT) AS sg2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(*) >= {BOT_MIN_EVENTS - 1} AND SUM(g) > 0
+)
+SELECT user_id, n_gaps,
+       CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+       CAST(ROUND(sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / sg * 1000000) AS BIGINT) AS cv_micro,
+       CAST(ROUND(sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)) / sg * 1000000) AS BIGINT) < {BOT_CV_MICRO_MAX} AS bot_flag
+FROM agg
+"""
+
+
 def events_segment_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact audience-overlap lattice: users per event-type combination.
 
@@ -1737,6 +1809,7 @@ QUERIES = {
     "events_cms_topk": events_cms_topk,
     "events_forecast_holt": events_forecast_holt,
     "events_changepoint": events_changepoint,
+    "events_bot_detection": events_bot_detection,
 }
 
 ORACLES = {
@@ -1774,4 +1847,5 @@ ORACLES = {
     "events_cms_topk": CMS_TOPK_SQL,
     "events_forecast_holt": FORECAST_HOLT_SQL,
     "events_changepoint": CHANGEPOINT_SQL,
+    "events_bot_detection": BOT_DETECTION_SQL,
 }
