@@ -156,6 +156,11 @@ _BNLJ_ALLOWED = {
     # cross (the allow-listed ann_ivf_topk shape) + a 1-row candidate
     # total cross per point
     "ann_ivf_nprobe_curve",
+    # 1-row gap-total broadcast crossed into the ~11 band rows
+    "orders_gap_distribution",
+    # eval-slice broadcast cross (the documented ann_cosine_topk /
+    # embedding_knn_accuracy eval-bounded brute class)
+    "embedding_intrinsic_dim",
 }
 
 
