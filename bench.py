@@ -181,6 +181,7 @@ HEADLINE = [
     "orders_gap_distribution",
     "embedding_intrinsic_dim",
     "events_bot_detection",
+    "customer_revenue_lorenz",
 ]
 
 

@@ -1841,6 +1841,75 @@ FROM hist CROSS JOIN tot
 """
 
 
+LORENZ_BUCKET_CENTS = 50_000_00  # 50k-dollar value bands
+
+
+def customer_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue: the inequality read behind
+    "top X% of customers drive Y% of revenue".
+
+    revenue_concentration reports the top-K share; the Lorenz curve is
+    the FULL inequality profile (its integral is the Gini). The global
+    sort a textbook Lorenz implies is avoided by value-banding customer
+    totals (the skyline/doc_surrogate_keys pattern): per 50k$-band
+    customer counts and revenue, then cumulative sums over BAND rows
+    only (window frame bounded by band count, never customer count).
+    Output per band: exact counts/cents plus cumulative population and
+    revenue shares in integer micro-units — the curve points a
+    dashboard plots and a trapezoid-Gini integrates, reshard-stable.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    bands = per_cust.groupBy(
+        F.expr(f"cents div {LORENZ_BUCKET_CENTS}").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    tot = bands.agg(
+        F.sum("n_customers").alias("tc"), F.sum("revenue_cents").alias("tr")
+    )
+    return (
+        bands.withColumn("cum_customers", F.sum("n_customers").over(w))
+        .withColumn("cum_revenue", F.sum("revenue_cents").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_customers",
+            "revenue_cents",
+            F.expr("(cum_customers * 1000000) div tc").alias("cum_pop_micro"),
+            F.expr("(cum_revenue * 1000000) div tr").alias("cum_rev_micro"),
+        )
+    )
+
+
+CUSTOMER_LORENZ_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+bands AS (
+  SELECT cents // {LORENZ_BUCKET_CENTS} AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM per_cust GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_customers) AS BIGINT) AS tc,
+         CAST(SUM(revenue_cents) AS BIGINT) AS tr
+  FROM bands
+)
+SELECT band, n_customers, revenue_cents,
+       CAST((SUM(n_customers) OVER (ORDER BY band) * 1000000) // tc AS BIGINT) AS cum_pop_micro,
+       CAST((SUM(revenue_cents) OVER (ORDER BY band) * 1000000) // tr AS BIGINT) AS cum_rev_micro
+FROM bands CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
@@ -1849,6 +1918,7 @@ QUERIES = {
     "referential_integrity_census": referential_integrity_census,
     "supplier_return_sla": supplier_return_sla,
     "orders_gap_distribution": orders_gap_distribution,
+    "customer_revenue_lorenz": customer_revenue_lorenz,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -1909,4 +1979,5 @@ ORACLES = {
     "referential_integrity_census": RI_CENSUS_SQL,
     "supplier_return_sla": SUPPLIER_RETURN_SLA_SQL,
     "orders_gap_distribution": ORDERS_GAP_SQL,
+    "customer_revenue_lorenz": CUSTOMER_LORENZ_SQL,
 }

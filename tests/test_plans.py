@@ -158,6 +158,8 @@ _BNLJ_ALLOWED = {
     "ann_ivf_nprobe_curve",
     # 1-row gap-total broadcast crossed into the ~11 band rows
     "orders_gap_distribution",
+    # 1-row population/revenue totals crossed into the band rows
+    "customer_revenue_lorenz",
     # eval-slice broadcast cross (the documented ann_cosine_topk /
     # embedding_knn_accuracy eval-bounded brute class)
     "embedding_intrinsic_dim",
