@@ -399,3 +399,97 @@ def streaming_cms_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_gap_stats(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+):
+    """Per-user inter-event gap statistics maintained across micro-batches.
+
+    The streaming state behind the batch bot-detection read
+    (plans/events.events_bot_detection): per user the additive
+    sufficient statistics (n_gaps, sum g, sum g^2, in whole seconds)
+    plus last_ts_us to bridge the gap that CROSSES a batch boundary.
+    Each batch computes its internal gaps with one user-partitioned lag
+    pass, adds the boundary gap against the persisted last_ts, and
+    merge_upserts the combined rows — state is one row per user, work
+    per batch is batch-bounded plus the table rewrite. With in-ts-order
+    delivery the final stats equal the batch computation exactly
+    (pinned); exactly-once via the namespaced applied-batch-id guard
+    (additive state must skip replays).
+    """
+    from pyspark.sql.window import Window
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("gap_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        ev = batch_df.select(
+            "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        gaps = ev.withColumn(
+            "g", F.expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) div 1000000")
+        )
+        internal = gaps.groupBy("user_id").agg(
+            F.sum(F.col("g").isNotNull().cast("long")).alias("n_b"),
+            F.coalesce(F.sum("g"), F.lit(0).cast("long")).alias("sg_b"),
+            F.coalesce(F.sum(F.col("g") * F.col("g")), F.lit(0).cast("long")).alias("sg2_b"),
+            F.min("ts_us").alias("first_ts"),
+            F.max("ts_us").alias("last_ts_b"),
+        )
+        if table.latest_version() is not None:
+            prior = table.read(spark).select(
+                "user_id",
+                F.col("n_gaps").alias("n_p"),
+                F.col("sg").alias("sg_p"),
+                F.col("sg2").alias("sg2_p"),
+                F.col("last_ts_us").alias("last_p"),
+            )
+        else:
+            prior = spark.createDataFrame(
+                [], "user_id long, n_p long, sg_p long, sg2_p long, last_p long"
+            )
+        j = internal.join(prior, "user_id", "left")
+        bg = F.expr("(first_ts - last_p) div 1000000")  # boundary gap (s)
+        has_prior = F.col("last_p").isNotNull()
+        merged = j.select(
+            "user_id",
+            (
+                F.coalesce("n_p", F.lit(0).cast("long"))
+                + F.col("n_b")
+                + has_prior.cast("long")
+            ).alias("n_gaps"),
+            (
+                F.coalesce("sg_p", F.lit(0).cast("long"))
+                + F.col("sg_b")
+                + F.when(has_prior, bg).otherwise(F.lit(0).cast("long"))
+            ).alias("sg"),
+            (
+                F.coalesce("sg2_p", F.lit(0).cast("long"))
+                + F.col("sg2_b")
+                + F.when(has_prior, bg * bg).otherwise(F.lit(0).cast("long"))
+            ).alias("sg2"),
+            F.col("last_ts_b").alias("last_ts_us"),
+        )
+        # the guard rides the SAME commit as the data (one transaction:
+        # applied-batch-id and merged rows become visible atomically)
+        table.merge_upsert(merged, key="user_id", meta={"gap_batch_id": batch_id})
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

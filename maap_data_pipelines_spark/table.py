@@ -169,7 +169,11 @@ class VersionedTable:
         return self._publish([new_dir], meta=self.latest_meta())
 
     def merge_upsert(
-        self, updates: DataFrame, key: str, delete_col: str | None = None
+        self,
+        updates: DataFrame,
+        key: str,
+        delete_col: str | None = None,
+        meta: dict | None = None,
     ) -> int:
         """MERGE: upsert rows by key (and optionally delete), new version.
 
@@ -195,7 +199,7 @@ class VersionedTable:
                 deletes if deletes is not None else upd.select(key).limit(0)
             )
             merged = base.join(replaced, key, "left_anti").unionByName(upd)
-        return self.commit(merged, mode="overwrite")
+        return self.commit(merged, mode="overwrite", meta=meta)
 
     def merge_aggregate(
         self,

@@ -1054,3 +1054,68 @@ def test_streaming_cms_merge_matches_batch(spark, tmp_path):
     ).awaitTermination(120)
     got2 = {(r.d, r.bucket): r.c for r in t.read(spark).collect()}
     assert got2 == want  # replayed ids skipped, no double counting
+
+
+def test_streaming_gap_stats_matches_batch(spark, tmp_path):
+    """Per-user gap sufficient statistics maintained across micro-batches
+    (boundary gaps bridged via persisted last_ts) must equal the one-shot
+    batch lag computation exactly; a replayed batch id is skipped by the
+    guard riding the same commit as the data."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from maap_data_pipelines_spark.streaming.rollup import streaming_gap_stats
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    src = tmp_path / "gaps_in"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00",
+         "user_id": i % 3, "event_type": "view", "value": 1.0, "props": "{}"}
+        for i in range(90)
+    ]
+    # ts-ordered micro-batches (the equivalence precondition), pinned mtimes
+    import os, time as _t
+    base = _t.time() - 600
+    for i, chunk in enumerate((rows[:30], rows[30:60], rows[60:])):
+        p = src / f"{i:02d}.json"
+        _write_events(p, chunk)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    t = VersionedTable(str(tmp_path / "gap_state"))
+    ckpt = str(tmp_path / "gap_ckpt")
+    streaming_gap_stats(spark, str(src), t, ckpt).awaitTermination(120)
+    got = {
+        r.user_id: (r.n_gaps, r.sg, r.sg2) for r in t.read(spark).collect()
+    }
+
+    ev = spark.read.schema(
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).json(str(src)).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    g = ev.withColumn(
+        "g",
+        F.expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) div 1000000"),
+    ).filter(F.col("g").isNotNull())
+    want = {
+        r.user_id: (r.n, r.sg, r.sg2)
+        for r in g.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sg2"),
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+
+    # full replay: guard skips every already-applied batch id
+    shutil.rmtree(ckpt)
+    streaming_gap_stats(spark, str(src), t, ckpt).awaitTermination(120)
+    got2 = {
+        r.user_id: (r.n_gaps, r.sg, r.sg2) for r in t.read(spark).collect()
+    }
+    assert got2 == want  # no double counting
