@@ -182,6 +182,8 @@ HEADLINE = [
     "embedding_intrinsic_dim",
     "events_bot_detection",
     "customer_revenue_lorenz",
+    "lineitem_benford",
+    "orders_duplicate_payments",
 ]
 
 

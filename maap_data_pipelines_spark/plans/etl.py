@@ -1910,6 +1910,138 @@ FROM bands CROSS JOIN tot
 """
 
 
+# log10(1 + 1/d) in integer micro-units; the nine entries sum to exactly
+# 1_000_000, so shares and expectations live on the same scale.
+BENFORD_MICRO = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]
+BENFORD_TOL_MICRO = 10_000  # flag digits off by >1 percentage point
+
+
+def lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over line-item amounts.
+
+    The forensic-accounting screen: fabricated or re-keyed monetary
+    columns drift from the log-uniform leading-digit distribution real
+    multiplicative data follows. One hash-agg to 9 digit rows (leading
+    digit read off the integer-cents string — no float log10), then the
+    observed integer-micro share vs the literal Benford expectation and
+    a tolerance flag. Synthetic TPC-H prices are near-uniform, so the
+    flags FIRE here — the report is the capability, not a clean bill.
+    Output is 9 rows at any scale; the 1-row total cross is broadcast.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    obs = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+        )
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp = spark.createDataFrame(BENFORD_MICRO, "digit long, expected_micro long")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(exp), "digit")
+        .withColumn("share_micro", F.expr("(n * 1000000) div t"))
+        .select(
+            "digit",
+            "n",
+            "share_micro",
+            "expected_micro",
+            (F.col("share_micro") - F.col("expected_micro")).alias("dev_micro"),
+            (
+                F.abs(F.col("share_micro") - F.col("expected_micro"))
+                > F.lit(BENFORD_TOL_MICRO)
+            ).alias("suspect"),
+        )
+    )
+
+
+BENFORD_SQL = f"""
+WITH obs AS (
+  SELECT CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs),
+exp(digit, expected_micro) AS (
+  VALUES {', '.join(f'({d}, {m})' for d, m in BENFORD_MICRO)}
+)
+SELECT obs.digit, n,
+       (n * 1000000) // t AS share_micro,
+       CAST(expected_micro AS BIGINT) AS expected_micro,
+       (n * 1000000) // t - expected_micro AS dev_micro,
+       ABS((n * 1000000) // t - expected_micro) > {BENFORD_TOL_MICRO} AS suspect
+FROM obs JOIN exp USING (digit) CROSS JOIN tot
+"""
+
+
+DUP_PAYMENT_WINDOW_DAYS = 30
+
+
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment candidates: same customer, same amount, close
+    in time.
+
+    The accounts-payable audit classic. Candidate pairs come from the
+    (customer, exact cents) natural key — a hash-agg grain whose group
+    sizes are bounded by orders-per-customer-per-amount, never by SF —
+    then CONSECUTIVE orders inside each group are paired via lag and
+    kept when ≤30 days apart. No self-join, no quadratic blowup: chains
+    of k same-amount orders emit k-1 pair rows. Ties on date are broken
+    by orderkey so replays are deterministic.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey", "cents").orderBy("o_orderdate", "o_orderkey")
+    pairs = keyed.select(
+        "o_custkey",
+        "cents",
+        F.lag("o_orderkey").over(w).alias("first_orderkey"),
+        F.col("o_orderkey").alias("second_orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_apart"),
+    )
+    return pairs.filter(
+        F.col("days_apart").isNotNull()
+        & (F.col("days_apart") <= DUP_PAYMENT_WINDOW_DAYS)
+    )
+
+
+DUP_PAYMENTS_SQL = f"""
+WITH keyed AS (
+  SELECT o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate, o_orderkey
+  FROM orders
+),
+pairs AS (
+  SELECT o_custkey, cents,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey, cents ORDER BY o_orderdate, o_orderkey) AS first_orderkey,
+         o_orderkey AS second_orderkey,
+         datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey, cents ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS days_apart
+  FROM keyed
+)
+SELECT o_custkey, cents, first_orderkey, second_orderkey, days_apart
+FROM pairs
+WHERE days_apart IS NOT NULL AND days_apart <= {DUP_PAYMENT_WINDOW_DAYS}
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
@@ -1919,6 +2051,8 @@ QUERIES = {
     "supplier_return_sla": supplier_return_sla,
     "orders_gap_distribution": orders_gap_distribution,
     "customer_revenue_lorenz": customer_revenue_lorenz,
+    "lineitem_benford": lineitem_benford,
+    "orders_duplicate_payments": orders_duplicate_payments,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -1980,4 +2114,6 @@ ORACLES = {
     "supplier_return_sla": SUPPLIER_RETURN_SLA_SQL,
     "orders_gap_distribution": ORDERS_GAP_SQL,
     "customer_revenue_lorenz": CUSTOMER_LORENZ_SQL,
+    "lineitem_benford": BENFORD_SQL,
+    "orders_duplicate_payments": DUP_PAYMENTS_SQL,
 }

@@ -160,6 +160,8 @@ _BNLJ_ALLOWED = {
     "orders_gap_distribution",
     # 1-row population/revenue totals crossed into the band rows
     "customer_revenue_lorenz",
+    # 1-row digit-total broadcast crossed into the 9 digit rows
+    "lineitem_benford",
     # eval-slice broadcast cross (the documented ann_cosine_topk /
     # embedding_knn_accuracy eval-bounded brute class)
     "embedding_intrinsic_dim",
