@@ -184,6 +184,7 @@ HEADLINE = [
     "customer_revenue_lorenz",
     "lineitem_benford",
     "orders_duplicate_payments",
+    "customer_survival",
 ]
 
 

@@ -2042,6 +2042,106 @@ WHERE days_apart IS NOT NULL AND days_apart <= {DUP_PAYMENT_WINDOW_DAYS}
 """
 
 
+def customer_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier at-risk table over customer reorder gaps.
+
+    Survival analysis with right-censoring — the statistically honest
+    churn read (a naive "average gap" ignores customers who simply
+    haven't reordered YET). Subjects are reorder spells: every
+    consecutive order pair is an observed event at its gap, and each
+    customer's last order is a censored spell ending at the dataset
+    horizon (max order date). Weekly bands bound the output (~400 rows
+    at any scale): per band the classic KM columns — n_risk via a
+    REVERSE cumulative sum over band rows (no separate total needed),
+    integer-micro hazard d/n, and the log-survival curve as a
+    cumulative sum of per-band micro ln(1 - d/n) terms (integer sums,
+    no float association order; the intrinsic_dim ln idiom). A band
+    where everyone at risk exits (only ever the last) has no finite
+    log-survival — its term is NULL and both engines' SUM skips it.
+    All windows run over BAND rows only; the horizon is a 1-row
+    broadcast cross (Q11 shape).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("md"))
+    spells = seq.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNull(), F.datediff(F.col("md"), F.col("o_orderdate"))
+        )
+        .otherwise(F.datediff(F.col("nxt"), F.col("o_orderdate")))
+        .cast("long")
+        .alias("days"),
+        F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
+    )
+    bands = spells.groupBy(F.expr("days div 7").alias("t_week")).agg(
+        F.sum("ev").alias("n_event"),
+        F.sum(F.lit(1) - F.col("ev")).alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.col("t_week").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy("t_week").rowsBetween(Window.unboundedPreceding, 0)
+    risk = bands.withColumn(
+        "n_risk", F.sum(F.col("n_event") + F.col("n_censored")).over(w_desc)
+    )
+    term = (
+        F.when(F.col("n_event") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("n_event") < F.col("n_risk"),
+            F.round(
+                F.log(F.expr("(n_risk - n_event) / n_risk")) * 1_000_000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return risk.select(
+        "t_week",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.expr("(n_event * 1000000) div n_risk").alias("hazard_micro"),
+        F.sum(term).over(w_asc).alias("km_log_micro"),
+    )
+
+
+CUSTOMER_SURVIVAL_SQL = """
+WITH horizon AS (SELECT MAX(o_orderdate) AS md FROM orders),
+seq AS (
+  SELECT o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+),
+spells AS (
+  SELECT CASE WHEN nxt IS NULL THEN datediff('day', o_orderdate, md)
+              ELSE datediff('day', o_orderdate, nxt) END AS days,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+  FROM seq CROSS JOIN horizon
+),
+bands AS (
+  SELECT days // 7 AS t_week,
+         CAST(SUM(ev) AS BIGINT) AS n_event,
+         CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+  FROM spells GROUP BY 1
+),
+risk AS (
+  SELECT t_week, n_event, n_censored,
+         CAST(SUM(n_event + n_censored) OVER (ORDER BY t_week DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+  FROM bands
+)
+SELECT t_week, n_risk, n_event, n_censored,
+       (n_event * 1000000) // n_risk AS hazard_micro,
+       CAST(SUM(CASE WHEN n_event = 0 THEN 0
+                     WHEN n_event < n_risk THEN CAST(ROUND(LN((n_risk - n_event) / n_risk) * 1000000) AS BIGINT)
+                     ELSE NULL END)
+            OVER (ORDER BY t_week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS km_log_micro
+FROM risk
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
@@ -2053,6 +2153,7 @@ QUERIES = {
     "customer_revenue_lorenz": customer_revenue_lorenz,
     "lineitem_benford": lineitem_benford,
     "orders_duplicate_payments": orders_duplicate_payments,
+    "customer_survival": customer_survival,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -2116,4 +2217,5 @@ ORACLES = {
     "customer_revenue_lorenz": CUSTOMER_LORENZ_SQL,
     "lineitem_benford": BENFORD_SQL,
     "orders_duplicate_payments": DUP_PAYMENTS_SQL,
+    "customer_survival": CUSTOMER_SURVIVAL_SQL,
 }

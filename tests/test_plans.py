@@ -162,6 +162,8 @@ _BNLJ_ALLOWED = {
     "customer_revenue_lorenz",
     # 1-row digit-total broadcast crossed into the 9 digit rows
     "lineitem_benford",
+    # 1-row horizon (max order date) broadcast cross (Q11 shape)
+    "customer_survival",
     # eval-slice broadcast cross (the documented ann_cosine_topk /
     # embedding_knn_accuracy eval-bounded brute class)
     "embedding_intrinsic_dim",
