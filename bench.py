@@ -185,6 +185,7 @@ HEADLINE = [
     "lineitem_benford",
     "orders_duplicate_payments",
     "customer_survival",
+    "doc_zipf_fit",
 ]
 
 

@@ -1685,3 +1685,88 @@ FROM firsts JOIN toks USING (decile)
 """
 
 QUERY_SQL["vocab_growth"] = VOCAB_GROWTH_SQL
+
+
+ZIPF_TOP_TERMS = 1000
+
+
+def doc_zipf_fit(docs: DataFrame) -> DataFrame:
+    """Zipf's-law rank-frequency fit over the corpus vocabulary.
+
+    The companion of ``vocab_growth``'s Heaps curve: natural language has
+    term frequency ~ C * rank^s with s near -1; a much flatter slope
+    means template/boilerplate flooding, a much steeper one a tiny
+    effective vocabulary. Fit = OLS of ln(freq) on ln(rank) over the top
+    1000 terms (TakeOrderedAndProject — no global vocab sort), with ln
+    values in integer MILLI-units so every OLS sum is exact int64
+    arithmetic (products stay < 2^63 at any corpus size); the slope's
+    single division is the shared floor(double/) idiom (slope is
+    negative, so no `div`). Output: one row — point count, exact sums,
+    slope numerator/denominator, slope_milli.
+    """
+    from pyspark.sql.window import Window
+
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    counts = (
+        docs.select(word)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(ZIPF_TOP_TERMS)
+    )
+    w = Window.orderBy(F.desc("n"), "term")
+    pts = counts.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        F.round(F.log(F.col("rnk")) * 1000).cast("long").alias("x"),
+        F.round(F.log(F.col("n")) * 1000).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "n_terms",
+        F.col("sx").alias("sum_x_milli"),
+        F.col("sy").alias("sum_y_milli"),
+        (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+        F.expr(
+            "CAST(FLOOR(CAST((n_terms * sxy - sx * sy) * 1000 AS DOUBLE)"
+            " / (n_terms * sxx - sx * sx)) AS BIGINT)"
+        ).alias("slope_milli"),
+    )
+
+
+DOC_ZIPF_SQL = f"""
+WITH c AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY term
+  ORDER BY n DESC, term LIMIT {ZIPF_TOP_TERMS}
+),
+pts AS (
+  SELECT CAST(ROUND(LN(row_number() OVER (ORDER BY n DESC, term)) * 1000) AS BIGINT) AS x,
+         CAST(ROUND(LN(n) * 1000) AS BIGINT) AS y
+  FROM counts
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n_terms, sx AS sum_x_milli, sy AS sum_y_milli,
+       n_terms * sxy - sx * sy AS slope_num,
+       n_terms * sxx - sx * sx AS slope_den,
+       CAST(FLOOR(((n_terms * sxy - sx * sy) * 1000)::DOUBLE / (n_terms * sxx - sx * sx)) AS BIGINT) AS slope_milli
+FROM s
+"""
+
+QUERY_SQL["doc_zipf_fit"] = DOC_ZIPF_SQL

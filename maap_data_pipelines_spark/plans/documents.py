@@ -77,6 +77,7 @@ QUERIES = {
     "doc_ngram_novelty": _wrap(curation.doc_ngram_novelty),
     "packing_efficiency": _wrap(curation.packing_efficiency),
     "vocab_growth": _wrap(text.vocab_growth),
+    "doc_zipf_fit": _wrap(text.doc_zipf_fit),
 }
 
 ORACLES = dict(text.QUERY_SQL)
