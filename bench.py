@@ -186,6 +186,7 @@ HEADLINE = [
     "orders_duplicate_payments",
     "customer_survival",
     "doc_zipf_fit",
+    "embedding_silhouette",
 ]
 
 

@@ -1192,3 +1192,104 @@ FROM terms
 """
 
 QUERY_SQL["embedding_intrinsic_dim"] = INTRINSIC_DIM_SQL
+
+
+def _assign2_udf(cents: list[tuple[int, list[int]]]):
+    """Assignment UDF that also returns the SECOND-nearest distance.
+
+    Same closure shape as ``_assign_udf`` (K x 64 int64 centroids ship
+    inside the UDF — no crossJoin, no shuffle); a stable argsort over
+    the per-row distance vector yields the best and runner-up with ties
+    broken to the lowest cid (centroid rows are cid-sorted), matching
+    the oracle's ``ORDER BY dist, cid``.
+    """
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.int64)
+
+    @pandas_udf("cid long, dist long, dist2 long")
+    def _a(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame(
+                {"cid": [], "dist": [], "dist2": []}, dtype="int64"
+            )
+        A = np.vstack(qv.to_numpy()).astype(np.int64)
+        d = A[:, None, :] - C[None, :, :]
+        dist = (d * d).sum(axis=2)
+        order = np.argsort(dist, axis=1, kind="stable")
+        rows = np.arange(len(A))
+        best, second = order[:, 0], order[:, 1]
+        return pd.DataFrame(
+            {
+                "cid": cids[best],
+                "dist": dist[rows, best],
+                "dist2": dist[rows, second],
+            }
+        )
+
+    return _a.asNondeterministic()
+
+
+def embedding_silhouette(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Centroid-silhouette cluster-quality report per k-means cluster.
+
+    The clustering-quality meter the kmeans/semantic-dedup stack was
+    missing: for each vector, a = squared distance to its OWN final
+    centroid, b = squared distance to the nearest OTHER centroid;
+    s = (b - a) / b in integer milli-units (a is the minimum so s is in
+    [0, 1000]; milli — not micro — keeps (b-a)*1000 inside int64 for
+    64-dim micro-unit distances). Per cluster: member count, exact
+    milli-sum and mean. Low mean = clusters blur together (semantic
+    dedup's candidate structure is weak); the same map-pass shape as
+    assignment — one UDF pass + one K-row hash-agg, no extra shuffle.
+    """
+    q, cents = _lloyd_centroids(emb, k=k, iters=iters)
+    a = _assign2_udf(cents)
+    scored = q.select(a(F.col("qv")).alias("ad")).select(
+        F.col("ad.cid").alias("cid"),
+        F.col("ad.dist").alias("a2"),
+        F.col("ad.dist2").alias("b2"),
+    )
+    s = scored.select(
+        "cid",
+        F.when(F.col("b2") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("((b2 - a2) * 1000) div b2"))
+        .alias("s_milli"),
+    )
+    return s.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("s_milli").alias("sum_s_milli"),
+        F.expr("CAST(SUM(s_milli) AS BIGINT) div COUNT(*)").alias("mean_s_milli"),
+    )
+
+
+EMBEDDING_SILHOUETTE_SQL = f"""
+{_kmeans_ctes()},
+two AS MATERIALIZED (
+  SELECT vec_id, cid, dist, r FROM (
+    SELECT e.vec_id, c.cid, {_dist_sql('e.qv', 'c.cv')} AS dist,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dist_sql('e.qv', 'c.cv')} ASC, c.cid) AS r
+    FROM qemb e CROSS JOIN c{KM_ITERS} c
+  ) WHERE r <= 2
+),
+pv AS (
+  SELECT vec_id,
+         MAX(CASE WHEN r = 1 THEN cid END) AS cid,
+         MAX(CASE WHEN r = 1 THEN dist END) AS a2,
+         MAX(CASE WHEN r = 2 THEN dist END) AS b2
+  FROM two GROUP BY vec_id
+),
+s AS (
+  SELECT cid,
+         CASE WHEN b2 = 0 THEN 0 ELSE ((b2 - a2) * 1000) // b2 END AS s_milli
+  FROM pv
+)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(s_milli) AS BIGINT) AS sum_s_milli,
+       CAST(SUM(s_milli) AS BIGINT) // COUNT(*) AS mean_s_milli
+FROM s GROUP BY cid
+"""
+
+QUERY_SQL["embedding_silhouette"] = EMBEDDING_SILHOUETTE_SQL

@@ -441,6 +441,7 @@ QUERIES = {
     "dedup_pair_diffstats": _doc_plan(dedup.dedup_pair_diffstats),
     "ann_ivf_nprobe_curve": _emb_plan(ann.ann_ivf_nprobe_curve),
     "embedding_intrinsic_dim": _emb_plan(kmeans.embedding_intrinsic_dim),
+    "embedding_silhouette": _emb_plan(kmeans.embedding_silhouette),
 }
 
 ORACLES = {
