@@ -187,6 +187,7 @@ HEADLINE = [
     "customer_survival",
     "doc_zipf_fit",
     "embedding_silhouette",
+    "dedup_source_modularity",
 ]
 
 

@@ -1323,3 +1323,106 @@ FROM pairs p
 JOIN documents a ON a.doc_id = p.doc_a
 JOIN documents b ON b.doc_id = p.doc_b
 """
+
+
+def dedup_source_modularity(docs: DataFrame) -> DataFrame:
+    """Modularity of the SOURCE partition over the near-dup pair graph.
+
+    The syndication/mirror detector: if near-duplicates concentrate
+    WITHIN sources, dedup can shard by source; if edge mass crosses
+    source boundaries (low or negative q_term for big-degree sources),
+    the corpus has mirrored/syndicated content and per-source dedup
+    would miss it. Per source s over the MinHash candidate graph:
+    e_intra (both endpoints in s), d_sum (degree mass), and the Newman
+    modularity term e_s/m - (d_s/2m)^2 in integer micro-units — the
+    degree share is quantized to milli FIRST and squared (milli^2 =
+    micro), keeping every product inside int64 at any edge count.
+    Same df-bounded edge construction as dedup_clusters; the edge
+    pipeline is checkpointed so it runs once, and m is a 1-row
+    broadcast cross.
+    """
+    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint()
+    src = docs.select("doc_id", "source")
+    lab = (
+        edges.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+    )
+    m = lab.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        lab.filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count(F.lit(1)).alias("e_intra"))
+    )
+    ends = lab.select(
+        F.col("src_a").alias("source"), F.col("doc_a").alias("doc_id")
+    ).unionAll(
+        lab.select(F.col("src_b").alias("source"), F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("source").agg(
+        F.count(F.lit(1)).alias("d_sum"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        deg.join(intra, "source", "left")
+        .withColumn("e_intra", F.coalesce(F.col("e_intra"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(m))
+        .withColumn("intra_micro", F.expr("(e_intra * 1000000) div m"))
+        .withColumn("share_milli", F.expr("(d_sum * 1000) div (2 * m)"))
+        .select(
+            "source",
+            "n_docs",
+            "e_intra",
+            "d_sum",
+            "intra_micro",
+            (F.col("share_milli") * F.col("share_milli")).alias("expected_micro"),
+            (
+                F.col("intra_micro")
+                - F.col("share_milli") * F.col("share_milli")
+            ).alias("q_term_micro"),
+        )
+    )
+
+
+DEDUP_SOURCE_MODULARITY_SQL = f"""
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})),
+lab AS MATERIALIZED (
+  SELECT p.doc_a, p.doc_b, sa.source AS src_a, sb.source AS src_b
+  FROM pairs p
+  JOIN documents sa ON sa.doc_id = p.doc_a
+  JOIN documents sb ON sb.doc_id = p.doc_b
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+intra AS (
+  SELECT src_a AS source, CAST(COUNT(*) AS BIGINT) AS e_intra
+  FROM lab WHERE src_a = src_b GROUP BY 1
+),
+ends AS (
+  SELECT src_a AS source, doc_a AS doc_id FROM lab
+  UNION ALL
+  SELECT src_b, doc_b FROM lab
+),
+deg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS d_sum,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ends GROUP BY 1
+)
+SELECT d.source, d.n_docs,
+       COALESCE(i.e_intra, CAST(0 AS BIGINT)) AS e_intra, d.d_sum,
+       (COALESCE(i.e_intra, CAST(0 AS BIGINT)) * 1000000) // m AS intra_micro,
+       ((d.d_sum * 1000) // (2 * m)) * ((d.d_sum * 1000) // (2 * m)) AS expected_micro,
+       (COALESCE(i.e_intra, CAST(0 AS BIGINT)) * 1000000) // m
+         - ((d.d_sum * 1000) // (2 * m)) * ((d.d_sum * 1000) // (2 * m)) AS q_term_micro
+FROM deg d LEFT JOIN intra i USING (source) CROSS JOIN m
+"""
+
+QUERY_SQL["dedup_source_modularity"] = DEDUP_SOURCE_MODULARITY_SQL

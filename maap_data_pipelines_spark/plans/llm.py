@@ -385,6 +385,7 @@ QUERIES = {
     "dedup_simhash": _doc_plan(dedup.dedup_simhash),
     "ngram_jaccard": _doc_plan(dedup.ngram_jaccard),
     "dedup_clusters": _doc_plan(dedup.dedup_clusters),
+    "dedup_source_modularity": _doc_plan(dedup.dedup_source_modularity),
     "dedup_pagerank": _doc_plan(dedup.dedup_pagerank),
     "similar_docs_topk": _doc_plan(dedup.similar_docs_topk),
     "dedup_cluster_sizes": _doc_plan(dedup.dedup_cluster_sizes),

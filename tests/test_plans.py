@@ -164,6 +164,8 @@ _BNLJ_ALLOWED = {
     "lineitem_benford",
     # 1-row horizon (max order date) broadcast cross (Q11 shape)
     "customer_survival",
+    # 1-row edge-count broadcast crossed into per-source rows
+    "dedup_source_modularity",
     # eval-slice broadcast cross (the documented ann_cosine_topk /
     # embedding_knn_accuracy eval-bounded brute class)
     "embedding_intrinsic_dim",
