@@ -188,6 +188,7 @@ HEADLINE = [
     "doc_zipf_fit",
     "embedding_silhouette",
     "dedup_source_modularity",
+    "events_periodicity",
 ]
 
 

@@ -1779,6 +1779,73 @@ GROUP BY campaign_id
 """
 
 
+PERIODICITY_LAGS = (0, 1, 2, 3, 6, 12, 24, 48, 72, 168)
+
+
+def events_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocovariance profile of hourly event volume (seasonality scan).
+
+    The periodicity read behind Holt's level/trend and CUSUM's
+    changepoints: raw (uncentered) autocovariance of the hourly count
+    series at the lags that matter for product traffic (1-3 h, half/
+    full day, 2-3 days, 1 week). A daily rhythm shows as a ratio peak
+    at 24, a weekly one at 168. Exact integer arithmetic end-to-end:
+    acov_k = sum(x_h * x_{h+k}) over OBSERVED hour pairs (n_pairs
+    reports coverage; silent-gap hours pair with nothing rather than
+    fabricating zeros), ratio in milli-units against acov_0. The series
+    frame is hour-bucketed FIRST (one map-side-combined agg to ~n_hours
+    rows), so the lag join and both tiny crosses (10 lag rows, 1-row
+    acov_0) run over bounded band rows, never raw events.
+    """
+    ev = read_events(spark, sf_dir)
+    hours = ev.groupBy(F.expr(f"ts_us div {_HOUR_US}").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in PERIODICITY_LAGS], "lag_h long"
+    )
+    shifted = hours.crossJoin(F.broadcast(lags)).select(
+        (F.col("h") + F.col("lag_h")).alias("h2"), "lag_h", F.col("x").alias("xa")
+    )
+    paired = shifted.join(
+        hours.select(F.col("h").alias("h2"), F.col("x").alias("xb")), "h2"
+    )
+    acov = paired.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("xa") * F.col("xb")).alias("acov"),
+    )
+    a0 = acov.filter(F.col("lag_h") == 0).select(F.col("acov").alias("a0"))
+    return acov.crossJoin(F.broadcast(a0)).select(
+        "lag_h",
+        "n_pairs",
+        "acov",
+        F.expr("(acov * 1000) div a0").alias("ratio_milli"),
+    )
+
+
+PERIODICITY_SQL = f"""
+WITH hours AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // {_HOUR_US} AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+lags(lag_h) AS (VALUES {', '.join(f'({k})' for k in PERIODICITY_LAGS)}),
+paired AS (
+  SELECT CAST(l.lag_h AS BIGINT) AS lag_h, a.x AS xa, b.x AS xb
+  FROM hours a CROSS JOIN lags l
+  JOIN hours b ON b.h = a.h + l.lag_h
+),
+acov AS (
+  SELECT lag_h, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(xa * xb) AS BIGINT) AS acov
+  FROM paired GROUP BY 1
+),
+a0 AS (SELECT acov AS a0 FROM acov WHERE lag_h = 0)
+SELECT lag_h, n_pairs, acov, (acov * 1000) // a0 AS ratio_milli
+FROM acov CROSS JOIN a0
+"""
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
@@ -1810,6 +1877,7 @@ QUERIES = {
     "events_forecast_holt": events_forecast_holt,
     "events_changepoint": events_changepoint,
     "events_bot_detection": events_bot_detection,
+    "events_periodicity": events_periodicity,
 }
 
 ORACLES = {
@@ -1848,4 +1916,5 @@ ORACLES = {
     "events_forecast_holt": FORECAST_HOLT_SQL,
     "events_changepoint": CHANGEPOINT_SQL,
     "events_bot_detection": BOT_DETECTION_SQL,
+    "events_periodicity": PERIODICITY_SQL,
 }
