@@ -189,6 +189,7 @@ HEADLINE = [
     "embedding_silhouette",
     "dedup_source_modularity",
     "events_periodicity",
+    "ann_filtered_topk",
 ]
 
 

@@ -1104,3 +1104,90 @@ ANN_IVF_NPROBE_CURVE_SQL = "\nUNION ALL\n".join(
 )
 
 QUERY_SQL["ann_ivf_nprobe_curve"] = ANN_IVF_NPROBE_CURVE_SQL
+
+
+FILTERED_TOPK = 5
+
+
+def ann_filtered_topk(emb: DataFrame) -> DataFrame:
+    """Filtered vector search: same-label top-5 + the post-filter deficit.
+
+    The vector-DB capability the plain top-k ops don't cover: search
+    restricted by a metadata predicate (here "same label as the query"
+    — search-within-category). PRE-filtering applies the predicate
+    before ranking, so the top-5 is always full; POST-filtering (rank
+    globally, then filter) silently under-fills — n_post_hits counts
+    how many of the UNfiltered top-10 carry the query's label, the
+    deficit that makes post-filtering wrong when the filter is
+    selective. Same eval-bounded brute shape as ann_cosine_topk (10
+    broadcast queries; the predicate prunes the candidate side BEFORE
+    ranking — at scale it composes with the IVF/LSH candidate
+    structure exactly like the recall monitors do).
+    """
+    from pyspark.sql.window import Window
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("ce"), "label")
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.round(cosine_cols("qe", "ce"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    pre = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= FILTERED_TOPK)
+        .select("query_id", "rnk", "vec_id", "cosine")
+    )
+    post = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOPK)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.col("label") == F.col("qlabel")).cast("long")
+            ).alias("n_post_hits")
+        )
+    )
+    return pre.join(post, "query_id")
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         ROUND({cosine_sql('qe', 'ce')}, 6) AS cosine
+  FROM (SELECT vec_id, embedding AS ce, label FROM embeddings) e
+  JOIN q ON e.vec_id <> q.query_id
+),
+pre AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored WHERE label = qlabel
+  QUALIFY rnk <= {FILTERED_TOPK}
+),
+post AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_post_hits
+  FROM (
+    SELECT query_id, qlabel, label,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS r
+    FROM scored
+  ) WHERE r <= {TOPK}
+  GROUP BY query_id
+)
+SELECT p.query_id, p.rnk, p.vec_id, p.cosine, n.n_post_hits
+FROM pre p JOIN post n USING (query_id)
+"""
+
+QUERY_SQL["ann_filtered_topk"] = ANN_FILTERED_TOPK_SQL

@@ -393,6 +393,7 @@ QUERIES = {
     "minhash_calibration": _doc_plan(dedup.minhash_calibration),
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),
+    "ann_filtered_topk": _emb_plan(ann.ann_filtered_topk),
     "semantic_decontaminate": _emb_plan(ann.semantic_decontaminate),
     "embedding_dedup": _emb_plan(ann.embedding_dedup),
     "embedding_dedup_lsh": _emb_plan(ann.embedding_dedup_lsh),

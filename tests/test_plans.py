@@ -168,6 +168,8 @@ _BNLJ_ALLOWED = {
     "dedup_source_modularity",
     # 10-row lag dimension + 1-row acov_0 broadcast crosses over hour rows
     "events_periodicity",
+    # eval-slice broadcast cross (the ann_cosine_topk brute class)
+    "ann_filtered_topk",
     # eval-slice broadcast cross (the documented ann_cosine_topk /
     # embedding_knn_accuracy eval-bounded brute class)
     "embedding_intrinsic_dim",
