@@ -1984,6 +1984,8 @@ FROM obs JOIN exp USING (digit) CROSS JOIN tot
 
 
 DUP_PAYMENT_WINDOW_DAYS = 30
+DUP_PAYMENT_TWIN_MOD = 41
+DUP_PAYMENT_TWIN_OFFSET = 1_000_000_000
 
 
 def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1997,14 +1999,30 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept when ≤30 days apart. No self-join, no quadratic blowup: chains
     of k same-amount orders emit k-1 pair rows. Ties on date are broken
     by orderkey so replays are deterministic.
+
+    TPC-H totalprice is near-unique per customer, so on pristine
+    synthetic data the detector correctly finds nothing; to make the
+    failure mode demonstrable a deterministic re-keyed twin (orderkey +
+    10⁹, posted 7 days later) is unioned in for every 41st order — the
+    dedup_containment excerpt-twin pattern. Every surfaced pair is one
+    of those injected double-posts.
     """
     orders = read_table(spark, sf_dir, "orders")
-    keyed = orders.select(
+    base = orders.select(
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderdate",
         "o_orderkey",
     )
+    twins = base.filter(
+        F.col("o_orderkey") % DUP_PAYMENT_TWIN_MOD == 0
+    ).select(
+        "o_custkey",
+        "cents",
+        F.date_add(F.col("o_orderdate"), 7).alias("o_orderdate"),
+        (F.col("o_orderkey") + DUP_PAYMENT_TWIN_OFFSET).alias("o_orderkey"),
+    )
+    keyed = base.unionAll(twins)
     w = Window.partitionBy("o_custkey", "cents").orderBy("o_orderdate", "o_orderkey")
     pairs = keyed.select(
         "o_custkey",
@@ -2022,11 +2040,19 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DUP_PAYMENTS_SQL = f"""
-WITH keyed AS (
+WITH base AS (
   SELECT o_custkey,
          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
          o_orderdate, o_orderkey
   FROM orders
+),
+keyed AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT o_custkey, cents,
+         o_orderdate + INTERVAL 7 DAY AS o_orderdate,
+         o_orderkey + {DUP_PAYMENT_TWIN_OFFSET} AS o_orderkey
+  FROM base WHERE o_orderkey % {DUP_PAYMENT_TWIN_MOD} = 0
 ),
 pairs AS (
   SELECT o_custkey, cents,
@@ -2142,6 +2168,97 @@ FROM risk
 """
 
 
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year Laspeyres / Paasche / Fisher price indices.
+
+    The econometric read on the fact table: did revenue move because
+    PRICES moved or because the BASKET moved? Per part-year the unit
+    price is quantized once to integer milli-cents (floor(cents*1000 /
+    qty) — exact int64); consecutive years join on the common part
+    basket and the four index sums (Σu₁q₀, Σu₀q₀, Σu₁q₁, Σu₀q₁) are
+    exact integer aggregates. Each index is ONE floor(double/) ratio in
+    micro-units and Fisher is the geometric mean — one sqrt + round of
+    a product that stays under 2^53. Two hash-aggs + one self-join on
+    (partkey): the shuffle grain is part-years, never line items. The
+    milli-unit sums are int64-exact to ~sf1000; beyond that shard the
+    basket (e.g. by brand) and Fisher-average the shards.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    py = (
+        li.groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"), "l_partkey"
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
+        .withColumn("u_milli", F.expr("(cents * 1000) div qty"))
+    )
+    prev = py.select(
+        (F.col("yr") + 1).alias("yr"),
+        "l_partkey",
+        F.col("u_milli").alias("u0"),
+        F.col("qty").alias("q0"),
+    )
+    cur = py.select(
+        "yr", "l_partkey", F.col("u_milli").alias("u1"), F.col("qty").alias("q1")
+    )
+    sums = (
+        cur.join(prev, ["yr", "l_partkey"])
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("u1") * F.col("q0")).alias("l_num"),
+            F.sum(F.col("u0") * F.col("q0")).alias("l_den"),
+            F.sum(F.col("u1") * F.col("q1")).alias("p_num"),
+            F.sum(F.col("u0") * F.col("q1")).alias("p_den"),
+        )
+    )
+    return sums.select(
+        "yr",
+        "n_parts",
+        F.expr(
+            "CAST(FLOOR(CAST(l_num AS DOUBLE) * 1000000 / l_den) AS BIGINT)"
+        ).alias("laspeyres_micro"),
+        F.expr(
+            "CAST(FLOOR(CAST(p_num AS DOUBLE) * 1000000 / p_den) AS BIGINT)"
+        ).alias("paasche_micro"),
+        F.expr(
+            "CAST(ROUND(SQRT(CAST(FLOOR(CAST(l_num AS DOUBLE) * 1000000 / l_den) AS DOUBLE)"
+            " * CAST(FLOOR(CAST(p_num AS DOUBLE) * 1000000 / p_den) AS DOUBLE))) AS BIGINT)"
+        ).alias("fisher_micro"),
+    )
+
+
+PRICE_INDEX_SQL = """
+WITH py AS (
+  SELECT year(l_shipdate) AS yr, l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+u AS (SELECT yr, l_partkey, (cents * 1000) // qty AS u_milli, qty FROM py),
+sums AS (
+  SELECT c.yr,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(c.u_milli * p.qty) AS BIGINT) AS l_num,
+         CAST(SUM(p.u_milli * p.qty) AS BIGINT) AS l_den,
+         CAST(SUM(c.u_milli * c.qty) AS BIGINT) AS p_num,
+         CAST(SUM(p.u_milli * c.qty) AS BIGINT) AS p_den
+  FROM u c JOIN u p ON p.l_partkey = c.l_partkey AND p.yr = c.yr - 1
+  GROUP BY 1
+)
+SELECT CAST(yr AS BIGINT) AS yr, n_parts,
+       CAST(FLOOR(l_num::DOUBLE * 1000000 / l_den) AS BIGINT) AS laspeyres_micro,
+       CAST(FLOOR(p_num::DOUBLE * 1000000 / p_den) AS BIGINT) AS paasche_micro,
+       CAST(ROUND(SQRT(CAST(FLOOR(l_num::DOUBLE * 1000000 / l_den) AS DOUBLE)
+                       * CAST(FLOOR(p_num::DOUBLE * 1000000 / p_den) AS DOUBLE))) AS BIGINT) AS fisher_micro
+FROM sums
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
@@ -2154,6 +2271,7 @@ QUERIES = {
     "lineitem_benford": lineitem_benford,
     "orders_duplicate_payments": orders_duplicate_payments,
     "customer_survival": customer_survival,
+    "lineitem_price_index": lineitem_price_index,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -2218,4 +2336,5 @@ ORACLES = {
     "lineitem_benford": BENFORD_SQL,
     "orders_duplicate_payments": DUP_PAYMENTS_SQL,
     "customer_survival": CUSTOMER_SURVIVAL_SQL,
+    "lineitem_price_index": PRICE_INDEX_SQL,
 }
