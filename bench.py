@@ -190,6 +190,7 @@ HEADLINE = [
     "dedup_source_modularity",
     "events_periodicity",
     "ann_filtered_topk",
+    "lineitem_price_index",
 ]
 
 

@@ -1846,6 +1846,207 @@ FROM acov CROSS JOIN a0
 """
 
 
+AB_CONV_CENTS = 15_000  # "high-value purchase": value ≥ $150
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test over high-value user conversion.
+
+    The experimentation primitive every event pipeline grows: users are
+    deterministically split into arms by the engine-portable md5 gate
+    (no RNG — re-runs, reshards and the oracle all agree on every
+    user's arm), conversion is "user has at least one purchase of
+    ≥ $150" (nearly every user purchases SOMETHING, so bare incidence
+    saturates at 100% and the test degenerates; the high-value cut sits
+    near 45% at every SF), and the readout is the classic pooled
+    two-proportion z statistic. Shape: one per-user agg (shuffle on
+    user_id, map-side combined) then ONE conditional global agg — no
+    join, no pivot, output is a single row at any scale. Exactness:
+    counts are exact int64; the z statistic uses the algebraic form
+    z = (c_a·n_b − c_b·n_a) · sqrt(N / (n_a·n_b·C·(N−C))) so the only
+    floating point is one sqrt of a ratio whose operands are cast to
+    DOUBLE before multiplying (the int64 product n_a·n_b·C·(N−C) would
+    overflow past ~50k users — documented, the DOUBLE form is what both
+    engines evaluate), rounded once to milli; a NULLIF guard keeps a
+    degenerate split (all/none converted) a NULL z rather than an error.
+    """
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100).cast("long") >= AB_CONV_CENTS)
+            ).cast("long")
+        ).alias("conv")
+    )
+    arm = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 2"
+    )
+    armed = per_user.select(arm.alias("arm"), "conv")
+    s = armed.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("(conv_a * 1000000) div n_a").alias("rate_a_micro"),
+        F.expr("(conv_b * 1000000) div n_b").alias("rate_b_micro"),
+        F.expr(
+            "CAST(ROUND((conv_a * n_b - conv_b * n_a) * SQRT("
+            "CAST(n_a + n_b AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE)"
+            " * CAST(n_b AS DOUBLE) * CAST(conv_a + conv_b AS DOUBLE)"
+            " * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE), 0.0)) * 1000)"
+            " AS BIGINT)"
+        ).alias("z_milli"),
+    )
+
+
+AB_TEST_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(ROUND(value * 100) AS BIGINT) >= {AB_CONV_CENTS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm, conv
+  FROM per_user
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM armed
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       (conv_a * 1000000) // n_a AS rate_a_micro,
+       (conv_b * 1000000) // n_b AS rate_b_micro,
+       CAST(ROUND((conv_a * n_b - conv_b * n_a) * SQRT(
+         CAST(n_a + n_b AS DOUBLE) / NULLIF(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+           * CAST(conv_a + conv_b AS DOUBLE)
+           * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE), 0.0)) * 1000) AS BIGINT) AS z_milli
+FROM s
+"""
+
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution by touch type.
+
+    The fair-share companion to ``events_asof_attribution``'s last-touch:
+    each purchase splits its value equally across ALL the user's touch
+    events (view/click/signup) since their previous purchase. Attribution
+    segments partition each user's timeline (segment id = running count
+    of STRICTLY EARLIER purchases via one window), so credit assignment
+    is a linear scan plus an equi-join on (user, segment) — never the
+    quadratic touches×purchases range join. Credit is quantized once per
+    (purchase, touch-type) cell as cents·1e6·n_type div n_touches
+    (documented floor; cells, not touches, so k touches of one type
+    round together). Purchases with NO preceding touch in their segment
+    fall out of the inner join and are reported via the organic row
+    (event_type='(organic)') built from an anti-join — total credit +
+    organic exactly conserves purchase revenue minus per-cell floor dust.
+    Output: one row per touch type — bounded by the type vocabulary.
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w)
+            - F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("seg"),
+    )
+    touches = (
+        seg.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "seg", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+    )
+    seg_totals = touches.groupBy("user_id", "seg").agg(
+        F.sum("n_type").alias("n_touches")
+    )
+    purchases = seg.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg", "cents"
+    )
+    credited = (
+        purchases.join(seg_totals, ["user_id", "seg"])
+        .join(touches, ["user_id", "seg"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("(cents * 1000000 * n_type) div n_touches")
+            ).alias("credit_micro"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+    organic = (
+        purchases.join(seg_totals, ["user_id", "seg"], "left_anti")
+        .agg(
+            F.sum(F.col("cents") * 1_000_000).alias("credit_micro"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .select(F.lit("(organic)").alias("event_type"), "credit_micro", "n_cells")
+        .filter(F.col("n_cells") > 0)
+    )
+    return credited.unionByName(organic)
+
+
+MULTITOUCH_SQL = """
+WITH seg AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS seg
+  FROM events
+),
+touches AS (
+  SELECT user_id, seg, event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+  FROM seg WHERE event_type <> 'purchase'
+  GROUP BY 1, 2, 3
+),
+seg_totals AS (
+  SELECT user_id, seg, CAST(SUM(n_type) AS BIGINT) AS n_touches
+  FROM touches GROUP BY 1, 2
+),
+purchases AS (
+  SELECT user_id, seg, cents FROM seg WHERE event_type = 'purchase'
+),
+credited AS (
+  SELECT t.event_type,
+         CAST(SUM((p.cents * 1000000 * t.n_type) // s.n_touches) AS BIGINT) AS credit_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM purchases p
+  JOIN seg_totals s USING (user_id, seg)
+  JOIN touches t USING (user_id, seg)
+  GROUP BY 1
+),
+organic AS (
+  SELECT '(organic)' AS event_type,
+         CAST(SUM(p.cents * 1000000) AS BIGINT) AS credit_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM purchases p
+  LEFT JOIN seg_totals s USING (user_id, seg)
+  WHERE s.n_touches IS NULL
+  HAVING COUNT(*) > 0
+)
+SELECT * FROM credited UNION ALL SELECT * FROM organic
+"""
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
@@ -1878,6 +2079,8 @@ QUERIES = {
     "events_changepoint": events_changepoint,
     "events_bot_detection": events_bot_detection,
     "events_periodicity": events_periodicity,
+    "events_ab_test": events_ab_test,
+    "events_multitouch_attribution": events_multitouch_attribution,
 }
 
 ORACLES = {
@@ -1917,4 +2120,6 @@ ORACLES = {
     "events_changepoint": CHANGEPOINT_SQL,
     "events_bot_detection": BOT_DETECTION_SQL,
     "events_periodicity": PERIODICITY_SQL,
+    "events_ab_test": AB_TEST_SQL,
+    "events_multitouch_attribution": MULTITOUCH_SQL,
 }
