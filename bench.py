@@ -191,6 +191,12 @@ HEADLINE = [
     "events_periodicity",
     "ann_filtered_topk",
     "lineitem_price_index",
+    "events_ab_test",
+    "events_multitouch_attribution",
+    "customer_l_diversity",
+    "orders_seasonal_decompose",
+    "discount_elasticity",
+    "doc_neyman_allocation",
 ]
 
 

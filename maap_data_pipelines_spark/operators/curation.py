@@ -1364,3 +1364,82 @@ FROM b GROUP BY bucket
 """
 
 QUERY_SQL["packing_efficiency"] = PACKING_EFFICIENCY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: optimal stratified-sampling budget split.
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10_000
+
+
+def doc_neyman_allocation(docs: DataFrame) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over sources.
+
+    The design step BEFORE doc_stratified_sample: proportional
+    allocation wastes budget on strata that are internally homogeneous.
+    Neyman allocation sizes each stratum's draw by n_h ∝ N_h·S_h
+    (population × length standard deviation), the variance-minimizing
+    split of a fixed budget. Per source the length SD comes from the
+    exact int64 count/sum/sum-of-squares (the cross products are formed
+    in DOUBLE — at corpus scale n·Σx² overflows int64 past ~10⁹ docs
+    per stratum; identical expression both engines), rounded ONCE to
+    milli; the weight N_h·s_milli is then exact integer arithmetic and
+    the final allocation uses the 1-row total broadcast (div — exact,
+    conservative: allocations sum to ≤ budget, floor dust stays
+    unspent). Shape: one stratum-grain hash-agg + a 1-row cross —
+    output |sources| rows at any corpus size.
+    """
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    weighted = s.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(FLOOR(SQRT((CAST(n_docs AS DOUBLE) * sxx"
+            " - CAST(sx AS DOUBLE) * sx)"
+            " / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) * 1000) AS BIGINT)"
+        ).alias("sd_milli"),
+    ).select(
+        "source",
+        "n_docs",
+        "sd_milli",
+        (F.col("n_docs") * F.col("sd_milli")).alias("weight"),
+    )
+    tot = weighted.agg(F.sum("weight").alias("t_weight"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sd_milli",
+        F.expr("(weight * 1000000) div t_weight").alias("weight_share_micro"),
+        F.expr(f"({NEYMAN_BUDGET} * weight) div t_weight").alias("n_alloc"),
+    )
+
+
+NEYMAN_SQL = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT((CAST(n_docs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) * 1000) AS BIGINT) AS sd_milli
+  FROM s
+),
+w2 AS (
+  SELECT source, n_docs, sd_milli, n_docs * sd_milli AS weight FROM weighted
+),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS t_weight FROM w2)
+SELECT source, n_docs, sd_milli,
+       (weight * 1000000) // t_weight AS weight_share_micro,
+       ({NEYMAN_BUDGET} * weight) // t_weight AS n_alloc
+FROM w2 CROSS JOIN tot
+"""
+
+QUERY_SQL["doc_neyman_allocation"] = NEYMAN_SQL

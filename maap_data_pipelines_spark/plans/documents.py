@@ -78,6 +78,7 @@ QUERIES = {
     "packing_efficiency": _wrap(curation.packing_efficiency),
     "vocab_growth": _wrap(text.vocab_growth),
     "doc_zipf_fit": _wrap(text.doc_zipf_fit),
+    "doc_neyman_allocation": _wrap(curation.doc_neyman_allocation),
 }
 
 ORACLES = dict(text.QUERY_SQL)

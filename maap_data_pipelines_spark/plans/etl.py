@@ -1518,6 +1518,151 @@ FROM hist CROSS JOIN tot
 """
 
 
+L_DIVERSITY_MIN = 3
+
+
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the customer quasi-identifier classes.
+
+    k-anonymity's blind spot: a class can be large (k-safe) yet leak the
+    sensitive attribute anyway when every member SHARES it (homogeneity
+    attack). Here the quasi-identifier is (nation, market segment) and
+    the sensitive attribute is the account-balance band; per QI class we
+    report k, distinct-l, the dominant band's share (integer micro) and
+    the two failure flags — l < L_DIVERSITY_MIN and dominant share >
+    80%. Shape: one (QI, band) hash-agg, then a per-QI agg — the max
+    share needs no window because max(count) commutes into the second
+    agg; output is bounded by |nations|×|segments|, never customers.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").alias("k"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.max("c").alias("dominant"),
+    )
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        "l_distinct",
+        F.expr("(dominant * 1000000) div k").alias("dominant_share_micro"),
+        (F.col("l_distinct") < L_DIVERSITY_MIN).alias("low_diversity"),
+        (F.expr("(dominant * 1000000) div k") > 800_000).alias("homogeneous"),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(SUM(c) AS BIGINT) AS k,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         CAST(MAX(c) AS BIGINT) AS dominant
+  FROM cells GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, k, l_distinct,
+       (dominant * 1000000) // k AS dominant_share_micro,
+       l_distinct < {L_DIVERSITY_MIN} AS low_diversity,
+       (dominant * 1000000) // k > 800000 AS homogeneous
+FROM classes
+"""
+
+
+SEASONAL_MA_HALF = 6  # 13-month centered moving average
+
+
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal decomposition of monthly revenue.
+
+    The time-series read behind Holt's forecast and the CUSUM monitor:
+    is there a month-of-year rhythm once trend is removed? Monthly
+    revenue (whole dollars — cents div 100, int64 headroom for the
+    ×13e6 ratio to ~sf4000; shard the series per region beyond) is
+    detrended by a 13-month centered moving average computed as an
+    EXACT integer window sum (ratio_micro = rev·13·1e6 div trend_sum —
+    no float trend, no division until the final quantization), months
+    without the full 13-term neighborhood fall out (the classical edge
+    rule). Seasonal index per month-of-year = mean of the detrended
+    ratios, again exact (sum div n). The unpartitioned window is over
+    the MONTHLY series (~80 rows after one map-side-combined agg), not
+    raw orders — single-partition is the right plan at that grain.
+    Output: 12 rows — n_obs, seasonal index, min/max ratio spread.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.expr(
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100"
+        ).alias("rev_d")
+    )
+    w = (
+        Window.orderBy("m")
+        .rowsBetween(-SEASONAL_MA_HALF, SEASONAL_MA_HALF)
+    )
+    ratios = (
+        monthly.select(
+            "m",
+            "rev_d",
+            F.sum("rev_d").over(w).alias("trend_sum"),
+            F.count(F.lit(1)).over(w).alias("n_win"),
+        )
+        .filter(F.col("n_win") == 2 * SEASONAL_MA_HALF + 1)
+        .select(
+            (F.col("m") % 12 + 1).alias("month_of_year"),
+            F.expr(
+                f"(rev_d * {2 * SEASONAL_MA_HALF + 1} * 1000000)"
+                " div trend_sum"
+            ).alias("ratio_micro"),
+        )
+    )
+    return ratios.groupBy("month_of_year").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.expr("SUM(ratio_micro) div COUNT(*)").alias("seasonal_micro"),
+        F.min("ratio_micro").alias("min_ratio_micro"),
+        F.max("ratio_micro").alias("max_ratio_micro"),
+    )
+
+
+SEASONAL_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS rev_d
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT m, rev_d,
+         CAST(SUM(rev_d) OVER w AS BIGINT) AS trend_sum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+  FROM monthly
+  WINDOW w AS (ORDER BY m ROWS BETWEEN {SEASONAL_MA_HALF} PRECEDING
+               AND {SEASONAL_MA_HALF} FOLLOWING)
+),
+ratios AS (
+  SELECT m % 12 + 1 AS month_of_year,
+         (rev_d * {2 * SEASONAL_MA_HALF + 1} * 1000000) // trend_sum AS ratio_micro
+  FROM win WHERE n_win = {2 * SEASONAL_MA_HALF + 1}
+)
+SELECT month_of_year, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(ratio_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS seasonal_micro,
+       CAST(MIN(ratio_micro) AS BIGINT) AS min_ratio_micro,
+       CAST(MAX(ratio_micro) AS BIGINT) AS max_ratio_micro
+FROM ratios GROUP BY 1
+"""
+
+
 WESK_K = 100
 _WESK_U = 1_000_000
 
@@ -2272,6 +2417,8 @@ QUERIES = {
     "orders_duplicate_payments": orders_duplicate_payments,
     "customer_survival": customer_survival,
     "lineitem_price_index": lineitem_price_index,
+    "customer_l_diversity": customer_l_diversity,
+    "orders_seasonal_decompose": orders_seasonal_decompose,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -2337,4 +2484,6 @@ ORACLES = {
     "orders_duplicate_payments": DUP_PAYMENTS_SQL,
     "customer_survival": CUSTOMER_SURVIVAL_SQL,
     "lineitem_price_index": PRICE_INDEX_SQL,
+    "customer_l_diversity": L_DIVERSITY_SQL,
+    "orders_seasonal_decompose": SEASONAL_SQL,
 }

@@ -779,7 +779,72 @@ CROSS JOIN n_orders
 """
 
 
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product-type OLS of order quantity on discount percent.
+
+    The pricing read on the fact table: does a deeper discount actually
+    move more units, and does the response differ by product family?
+    x = discount in integer percent (TPC-H discounts are exact
+    hundredths, so ROUND(d*100) is lossless), y = quantity; per p_type
+    the OLS slope comes from the five classic sums. The sums themselves
+    are exact int64 at any SF (x ≤ 10, y ≤ 50), but the n·Σxy cross
+    terms would overflow past ~sf300, so the slope numerator/denominator
+    are formed in DOUBLE from the exact integer sums — both engines
+    evaluate the identical expression tree, then ONE floor quantizes to
+    micro (units per discount point). Shape: lineitem⇒part equi-join
+    (partkey, broadcast-eligible dim at test SF, shuffle join at scale)
+    into a |p_type|-bounded hash-agg — no window, no self-join.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    xy = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_type",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    s = xy.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "p_type",
+        "n",
+        F.expr("(sy * 1000000) div n").alias("mean_qty_micro"),
+        F.expr(
+            "CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " * 1000000 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+            " AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+
+
+ELASTICITY_SQL = """
+WITH xy AS (
+  SELECT p_type,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_quantity) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+s AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT p_type, n,
+       (sy * 1000000) // n AS mean_qty_micro,
+       CAST(FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            * 1000000 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+            AS BIGINT) AS slope_micro
+FROM s
+"""
+
+
 QUERIES = {
+    "discount_elasticity": discount_elasticity,
     "market_basket_types": market_basket_types,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -798,6 +863,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "discount_elasticity": ELASTICITY_SQL,
     "market_basket_types": MARKET_BASKET_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,

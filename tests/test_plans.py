@@ -173,6 +173,8 @@ _BNLJ_ALLOWED = {
     # eval-slice broadcast cross (the documented ann_cosine_topk /
     # embedding_knn_accuracy eval-bounded brute class)
     "embedding_intrinsic_dim",
+    # 1-row total-weight broadcast crossed into the |sources| strata rows
+    "doc_neyman_allocation",
 }
 
 
