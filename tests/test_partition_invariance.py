@@ -39,6 +39,13 @@ KEYS = [
     "doc_weighted_sample_exact_k",
     "referential_integrity_census",
     "dedup_pair_diffstats",
+    # r6 third-wave additions: per-user segment windows feeding joins,
+    # an unpartitioned monthly MA window, a year self-join with integer
+    # unit-price quantization, and a lag()-paired dup detector
+    "events_multitouch_attribution",
+    "orders_seasonal_decompose",
+    "lineitem_price_index",
+    "orders_duplicate_payments",
 ]
 
 
