@@ -1158,8 +1158,12 @@ def embedding_intrinsic_dim(emb: DataFrame) -> DataFrame:
     ).select(
         "n_points",
         "sum_ln_ratio_micro",
-        F.round(
-            2.0 * F.col("n_points") * 1_000_000 / F.col("sum_ln_ratio_micro"), 3
+        # NULLIF: on a corpus where every eval point's two NNs are
+        # equidistant (e.g. exact-duplicate replication), every ln-ratio
+        # term is 0 and the MLE is undefined — report NULL, don't divide
+        F.expr(
+            "ROUND(CAST(n_points AS DOUBLE) * 2000000"
+            " / NULLIF(sum_ln_ratio_micro, 0), 3)"
         ).alias("intrinsic_dim"),
     )
 
@@ -1187,7 +1191,7 @@ terms AS (
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(SUM(term_micro) AS BIGINT) AS sum_ln_ratio_micro,
-       ROUND(2.0 * COUNT(*) * 1000000 / SUM(term_micro), 3) AS intrinsic_dim
+       ROUND(2.0 * COUNT(*) * 1000000 / NULLIF(SUM(term_micro), 0), 3) AS intrinsic_dim
 FROM terms
 """
 

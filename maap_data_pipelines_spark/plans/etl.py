@@ -383,10 +383,12 @@ def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-segment trend every revenue dashboard wants, computed with
     the closed-form OLS slope over (month index, monthly cents):
     slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Every Σ is an exact
-    int64 sum (x is a small month ordinal, y integer cents), so both
-    engines produce identical integers and the single final division is
-    the only float — engine-parity by construction. Two hash-aggs, no
-    window, no UDF; scales as a pure map-side-combining pipeline.
+    int64 sum (x is a small month ordinal, y integer cents); the OLS
+    cross terms n·Σxy and Σx·Σy are formed in DOUBLE — with y a CENTS
+    sum they overflow int64 past ~sf1 (caught by the 10× harness) —
+    as the identical expression tree on both engines, so parity holds
+    by construction. Two hash-aggs, no window, no UDF; scales as a
+    pure map-side-combining pipeline.
     """
     orders = read_table(spark, sf_dir, "orders")
     monthly = (
@@ -406,12 +408,13 @@ def orders_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * y).alias("sxy"),
         F.sum(x * x).alias("sxx"),
     )
-    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
     return agg.select(
         "priority",
         "n_months",
-        F.round(num / den, 6).alias("slope_cents_per_month"),
+        F.expr(
+            "ROUND((CAST(n_months AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (CAST(n_months AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)"
+        ).alias("slope_cents_per_month"),
     )
 
 
@@ -431,7 +434,8 @@ agg AS (
   FROM monthly GROUP BY 1
 )
 SELECT priority, n_months,
-       ROUND((n_months * sxy - sx * sy) / (n_months * sxx - sx * sx), 6)
+       ROUND((CAST(n_months AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n_months AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
          AS slope_cents_per_month
 FROM agg
 """
@@ -2002,6 +2006,15 @@ def customer_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per band: exact counts/cents plus cumulative population and
     revenue shares in integer micro-units — the curve points a
     dashboard plots and a trapezoid-Gini integrates, reshard-stable.
+
+    Overflow discipline: the population share multiplies a COUNT by 1e6
+    (safe to ~9e12 customers), but the revenue share must NOT multiply
+    the cents sum (cum_revenue·1e6 overflows int64 at ~$375B total —
+    caught by the 10× harness). Instead the DENOMINATOR is quantized:
+    share = cum div (tr div 1e6), exact integer ops at ANY scale, off
+    by at most one micro-unit from the textbook floor(cum·1e6/tr)
+    (LEAST-capped at 1e6 for the closing band; GREATEST guards the
+    degenerate sub-$10k corpus).
     """
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -2026,7 +2039,9 @@ def customer_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "revenue_cents",
             F.expr("(cum_customers * 1000000) div tc").alias("cum_pop_micro"),
-            F.expr("(cum_revenue * 1000000) div tr").alias("cum_rev_micro"),
+            F.expr(
+                "LEAST(cum_revenue div GREATEST(tr div 1000000, 1), 1000000)"
+            ).alias("cum_rev_micro"),
         )
     )
 
@@ -2050,7 +2065,8 @@ tot AS (
 )
 SELECT band, n_customers, revenue_cents,
        CAST((SUM(n_customers) OVER (ORDER BY band) * 1000000) // tc AS BIGINT) AS cum_pop_micro,
-       CAST((SUM(revenue_cents) OVER (ORDER BY band) * 1000000) // tr AS BIGINT) AS cum_rev_micro
+       CAST(LEAST(SUM(revenue_cents) OVER (ORDER BY band)
+                  // GREATEST(tr // 1000000, 1), 1000000) AS BIGINT) AS cum_rev_micro
 FROM bands CROSS JOIN tot
 """
 

@@ -1947,9 +1947,12 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     of STRICTLY EARLIER purchases via one window), so credit assignment
     is a linear scan plus an equi-join on (user, segment) — never the
     quadratic touches×purchases range join. Credit is quantized once per
-    (purchase, touch-type) cell as cents·1e6·n_type div n_touches
+    (purchase, touch-type) cell as cents·1e3·n_type div n_touches
     (documented floor; cells, not touches, so k touches of one type
-    round together). Purchases with NO preceding touch in their segment
+    round together). MILLI-cents, not micro: credit is absolute money,
+    so the global per-type sums carry the full corpus revenue — micro
+    units overflow int64 at ~$92B total, milli holds to ~$92T.
+    Purchases with NO preceding touch in their segment
     fall out of the inner join and are reported via the organic row
     (event_type='(organic)') built from an anti-join — total credit +
     organic exactly conserves purchase revenue minus per-cell floor dust.
@@ -1987,18 +1990,18 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(
             F.sum(
-                F.expr("(cents * 1000000 * n_type) div n_touches")
-            ).alias("credit_micro"),
+                F.expr("(cents * 1000 * n_type) div n_touches")
+            ).alias("credit_milli"),
             F.count(F.lit(1)).alias("n_cells"),
         )
     )
     organic = (
         purchases.join(seg_totals, ["user_id", "seg"], "left_anti")
         .agg(
-            F.sum(F.col("cents") * 1_000_000).alias("credit_micro"),
+            F.sum(F.col("cents") * 1_000).alias("credit_milli"),
             F.count(F.lit(1)).alias("n_cells"),
         )
-        .select(F.lit("(organic)").alias("event_type"), "credit_micro", "n_cells")
+        .select(F.lit("(organic)").alias("event_type"), "credit_milli", "n_cells")
         .filter(F.col("n_cells") > 0)
     )
     return credited.unionByName(organic)
@@ -2027,7 +2030,7 @@ purchases AS (
 ),
 credited AS (
   SELECT t.event_type,
-         CAST(SUM((p.cents * 1000000 * t.n_type) // s.n_touches) AS BIGINT) AS credit_micro,
+         CAST(SUM((p.cents * 1000 * t.n_type) // s.n_touches) AS BIGINT) AS credit_milli,
          CAST(COUNT(*) AS BIGINT) AS n_cells
   FROM purchases p
   JOIN seg_totals s USING (user_id, seg)
@@ -2036,7 +2039,7 @@ credited AS (
 ),
 organic AS (
   SELECT '(organic)' AS event_type,
-         CAST(SUM(p.cents * 1000000) AS BIGINT) AS credit_micro,
+         CAST(SUM(p.cents * 1000) AS BIGINT) AS credit_milli,
          CAST(COUNT(*) AS BIGINT) AS n_cells
   FROM purchases p
   LEFT JOIN seg_totals s USING (user_id, seg)
