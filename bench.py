@@ -197,6 +197,9 @@ HEADLINE = [
     "orders_seasonal_decompose",
     "discount_elasticity",
     "doc_neyman_allocation",
+    "orders_theilsen_trend",
+    "events_ab_power",
+    "lineitem_leadtime_profile",
 ]
 
 

@@ -1667,6 +1667,95 @@ FROM ratios GROUP BY 1
 """
 
 
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue (median pairwise slope).
+
+    The robust companion to orders_revenue_trend's OLS: one anomalous
+    month (outage, backfill, promo spike) can drag a least-squares
+    slope arbitrarily; the median of all pairwise slopes has a 29%
+    breakdown point. The pair set is QUADRATIC ONLY IN MONTHS — revenue
+    is rolled up to the ~84-row monthly series first (one map-side-
+    combined agg), so the self-join emits ~3.5k pair rows at ANY fact
+    size; this is the bounded-grain discipline that makes Theil-Sen
+    (normally dismissed as O(n²)) a scale-safe operator. Slopes are
+    exact integer micro-dollars-per-month ((Δrev_d·1e6) div Δm, whole
+    dollars for int64 headroom to ~sf10⁴); the p25/median/p75 picks are
+    lower-order-statistic row_number selections (deterministic, no
+    interpolation) over the bounded pair rows.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100").alias(
+            "rev_d"
+        )
+    )
+    a = monthly.select(F.col("m").alias("ma"), F.col("rev_d").alias("ra"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("rev_d").alias("rb"))
+    slopes = (
+        a.crossJoin(b)
+        .filter(F.col("mb") > F.col("ma"))
+        .select(
+            F.expr("((rb - ra) * 1000000) div (mb - ma)").alias("slope_micro")
+        )
+    )
+    w = Window.orderBy("slope_micro")
+    ranked = slopes.select(
+        "slope_micro", F.row_number().over(w).cast("long").alias("r")
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(
+            F.expr(
+                "r = (n_pairs + 1) div 4 OR r = (n_pairs + 1) div 2"
+                " OR r = (3 * (n_pairs + 1)) div 4"
+            )
+        )
+        .groupBy("n_pairs")
+        .agg(
+            F.min("slope_micro").alias("slope_p25_micro"),
+            F.expr(
+                "MAX(CASE WHEN r = (n_pairs + 1) div 2"
+                " THEN slope_micro END)"
+            ).alias("slope_med_micro"),
+            F.max("slope_micro").alias("slope_p75_micro"),
+        )
+    )
+
+
+THEILSEN_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS rev_d
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT ((b.rev_d - a.rev_d) * 1000000) // (b.m - a.m) AS slope_micro
+  FROM monthly a JOIN monthly b ON b.m > a.m
+),
+ranked AS (
+  SELECT slope_micro,
+         CAST(row_number() OVER (ORDER BY slope_micro) AS BIGINT) AS r
+  FROM slopes
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM ranked)
+SELECT n_pairs,
+       CAST(MIN(slope_micro) AS BIGINT) AS slope_p25_micro,
+       CAST(MAX(CASE WHEN r = (n_pairs + 1) // 2
+                     THEN slope_micro END) AS BIGINT) AS slope_med_micro,
+       CAST(MAX(slope_micro) AS BIGINT) AS slope_p75_micro
+FROM ranked CROSS JOIN n
+WHERE r = (n_pairs + 1) // 2
+   OR r = (n_pairs + 1) // 4
+   OR r = (3 * (n_pairs + 1)) // 4
+GROUP BY n_pairs
+"""
+
+
 WESK_K = 100
 _WESK_U = 1_000_000
 
@@ -2435,6 +2524,7 @@ QUERIES = {
     "lineitem_price_index": lineitem_price_index,
     "customer_l_diversity": customer_l_diversity,
     "orders_seasonal_decompose": orders_seasonal_decompose,
+    "orders_theilsen_trend": orders_theilsen_trend,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -2502,4 +2592,5 @@ ORACLES = {
     "lineitem_price_index": PRICE_INDEX_SQL,
     "customer_l_diversity": L_DIVERSITY_SQL,
     "orders_seasonal_decompose": SEASONAL_SQL,
+    "orders_theilsen_trend": THEILSEN_SQL,
 }

@@ -2050,6 +2050,103 @@ SELECT * FROM credited UNION ALL SELECT * FROM organic
 """
 
 
+AB_POWER_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+AB_POWER_Z_BETA = 0.841621  # power = 0.80
+
+
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size (power) analysis for the running A/B test.
+
+    The question after events_ab_test reports a small z: "how many
+    users per arm WOULD detect the observed effect at 80% power?" —
+    the classic two-proportion formula n = (z_α·sqrt(2·p̄q̄) +
+    z_β·sqrt(p₁q₁+p₂q₂))² / (p₁−p₂)², evaluated on the same
+    deterministic md5 arm split and high-value conversion as the test.
+    Shape identical to events_ab_test: one per-user agg + one global
+    conditional agg, single output row. Floats: the rates and the
+    formula are doubles derived from exact int64 counts through ONE
+    identical expression tree on both engines (two sqrt, one POWER,
+    one ceil); a NULLIF guard returns NULL when the observed rates are
+    exactly equal (required n is infinite). delta_micro is exact
+    integer per-arm rate difference, no cross product (n_a·n_b would
+    overflow at ~10⁹ users/arm).
+    """
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100).cast("long") >= AB_CONV_CENTS)
+            ).cast("long")
+        ).alias("conv")
+    )
+    arm = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 2"
+    )
+    s = per_user.select(arm.alias("arm"), "conv").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    formula = (
+        f"CAST(CEIL(POWER({AB_POWER_Z_ALPHA} * SQRT(2.0 * pbar * (1.0 - pbar))"
+        f" + {AB_POWER_Z_BETA} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)"
+        " / NULLIF(POWER(p1 - p2, 2), 0.0)) AS BIGINT)"
+    )
+    return (
+        s.withColumn("p1", F.expr("CAST(conv_a AS DOUBLE) / n_a"))
+        .withColumn("p2", F.expr("CAST(conv_b AS DOUBLE) / n_b"))
+        .withColumn("pbar", F.expr("CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)"))
+        .select(
+            "n_a",
+            "n_b",
+            "conv_a",
+            "conv_b",
+            F.expr(
+                "(conv_a * 1000000) div n_a - (conv_b * 1000000) div n_b"
+            ).alias("delta_micro"),
+            F.expr(formula).alias("n_required_per_arm"),
+        )
+    )
+
+
+AB_POWER_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(ROUND(value * 100) AS BIGINT) >= {AB_CONV_CENTS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM (
+    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+           conv
+    FROM per_user
+  )
+),
+r AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         CAST(conv_a AS DOUBLE) / n_a AS p1,
+         CAST(conv_b AS DOUBLE) / n_b AS p2,
+         CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pbar
+  FROM s
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       (conv_a * 1000000) // n_a - (conv_b * 1000000) // n_b AS delta_micro,
+       CAST(CEIL(POWER({AB_POWER_Z_ALPHA} * SQRT(2.0 * pbar * (1.0 - pbar))
+                 + {AB_POWER_Z_BETA} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+            / NULLIF(POWER(p1 - p2, 2), 0.0)) AS BIGINT) AS n_required_per_arm
+FROM r
+"""
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
@@ -2084,6 +2181,7 @@ QUERIES = {
     "events_periodicity": events_periodicity,
     "events_ab_test": events_ab_test,
     "events_multitouch_attribution": events_multitouch_attribution,
+    "events_ab_power": events_ab_power,
 }
 
 ORACLES = {
@@ -2125,4 +2223,5 @@ ORACLES = {
     "events_periodicity": PERIODICITY_SQL,
     "events_ab_test": AB_TEST_SQL,
     "events_multitouch_attribution": MULTITOUCH_SQL,
+    "events_ab_power": AB_POWER_SQL,
 }

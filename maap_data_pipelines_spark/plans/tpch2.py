@@ -843,8 +843,91 @@ FROM s
 """
 
 
+SHIPLAG_LATE_DAYS = 90
+
+
+def lineitem_leadtime_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag SLA profile per order priority.
+
+    The logistics read q12 only hints at: per priority, the full
+    fulfillment-lag (ship date − order date, days) distribution
+    summary — exact p50/p90 via the count-distribution idiom (lags are
+    SMALL integers, so the cumulative scan runs over ~120 distinct
+    values per priority, never rows; rank picks are the integer
+    inequalities 2·cum ≥ n and 10·cum ≥ 9·n, no sort of the fact
+    table), the >90-day late share in integer micro, and the mean in
+    micro via ONE rounded double (Σlag·1e6 would overflow int64 past
+    ~sf100 — the documented DOUBLE-form discipline). One
+    lineitem⇒orders equi-join into a (priority × lag) hash-agg;
+    everything downstream is bounded.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    scan = cells.select(
+        "o_orderpriority",
+        "lag",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return scan.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_items"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(lag * c) AS DOUBLE) * 1000000 / MAX(n))"
+            " AS BIGINT)"
+        ).alias("mean_lag_micro"),
+        F.expr(
+            f"(SUM(CASE WHEN lag > {SHIPLAG_LATE_DAYS} THEN c ELSE 0 END)"
+            " * 1000000) div MAX(n)"
+        ).alias("late_share_micro"),
+        F.min(F.when(F.expr("2 * cum >= n"), F.col("lag"))).alias("p50_lag"),
+        F.min(F.when(F.expr("10 * cum >= 9 * n"), F.col("lag"))).alias(
+            "p90_lag"
+        ),
+    )
+
+
+LEADTIME_SQL = f"""
+WITH cells AS (
+  SELECT o_orderpriority,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+scan AS (
+  SELECT o_orderpriority, lag, c,
+         CAST(SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lag) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM cells
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_items,
+       CAST(ROUND(CAST(SUM(lag * c) AS DOUBLE) * 1000000 / MAX(n)) AS BIGINT) AS mean_lag_micro,
+       CAST((SUM(CASE WHEN lag > {SHIPLAG_LATE_DAYS} THEN c ELSE 0 END) * 1000000) // MAX(n) AS BIGINT) AS late_share_micro,
+       CAST(MIN(CASE WHEN 2 * cum >= n THEN lag END) AS BIGINT) AS p50_lag,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN lag END) AS BIGINT) AS p90_lag
+FROM scan GROUP BY 1
+"""
+
+
 QUERIES = {
     "discount_elasticity": discount_elasticity,
+    "lineitem_leadtime_profile": lineitem_leadtime_profile,
     "market_basket_types": market_basket_types,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -864,6 +947,7 @@ QUERIES = {
 
 ORACLES = {
     "discount_elasticity": ELASTICITY_SQL,
+    "lineitem_leadtime_profile": LEADTIME_SQL,
     "market_basket_types": MARKET_BASKET_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,

@@ -175,6 +175,9 @@ _BNLJ_ALLOWED = {
     "embedding_intrinsic_dim",
     # 1-row total-weight broadcast crossed into the |sources| strata rows
     "doc_neyman_allocation",
+    # month×month pair grid (~84² rows at ANY fact size — the bounded-
+    # grain Theil-Sen discipline) + the 1-row pair-count broadcast
+    "orders_theilsen_trend",
 }
 
 
