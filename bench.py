@@ -200,6 +200,7 @@ HEADLINE = [
     "orders_theilsen_trend",
     "events_ab_power",
     "lineitem_leadtime_profile",
+    "dedup_threshold_curve",
 ]
 
 

@@ -1426,3 +1426,133 @@ FROM deg d LEFT JOIN intra i USING (source) CROSS JOIN m
 """
 
 QUERY_SQL["dedup_source_modularity"] = DEDUP_SOURCE_MODULARITY_SQL
+
+
+# --- Threshold tuning curve -------------------------------------------------
+
+# Candidate cutoffs as MATCH COUNTS out of NUM_PERM (exact integers;
+# 1e6/64 = 15625 exactly, so t_micro = cut*15625 is lossless).
+THRESHOLD_CURVE_CUTS = (32, 39, 45, 52, 58)  # ≈ 0.50/0.61/0.70/0.81/0.91
+
+
+def dedup_threshold_curve(docs: DataFrame) -> DataFrame:
+    """Dedup threshold tuning curve: pairs and docs surviving each cutoff.
+
+    THE table behind any near-dup threshold decision (the dedup
+    counterpart of ann_ivf_nprobe_curve's recall-vs-price dial): for
+    each candidate Jaccard cutoff, how many LSH candidate pairs clear
+    it and how many distinct docs those pairs touch — too low and the
+    curve explodes (over-merging kills recall of KEPT data), too high
+    and it collapses to exact dups only. Thresholds live as exact MATCH
+    COUNTS out of the 64 permutations (t_micro = cut·15625, lossless),
+    the pair match count is the same integer zip_with sum the LSH
+    operator rounds — recomputed here unrounded. The 5-row threshold
+    dim broadcasts over the candidate pairs (bounded by near-dup mass,
+    never corpus²); distinct-doc counting explodes each pair to its two
+    endpoints first (2×pairs rows, still candidate-bounded).
+    """
+    sig = _minhash_sig(docs).localCheckpoint()
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            .cast("long")
+            .alias("matches"),
+        )
+    )
+    spark = docs.sparkSession
+    cuts = spark.createDataFrame(
+        [(c,) for c in THRESHOLD_CURVE_CUTS], "cut long"
+    )
+    surv = pairs.crossJoin(F.broadcast(cuts)).filter(
+        F.col("matches") >= F.col("cut")
+    )
+    ends = surv.select("cut", F.col("doc_a").alias("doc_id")).unionAll(
+        surv.select("cut", F.col("doc_b").alias("doc_id"))
+    )
+    per_cut = surv.groupBy("cut").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs_per_cut = ends.groupBy("cut").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        cuts.join(per_cut, "cut", "left")
+        .join(docs_per_cut, "cut", "left")
+        .select(
+            "cut",
+            (F.col("cut") * 15625).alias("t_micro"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+        )
+    )
+
+
+def _threshold_curve_sql() -> str:
+    return f"""
+WITH {_sig_bands_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, CAST({_match_sum_sql()} AS BIGINT) AS matches
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+),
+cuts(cut) AS (VALUES {', '.join(f'({c})' for c in THRESHOLD_CURVE_CUTS)}),
+surv AS (
+  SELECT CAST(c.cut AS BIGINT) AS cut, doc_a, doc_b
+  FROM pairs p CROSS JOIN cuts c WHERE p.matches >= c.cut
+),
+per_cut AS (SELECT cut, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM surv GROUP BY 1),
+docs_per_cut AS (
+  SELECT cut, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (SELECT cut, doc_a AS doc_id FROM surv
+        UNION ALL SELECT cut, doc_b FROM surv)
+  GROUP BY 1
+)
+SELECT CAST(c.cut AS BIGINT) AS cut,
+       CAST(c.cut * 15625 AS BIGINT) AS t_micro,
+       COALESCE(p.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       COALESCE(d.n_docs, CAST(0 AS BIGINT)) AS n_docs
+FROM cuts c
+LEFT JOIN per_cut p ON p.cut = c.cut
+LEFT JOIN docs_per_cut d ON d.cut = c.cut
+"""
+
+
+DEDUP_THRESHOLD_CURVE_SQL = _threshold_curve_sql()
+QUERY_SQL["dedup_threshold_curve"] = DEDUP_THRESHOLD_CURVE_SQL

@@ -444,6 +444,7 @@ QUERIES = {
     "ann_ivf_nprobe_curve": _emb_plan(ann.ann_ivf_nprobe_curve),
     "embedding_intrinsic_dim": _emb_plan(kmeans.embedding_intrinsic_dim),
     "embedding_silhouette": _emb_plan(kmeans.embedding_silhouette),
+    "dedup_threshold_curve": _doc_plan(dedup.dedup_threshold_curve),
 }
 
 ORACLES = {

@@ -178,6 +178,9 @@ _BNLJ_ALLOWED = {
     # month×month pair grid (~84² rows at ANY fact size — the bounded-
     # grain Theil-Sen discipline) + the 1-row pair-count broadcast
     "orders_theilsen_trend",
+    # 5-row threshold dim broadcast-crossed over candidate pairs (the
+    # lag-dim class: events_periodicity / ann_ivf_nprobe_curve)
+    "dedup_threshold_curve",
 }
 
 
