@@ -1871,7 +1871,17 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate split (all/none converted) a NULL z rather than an error.
     """
     ev = read_events(spark, sf_dir)
-    per_user = ev.groupBy("user_id").agg(
+    return ab_test_from_users(ab_user_conversions(ev))
+
+
+def ab_user_conversions(ev: DataFrame) -> DataFrame:
+    """(user_id, conv) — the A/B test's per-user sufficient statistic.
+
+    conv = "has at least one high-value purchase" is a MAX flag, so it
+    is mergeable across any partition of the event log (the streaming
+    state twin folds batches with GREATEST and reaches the identical
+    frame)."""
+    return ev.groupBy("user_id").agg(
         F.max(
             (
                 (F.col("event_type") == "purchase")
@@ -1879,6 +1889,10 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("conv")
     )
+
+
+def ab_test_from_users(per_user: DataFrame) -> DataFrame:
+    """One-row z readout from a (user_id, conv) frame (batch or state)."""
     arm = F.expr(
         "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
         " AS BIGINT) % 2"
@@ -2072,14 +2086,7 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow at ~10⁹ users/arm).
     """
     ev = read_events(spark, sf_dir)
-    per_user = ev.groupBy("user_id").agg(
-        F.max(
-            (
-                (F.col("event_type") == "purchase")
-                & (F.round(F.col("value") * 100).cast("long") >= AB_CONV_CENTS)
-            ).cast("long")
-        ).alias("conv")
-    )
+    per_user = ab_user_conversions(ev)
     arm = F.expr(
         "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
         " AS BIGINT) % 2"

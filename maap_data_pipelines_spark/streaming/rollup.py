@@ -493,3 +493,82 @@ def streaming_gap_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ab_state(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+):
+    """Per-user A/B conversion flags maintained across micro-batches.
+
+    The streaming state behind the batch experiment readout
+    (plans/events.events_ab_test): conv = "has at least one high-value
+    purchase" is a MAX flag, so state folds with GREATEST — order- and
+    partitioning-independent (unlike gap stats, NO delivery-order
+    precondition: any arrival order reaches the same state). Each batch
+    computes its per-user flags with one map-side-combined agg, left
+    joins the persisted state, and merge_upserts the folded rows; the
+    readout (ab_state_readout) then runs the identical z computation the
+    batch operator runs on its per-user frame. Exactly-once via the
+    namespaced applied-batch-id guard riding the same commit — GREATEST
+    happens to be replay-idempotent anyway, but the guard keeps this
+    sink contract-identical to the additive ones.
+    """
+    from ..plans.events import AB_CONV_CENTS
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("ab_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        flags = batch_df.groupBy("user_id").agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (
+                        F.round(F.col("value") * 100).cast("long")
+                        >= AB_CONV_CENTS
+                    )
+                ).cast("long")
+            ).alias("conv_b")
+        )
+        if table.latest_version() is not None:
+            prior = table.read(spark).select(
+                "user_id", F.col("conv").alias("conv_p")
+            )
+        else:
+            prior = spark.createDataFrame([], "user_id long, conv_p long")
+        merged = (
+            flags.join(prior, "user_id", "left")
+            .select(
+                "user_id",
+                F.greatest(
+                    F.col("conv_b"), F.coalesce("conv_p", F.lit(0).cast("long"))
+                ).alias("conv"),
+            )
+        )
+        table.merge_upsert(merged, key="user_id", meta={"ab_batch_id": batch_id})
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ab_state_readout(spark: SparkSession, table) -> DataFrame:
+    """One-row z readout over the persisted (user_id, conv) state —
+    byte-identical to the batch operator's output on the same events."""
+    from ..plans.events import ab_test_from_users
+
+    return ab_test_from_users(table.read(spark).select("user_id", "conv"))

@@ -1119,3 +1119,66 @@ def test_streaming_gap_stats_matches_batch(spark, tmp_path):
         r.user_id: (r.n_gaps, r.sg, r.sg2) for r in t.read(spark).collect()
     }
     assert got2 == want  # no double counting
+
+
+def test_streaming_ab_state_matches_batch(spark, tmp_path):
+    """A/B conversion state folded with GREATEST across micro-batches must
+    yield a readout byte-identical to the batch events_ab_test computation
+    over the same events — in ANY delivery order (max is order-free) — and
+    a replayed batch id is skipped by the guard."""
+    import os
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.plans.events import (
+        AB_CONV_CENTS,
+        ab_test_from_users,
+        ab_user_conversions,
+    )
+    from maap_data_pipelines_spark.streaming.rollup import (
+        ab_state_readout,
+        streaming_ab_state,
+    )
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    src = tmp_path / "ab_in"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00",
+         "user_id": i % 7,
+         "event_type": "purchase" if i % 3 == 0 else "view",
+         # every 6th event is a high-value purchase for SOME users only
+         "value": 450.0 if i % 6 == 0 and i % 7 < 4 else 20.0,
+         "props": "{}"}
+        for i in range(90)
+    ]
+    # deliberately NOT ts-ordered across batches: max-fold is order-free
+    base = _t.time() - 600
+    for i, chunk in enumerate((rows[60:], rows[:30], rows[30:60])):
+        p = src / f"{i:02d}.json"
+        _write_events(p, chunk)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    t = VersionedTable(str(tmp_path / "ab_state"))
+    ckpt = str(tmp_path / "ab_ckpt")
+    streaming_ab_state(spark, str(src), t, ckpt).awaitTermination(120)
+
+    got = ab_state_readout(spark, t).collect()[0].asDict()
+
+    ev = spark.read.schema(
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).json(str(src))
+    want = ab_test_from_users(ab_user_conversions(ev)).collect()[0].asDict()
+    assert got == want
+    # the synthetic split is non-degenerate: both arms, mixed conversions
+    assert want["n_a"] > 0 and want["n_b"] > 0
+    assert 0 < want["conv_a"] + want["conv_b"] < want["n_a"] + want["n_b"]
+
+    # full replay: guard skips every already-applied batch id
+    v_before = t.latest_version()
+    shutil.rmtree(ckpt)
+    streaming_ab_state(spark, str(src), t, ckpt).awaitTermination(120)
+    assert ab_state_readout(spark, t).collect()[0].asDict() == want
