@@ -201,6 +201,8 @@ HEADLINE = [
     "events_ab_power",
     "lineitem_leadtime_profile",
     "dedup_threshold_curve",
+    "orders_abc_classification",
+    "supplier_concentration_hhi",
 ]
 
 

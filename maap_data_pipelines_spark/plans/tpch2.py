@@ -925,9 +925,147 @@ FROM scan GROUP BY 1
 """
 
 
+ABC_A_MICRO = 800_000  # A: first 80% of revenue
+ABC_B_MICRO = 950_000  # B: next 15%
+
+
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue, at band grain.
+
+    The inventory-policy classic: A-parts carry ~80% of revenue and get
+    tight control, B the next 15%, C the long tail. The global
+    revenue-desc sort a textbook ABC implies is avoided by power-of-two
+    VALUE BANDING of per-part revenue (bit length of cents — the
+    orders_gap_distribution bucket trick): cumulative shares run over
+    ~45 band rows DESCENDING, never over parts. Classification is
+    honest band-grain (a band is A if the share accumulated BEFORE it
+    is < 80%, etc. — parts inside a boundary band share its class;
+    document, don't hide). Shares use denominator quantization
+    (x div (tot div 1e6) — cents·1e6 overflows int64 at ~$92B, the
+    lorenz lesson). Output per band: part count, exact revenue,
+    cumulative micro share, class.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("cents")
+    )
+    bands = per_part.groupBy(
+        F.expr("CAST(length(bin(cents)) AS BIGINT)").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = bands.agg(F.sum("revenue_cents").alias("tr"))
+    scan = bands.withColumn(
+        "cum_before", F.coalesce(F.sum("revenue_cents").over(w), F.lit(0))
+    ).crossJoin(F.broadcast(tot))
+    return scan.select(
+        "band",
+        "n_parts",
+        "revenue_cents",
+        F.expr(
+            "LEAST((cum_before + revenue_cents)"
+            " div GREATEST(tr div 1000000, 1), 1000000)"
+        ).alias("cum_share_micro"),
+        F.expr(
+            f"CASE WHEN cum_before div GREATEST(tr div 1000000, 1)"
+            f" < {ABC_A_MICRO} THEN 'A'"
+            f" WHEN cum_before div GREATEST(tr div 1000000, 1)"
+            f" < {ABC_B_MICRO} THEN 'B' ELSE 'C' END"
+        ).alias("abc_class"),
+    )
+
+
+ABC_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+bands AS (
+  SELECT CAST(length(bin(cents)) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM per_part GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS tr FROM bands),
+scan AS (
+  SELECT band, n_parts, revenue_cents,
+         CAST(COALESCE(SUM(revenue_cents) OVER (
+           ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM bands
+)
+SELECT band, n_parts, revenue_cents,
+       LEAST((cum_before + revenue_cents) // GREATEST(tr // 1000000, 1), 1000000) AS cum_share_micro,
+       CASE WHEN cum_before // GREATEST(tr // 1000000, 1) < {ABC_A_MICRO} THEN 'A'
+            WHEN cum_before // GREATEST(tr // 1000000, 1) < {ABC_B_MICRO} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM scan CROSS JOIN tot
+"""
+
+
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per product type.
+
+    The supply-chain risk read: a p_type sourced mostly from one
+    supplier (HHI → 1e6) is a single point of failure; a diversified
+    one (HHI → 1e6/n) is resilient. Per (type, supplier) revenue from
+    one lineitem⇒part equi-join, per-type totals via a second bounded
+    agg; shares quantized to MILLI via denominator quantization
+    (rev div (tot div 1000) — rev·1000 overflows int64 at ~$92T but
+    the habit is the lorenz discipline) then squared and summed —
+    milli² = micro, exactly the modularity idiom, Σshare² ≤ 1e6 always
+    fits. Output per p_type: supplier count, HHI micro, top-supplier
+    milli share (max commutes into the agg, no window).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("rev"))
+    )
+    totals = cells.groupBy("p_type").agg(F.sum("rev").alias("tot"))
+    shares = cells.join(totals, "p_type").select(
+        "p_type",
+        F.expr("rev div GREATEST(tot div 1000, 1)").alias("share_milli"),
+    )
+    return shares.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.expr("share_milli * share_milli")).alias("hhi_micro"),
+        F.max("share_milli").alias("top_share_milli"),
+    )
+
+
+HHI_SQL = """
+WITH cells AS (
+  SELECT p_type, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+totals AS (SELECT p_type, CAST(SUM(rev) AS BIGINT) AS tot FROM cells GROUP BY 1),
+shares AS (
+  SELECT c.p_type, rev // GREATEST(tot // 1000, 1) AS share_milli
+  FROM cells c JOIN totals t ON t.p_type = c.p_type
+)
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(share_milli * share_milli) AS BIGINT) AS hhi_micro,
+       CAST(MAX(share_milli) AS BIGINT) AS top_share_milli
+FROM shares GROUP BY 1
+"""
+
+
 QUERIES = {
     "discount_elasticity": discount_elasticity,
     "lineitem_leadtime_profile": lineitem_leadtime_profile,
+    "orders_abc_classification": orders_abc_classification,
+    "supplier_concentration_hhi": supplier_concentration_hhi,
     "market_basket_types": market_basket_types,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -948,6 +1086,8 @@ QUERIES = {
 ORACLES = {
     "discount_elasticity": ELASTICITY_SQL,
     "lineitem_leadtime_profile": LEADTIME_SQL,
+    "orders_abc_classification": ABC_SQL,
+    "supplier_concentration_hhi": HHI_SQL,
     "market_basket_types": MARKET_BASKET_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,

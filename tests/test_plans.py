@@ -181,6 +181,8 @@ _BNLJ_ALLOWED = {
     # 5-row threshold dim broadcast-crossed over candidate pairs (the
     # lag-dim class: events_periodicity / ann_ivf_nprobe_curve)
     "dedup_threshold_curve",
+    # 1-row revenue-total broadcast crossed into the ~45 band rows
+    "orders_abc_classification",
 }
 
 
