@@ -203,6 +203,7 @@ HEADLINE = [
     "dedup_threshold_curve",
     "orders_abc_classification",
     "supplier_concentration_hhi",
+    "dedup_prefix_filter",
 ]
 
 

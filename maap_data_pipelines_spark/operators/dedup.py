@@ -1556,3 +1556,119 @@ LEFT JOIN docs_per_cut d ON d.cut = c.cut
 
 DEDUP_THRESHOLD_CURVE_SQL = _threshold_curve_sql()
 QUERY_SQL["dedup_threshold_curve"] = DEDUP_THRESHOLD_CURVE_SQL
+
+
+# --- prefix-filtered exact similarity self-join (AllPairs/PPJoin) ----------
+
+PREFIX_FILTER_T = 0.5  # Jaccard threshold (exact integer predicate below)
+
+
+def dedup_prefix_filter(docs: DataFrame) -> DataFrame:
+    """Exact Jaccard similarity self-join via PREFIX FILTERING (AllPairs).
+
+    The third candidate-generation strategy in the dedup family, next to
+    MinHash-LSH (probabilistic) and the df-bounded inverted index
+    (``ngram_jaccard``): order every document's distinct 3-gram shingle
+    set by GLOBAL RARITY (document frequency ascending, shingle string as
+    the deterministic tie-break) and index only each document's PREFIX —
+    the first ``n - ceil(t*n) + 1`` shingles. The AllPairs theorem
+    (Bayardo et al., WWW'07): two sets with Jaccard >= t must share at
+    least one shingle inside both prefixes under any consistent global
+    order, so the prefix index loses no true pair; rare-first ordering
+    makes the indexed shingles precisely the LOW-df ones, so the
+    candidate equi-join has bounded fan-out without dropping any shingle
+    (the df <= NGRAM_MAX_DF cut ngram_jaccard needs). A length filter
+    (t*|a| <= |b| <= |a|/t, exact in int64 for t=1/2) prunes candidates
+    before verification; verification counts true intersections by
+    joining the candidate pairs back to the FULL postings — work
+    proportional to candidates * doc size, never all-pairs.
+
+    Scale shape: df is a map-side-combined shingle count; per-doc rank is
+    a doc_id-partitioned window (doc-sized partitions); candidates come
+    from an equi-join on shingle over the prefix index only; verification
+    is two hash joins keyed (doc_a) then (doc_b, s). Zero nested loops.
+
+    Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard) for exact
+    Jaccard >= 0.5, decided by the integer predicate
+    ``2*common >= union`` in BOTH engines (no float threshold edge).
+    """
+    from pyspark.sql.window import Window
+
+    shd = _shingles_df(docs).distinct()
+    dfreq = shd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shd.join(dfreq, "s")
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
+    )
+    # prefix length for t=1/2: n - ceil(n/2) + 1, all-int64 in both engines
+    prefix = ranked.filter(F.expr("pos <= n - ((n + 1) div 2) + 1")).select(
+        "doc_id", "s", "n"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            (F.col("a.n") <= 2 * F.col("b.n")) & (F.col("b.n") <= 2 * F.col("a.n"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("size_a"),
+            F.col("b.n").alias("size_b"),
+        )
+        .distinct()
+    )
+    pa, pb = shd.alias("pa"), shd.alias("pb")
+    common = (
+        cand.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
+        .join(
+            pb,
+            (F.col("pb.doc_id") == F.col("doc_b")) & (F.col("pb.s") == F.col("pa.s")),
+        )
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.filter(F.expr("2 * n_common >= size_a + size_b - n_common"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# Oracle: BRUTE-FORCE exact Jaccard over the full inverted index (no df
+# bound, no prefix) — value-hash equality against it PROVES the prefix
+# pruning is lossless, which is the AllPairs theorem's whole claim.
+DEDUP_PREFIX_FILTER_SQL = f"""
+WITH shing AS ({_DUCK_SHING}),
+shd AS (SELECT DISTINCT doc_id, s FROM shing),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 2 * n_common >= sa.n + sb.n - n_common
+"""
+QUERY_SQL["dedup_prefix_filter"] = DEDUP_PREFIX_FILTER_SQL

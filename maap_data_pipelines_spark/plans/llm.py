@@ -445,6 +445,7 @@ QUERIES = {
     "embedding_intrinsic_dim": _emb_plan(kmeans.embedding_intrinsic_dim),
     "embedding_silhouette": _emb_plan(kmeans.embedding_silhouette),
     "dedup_threshold_curve": _doc_plan(dedup.dedup_threshold_curve),
+    "dedup_prefix_filter": _doc_plan(dedup.dedup_prefix_filter),
 }
 
 ORACLES = {

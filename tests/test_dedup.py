@@ -263,3 +263,82 @@ def test_streaming_admission_verdict_consistency(spark, sf_dir):
     for r in dedup.dedup_minhash_incremental(docs).collect():
         assert r.admitted == (1 if r.max_est_jaccard < dedup.INC_NEAR_DUP_EST else 0)
         assert (r.n_candidates == 0) == (r.max_est_jaccard == 0.0)
+
+
+def test_prefix_filter_matches_brute_force(spark, sf_dir):
+    """AllPairs prefix pruning must be LOSSLESS: the prefix-filtered join
+    equals the full brute inverted-index join (no df bound, no prefix)
+    pair-for-pair on real data — the theorem, re-proved executably."""
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.size_a, r.size_b)
+        for r in dedup.dedup_prefix_filter(docs).collect()
+    }
+    shd = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) < 3 THEN array() ELSE transform("
+                    "sequence(1, size(w) - 2), i -> concat_ws(' ', "
+                    "element_at(w, i), element_at(w, i+1), element_at(w, i+2))) END"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shd.alias("a"), shd.alias("b")
+    brute = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(F.expr("2 * n_common >= na + nb - n_common"))
+    )
+    want = {
+        (r.doc_a, r.doc_b): (r.n_common, r.na, r.nb) for r in brute.collect()
+    }
+    assert got == want and got  # non-empty at sf0.01
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The point of the prefix index: it must be a strict subset of the
+    postings (indexing only ~half of each doc's rarest shingles), so the
+    candidate join fans out on LOW-df shingles only."""
+    from pyspark.sql.window import Window
+
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    shd = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) < 3 THEN array() ELSE transform("
+                    "sequence(1, size(w) - 2), i -> concat_ws(' ', "
+                    "element_at(w, i), element_at(w, i+1), element_at(w, i+2))) END"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    full = shd.count()
+    dfreq = shd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shd.join(dfreq, "s")
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
+    )
+    prefix = ranked.filter(F.expr("pos <= n - ((n + 1) div 2) + 1")).count()
+    # prefix length is n - ceil(n/2) + 1 ~= n/2 + 1 per doc
+    assert prefix < 0.7 * full
