@@ -204,6 +204,7 @@ HEADLINE = [
     "orders_abc_classification",
     "supplier_concentration_hhi",
     "dedup_prefix_filter",
+    "dedup_label_propagation",
 ]
 
 

@@ -1672,3 +1672,97 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE 2 * n_common >= sa.n + sb.n - n_common
 """
 QUERY_SQL["dedup_prefix_filter"] = DEDUP_PREFIX_FILTER_SQL
+
+
+# --- label-propagation communities -----------------------------------------
+
+LP_ROUNDS = 4
+
+
+def dedup_label_propagation(docs: DataFrame) -> DataFrame:
+    """Community detection over the MinHash candidate graph via SYNCHRONOUS
+    label propagation (Raghavan et al. 2007), made fully deterministic.
+
+    Connected components answer "which docs are transitively linked";
+    communities answer the finer question "which docs form a densely
+    linked near-dup NEIGHBORHOOD" — a giant weak component (one low-
+    similarity bridge chaining two template families) splits into its
+    dense cores, which is the right granularity for choosing canonical
+    survivors. Update rule, applied simultaneously to every node for a
+    fixed LP_ROUNDS: adopt the label that is most frequent among your
+    neighbors, breaking count ties by SMALLEST label (determinism — the
+    usual random tie-break would be irreproducible across engines and
+    runs). Fixed synchronous rounds + deterministic tie-break make the
+    result an exact function of the edge set, so the DuckDB oracle
+    replicates it round-for-round with unrolled CTEs.
+
+    Scale shape: each round is one equi-join of the O(V)-row label frame
+    onto the edge list followed by two bounded aggregations — the
+    pointer-jumping CC discipline, work O(R * E) with map-side combine on
+    (node, label). The membership count is a community-sized window.
+
+    Output: (doc_id, community, n_members) for every node in at least
+    one candidate pair.
+    """
+    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    und = (
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .localCheckpoint()
+    )
+    return label_propagation(und)
+
+
+def label_propagation(und: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
+    """LP core over an undirected edge frame (doc_a, doc_b), both directions
+    present. Separated from the MinHash edge construction so crafted-graph
+    tests can pin the community semantics directly."""
+    from pyspark.sql.window import Window
+
+    lab = und.select(F.col("doc_a").alias("v")).distinct().withColumn(
+        "lab", F.col("v")
+    )
+    for _ in range(rounds):
+        nb = und.join(lab, und.doc_b == lab.v).select(
+            F.col("doc_a").alias("node"), "lab"
+        )
+        cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        # argmax over (count desc, label asc): max_by on (c, -lab) struct
+        lab = cnt.groupBy("node").agg(
+            F.expr("max_by(lab, struct(c, -lab))").alias("lab")
+        ).select(F.col("node").alias("v"), "lab")
+    return lab.select(
+        F.col("v").alias("doc_id"),
+        F.col("lab").alias("community"),
+        F.count(F.lit(1)).over(Window.partitionBy("lab")).alias("n_members"),
+    )
+
+
+def _label_propagation_sql(rounds: int = LP_ROUNDS) -> str:
+    ctes = [
+        f"pairs_full AS ({DEDUP_MINHASH_SQL})",
+        "und AS (SELECT doc_a AS a, doc_b AS b FROM pairs_full "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs_full)",
+        "lab0 AS (SELECT DISTINCT a AS v, a AS lab FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"cnt{r} AS (SELECT u.a AS v, l.lab, COUNT(*) AS c "
+            f"FROM und u JOIN lab{r - 1} l ON l.v = u.b GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"lab{r} AS (SELECT v, lab FROM cnt{r} "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT v AS doc_id, lab AS community,
+       CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS n_members
+FROM lab{rounds}
+"""
+    )
+
+
+DEDUP_LABEL_PROPAGATION_SQL = _label_propagation_sql()
+QUERY_SQL["dedup_label_propagation"] = DEDUP_LABEL_PROPAGATION_SQL

