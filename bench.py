@@ -205,6 +205,7 @@ HEADLINE = [
     "supplier_concentration_hhi",
     "dedup_prefix_filter",
     "dedup_label_propagation",
+    "events_theta_overlap",
 ]
 
 

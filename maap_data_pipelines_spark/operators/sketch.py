@@ -370,3 +370,255 @@ GROUP BY {key_col}, exact_count
 
 
 QUERY_SQL = {"heavy_hitters": HEAVY_HITTERS_SQL}
+
+
+# --- KMV (theta) sketch: set-operation cardinalities ------------------------
+
+THETA_K = 256  # sketch size: rel. std. error ~ 1/sqrt(K-2) ~ 6%
+THETA_MIN_EVENTS = 14  # segment membership: >= median per-(user,type) count
+_THETA_M = float(2**60)  # hash space size as an exact double (power of 2)
+
+
+def theta_overlap(events: DataFrame) -> DataFrame:
+    """KMV ("theta") sketch set operations over behavioral segments.
+
+    HLL answers "how many distinct" for ONE set; the KMV sketch is the
+    mergeable structure that also answers UNION and INTERSECTION across
+    sets: keep the K smallest md5 hash values of each set's members —
+    the K-th smallest value m_K estimates cardinality as
+    (K-1)*M/m_K (uniform order statistics), and the union sketch is just
+    the K smallest of the merged value sets, so |A∩B| follows by
+    inclusion-exclusion. Per segment the sketch is K int64s regardless
+    of member count, built with one top-K per segment — the only way to
+    answer "how many users are in segment A and B" across hundreds of
+    segments at 100 TB without a per-pair distinct shuffle.
+
+    Segments: users with >= THETA_MIN_EVENTS events of a type (the
+    median per-(user,type) count — membership ~half, so pairwise
+    overlaps are genuinely partial). Sketches use md5 hashes, so BOTH
+    engines build bit-identical sketches and every estimate column is
+    exact-value-hash-checkable; the accuracy flags are emitted as
+    literal TRUE by the oracle, so a driver run ENFORCES the error
+    bounds (the events_distinct_sketch discipline). Estimates with
+    n < K are the exact count (the sketch holds the whole set).
+
+    Scale shape: membership is one map-side-combined (type, user) count;
+    the per-segment top-K is a segment-partitioned window over hashes;
+    everything after operates on <= K rows per segment. The pair frame
+    is a constant-key equi-join of the tiny segment list with itself.
+
+    Output per type pair: exact + estimated a/b/union/inter and two
+    enforcement flags.
+    """
+    from pyspark.sql.window import Window
+
+    members = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= THETA_MIN_EVENTS)
+        .select(
+            "event_type",
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .localCheckpoint()  # three consumers: sketches, exact counts, pairs
+    )
+    sk = members.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    ).filter(F.col("rn") <= THETA_K)
+    stats = sk.groupBy("event_type").agg(
+        F.max("h").alias("mk"), F.count(F.lit(1)).alias("nv")
+    )
+    exact = members.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    seg = stats.join(exact, "event_type").withColumn("one", F.lit(1))
+    pairs = (
+        seg.alias("sa")
+        .join(seg.alias("sb").withColumnRenamed("one", "one2"),
+              F.col("one") == F.col("one2"))
+        .filter(F.col("sa.event_type") < F.col("sb.event_type"))
+        .select(
+            F.col("sa.event_type").alias("type_a"),
+            F.col("sb.event_type").alias("type_b"),
+            F.col("sa.mk").alias("mk_a"),
+            F.col("sa.nv").alias("nv_a"),
+            F.col("sa.exact_n").alias("exact_a"),
+            F.col("sb.mk").alias("mk_b"),
+            F.col("sb.nv").alias("nv_b"),
+            F.col("sb.exact_n").alias("exact_b"),
+        )
+    )
+    # union sketch: K smallest distinct hashes of the merged member sets
+    pa = pairs.select("type_a", "type_b")
+    urows = (
+        pa.join(sk.alias("ka"), F.col("ka.event_type") == F.col("type_a"))
+        .select("type_a", "type_b", F.col("ka.h").alias("h"))
+        .union(
+            pa.join(sk.alias("kb"), F.col("kb.event_type") == F.col("type_b"))
+            .select("type_a", "type_b", F.col("kb.h").alias("h"))
+        )
+        .distinct()
+    )
+    usk = (
+        urows.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("type_a", "type_b").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= THETA_K)
+        .groupBy("type_a", "type_b")
+        .agg(F.max("h").alias("mk_u"), F.count(F.lit(1)).alias("nv_u"))
+    )
+    # exact union / intersection for the enforcement flags
+    exact_inter = (
+        members.alias("ma")
+        .join(
+            members.alias("mb"),
+            (F.col("ma.user_id") == F.col("mb.user_id"))
+            & (F.col("ma.event_type") < F.col("mb.event_type")),
+        )
+        .groupBy(
+            F.col("ma.event_type").alias("type_a"),
+            F.col("mb.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+
+    def est(nv, mk):
+        return F.when(F.col(nv) < THETA_K, F.col(nv).cast("long")).otherwise(
+            F.floor(F.lit(float(THETA_K - 1)) * F.lit(_THETA_M) / F.col(mk))
+        )
+
+    out = (
+        pairs.join(usk, ["type_a", "type_b"])
+        .join(exact_inter, ["type_a", "type_b"], "left")
+        .na.fill({"exact_inter": 0})
+        .withColumn("est_a", est("nv_a", "mk_a"))
+        .withColumn("est_b", est("nv_b", "mk_b"))
+        .withColumn("est_union", est("nv_u", "mk_u"))
+        .withColumn(
+            "est_inter",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ),
+        )
+        .withColumn(
+            "exact_union",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"),
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_inter",
+        # union within 15% (2.4 sigma at K=256); intersection within 20%
+        # OF THE UNION (theta-sketch error scales with the union size)
+        (
+            F.abs(F.col("est_union") - F.col("exact_union")) * 100
+            <= 15 * F.col("exact_union")
+        ).alias("union_within_15pct"),
+        (
+            F.abs(F.col("est_inter") - F.col("exact_inter")) * 5
+            <= F.col("exact_union")
+        ).alias("inter_within_20pct_of_union"),
+    )
+
+
+def theta_overlap_sql(table: str = "events") -> str:
+    """DuckDB twin: identical sketch construction (md5 top-K, same floor
+    division), exact set ops in SQL, literal-TRUE enforcement flags."""
+    m_lit = f"{_THETA_M!r}"
+    est_a = (
+        f"CASE WHEN nv_a < {THETA_K} THEN nv_a "
+        f"ELSE CAST(FLOOR({float(THETA_K - 1)!r} * {m_lit} / mk_a) AS BIGINT) END"
+    )
+    est_b = (
+        f"CASE WHEN nv_b < {THETA_K} THEN nv_b "
+        f"ELSE CAST(FLOOR({float(THETA_K - 1)!r} * {m_lit} / mk_b) AS BIGINT) END"
+    )
+    est_u = (
+        f"CASE WHEN nv_u < {THETA_K} THEN nv_u "
+        f"ELSE CAST(FLOOR({float(THETA_K - 1)!r} * {m_lit} / mk_u) AS BIGINT) END"
+    )
+    return f"""
+WITH members AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM {table}
+  GROUP BY event_type, user_id
+  HAVING COUNT(*) >= {THETA_MIN_EVENTS}
+),
+sk AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM members)
+  WHERE rn <= {THETA_K}
+),
+stats AS (
+  SELECT event_type, MAX(h) AS mk, COUNT(*) AS nv FROM sk GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(*) AS exact_n FROM members GROUP BY event_type
+),
+seg AS (SELECT * FROM stats JOIN exact USING (event_type)),
+pairs AS (
+  SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+         sa.mk AS mk_a, sa.nv AS nv_a, sa.exact_n AS exact_a,
+         sb.mk AS mk_b, sb.nv AS nv_b, sb.exact_n AS exact_b
+  FROM seg sa JOIN seg sb ON sa.event_type < sb.event_type
+),
+urows AS (
+  SELECT DISTINCT type_a, type_b, h FROM (
+    SELECT p.type_a, p.type_b, k.h FROM pairs p JOIN sk k ON k.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, k.h FROM pairs p JOIN sk k ON k.event_type = p.type_b
+  )
+),
+usk AS (
+  SELECT type_a, type_b, MAX(h) AS mk_u, COUNT(*) AS nv_u
+  FROM (SELECT type_a, type_b, h,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM urows)
+  WHERE rn <= {THETA_K}
+  GROUP BY type_a, type_b
+),
+ei AS (
+  SELECT ma.event_type AS type_a, mb.event_type AS type_b,
+         COUNT(*) AS exact_inter
+  FROM members ma JOIN members mb
+    ON ma.user_id = mb.user_id AND ma.event_type < mb.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_a + exact_b - COALESCE(exact_inter, 0) AS BIGINT) AS exact_union,
+       CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST({est_a} AS BIGINT) AS est_a,
+       CAST({est_b} AS BIGINT) AS est_b,
+       CAST({est_u} AS BIGINT) AS est_union,
+       CAST(GREATEST(0, ({est_a}) + ({est_b}) - ({est_u})) AS BIGINT) AS est_inter,
+       TRUE AS union_within_15pct,
+       TRUE AS inter_within_20pct_of_union
+FROM pairs
+JOIN usk USING (type_a, type_b)
+LEFT JOIN ei USING (type_a, type_b)
+"""
+
+
+THETA_OVERLAP_SQL = theta_overlap_sql()

@@ -2154,6 +2154,29 @@ FROM r
 """
 
 
+def events_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch segment-overlap estimates with enforcement flags.
+
+    See :func:`maap_data_pipelines_spark.operators.sketch.theta_overlap`
+    — the mergeable set-OPERATION sketch (union/intersection across
+    behavioral segments) completing the sketch tier: HLL (distinct), GK
+    (quantiles), MG (heavy hitters), CMS (frequencies), Bloom
+    (membership), KMV (set algebra).
+    """
+    from ..operators.sketch import theta_overlap
+
+    return theta_overlap(read_events(spark, sf_dir))
+
+
+def _theta_sql() -> str:
+    from ..operators.sketch import theta_overlap_sql
+
+    return theta_overlap_sql("events")
+
+
+THETA_OVERLAP_SQL = _theta_sql()
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
@@ -2189,6 +2212,7 @@ QUERIES = {
     "events_ab_test": events_ab_test,
     "events_multitouch_attribution": events_multitouch_attribution,
     "events_ab_power": events_ab_power,
+    "events_theta_overlap": events_theta_overlap,
 }
 
 ORACLES = {
@@ -2231,4 +2255,5 @@ ORACLES = {
     "events_ab_test": AB_TEST_SQL,
     "events_multitouch_attribution": MULTITOUCH_SQL,
     "events_ab_power": AB_POWER_SQL,
+    "events_theta_overlap": THETA_OVERLAP_SQL,
 }

@@ -95,3 +95,45 @@ def test_cms_synthetic_counts(spark):
     assert got[1].exact_count == 100 and got[1].overcount >= 0
     assert got[2].exact_count == 50
     assert len(got) == 5
+
+
+def test_theta_overlap_exact_regime_and_inclusion_exclusion(spark):
+    """Crafted segments below K: the KMV sketch holds every member, so
+    every estimate must equal the exact count; inclusion-exclusion must
+    recover the intersection exactly."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.operators.sketch import (
+        THETA_MIN_EVENTS,
+        theta_overlap,
+    )
+
+    # users 1-30 in segment A only, 21-50 in B: overlap = 10 users.
+    rows = []
+    for u in range(1, 31):
+        rows += [(u, "a")] * THETA_MIN_EVENTS
+    for u in range(21, 51):
+        rows += [(u, "b")] * THETA_MIN_EVENTS
+    # user 99 has too few events of either type -> member of none
+    rows += [(99, "a")] * (THETA_MIN_EVENTS - 1)
+    ev = spark.createDataFrame(rows, ["user_id", "event_type"])
+    out = theta_overlap(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert (r.exact_a, r.exact_b, r.exact_inter, r.exact_union) == (30, 30, 10, 50)
+    # below-K regime: estimates ARE the exact counts
+    assert (r.est_a, r.est_b, r.est_union, r.est_inter) == (30, 30, 50, 10)
+    assert r.union_within_15pct and r.inter_within_20pct_of_union
+
+
+def test_theta_overlap_estimation_regime_bounds(spark, sf_dir):
+    """On real data the flags are the enforcement surface: every pair's
+    union estimate within 15% and intersection within 20% of the union
+    (exactly what the oracle pins as literal TRUE)."""
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["events_theta_overlap"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.union_within_15pct for r in rows)
+    assert all(r.inter_within_20pct_of_union for r in rows)
