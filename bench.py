@@ -206,6 +206,8 @@ HEADLINE = [
     "dedup_prefix_filter",
     "dedup_label_propagation",
     "events_theta_overlap",
+    "quality_nb_classifier",
+    "gdpr_erasure_plan",
 ]
 
 

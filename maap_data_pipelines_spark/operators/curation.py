@@ -1443,3 +1443,190 @@ FROM w2 CROSS JOIN tot
 """
 
 QUERY_SQL["doc_neyman_allocation"] = NEYMAN_SQL
+
+
+# --- trained quality classifier (Naive Bayes, closed form, all-integer) -----
+
+NB_B_STOP = 4  # stopword-density buckets 0..3
+NB_B_WORDS = 5  # word-count buckets 0..4
+NB_B_WLEN = 13  # mean-word-length buckets 0..12
+
+
+def quality_nb_classifier(docs: DataFrame) -> DataFrame:
+    """TRAIN a quality classifier on the corpus — Naive Bayes, closed form.
+
+    The distillation step real pipelines run: the hand-written rule
+    (quality_filter) labels the corpus, and a statistical model is fit to
+    those labels so scoring new data needs only cheap features, not the
+    full rule cascade. Naive Bayes is the closed-form choice: training
+    is nothing but per-class/per-bucket COUNTS (three tiny hash-aggs —
+    no iterations, no learning rate, no convergence question), which is
+    what makes an exactly-reproducible trained model possible at all.
+
+    Everything stays INTEGER. Features are bucketized counts; Laplace
+    (+1) likelihoods are kept as exact rationals, and the posterior
+    argmax is decided by CROSS-MULTIPLICATION:
+
+      n_pos * prod_f (c_pos_f+1) * prod_f (n_neg+B_f)
+        >  n_neg * prod_f (c_neg_f+1) * prod_f (n_pos+B_f)
+
+    — seven factors per side, up to ~10^26 at sf0.1, so the products are
+    formed in decimal(38,0) (Spark) / HUGEINT (DuckDB) and ONLY the
+    boolean comparison leaves the wide type. No ln, no float, no
+    association-order hazard: bit-identical verdicts on both engines.
+
+    Scale shape: the label pass is quality_filter's single projection;
+    training tables are bucket-sized (<= 13 rows, broadcast); scoring is
+    three broadcast joins + one expression. The class-prior frame is a
+    1-row broadcast (the allowlisted single-row-stats shape).
+
+    Output per doc: buckets, rule label, NB prediction, correctness —
+    the training-set confusion is one GROUP BY away.
+    """
+    from .text import quality_filter
+
+    m = quality_filter(docs).select(
+        "doc_id",
+        "n_words",
+        "n_stopwords",
+        "mean_wlen",
+        F.col("keep").cast("int").alias("y"),
+    )
+    feats = m.select(
+        "doc_id",
+        "y",
+        # FLOOR, not a bare cast: DuckDB CAST(double AS BIGINT) ROUNDS
+        # while Spark's cast truncates — the documented cross-engine hazard.
+        # Bucket 0 is reserved for EXACTLY zero stopwords (a structural
+        # zero, not just low density) — bucketing must not blur the
+        # boundary the label actually lives on.
+        F.when(F.col("n_stopwords") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(F.col("n_stopwords") * 10 / F.col("n_words")),
+                F.lit(NB_B_STOP - 2).cast("long"),
+            )
+            + 1
+        )
+        .alias("b_stop"),
+        F.least(
+            F.floor(F.col("n_words") / 50), F.lit(NB_B_WORDS - 1).cast("long")
+        ).alias("b_words"),
+        F.least(
+            F.floor(F.col("mean_wlen")).cast("long"),
+            F.lit(NB_B_WLEN - 1).cast("long"),
+        ).alias("b_wlen"),
+    ).localCheckpoint()  # one label pass feeds priors + 3 tables + scoring
+
+    priors = feats.agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+    )
+
+    def table(col: str):
+        return feats.groupBy(col).agg(
+            F.sum("y").alias(f"c_pos_{col}"),
+            F.sum(F.lit(1) - F.col("y")).alias(f"c_neg_{col}"),
+        )
+
+    scored = (
+        feats.join(F.broadcast(table("b_stop")), "b_stop")
+        .join(F.broadcast(table("b_words")), "b_words")
+        .join(F.broadcast(table("b_wlen")), "b_wlen")
+        .join(F.broadcast(priors))
+    )
+    d = "cast({} as decimal(38,0))"
+    lhs = " * ".join(
+        d.format(x)
+        for x in (
+            "n_pos",
+            "c_pos_b_stop + 1",
+            "c_pos_b_words + 1",
+            "c_pos_b_wlen + 1",
+            f"n_neg + {NB_B_STOP}",
+            f"n_neg + {NB_B_WORDS}",
+            f"n_neg + {NB_B_WLEN}",
+        )
+    )
+    rhs = " * ".join(
+        d.format(x)
+        for x in (
+            "n_neg",
+            "c_neg_b_stop + 1",
+            "c_neg_b_words + 1",
+            "c_neg_b_wlen + 1",
+            f"n_pos + {NB_B_STOP}",
+            f"n_pos + {NB_B_WORDS}",
+            f"n_pos + {NB_B_WLEN}",
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "b_stop",
+        "b_words",
+        "b_wlen",
+        (F.col("y") == 1).alias("label_keep"),
+        F.expr(f"({lhs}) > ({rhs})").alias("pred_keep"),
+        (F.expr(f"({lhs}) > ({rhs})") == (F.col("y") == 1)).alias("correct"),
+    )
+
+
+def _nb_sql() -> str:
+    from .text import QUALITY_FILTER_SQL
+
+    d = "CAST({} AS HUGEINT)"
+    lhs = " * ".join(
+        d.format(x)
+        for x in (
+            "n_pos",
+            "c_pos_b_stop + 1",
+            "c_pos_b_words + 1",
+            "c_pos_b_wlen + 1",
+            f"n_neg + {NB_B_STOP}",
+            f"n_neg + {NB_B_WORDS}",
+            f"n_neg + {NB_B_WLEN}",
+        )
+    )
+    rhs = " * ".join(
+        d.format(x)
+        for x in (
+            "n_neg",
+            "c_neg_b_stop + 1",
+            "c_neg_b_words + 1",
+            "c_neg_b_wlen + 1",
+            f"n_pos + {NB_B_STOP}",
+            f"n_pos + {NB_B_WORDS}",
+            f"n_pos + {NB_B_WLEN}",
+        )
+    )
+    return f"""
+WITH qf AS ({QUALITY_FILTER_SQL}),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN keep THEN 1 ELSE 0 END AS y,
+         CASE WHEN n_stopwords = 0 THEN 0 ELSE LEAST(CAST(FLOOR(n_stopwords * 10 / n_words) AS BIGINT), {NB_B_STOP - 2}) + 1 END AS b_stop,
+         LEAST(CAST(FLOOR(n_words / 50) AS BIGINT), {NB_B_WORDS - 1}) AS b_words,
+         LEAST(CAST(FLOOR(mean_wlen) AS BIGINT), {NB_B_WLEN - 1}) AS b_wlen
+  FROM qf
+),
+priors AS (SELECT SUM(y) AS n_pos, SUM(1 - y) AS n_neg FROM feats),
+t_stop AS (SELECT b_stop, SUM(y) AS c_pos_b_stop, SUM(1 - y) AS c_neg_b_stop
+           FROM feats GROUP BY b_stop),
+t_words AS (SELECT b_words, SUM(y) AS c_pos_b_words, SUM(1 - y) AS c_neg_b_words
+            FROM feats GROUP BY b_words),
+t_wlen AS (SELECT b_wlen, SUM(y) AS c_pos_b_wlen, SUM(1 - y) AS c_neg_b_wlen
+           FROM feats GROUP BY b_wlen)
+SELECT doc_id, b_stop, b_words, b_wlen,
+       y = 1 AS label_keep,
+       ({lhs}) > ({rhs}) AS pred_keep,
+       (({lhs}) > ({rhs})) = (y = 1) AS correct
+FROM feats
+JOIN t_stop USING (b_stop)
+JOIN t_words USING (b_words)
+JOIN t_wlen USING (b_wlen)
+CROSS JOIN priors
+"""
+
+
+QUALITY_NB_SQL = _nb_sql()
+QUERY_SQL["quality_nb_classifier"] = QUALITY_NB_SQL

@@ -436,11 +436,12 @@ def theta_overlap(events: DataFrame) -> DataFrame:
     exact = members.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_n")
     )
-    seg = stats.join(exact, "event_type").withColumn("one", F.lit(1))
+    seg = stats.join(exact, "event_type")
+    # segment-pair grid: both sides are aggregate-sized summaries (one
+    # row per segment), so the broadcast cross is |segments|^2 tiny rows
     pairs = (
         seg.alias("sa")
-        .join(seg.alias("sb").withColumnRenamed("one", "one2"),
-              F.col("one") == F.col("one2"))
+        .crossJoin(F.broadcast(seg.alias("sb")))
         .filter(F.col("sa.event_type") < F.col("sb.event_type"))
         .select(
             F.col("sa.event_type").alias("type_a"),

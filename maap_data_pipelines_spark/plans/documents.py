@@ -79,6 +79,7 @@ QUERIES = {
     "vocab_growth": _wrap(text.vocab_growth),
     "doc_zipf_fit": _wrap(text.doc_zipf_fit),
     "doc_neyman_allocation": _wrap(curation.doc_neyman_allocation),
+    "quality_nb_classifier": _wrap(curation.quality_nb_classifier),
 }
 
 ORACLES = dict(text.QUERY_SQL)

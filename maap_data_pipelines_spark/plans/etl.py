@@ -2509,6 +2509,99 @@ FROM sums
 """
 
 
+# --- gdpr_erasure_plan: right-to-be-forgotten cascade audit ----------------
+
+ERASE_MOD = 97  # demonstration cohort: every 97th customer key
+
+
+def gdpr_erasure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-cascade PLAN for a deletion cohort — the dry-run every
+    right-to-be-forgotten pipeline needs before it mutates anything.
+
+    Given a cohort of customers to erase (here the deterministic
+    demonstration predicate ``c_custkey % ERASE_MOD == 0``; in production
+    an uploaded key list), compute what the cascade touches across the
+    whole star: the customer rows themselves, their orders, and those
+    orders' lineitems — per table the delete count, the survivor count
+    and the deletion share in ppm. Deleting the customer WITHOUT the
+    cascade would orphan every such order, so this table IS the
+    referential-integrity contract of the erasure (the census operator's
+    counterpart for deletes).
+
+    Scale shape: the cohort membership tests are conditional aggregates
+    on single table scans — customer needs no join at all; orders flags
+    membership with one broadcast-able dim join (cohort keys only);
+    lineitem joins the flagged order KEYS (two-column frame), keeping
+    the fact-to-fact shuffle to the join keys. No row leaves the
+    executors; the output is 3 rows.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    in_cohort = (F.col("c_custkey") % ERASE_MOD) == 0
+    cust_row = customer.agg(
+        F.lit("customer").alias("table_name"),
+        F.sum(F.when(in_cohort, 1).otherwise(0)).alias("n_delete"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    cohort = customer.filter(in_cohort).select("c_custkey")
+    omark = orders.join(
+        F.broadcast(cohort), orders.o_custkey == cohort.c_custkey, "left"
+    ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("hit"))
+    ord_row = omark.agg(
+        F.lit("orders").alias("table_name"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_delete"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    okeys = omark.filter(F.col("hit")).select("o_orderkey")
+    lmark = lineitem.join(
+        F.broadcast(okeys), lineitem.l_orderkey == okeys.o_orderkey, "left"
+    ).select(F.col("o_orderkey").isNotNull().alias("hit"))
+    li_row = lmark.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_delete"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        cust_row.union(ord_row)
+        .union(li_row)
+        .select(
+            "table_name",
+            "n_delete",
+            (F.col("n_total") - F.col("n_delete")).alias("n_keep"),
+            F.expr("n_delete * 1000000 div n_total").alias("delete_ppm"),
+        )
+    )
+
+
+GDPR_ERASURE_SQL = f"""
+WITH cust AS (
+  SELECT 'customer' AS table_name,
+         SUM(CASE WHEN c_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS n_delete,
+         COUNT(*) AS n_total
+  FROM customer
+),
+ords AS (
+  SELECT 'orders' AS table_name,
+         SUM(CASE WHEN o_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS n_delete,
+         COUNT(*) AS n_total
+  FROM orders
+),
+li AS (
+  SELECT 'lineitem' AS table_name,
+         SUM(CASE WHEN o.o_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS n_delete,
+         COUNT(*) AS n_total
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+u AS (SELECT * FROM cust UNION ALL SELECT * FROM ords UNION ALL SELECT * FROM li)
+SELECT table_name,
+       CAST(n_delete AS BIGINT) AS n_delete,
+       CAST(n_total - n_delete AS BIGINT) AS n_keep,
+       CAST(n_delete * 1000000 // n_total AS BIGINT) AS delete_ppm
+FROM u
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
@@ -2550,6 +2643,7 @@ QUERIES = {
     "doc_weighted_sample": doc_weighted_sample,
     "lineitem_scd2_lookup": lineitem_scd2_lookup,
     "orders_profile": orders_profile,
+    "gdpr_erasure_plan": gdpr_erasure_plan,
 }
 
 ORACLES = {
@@ -2593,4 +2687,5 @@ ORACLES = {
     "customer_l_diversity": L_DIVERSITY_SQL,
     "orders_seasonal_decompose": SEASONAL_SQL,
     "orders_theilsen_trend": THEILSEN_SQL,
+    "gdpr_erasure_plan": GDPR_ERASURE_SQL,
 }

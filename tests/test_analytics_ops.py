@@ -427,3 +427,37 @@ def test_segment_lattice_on_crafted_users(spark, tmp_path):
         17: ("click+view", 1),    # bits 0+4
         4: ("purchase", 1),       # bit 2
     }
+
+
+def test_gdpr_erasure_cascade_counts(spark, sf_dir):
+    """The erasure plan must agree with independently-computed cascade
+    counts: orders of cohort customers, lineitems of those orders — and
+    the keep+delete split must conserve each table's total."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.plans.etl import ERASE_MOD
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    out = {
+        r.table_name: r
+        for r in registry.queries()["gdpr_erasure_plan"](spark, sf_dir).collect()
+    }
+    assert set(out) == {"customer", "orders", "lineitem"}
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    n_cust = customer.filter((F.col("c_custkey") % ERASE_MOD) == 0).count()
+    del_orders = orders.filter((F.col("o_custkey") % ERASE_MOD) == 0)
+    n_ord = del_orders.count()
+    n_li = lineitem.join(
+        del_orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    assert out["customer"].n_delete == n_cust and n_cust > 0
+    assert out["orders"].n_delete == n_ord and n_ord > 0
+    assert out["lineitem"].n_delete == n_li and n_li > 0
+    assert out["customer"].n_delete + out["customer"].n_keep == customer.count()
+    assert out["orders"].n_delete + out["orders"].n_keep == orders.count()
+    assert out["lineitem"].n_delete + out["lineitem"].n_keep == lineitem.count()

@@ -331,3 +331,42 @@ def test_packing_efficiency_crafted(spark):
     b512 = got[512]  # 600-word doc: clipped at the top bucket
     assert b512.kept_tokens == 512 and b512.truncated_tokens == 88
     assert b512.padded_tokens == 0
+
+
+def test_quality_nb_learns_the_rule(spark, sf_dir):
+    """The trained NB must beat the majority-class baseline on its own
+    training set — i.e. actually learn the rule, not memorize the prior
+    (the structural-zero stopword bucket carries the signal)."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark import registry
+
+    df = registry.queries()["quality_nb_classifier"](spark, sf_dir)
+    s = df.agg(
+        F.avg(F.col("correct").cast("int")).alias("acc"),
+        F.avg(F.col("label_keep").cast("int")).alias("pos"),
+    ).collect()[0]
+    majority = max(s.pos, 1 - s.pos)
+    assert s.acc > majority + 0.03
+    assert s.acc > 0.95
+
+
+def test_quality_nb_posterior_argmax_crafted(spark):
+    """Hand-checkable corpus: 4 keepable docs (with stopwords) + 2
+    no-stopword rejects. Laplace-smoothed NB must classify all 6
+    correctly, and the bucket columns must expose the structural zero."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog here now"),
+        (2, "a little text for the test of it all right now yes"),
+        (3, "it is a good day to write some spark code in tests"),
+        (4, "on and on the story goes with many simple words in it"),
+        (5, "zebra xylophone quartz jumble vortex knight plasma glyph wombat crystal"),
+        (6, "granite meteor falcon prism nebula copper lattice summit ridge canyon"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in curation.quality_nb_classifier(docs).collect()}
+    assert all(out[i].label_keep and out[i].pred_keep for i in (1, 2, 3, 4))
+    assert all(
+        (not out[i].label_keep) and (not out[i].pred_keep) for i in (5, 6)
+    )
+    assert out[5].b_stop == 0 and out[1].b_stop > 0

@@ -183,6 +183,13 @@ _BNLJ_ALLOWED = {
     "dedup_threshold_curve",
     # 1-row revenue-total broadcast crossed into the ~45 band rows
     "orders_abc_classification",
+    # 1-row class-prior broadcast crossed into the scored docs (the
+    # single-row-stats class: bm25/dsir/fisher above)
+    "quality_nb_classifier",
+    # segment-pair grid: |types| x |types| where both sides are
+    # aggregate-sized segment summaries (the month-spine class:
+    # orders_monthly_gapfill above)
+    "events_theta_overlap",
 }
 
 
