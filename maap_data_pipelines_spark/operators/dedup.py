@@ -1594,7 +1594,9 @@ def dedup_prefix_filter(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    shd = _shingles_df(docs).distinct()
+    # three consumers (df counts, ranked prefix, verification postings):
+    # materialize the distinct-shingle index once
+    shd = _shingles_df(docs).distinct().localCheckpoint()
     dfreq = shd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         shd.join(dfreq, "s")
