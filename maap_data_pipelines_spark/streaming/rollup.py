@@ -572,3 +572,74 @@ def ab_state_readout(spark: SparkSession, table) -> DataFrame:
     from ..plans.events import ab_test_from_users
 
     return ab_test_from_users(table.read(spark).select("user_id", "conv"))
+
+
+def streaming_theta_merge(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+):
+    """Maintain per-segment KMV (theta) sketches across micro-batches.
+
+    The streaming twin of the batch KMV set-operation sketch
+    (operators/sketch.theta_overlap): per event_type keep the THETA_K
+    smallest md5 hashes of user_ids seen so far. KMV merge is "K
+    smallest distinct values of the union" — IDEMPOTENT, unlike the
+    additive CMS/rollup merges: re-merging the same values changes
+    nothing, so this is the rare streaming state that needs NO
+    applied-batch-id guard. A replayed micro-batch rewrites an identical
+    sketch by construction (pinned by test).
+
+    State is <= THETA_K rows per segment forever; per-batch work is one
+    distinct over the batch plus a segment-partitioned window over
+    (state + batch) sketch rows — both bounded. The committed snapshot
+    answers distinct/union/intersection estimates for ANY segment pair
+    at read time, on data that has long since left the stream.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.sketch import THETA_K
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bs = batch_df.select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        ).distinct()
+        try:
+            state = table.read(spark).select("event_type", "h")
+            allr = bs.union(state).distinct()
+        except ValueError:  # first batch: empty table
+            allr = bs
+        sk = (
+            allr.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy("h")
+                ),
+            )
+            .filter(F.col("rn") <= THETA_K)
+            .select("event_type", "h")
+        )
+        # versioned overwrite: the lazy plan still reads the PREVIOUS
+        # snapshot's files (commit never touches existing data dirs)
+        table.commit(sk, mode="overwrite", meta={"theta_batch_id": batch_id})
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1182,3 +1182,76 @@ def test_streaming_ab_state_matches_batch(spark, tmp_path):
     shutil.rmtree(ckpt)
     streaming_ab_state(spark, str(src), t, ckpt).awaitTermination(120)
     assert ab_state_readout(spark, t).collect()[0].asDict() == want
+
+
+def test_streaming_theta_merge_matches_batch_and_replays_idempotent(spark, tmp_path):
+    """KMV sketches must MERGE across micro-batches to the exact sketch a
+    one-shot batch build produces (K smallest of the union is
+    batching-invariant), and — because the merge is idempotent — a
+    checkpoint-deleted replay must rewrite an identical snapshot."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.operators.sketch import THETA_K
+    from maap_data_pipelines_spark.streaming.rollup import streaming_theta_merge
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    src = tmp_path / "theta_src"
+    src.mkdir()
+    rows = []
+    eid = 0
+    for b in range(3):
+        batch = []
+        for u in range(b * 40, b * 40 + 120):  # overlapping user ranges
+            eid += 1
+            batch.append(
+                {
+                    "event_id": eid,
+                    "ts": "2024-01-01T00:00:00",
+                    "user_id": u,
+                    "event_type": ["view", "click"][u % 2],
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+        _write_events(src / f"b{b}.json", batch)
+        rows += batch
+
+    t = VersionedTable(str(tmp_path / "theta_state"))
+    q = streaming_theta_merge(spark, str(src), t, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.h) for r in t.read(spark).collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["event_type"]) for r in rows], ["user_id", "event_type"]
+    )
+    from pyspark.sql.window import Window
+
+    want_df = (
+        batch_df.select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
+        )
+        .filter(F.col("rn") <= THETA_K)
+        .select("event_type", "h")
+    )
+    want = {(r.event_type, r.h) for r in want_df.collect()}
+    assert got == want and got
+
+    # replay from scratch (checkpoint deleted, state kept): idempotent
+    v_before = t.latest_version()
+    q2 = streaming_theta_merge(spark, str(src), t, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    got2 = {(r.event_type, r.h) for r in t.read(spark).collect()}
+    assert got2 == got
+    assert t.latest_version() > v_before  # new commits, same content
