@@ -208,6 +208,9 @@ HEADLINE = [
     "events_theta_overlap",
     "quality_nb_classifier",
     "gdpr_erasure_plan",
+    "orders_promo_lift",
+    "events_next_event_prediction",
+    "events_markov_attribution_removal",
 ]
 
 

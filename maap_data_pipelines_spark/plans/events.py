@@ -2177,6 +2177,376 @@ def _theta_sql() -> str:
 THETA_OVERLAP_SQL = _theta_sql()
 
 
+# --- events_next_event_prediction: trained Markov predictor + holdout ------
+
+NEXT_SPLIT_US = 1_706_140_800_000_000  # 2024-01-25 UTC: ~80/20 temporal split
+
+
+def events_next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a next-event (first-order Markov) predictor, score a HOLDOUT.
+
+    The sequence-model companion to quality_nb_classifier: the
+    transition-matrix operator already DESCRIBES user behavior; this one
+    turns it into a model and then measures it honestly — transitions
+    whose target falls before the temporal split train the per-state
+    argmax; transitions after it are the evaluation set (time-based
+    splits, never random, so no leakage from the future). Reported per
+    state: the learned prediction, holdout accuracy (ppm), and the
+    global-majority baseline accuracy — the lift column is what says
+    the sequence signal is real.
+
+    Scale shape: one user-partitioned lag pass builds transitions; the
+    model is a |types|²-bounded hash-agg + per-state window argmax
+    (broadcast-able); scoring is one equi-join of the holdout on the
+    tiny model. Tie-breaks are deterministic (count desc, type asc).
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            "event_id",
+            F.lead("event_type").over(w).alias("next_type"),
+            F.lead("ts_us").over(w).alias("next_ts"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("prev_type"),
+            "next_type",
+            (F.col("next_ts") < NEXT_SPLIT_US).alias("is_train"),
+        )
+        .localCheckpoint()  # two consumers: model fit + holdout scoring
+    )
+    cnt = (
+        tr.filter("is_train")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = (
+        cnt.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("prev_type").orderBy(
+                    F.col("c").desc(), F.col("next_type").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("pred_next"))
+    )
+    base = (
+        tr.filter("is_train")
+        .groupBy("next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("next_type").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("next_type").alias("majority_next"))
+    )
+    test = tr.filter(~F.col("is_train"))
+    scored = test.join(F.broadcast(model), "prev_type").join(F.broadcast(base))
+    return (
+        scored.groupBy("prev_type", "pred_next", "majority_next")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("pred_next") == F.col("next_type"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.sum(
+                F.when(F.col("majority_next") == F.col("next_type"), 1).otherwise(0)
+            ).alias("n_majority_correct"),
+        )
+        .select(
+            "prev_type",
+            "pred_next",
+            "n_test",
+            F.expr("n_correct * 1000000 div n_test").alias("acc_ppm"),
+            F.expr("n_majority_correct * 1000000 div n_test").alias(
+                "baseline_ppm"
+            ),
+        )
+    )
+
+
+NEXT_EVENT_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_ts
+  FROM events
+),
+tr AS (
+  SELECT event_type AS prev_type, next_type,
+         next_ts < {NEXT_SPLIT_US} AS is_train
+  FROM seq WHERE next_type IS NOT NULL
+),
+cnt AS (
+  SELECT prev_type, next_type, COUNT(*) AS c
+  FROM tr WHERE is_train GROUP BY 1, 2
+),
+model AS (
+  SELECT prev_type, next_type AS pred_next FROM cnt
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY prev_type ORDER BY c DESC, next_type ASC) = 1
+),
+base AS (
+  SELECT next_type AS majority_next FROM (
+    SELECT next_type, COUNT(*) AS c FROM tr WHERE is_train GROUP BY 1
+  ) QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, next_type ASC) = 1
+)
+SELECT prev_type, pred_next,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN pred_next = t.next_type THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS acc_ppm,
+       CAST(SUM(CASE WHEN majority_next = t.next_type THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS baseline_ppm
+FROM tr t JOIN model USING (prev_type) CROSS JOIN base
+WHERE NOT is_train
+GROUP BY prev_type, pred_next, majority_next
+"""
+
+
+# --- events_markov_attribution_removal: Markov removal-effect attribution --
+
+MARKOV_STEPS = 6  # propagation horizon: mass still in transit after 6
+#                   hops is negligible for attribution SHARES (documented)
+MARKOV_M = 1_000_000
+
+
+def events_markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov REMOVAL-EFFECT attribution — the model-based rung above the
+    positional heuristics (first/last/linear in
+    events_multitouch_attribution): build the journey transition chain
+    (START → channels → purchase | NULL, purchase absorbing), evaluate
+    the chain's conversion mass, then RE-EVALUATE it with each channel
+    deleted; a channel's credit is how much conversion disappears
+    without it. Removal punishes pass-through channels that positional
+    rules over-credit.
+
+    Journeys: per user, ordered events split AT each purchase (the
+    conversion ends a journey); START opens every journey, a journey
+    that ends unconverted exits to NULL. Probabilities are exact micro
+    ratios; conversion mass is propagated MARKOV_STEPS hops with
+    purchase/NULL self-loops (absorbing), every hop an exact
+    ``(mass * p) div M`` fold — both engines floor identically, so the
+    whole evaluation is integer-deterministic. Mass still in transit
+    after the horizon is dropped on every variant alike (shares are
+    insensitive; the full-chain residual is reported via conv_full).
+
+    Scale shape: the corpus-sized work is ONE user-window pass to build
+    transitions; the chain itself is |states|²-bounded, and all five
+    variant evaluations ride one tagged frame (variant column) through
+    the same six bounded joins — adding a channel adds rows, not stages.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wj = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                wj
+            ),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    wg = Window.partitionBy("user_id", "journey").orderBy("ts_us", "event_id")
+    tr_mid = (
+        seq.withColumn("nxt", F.lead("event_type").over(wg))
+        .select(
+            F.col("event_type").alias("src"),
+            F.when(F.col("nxt").isNotNull(), F.col("nxt"))
+            .when(F.col("event_type") == "purchase", None)
+            .otherwise(F.lit("NULL"))
+            .alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    firsts = (
+        seq.withColumn(
+            "rn", F.row_number().over(wg)
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("src"), F.col("event_type").alias("dst"))
+    )
+    counts = (
+        tr_mid.union(firsts)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("tot", F.sum("c").over(Window.partitionBy("src")))
+        .withColumn("p_micro", F.expr(f"(c * {MARKOV_M}) div tot"))
+        .select("src", "dst", "p_micro")
+    )
+    loops = spark.createDataFrame(
+        [("purchase", "purchase", MARKOV_M), ("NULL", "NULL", MARKOV_M)],
+        "src string, dst string, p_micro long",
+    )
+    edges = counts.union(loops).localCheckpoint()
+    channels = (
+        edges.select(F.col("src").alias("channel"))
+        .filter(~F.col("channel").isin("START", "purchase", "NULL"))
+        .distinct()
+    )
+    variants = channels.select(F.col("channel").alias("variant")).union(
+        spark.createDataFrame([("FULL",)], "variant string")
+    )
+    tagged = (
+        variants.crossJoin(F.broadcast(edges))
+        .filter(
+            (F.col("variant") == "FULL")
+            | ((F.col("src") != F.col("variant")) & (F.col("dst") != F.col("variant")))
+        )
+        .localCheckpoint()
+    )
+    v = variants.select(
+        "variant", F.lit("START").alias("state"), F.lit(MARKOV_M).alias("mass")
+    )
+    for _ in range(MARKOV_STEPS):
+        v = (
+            v.alias("v")
+            .join(
+                tagged.alias("t"),
+                (F.col("v.variant") == F.col("t.variant"))
+                & (F.col("v.state") == F.col("t.src")),
+            )
+            .groupBy(
+                F.col("t.variant").alias("variant"),
+                F.col("t.dst").alias("state"),
+            )
+            .agg(F.expr(f"sum((mass * p_micro) div {MARKOV_M})").alias("mass"))
+        )
+    conv = v.filter(F.col("state") == "purchase").select(
+        "variant", F.col("mass").alias("conv_micro")
+    )
+    full = conv.filter(F.col("variant") == "FULL").select(
+        F.col("conv_micro").alias("conv_full_micro")
+    )
+    eff = (
+        conv.filter(F.col("variant") != "FULL")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("variant").alias("channel"),
+            "conv_full_micro",
+            F.col("conv_micro").alias("conv_removed_micro"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("conv_full_micro") - F.col("conv_micro"),
+            ).alias("removal_effect_micro"),
+        )
+    )
+    return eff.select(
+        "channel",
+        "conv_full_micro",
+        "conv_removed_micro",
+        "removal_effect_micro",
+        F.expr(
+            "(removal_effect_micro * 1000000) div "
+            "greatest(1, sum(removal_effect_micro) over ())"
+        ).alias("attribution_ppm"),
+    )
+
+
+def _markov_sql() -> str:
+    steps = []
+    for k in range(1, MARKOV_STEPS + 1):
+        steps.append(
+            f"v{k} AS (SELECT t.variant, t.dst AS state, "
+            f"SUM(v.mass * t.p_micro // {MARKOV_M}) AS mass "
+            f"FROM v{k - 1} v JOIN tagged t ON t.variant = v.variant "
+            f"AND t.src = v.state GROUP BY 1, 2)"
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+  FROM events
+),
+tr_mid AS (
+  SELECT src, dst FROM (
+    SELECT event_type AS src,
+           CASE WHEN nxt IS NOT NULL THEN nxt
+                WHEN event_type = 'purchase' THEN NULL
+                ELSE 'NULL' END AS dst
+    FROM (SELECT *, LEAD(event_type) OVER (
+            PARTITION BY user_id, journey ORDER BY ts_us, event_id) AS nxt
+          FROM seq)
+  ) WHERE dst IS NOT NULL
+),
+firsts AS (
+  SELECT 'START' AS src, event_type AS dst FROM (
+    SELECT event_type, ROW_NUMBER() OVER (
+      PARTITION BY user_id, journey ORDER BY ts_us, event_id) AS rn
+    FROM seq
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT src, dst,
+         (COUNT(*) * {MARKOV_M}) // SUM(COUNT(*)) OVER (PARTITION BY src) AS p_micro
+  FROM (SELECT * FROM tr_mid UNION ALL SELECT * FROM firsts)
+  GROUP BY src, dst
+),
+edges AS (
+  SELECT * FROM counts
+  UNION ALL SELECT 'purchase', 'purchase', {MARKOV_M}
+  UNION ALL SELECT 'NULL', 'NULL', {MARKOV_M}
+),
+channels AS (
+  SELECT DISTINCT src AS channel FROM edges
+  WHERE src NOT IN ('START', 'purchase', 'NULL')
+),
+variants AS (SELECT channel AS variant FROM channels UNION ALL SELECT 'FULL'),
+tagged AS (
+  SELECT v.variant, e.src, e.dst, e.p_micro
+  FROM variants v CROSS JOIN edges e
+  WHERE v.variant = 'FULL' OR (e.src <> v.variant AND e.dst <> v.variant)
+),
+v0 AS (SELECT variant, 'START' AS state, CAST({MARKOV_M} AS BIGINT) AS mass
+       FROM variants),
+{steps_sql},
+conv AS (
+  SELECT variant, mass AS conv_micro FROM v{MARKOV_STEPS}
+  WHERE state = 'purchase'
+),
+eff AS (
+  SELECT c.variant AS channel,
+         f.conv_micro AS conv_full_micro,
+         c.conv_micro AS conv_removed_micro,
+         GREATEST(0, f.conv_micro - c.conv_micro) AS removal_effect_micro
+  FROM conv c CROSS JOIN (SELECT conv_micro FROM conv WHERE variant = 'FULL') f
+  WHERE c.variant <> 'FULL'
+)
+SELECT channel,
+       CAST(conv_full_micro AS BIGINT) AS conv_full_micro,
+       CAST(conv_removed_micro AS BIGINT) AS conv_removed_micro,
+       CAST(removal_effect_micro AS BIGINT) AS removal_effect_micro,
+       CAST((removal_effect_micro * 1000000) //
+            GREATEST(1, SUM(removal_effect_micro) OVER ()) AS BIGINT) AS attribution_ppm
+FROM eff
+"""
+
+
+MARKOV_REMOVAL_SQL = _markov_sql()
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
@@ -2213,6 +2583,8 @@ QUERIES = {
     "events_multitouch_attribution": events_multitouch_attribution,
     "events_ab_power": events_ab_power,
     "events_theta_overlap": events_theta_overlap,
+    "events_next_event_prediction": events_next_event_prediction,
+    "events_markov_attribution_removal": events_markov_attribution_removal,
 }
 
 ORACLES = {
@@ -2256,4 +2628,6 @@ ORACLES = {
     "events_multitouch_attribution": MULTITOUCH_SQL,
     "events_ab_power": AB_POWER_SQL,
     "events_theta_overlap": THETA_OVERLAP_SQL,
+    "events_next_event_prediction": NEXT_EVENT_SQL,
+    "events_markov_attribution_removal": MARKOV_REMOVAL_SQL,
 }

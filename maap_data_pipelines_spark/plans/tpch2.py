@@ -1061,7 +1061,111 @@ FROM shares GROUP BY 1
 """
 
 
+# --- orders_promo_lift: difference-in-differences promo read ---------------
+
+DID_CUTOFF = "1998-07-01"
+
+
+def orders_promo_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo lift as a DIFFERENCE-IN-DIFFERENCES table — the causal-read
+    companion to events_ab_test (randomized) for OBSERVATIONAL pricing
+    data, where promo items were never randomly assigned: compare the
+    before→after change in average line revenue for promo-type parts
+    against the same change for everything else; the second difference
+    nets out market-wide drift that a naive before/after would book as
+    promo effect.
+
+    One row: the four cell means (milli-cents, exact floor division of
+    int64 cent sums), each cell's n, and
+    did_milli = (promo_after − promo_before) − (other_after − other_before).
+
+    Scale shape: one lineitem⇒part equi-join (broadcast-able dim) into
+    EIGHT conditional aggregates on a single scan — no pivot shuffle, no
+    self-join; the output is one row. At 100 TB this is a map-side
+    combine into one reducer row, the cheapest possible estimator.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        (F.col("p_type") == "PROMO").alias("promo"),
+        (F.col("l_shipdate") >= DID_CUTOFF).alias("after"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def cell(p: bool, a: bool, what: str):
+        cond = (F.col("promo") == p) & (F.col("after") == a)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0))
+        return F.sum(F.when(cond, F.col("cents")).otherwise(0))
+
+    s = j.agg(
+        cell(True, False, "n").alias("n_pb"),
+        cell(True, False, "s").alias("s_pb"),
+        cell(True, True, "n").alias("n_pa"),
+        cell(True, True, "s").alias("s_pa"),
+        cell(False, False, "n").alias("n_ob"),
+        cell(False, False, "s").alias("s_ob"),
+        cell(False, True, "n").alias("n_oa"),
+        cell(False, True, "s").alias("s_oa"),
+    )
+    m = s.select(
+        "n_pb",
+        "n_pa",
+        "n_ob",
+        "n_oa",
+        F.expr("(s_pb * 1000) div n_pb").alias("promo_before_milli"),
+        F.expr("(s_pa * 1000) div n_pa").alias("promo_after_milli"),
+        F.expr("(s_ob * 1000) div n_ob").alias("other_before_milli"),
+        F.expr("(s_oa * 1000) div n_oa").alias("other_after_milli"),
+    )
+    return m.select(
+        "*",
+        (
+            (F.col("promo_after_milli") - F.col("promo_before_milli"))
+            - (F.col("other_after_milli") - F.col("other_before_milli"))
+        ).alias("did_milli"),
+    )
+
+
+PROMO_LIFT_SQL = f"""
+WITH j AS (
+  SELECT p_type = 'PROMO' AS promo,
+         l_shipdate >= '{DID_CUTOFF}' AS after,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+s AS (
+  SELECT
+    SUM(CASE WHEN promo AND NOT after THEN 1 ELSE 0 END) AS n_pb,
+    SUM(CASE WHEN promo AND NOT after THEN cents ELSE 0 END) AS s_pb,
+    SUM(CASE WHEN promo AND after THEN 1 ELSE 0 END) AS n_pa,
+    SUM(CASE WHEN promo AND after THEN cents ELSE 0 END) AS s_pa,
+    SUM(CASE WHEN NOT promo AND NOT after THEN 1 ELSE 0 END) AS n_ob,
+    SUM(CASE WHEN NOT promo AND NOT after THEN cents ELSE 0 END) AS s_ob,
+    SUM(CASE WHEN NOT promo AND after THEN 1 ELSE 0 END) AS n_oa,
+    SUM(CASE WHEN NOT promo AND after THEN cents ELSE 0 END) AS s_oa
+  FROM j
+)
+SELECT CAST(n_pb AS BIGINT) AS n_pb,
+       CAST(n_pa AS BIGINT) AS n_pa,
+       CAST(n_ob AS BIGINT) AS n_ob,
+       CAST(n_oa AS BIGINT) AS n_oa,
+       CAST(s_pb * 1000 // n_pb AS BIGINT) AS promo_before_milli,
+       CAST(s_pa * 1000 // n_pa AS BIGINT) AS promo_after_milli,
+       CAST(s_ob * 1000 // n_ob AS BIGINT) AS other_before_milli,
+       CAST(s_oa * 1000 // n_oa AS BIGINT) AS other_after_milli,
+       CAST((s_pa * 1000 // n_pa) - (s_pb * 1000 // n_pb)
+          - ((s_oa * 1000 // n_oa) - (s_ob * 1000 // n_ob)) AS BIGINT) AS did_milli
+FROM s
+"""
+
+
 QUERIES = {
+    "orders_promo_lift": orders_promo_lift,
     "discount_elasticity": discount_elasticity,
     "lineitem_leadtime_profile": lineitem_leadtime_profile,
     "orders_abc_classification": orders_abc_classification,
@@ -1084,6 +1188,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_promo_lift": PROMO_LIFT_SQL,
     "discount_elasticity": ELASTICITY_SQL,
     "lineitem_leadtime_profile": LEADTIME_SQL,
     "orders_abc_classification": ABC_SQL,

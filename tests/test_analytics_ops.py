@@ -461,3 +461,63 @@ def test_gdpr_erasure_cascade_counts(spark, sf_dir):
     assert out["customer"].n_delete + out["customer"].n_keep == customer.count()
     assert out["orders"].n_delete + out["orders"].n_keep == orders.count()
     assert out["lineitem"].n_delete + out["lineitem"].n_keep == lineitem.count()
+
+
+def test_promo_lift_did_identity_and_cells(spark, sf_dir):
+    """The DiD estimate must equal its defining cell arithmetic, and the
+    four cells must partition the joined fact exactly."""
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    r = registry.queries()["orders_promo_lift"](spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.did_milli == (r.promo_after_milli - r.promo_before_milli) - (
+        r.other_after_milli - r.other_before_milli
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    assert r.n_pb + r.n_pa + r.n_ob + r.n_oa == li.count()
+    assert r.n_pb > 0 and r.n_pa > 0 and r.n_ob > 0 and r.n_oa > 0
+
+
+def test_next_event_prediction_model_is_train_argmax(spark, sf_dir):
+    """Each state's prediction must be the train-transition argmax with
+    the deterministic (count desc, type asc) tie-break, and accuracies
+    must be valid ppm."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.plans.events import (
+        NEXT_SPLIT_US,
+        read_events,
+    )
+
+    out = {
+        r.prev_type: r
+        for r in registry.queries()["events_next_event_prediction"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert out
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tr = (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("nt"),
+            F.lead("ts_us").over(w).alias("nts"),
+        )
+        .filter(F.col("nt").isNotNull() & (F.col("nts") < NEXT_SPLIT_US))
+        .groupBy("event_type", "nt")
+        .count()
+    )
+    for prev, row in out.items():
+        top = (
+            tr.filter(F.col("event_type") == prev)
+            .orderBy(F.col("count").desc(), F.col("nt").asc())
+            .first()
+        )
+        assert row.pred_next == top.nt, prev
+        assert 0 <= row.acc_ppm <= 1_000_000
+        assert 0 <= row.baseline_ppm <= 1_000_000

@@ -190,6 +190,12 @@ _BNLJ_ALLOWED = {
     # aggregate-sized segment summaries (the month-spine class:
     # orders_monthly_gapfill above)
     "events_theta_overlap",
+    # 1-row majority-baseline broadcast crossed onto the holdout (the
+    # single-row max-date / Q11 class)
+    "events_next_event_prediction",
+    # variants x edges tagged chain (~5 x ~40 rows, both aggregate-sized)
+    # + the 1-row FULL-chain conversion cross — the month-spine class
+    "events_markov_attribution_removal",
 }
 
 
