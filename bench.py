@@ -211,6 +211,7 @@ HEADLINE = [
     "orders_promo_lift",
     "events_next_event_prediction",
     "events_markov_attribution_removal",
+    "customer_rfm_segments",
 ]
 
 

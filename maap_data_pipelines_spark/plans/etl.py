@@ -2602,6 +2602,181 @@ FROM u
 """
 
 
+# --- customer_rfm_segments: k-means customer segmentation on RFM ----------
+
+RFM_K = 4
+RFM_ITERS = 3
+RFM_SCALE = 1000  # per-axis milli of the axis max: comparable distances
+
+
+def _rfm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (recency, frequency, monetary) scaled to axis-milli."""
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    tot = per.agg(
+        F.max("last_dt").alias("horizon"),
+        F.max("freq").alias("max_f"),
+        F.max("cents").alias("max_m"),
+    )
+    # recency needs the horizon BEFORE its own max can be taken, so the
+    # axis maxes ride two 1-row broadcasts — never a corpus-wide window
+    # (a single-partition global window is the scale flaw this avoids)
+    per2 = per.crossJoin(F.broadcast(tot)).withColumn(
+        "r_days", F.datediff(F.col("horizon"), F.col("last_dt")).cast("long")
+    )
+    tot2 = per2.agg(F.max("r_days").alias("max_r"))
+    return (
+        per2.crossJoin(F.broadcast(tot2))
+        .select(
+            "custkey",
+            F.expr(f"(r_days * {RFM_SCALE}) div greatest(1, max_r)").alias(
+                "r_milli"
+            ),
+            F.expr(f"(freq * {RFM_SCALE}) div max_f").alias("f_milli"),
+            F.expr(f"(cents * {RFM_SCALE}) div max_m").alias("m_milli"),
+        )
+    )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segmentation: integer k-means over scaled RFM triples.
+
+    The embedding k-means machinery generalized to WAREHOUSE features —
+    proof the clustering tier is not embedding-specific. Recency (days
+    to the corpus horizon), frequency (order count) and monetary (cents)
+    are each scaled to milli-units of their corpus max so axes are
+    commensurable; Lloyd runs RFM_ITERS synchronous rounds ENTIRELY
+    IN-PLAN: assignment is a broadcast cross with the K-row centroid
+    frame + a per-customer argmin window (the allow-listed ivf_assign
+    shape — K bounded, never customer x customer), the update a K-row
+    hash-agg with exact floor(sum/count) means. Seeds = the K lowest
+    custkeys' vectors; ties break (dist, cid) — every step is an exact
+    function of the input, so the DuckDB oracle unrolls the identical
+    rounds CTE-for-CTE.
+
+    Output per segment: size and mean RFM in milli — the table a CRM
+    reads as "champions / at-risk / dormant / new".
+    """
+    rfm = _rfm_frame(spark, sf_dir).localCheckpoint()
+    cents = (
+        rfm.orderBy("custkey")
+        .limit(RFM_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("custkey"))
+            .cast("long")
+            .alias("cid"),
+            F.col("r_milli").alias("cr"),
+            F.col("f_milli").alias("cf"),
+            F.col("m_milli").alias("cm"),
+        )
+    )
+    dist = (
+        "(r_milli - cr) * (r_milli - cr) + (f_milli - cf) * (f_milli - cf)"
+        " + (m_milli - cm) * (m_milli - cm)"
+    )
+    for _ in range(RFM_ITERS):
+        assigned = (
+            rfm.crossJoin(F.broadcast(cents))
+            .withColumn("d", F.expr(dist))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("custkey").orderBy("d", "cid")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        cents = assigned.groupBy("cid").agg(
+            F.floor(F.sum("r_milli") / F.count(F.lit(1))).alias("cr"),
+            F.floor(F.sum("f_milli") / F.count(F.lit(1))).alias("cf"),
+            F.floor(F.sum("m_milli") / F.count(F.lit(1))).alias("cm"),
+        )
+    final = (
+        rfm.crossJoin(F.broadcast(cents))
+        .withColumn("d", F.expr(dist))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("custkey").orderBy("d", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return final.groupBy(F.col("cid").alias("segment_id")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("sum(r_milli) div count(*)").alias("mean_r_milli"),
+        F.expr("sum(f_milli) div count(*)").alias("mean_f_milli"),
+        F.expr("sum(m_milli) div count(*)").alias("mean_m_milli"),
+    )
+
+
+def _rfm_sql() -> str:
+    rfm = f"""
+  SELECT o_custkey AS custkey,
+         (datediff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders)) * {RFM_SCALE})
+           // GREATEST(1, MAX(datediff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders))) OVER ()) AS r_milli,
+         (COUNT(*) * {RFM_SCALE}) // (MAX(COUNT(*)) OVER ()) AS f_milli,
+         (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * {RFM_SCALE})
+           // (MAX(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))) OVER ()) AS m_milli
+  FROM orders GROUP BY o_custkey
+"""
+    dist = (
+        "(e.r_milli - c.cr) * (e.r_milli - c.cr)"
+        " + (e.f_milli - c.cf) * (e.f_milli - c.cf)"
+        " + (e.m_milli - c.cm) * (e.m_milli - c.cm)"
+    )
+    ctes = [
+        f"rfm AS MATERIALIZED ({rfm})",
+        f"""c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY custkey) AS cid,
+        r_milli AS cr, f_milli AS cf, m_milli AS cm
+ FROM (SELECT * FROM rfm ORDER BY custkey LIMIT {RFM_K}))""",
+    ]
+    for i in range(1, RFM_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT custkey, r_milli, f_milli, m_milli, cid FROM (
+    SELECT e.*, c.cid,
+           row_number() OVER (PARTITION BY e.custkey
+             ORDER BY {dist} ASC, c.cid) AS rn
+    FROM rfm e CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT cid,
+         CAST(FLOOR(SUM(r_milli)::DOUBLE / COUNT(*)) AS BIGINT) AS cr,
+         CAST(FLOOR(SUM(f_milli)::DOUBLE / COUNT(*)) AS BIGINT) AS cf,
+         CAST(FLOOR(SUM(m_milli)::DOUBLE / COUNT(*)) AS BIGINT) AS cm
+  FROM a{i} GROUP BY cid)"""
+        )
+    ctes.append(
+        f"""af AS MATERIALIZED (
+  SELECT custkey, r_milli, f_milli, m_milli, cid FROM (
+    SELECT e.*, c.cid,
+           row_number() OVER (PARTITION BY e.custkey
+             ORDER BY {dist} ASC, c.cid) AS rn
+    FROM rfm e CROSS JOIN c{RFM_ITERS} c
+  ) WHERE rn = 1)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT cid AS segment_id,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(r_milli) // COUNT(*) AS BIGINT) AS mean_r_milli,
+       CAST(SUM(f_milli) // COUNT(*) AS BIGINT) AS mean_f_milli,
+       CAST(SUM(m_milli) // COUNT(*) AS BIGINT) AS mean_m_milli
+FROM af GROUP BY cid
+"""
+
+
+RFM_SEGMENTS_SQL = _rfm_sql()
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
@@ -2644,6 +2819,7 @@ QUERIES = {
     "lineitem_scd2_lookup": lineitem_scd2_lookup,
     "orders_profile": orders_profile,
     "gdpr_erasure_plan": gdpr_erasure_plan,
+    "customer_rfm_segments": customer_rfm_segments,
 }
 
 ORACLES = {
@@ -2688,4 +2864,5 @@ ORACLES = {
     "orders_seasonal_decompose": SEASONAL_SQL,
     "orders_theilsen_trend": THEILSEN_SQL,
     "gdpr_erasure_plan": GDPR_ERASURE_SQL,
+    "customer_rfm_segments": RFM_SEGMENTS_SQL,
 }

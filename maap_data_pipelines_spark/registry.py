@@ -165,6 +165,9 @@ _DEFERRED: set[str] = {
     # their official-record slots.
     "gdpr_erasure_plan",
     "orders_promo_lift",
+    # r6 late addition #53 (replica-verified at both SFs): waits for r07
+    # so the prefix-filter join and label propagation keep their slots
+    "customer_rfm_segments",
 }
 
 

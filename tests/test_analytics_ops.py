@@ -521,3 +521,26 @@ def test_next_event_prediction_model_is_train_argmax(spark, sf_dir):
         assert row.pred_next == top.nt, prev
         assert 0 <= row.acc_ppm <= 1_000_000
         assert 0 <= row.baseline_ppm <= 1_000_000
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    """Every buying customer lands in exactly one of RFM_K segments; the
+    mean RFM columns are valid axis-milli values."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.plans.etl import RFM_K
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    rows = registry.queries()["customer_rfm_segments"](spark, sf_dir).collect()
+    assert 2 <= len(rows) <= RFM_K  # clusters may merge, never exceed K
+    buyers = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == buyers
+    for r in rows:
+        for c in ("mean_r_milli", "mean_f_milli", "mean_m_milli"):
+            assert 0 <= getattr(r, c) <= 1000

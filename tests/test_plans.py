@@ -196,6 +196,9 @@ _BNLJ_ALLOWED = {
     # variants x edges tagged chain (~5 x ~40 rows, both aggregate-sized)
     # + the 1-row FULL-chain conversion cross — the month-spine class
     "events_markov_attribution_removal",
+    # K-row centroid broadcast cross per Lloyd round (the allow-listed
+    # ivf_assign shape) + two 1-row axis-max broadcasts
+    "customer_rfm_segments",
 }
 
 
