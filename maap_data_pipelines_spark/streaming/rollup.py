@@ -643,3 +643,118 @@ def streaming_theta_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_markov_state(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+):
+    """Maintain the next-event Markov model's transition counts across
+    micro-batches — the streaming twin of
+    plans/events.events_next_event_prediction's training pass.
+
+    Transition counts are additive, but transitions CROSS batch
+    boundaries: the last event of user u in batch n and their first in
+    batch n+1 form a transition no single batch sees. The state table
+    therefore holds two row kinds: count rows (src, dst, c) and per-user
+    carry rows (src=last_type, dst=NULL, c=user_id); each batch stitches
+    boundary transitions against the carries, folds internal + boundary
+    counts into the count rows, refreshes the touched users' carries,
+    and commits ONE overwrite snapshot with the applied-batch-id guard
+    in the same manifest (exactly-once: additive counts must skip
+    replays). With in-ts-order delivery the drained counts equal the
+    batch lag pass exactly (pinned).
+
+    State: |types|² count rows + one carry row per user. Per-batch work:
+    one user-partitioned lag pass over the batch + one state-sized fold
+    (the merge_upsert cost class, same as streaming_gap_stats).
+    """
+    from pyspark.sql.window import Window
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("markov_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        ev = batch_df.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        seq = ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_in_batch"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_u"),
+        ).localCheckpoint()
+        internal = (
+            seq.filter(F.col("prev_in_batch").isNotNull())
+            .groupBy(
+                F.col("prev_in_batch").alias("src"),
+                F.col("event_type").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        try:
+            prior = table.read(spark)
+        except ValueError:
+            prior = None
+        pieces = [internal]
+        if prior is not None:
+            carry = prior.filter(F.col("dst").isNull()).select(
+                F.col("c").alias("user_id"), F.col("src").alias("last_type")
+            )
+            firsts = seq.filter(F.col("rn") == 1).select(
+                "user_id", F.col("event_type").alias("first_type")
+            )
+            pieces.append(
+                firsts.join(carry, "user_id")
+                .groupBy(
+                    F.col("last_type").alias("src"),
+                    F.col("first_type").alias("dst"),
+                )
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            pieces.append(prior.filter(F.col("dst").isNotNull()))
+        acc = pieces[0]
+        for extra in pieces[1:]:
+            acc = acc.unionByName(extra)
+        new_counts = (
+            acc.groupBy("src", "dst").agg(F.sum("c").alias("c"))
+            if len(pieces) > 1
+            else acc
+        )
+        lasts = seq.filter(F.col("rn") == F.col("n_u")).select(
+            F.col("event_type").alias("src"),
+            F.lit(None).cast("string").alias("dst"),
+            F.col("user_id").cast("long").alias("c"),
+        )
+        carries = lasts
+        if prior is not None:
+            stale = prior.filter(F.col("dst").isNull()).join(
+                lasts.select(F.col("c").alias("uid")),
+                F.col("c") == F.col("uid"),
+                "left_anti",
+            )
+            carries = stale.unionByName(lasts)
+        table.commit(
+            new_counts.unionByName(carries),
+            mode="overwrite",
+            meta={"markov_batch_id": batch_id},
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1255,3 +1255,74 @@ def test_streaming_theta_merge_matches_batch_and_replays_idempotent(spark, tmp_p
     got2 = {(r.event_type, r.h) for r in t.read(spark).collect()}
     assert got2 == got
     assert t.latest_version() > v_before  # new commits, same content
+
+
+def test_streaming_markov_state_matches_batch_lag(spark, tmp_path):
+    """Drained across 3 micro-batches — with boundary transitions that NO
+    single batch contains — the transition counts must equal one batch
+    lag pass over all events; replays must skip (additive guard)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from maap_data_pipelines_spark.streaming.rollup import streaming_markov_state
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    src = tmp_path / "mk_src"
+    src.mkdir()
+    types = ["view", "click", "purchase"]
+    all_rows = []
+    eid = 0
+    for b in range(3):
+        batch = []
+        for u in range(6):
+            for i in range(4):
+                eid += 1
+                batch.append(
+                    {
+                        "event_id": eid,
+                        "ts": f"2024-01-0{b + 1}T0{i}:00:00",
+                        "user_id": u,
+                        "event_type": types[(u + i + b) % 3],
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+        _write_events(src / f"b{b}.json", batch)
+        all_rows += batch
+
+    t = VersionedTable(str(tmp_path / "mk_state"))
+    q = streaming_markov_state(spark, str(src), t, str(tmp_path / "mk_ckpt"))
+    q.awaitTermination(120)
+    got = {
+        (r.src, r.dst): r.c
+        for r in t.read(spark).filter(F.col("dst").isNotNull()).collect()
+    }
+
+    df = spark.createDataFrame(
+        [
+            (r["user_id"], r["event_type"], r["ts"], r["event_id"])
+            for r in all_rows
+        ],
+        ["user_id", "event_type", "ts", "event_id"],
+    ).withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    want = {
+        (r.src, r.dst): r.c
+        for r in df.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want and got
+    # every user carries exactly one last-type row
+    carries = t.read(spark).filter(F.col("dst").isNull()).collect()
+    assert sorted(r.c for r in carries) == list(range(6))
+    # replayed batch (fresh checkpoint, stale guard): counts unchanged
+    q2 = streaming_markov_state(spark, str(src), t, str(tmp_path / "mk_ckpt2"))
+    q2.awaitTermination(120)
+    got2 = {
+        (r.src, r.dst): r.c
+        for r in t.read(spark).filter(F.col("dst").isNotNull()).collect()
+    }
+    assert got2 == got
