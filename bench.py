@@ -212,6 +212,7 @@ HEADLINE = [
     "events_next_event_prediction",
     "events_markov_attribution_removal",
     "customer_rfm_segments",
+    "embedding_centroid_drift",
 ]
 
 

@@ -1297,3 +1297,193 @@ FROM s GROUP BY cid
 """
 
 QUERY_SQL["embedding_silhouette"] = EMBEDDING_SILHOUETTE_SQL
+
+
+# --- embedding_centroid_drift: encoder-version drift monitor ----------------
+
+DRIFT_K = KM_K
+DRIFT_ITERS = KM_ITERS
+
+
+def embedding_centroid_drift(emb: DataFrame) -> DataFrame:
+    """Embedding-space DRIFT between two corpus snapshots — the monitor a
+    pipeline runs after swapping encoders or ingesting a new crawl: fit
+    k-means on the OLD snapshot, assign BOTH snapshots to those frozen
+    centroids, and report per cluster (a) the population-share shift and
+    (b) how far the NEW members' mean sits from the old centroid. Share
+    shifts say the mixture moved; displacement says the geometry moved —
+    an encoder regression shows up in the second even when the first is
+    flat. Snapshots here are the deterministic halves vec_id % 2
+    (old=even, new=odd), standing in for version columns.
+
+    Mechanics: Lloyd on the old half (seeds = K lowest old vec_ids,
+    label = seed vec_id; driver-synced rounds, K×64 cells — the MLlib
+    shape), one frozen-centroid assignment pass over everything, then a
+    K-row aggregate. Displacement is the exact L2² between the new
+    members' per-dim floor-mean and the frozen centroid, in micro²
+    div KM_SCALE (the kmeans inertia quantization discipline).
+    """
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    q_old = old.select(
+        "vec_id", quantize_udf(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    seeds = sorted(
+        (r.vec_id, list(r.qv))
+        for r in q_old.orderBy("vec_id").limit(DRIFT_K).collect()
+    )
+    cents = [(int(c), v) for c, v in seeds]
+    for _ in range(DRIFT_ITERS):
+        cents = sorted(
+            (r.cid, list(r.cv)) for r in _update(_assign(q_old, cents)).collect()
+        )
+    q_all = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 2 == 1).alias("is_new"),
+        quantize_udf(F.col("embedding")).alias("qv"),
+    )
+    a = _assign_udf(cents)
+    assigned = q_all.select(
+        "vec_id", "is_new", "qv", a(F.col("qv")).alias("ad")
+    ).select("vec_id", "is_new", "qv", F.col("ad.cid").alias("cid"))
+    sums = assigned.groupBy("cid").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+        *[
+            F.sum(F.when(F.col("is_new"), F.col("qv")[d]).otherwise(0)).alias(
+                f"ns{d}"
+            )
+            for d in range(EMBED_DIM)
+        ],
+    ).localCheckpoint()  # totals + displacement both read it
+    tot = sums.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    cent_rows = [
+        (int(c), *[int(x) for x in v]) for c, v in cents
+    ]
+    cent_df = F.broadcast(
+        sums.sparkSession.createDataFrame(
+            cent_rows, ["cid"] + [f"cv{d}" for d in range(EMBED_DIM)]
+        )
+    )
+    disp_terms = " + ".join(
+        f"(nm{d} - cv{d}) * (nm{d} - cv{d})" for d in range(EMBED_DIM)
+    )
+    out = (
+        sums.join(cent_df, "cid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_old",
+            "n_new",
+            F.expr("(n_old * 1000) div greatest(1, t_old)").alias(
+                "share_old_milli"
+            ),
+            F.expr("(n_new * 1000) div greatest(1, t_new)").alias(
+                "share_new_milli"
+            ),
+            *[
+                F.when(
+                    F.col("n_new") > 0,
+                    F.floor(F.col(f"ns{d}") / F.col("n_new")),
+                )
+                .otherwise(F.col(f"cv{d}"))
+                .alias(f"nm{d}")
+                for d in range(EMBED_DIM)
+            ],
+            *[F.col(f"cv{d}") for d in range(EMBED_DIM)],
+        )
+        .select(
+            "cluster_id",
+            "n_old",
+            "n_new",
+            "share_old_milli",
+            "share_new_milli",
+            (F.col("share_new_milli") - F.col("share_old_milli")).alias(
+                "share_shift_milli"
+            ),
+            F.expr(f"({disp_terms}) div {KM_SCALE}").alias("displacement_k"),
+        )
+    )
+    return out
+
+
+def _drift_sql(k: int = DRIFT_K, iters: int = DRIFT_ITERS) -> str:
+    terms = ", ".join(
+        f"CAST(FLOOR(embedding[{i}]::DOUBLE * {KM_SCALE}) AS BIGINT)"
+        for i in range(1, EMBED_DIM + 1)
+    )
+    ctes = [
+        f"qall AS MATERIALIZED (SELECT vec_id, vec_id % 2 = 1 AS is_new, [{terms}] AS qv FROM embeddings)",
+        "qold AS (SELECT vec_id, qv FROM qall WHERE NOT is_new)",
+        f"""c0 AS (SELECT vec_id AS cid, qv AS cv
+ FROM (SELECT * FROM qold ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, qv, cid FROM (
+    SELECT e.vec_id, e.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dist_sql('e.qv', 'c.cv')} ASC, c.cid) AS r
+    FROM qold e CROSS JOIN c{i - 1} c
+  ) WHERE r = 1)"""
+        )
+        means = ", ".join(
+            f"CAST(FLOOR(SUM(qv[{d}])::DOUBLE / COUNT(*)) AS BIGINT)"
+            for d in range(1, EMBED_DIM + 1)
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT cid, [{means}] AS cv FROM a{i} GROUP BY cid)"
+        )
+    ctes.append(
+        f"""af AS MATERIALIZED (
+  SELECT vec_id, is_new, qv, cid FROM (
+    SELECT e.vec_id, e.is_new, e.qv, c.cid, c.cv,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dist_sql('e.qv', 'c.cv')} ASC, c.cid) AS r
+    FROM qall e CROSS JOIN c{iters} c
+  ) WHERE r = 1)"""
+    )
+    nm = ", ".join(
+        f"""CASE WHEN SUM(CASE WHEN is_new THEN 1 ELSE 0 END) > 0
+ THEN CAST(FLOOR(SUM(CASE WHEN is_new THEN qv[{d}] ELSE 0 END)::DOUBLE
+      / SUM(CASE WHEN is_new THEN 1 ELSE 0 END)) AS BIGINT)
+ ELSE NULL END AS nm{d}"""
+        for d in range(1, EMBED_DIM + 1)
+    )
+    disp = " + ".join(
+        f"(COALESCE(nm{d}, cv[{d}]) - cv[{d}]) * (COALESCE(nm{d}, cv[{d}]) - cv[{d}])"
+        for d in range(1, EMBED_DIM + 1)
+    )
+    ctes.append(
+        f"""sums AS (
+  SELECT cid,
+         SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS n_old,
+         SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new,
+         {nm}
+  FROM af GROUP BY cid)"""
+    )
+    ctes.append(
+        "tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM sums)"
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT s.cid AS cluster_id,
+       CAST(s.n_old AS BIGINT) AS n_old,
+       CAST(s.n_new AS BIGINT) AS n_new,
+       CAST((s.n_old * 1000) // GREATEST(1, t.t_old) AS BIGINT) AS share_old_milli,
+       CAST((s.n_new * 1000) // GREATEST(1, t.t_new) AS BIGINT) AS share_new_milli,
+       CAST((s.n_new * 1000) // GREATEST(1, t.t_new)
+          - (s.n_old * 1000) // GREATEST(1, t.t_old) AS BIGINT) AS share_shift_milli,
+       CAST(({disp}) // {KM_SCALE} AS BIGINT) AS displacement_k
+FROM sums s
+JOIN c{iters} c ON c.cid = s.cid
+CROSS JOIN tot t
+"""
+
+
+EMBEDDING_DRIFT_SQL = _drift_sql()
+QUERY_SQL["embedding_centroid_drift"] = EMBEDDING_DRIFT_SQL

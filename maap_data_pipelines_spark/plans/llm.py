@@ -447,6 +447,7 @@ QUERIES = {
     "dedup_threshold_curve": _doc_plan(dedup.dedup_threshold_curve),
     "dedup_prefix_filter": _doc_plan(dedup.dedup_prefix_filter),
     "dedup_label_propagation": _doc_plan(dedup.dedup_label_propagation),
+    "embedding_centroid_drift": _emb_plan(kmeans.embedding_centroid_drift),
 }
 
 ORACLES = {

@@ -117,3 +117,22 @@ def test_cluster_topics_structure(spark, sf_dir):
             assert r.score == share * ((k * 1000) // (r.n_clusters_with_term + 1))
         # scores non-increasing in rank
         assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
+
+
+def test_centroid_drift_same_distribution_is_calm(spark, sf_dir):
+    """Old/new halves are drawn from the SAME corpus, so the monitor must
+    read calm: per-cluster share shift small, displacement bounded, and
+    the share columns must each sum to ~1000 milli."""
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["embedding_centroid_drift"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_old for r in rows) > 0 and sum(r.n_new for r in rows) > 0
+    s_old = sum(r.share_old_milli for r in rows)
+    s_new = sum(r.share_new_milli for r in rows)
+    assert 1000 - len(rows) <= s_old <= 1000
+    assert 1000 - len(rows) <= s_new <= 1000
+    for r in rows:
+        assert r.share_shift_milli == r.share_new_milli - r.share_old_milli
+        assert abs(r.share_shift_milli) <= 300  # same distribution: calm
+        assert r.displacement_k >= 0

@@ -199,6 +199,8 @@ _BNLJ_ALLOWED = {
     # K-row centroid broadcast cross per Lloyd round (the allow-listed
     # ivf_assign shape) + two 1-row axis-max broadcasts
     "customer_rfm_segments",
+    # 1-row population-totals broadcast crossed into the K cluster rows
+    "embedding_centroid_drift",
 }
 
 
