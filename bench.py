@@ -213,6 +213,7 @@ HEADLINE = [
     "events_markov_attribution_removal",
     "customer_rfm_segments",
     "embedding_centroid_drift",
+    "dedup_canonical_election",
 ]
 
 

@@ -1768,3 +1768,91 @@ FROM lab{rounds}
 
 DEDUP_LABEL_PROPAGATION_SQL = _label_propagation_sql()
 QUERY_SQL["dedup_label_propagation"] = DEDUP_LABEL_PROPAGATION_SQL
+
+
+# --- canonical election: survivorship policy over near-dup clusters --------
+
+
+def dedup_canonical_election(docs: DataFrame) -> DataFrame:
+    """Elect the CANONICAL survivor of each near-dup cluster by POLICY,
+    not by accident: every dedup path so far keeps the minimum doc_id —
+    fine for determinism, wrong for data quality, because the lowest id
+    can be the truncated or boilerplate-ridden copy. The election joins
+    the cluster map (connected components over the MinHash candidate
+    graph) with the quality verdict and ranks each cluster's members by
+    (passes-quality DESC, n_chars DESC, doc_id ASC): keep the highest-
+    quality, longest representative; ids only break true ties.
+
+    Output per clustered doc: its cluster, the elected survivor, and the
+    evidence columns the rank used — the reviewable survivorship table a
+    dedup pipeline publishes next to its drop list.
+
+    Scale shape: the cluster map is the pointer-jumping CC output; the
+    election adds one doc_id equi-join against the quality projection
+    and a cluster-partitioned window (cluster-sized partitions, the
+    dedup_cluster_sizes discipline).
+    """
+    from pyspark.sql.window import Window
+
+    from .text import quality_filter
+
+    labels = dedup_clusters(docs)
+    qual = quality_filter(docs).select("doc_id", "keep")
+    sized = docs.select("doc_id", "n_chars")
+    j = labels.join(qual, "doc_id").join(sized, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("keep").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = j.withColumn("rnk", F.row_number().over(w))
+    survivors = ranked.filter(F.col("rnk") == 1).select(
+        F.col("cluster_id").alias("s_cluster"),
+        F.col("doc_id").alias("survivor_id"),
+    )
+    return (
+        ranked.join(
+            survivors, ranked.cluster_id == survivors.s_cluster
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+            F.col("keep").alias("passes_quality"),
+            "n_chars",
+        )
+    )
+
+
+DEDUP_CANONICAL_SQL: str  # assigned below (needs text's SQL, late import)
+
+
+def _canonical_sql() -> str:
+    from .text import QUALITY_FILTER_SQL
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+qual AS (SELECT doc_id, keep FROM ({QUALITY_FILTER_SQL})),
+j AS (
+  SELECT c.doc_id, c.cluster_id, q.keep, d.n_chars
+  FROM clusters c
+  JOIN qual q USING (doc_id)
+  JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY keep DESC, n_chars DESC, doc_id ASC) AS rnk
+  FROM j
+),
+survivors AS (
+  SELECT cluster_id, doc_id AS survivor_id FROM ranked WHERE rnk = 1
+)
+SELECT r.doc_id, r.cluster_id, s.survivor_id,
+       r.doc_id = s.survivor_id AS is_survivor,
+       r.keep AS passes_quality,
+       r.n_chars
+FROM ranked r JOIN survivors s USING (cluster_id)
+"""
+
+
+DEDUP_CANONICAL_SQL = _canonical_sql()
+QUERY_SQL["dedup_canonical_election"] = DEDUP_CANONICAL_SQL

@@ -448,6 +448,7 @@ QUERIES = {
     "dedup_prefix_filter": _doc_plan(dedup.dedup_prefix_filter),
     "dedup_label_propagation": _doc_plan(dedup.dedup_label_propagation),
     "embedding_centroid_drift": _emb_plan(kmeans.embedding_centroid_drift),
+    "dedup_canonical_election": _doc_plan(dedup.dedup_canonical_election),
 }
 
 ORACLES = {

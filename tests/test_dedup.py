@@ -389,3 +389,24 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
         for r in dedup.label_propagation(_und(spark, [(7, 9)])).collect()
     }
     assert sizes == {7: 1, 9: 1}
+
+
+def test_canonical_election_prefers_quality_then_length(spark, sf_dir):
+    """The elected survivor of every cluster must dominate its members
+    under (passes_quality desc, n_chars desc, doc_id asc) — the policy,
+    re-proved row-by-row; exactly one survivor per cluster."""
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["dedup_canonical_election"](spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        best = sorted(
+            members,
+            key=lambda r: (not r.passes_quality, -r.n_chars, r.doc_id),
+        )[0]
+        survivors = [r for r in members if r.is_survivor]
+        assert len(survivors) == 1, cid
+        assert survivors[0].doc_id == best.doc_id == survivors[0].survivor_id
