@@ -214,6 +214,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "embedding_centroid_drift",
     "dedup_canonical_election",
+    "events_forecast_backtest",
 ]
 
 

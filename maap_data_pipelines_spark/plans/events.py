@@ -2313,6 +2313,82 @@ GROUP BY prev_type, pred_next, majority_next
 """
 
 
+BACKTEST_DAYS = 10  # rolling-origin evaluation window (last N days/type)
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin BACKTEST of the Holt forecaster — the honest-eval
+    rung for forecasting, as the temporal holdout is for the next-event
+    model: a forecast operator without a measured error is a claim, not
+    a capability. For each of the last BACKTEST_DAYS days per type, the
+    one-step-ahead prediction is the PREVIOUS day's (level + trend) —
+    information available strictly before the day being scored — and the
+    naive baseline is yesterday's actual count. Reported per type: MAE
+    of both in milli-events and the holt_beats_naive verdict.
+
+    Composes the oracled Holt fold unchanged; the backtest adds two lag
+    windows and a type-bounded aggregate — day-series-sized work.
+    """
+    from pyspark.sql.window import Window
+
+    h = events_forecast_holt(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day_us")
+    wd = Window.partitionBy("event_type").orderBy(F.col("day_us").desc())
+    scored = (
+        h.select(
+            "event_type",
+            "day_us",
+            "n_events",
+            F.lag("forecast_next").over(w).alias("pred"),
+            F.lag("n_events").over(w).alias("naive"),
+        )
+        .filter(F.col("pred").isNotNull())
+        .withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= BACKTEST_DAYS)
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_eval"),
+        F.expr(
+            "sum(abs(n_events - pred)) * 1000 div count(*)"
+        ).alias("mae_holt_milli"),
+        F.expr(
+            "sum(abs(n_events - naive)) * 1000 div count(*)"
+        ).alias("mae_naive_milli"),
+        (
+            F.sum(F.abs(F.col("n_events") - F.col("pred")))
+            <= F.sum(F.abs(F.col("n_events") - F.col("naive")))
+        ).alias("holt_beats_naive"),
+    )
+
+
+def _backtest_sql() -> str:
+    return f"""
+WITH holt AS ({FORECAST_HOLT_SQL}),
+lagged AS (
+  SELECT event_type, day_us, n_events,
+         LAG(forecast_next) OVER (PARTITION BY event_type ORDER BY day_us) AS pred,
+         LAG(n_events) OVER (PARTITION BY event_type ORDER BY day_us) AS naive
+  FROM holt
+),
+scored AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_us DESC) AS rnk
+    FROM lagged WHERE pred IS NOT NULL
+  ) WHERE rnk <= {BACKTEST_DAYS}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+       CAST(SUM(ABS(n_events - pred)) * 1000 // COUNT(*) AS BIGINT) AS mae_holt_milli,
+       CAST(SUM(ABS(n_events - naive)) * 1000 // COUNT(*) AS BIGINT) AS mae_naive_milli,
+       SUM(ABS(n_events - pred)) <= SUM(ABS(n_events - naive)) AS holt_beats_naive
+FROM scored
+GROUP BY event_type
+"""
+
+
+FORECAST_BACKTEST_SQL = _backtest_sql()
+
+
 # --- events_markov_attribution_removal: Markov removal-effect attribution --
 
 MARKOV_STEPS = 6  # propagation horizon: mass still in transit after 6
@@ -2585,6 +2661,7 @@ QUERIES = {
     "events_theta_overlap": events_theta_overlap,
     "events_next_event_prediction": events_next_event_prediction,
     "events_markov_attribution_removal": events_markov_attribution_removal,
+    "events_forecast_backtest": events_forecast_backtest,
 }
 
 ORACLES = {
@@ -2630,4 +2707,5 @@ ORACLES = {
     "events_theta_overlap": THETA_OVERLAP_SQL,
     "events_next_event_prediction": NEXT_EVENT_SQL,
     "events_markov_attribution_removal": MARKOV_REMOVAL_SQL,
+    "events_forecast_backtest": FORECAST_BACKTEST_SQL,
 }

@@ -544,3 +544,53 @@ def test_rfm_segments_partition_customers(spark, sf_dir):
     for r in rows:
         for c in ("mean_r_milli", "mean_f_milli", "mean_m_milli"):
             assert 0 <= getattr(r, c) <= 1000
+
+
+def test_forecast_backtest_strictly_one_step_ahead(spark, sf_dir):
+    """Each scored day's prediction must be the PREVIOUS day's
+    (level + trend) — information strictly before the scored day — and
+    MAE columns must be exact milli ratios of the summed errors."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.plans.events import (
+        BACKTEST_DAYS,
+        events_forecast_holt,
+    )
+
+    out = {
+        r.event_type: r
+        for r in registry.queries()["events_forecast_backtest"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert out
+    h = events_forecast_holt(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day_us")
+    wd = Window.partitionBy("event_type").orderBy(F.col("day_us").desc())
+    scored = (
+        h.select(
+            "event_type",
+            "day_us",
+            "n_events",
+            F.lag("forecast_next").over(w).alias("pred"),
+            F.lag("n_events").over(w).alias("naive"),
+        )
+        .filter(F.col("pred").isNotNull())
+        .withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= BACKTEST_DAYS)
+        .collect()
+    )
+    import collections
+
+    sums = collections.defaultdict(lambda: [0, 0, 0])
+    for r in scored:
+        sums[r.event_type][0] += 1
+        sums[r.event_type][1] += abs(r.n_events - r.pred)
+        sums[r.event_type][2] += abs(r.n_events - r.naive)
+    for t, (n, eh, en) in sums.items():
+        assert out[t].n_days_eval == n <= BACKTEST_DAYS
+        assert out[t].mae_holt_milli == eh * 1000 // n
+        assert out[t].mae_naive_milli == en * 1000 // n
+        assert out[t].holt_beats_naive == (eh <= en)
