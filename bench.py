@@ -215,6 +215,7 @@ HEADLINE = [
     "embedding_centroid_drift",
     "dedup_canonical_election",
     "events_forecast_backtest",
+    "doc_winnowing_matches",
 ]
 
 

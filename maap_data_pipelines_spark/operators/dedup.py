@@ -1856,3 +1856,110 @@ FROM ranked r JOIN survivors s USING (cluster_id)
 
 DEDUP_CANONICAL_SQL = _canonical_sql()
 QUERY_SQL["dedup_canonical_election"] = DEDUP_CANONICAL_SQL
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+
+WINNOW_W = 4  # guarantee window: any match of >= W+2 words shares a print
+WINNOW_MAX_DF = 100  # same hot-shingle guard class as NGRAM_MAX_DF
+
+
+def doc_winnowing_matches(docs: DataFrame) -> DataFrame:
+    """Cross-document matches via WINNOWING fingerprints (Schleimer et
+    al., SIGMOD'03 — the MOSS plagiarism detector's selection rule).
+
+    The positional member of the fingerprint family: where
+    ngram_jaccard indexes EVERY distinct shingle and MinHash a fixed
+    random sample, winnowing slides a W-window over each document's
+    shingle-hash SEQUENCE and keeps each window's minimum — ~2/(W+1) of
+    the positions, with the guarantee that any verbatim match of at
+    least W+2 words contributes at least one shared fingerprint (every
+    length-W window of a common substring selects the same minimum in
+    both docs). Selection is positional, so reordering paragraphs still
+    matches while the index stays a fraction of the full posting list.
+
+    Output: (doc_a, doc_b, n_shared) — pairs sharing >= 2 winnowed
+    fingerprints, the plagiarism-candidate queue.
+
+    Scale shape: per-doc windows are a doc_id-partitioned ROWS frame
+    (doc-sized partitions); the fingerprint set is DISTINCT window
+    minima (a fraction of the shingle stream); candidate pairs come
+    from the same df-bounded equi-join as ngram_jaccard — a fingerprint
+    in more than WINNOW_MAX_DF docs is a template artifact and capped
+    identically in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5_long
+
+    seqd = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_SPARK_SHINGLES)).alias("pos", "s"),
+        )
+        .select("doc_id", "pos", md5_long(F.col("s")).alias("h"))
+    )
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    nw = Window.partitionBy("doc_id")
+    fps = (
+        seqd.withColumn("n", F.count(F.lit(1)).over(nw))
+        .withColumn("wmin", F.min("h").over(wf))
+        .filter(F.col("pos") <= F.col("n") - WINNOW_W)  # full windows only
+        .select("doc_id", F.col("wmin").alias("h"))
+        .distinct()
+    )
+    df_ok = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("h")
+    )
+    fpf = fps.join(df_ok, "h", "left_semi")
+    a, b = fpf.alias("a"), fpf.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+DOC_WINNOWING_SQL = f"""
+WITH shing AS (
+  SELECT doc_id,
+         unnest({_DUCK_SHINGLES}) AS s,
+         generate_subscripts({_DUCK_SHINGLES}, 1) - 1 AS pos
+  FROM ({_DUCK_WORDS})
+),
+hashed AS (
+  SELECT doc_id, pos, {md5_long_sql('s')} AS h FROM shing
+),
+wins AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM hashed
+),
+fps AS (
+  SELECT DISTINCT doc_id, wmin AS h FROM wins WHERE pos <= n - {WINNOW_W}
+),
+df_ok AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= {WINNOW_MAX_DF}),
+fpf AS (SELECT f.doc_id, f.h FROM fps f JOIN df_ok USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fpf a JOIN fpf b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+QUERY_SQL["doc_winnowing_matches"] = DOC_WINNOWING_SQL

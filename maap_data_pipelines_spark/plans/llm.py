@@ -449,6 +449,7 @@ QUERIES = {
     "dedup_label_propagation": _doc_plan(dedup.dedup_label_propagation),
     "embedding_centroid_drift": _emb_plan(kmeans.embedding_centroid_drift),
     "dedup_canonical_election": _doc_plan(dedup.dedup_canonical_election),
+    "doc_winnowing_matches": _doc_plan(dedup.doc_winnowing_matches),
 }
 
 ORACLES = {

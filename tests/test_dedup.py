@@ -410,3 +410,49 @@ def test_canonical_election_prefers_quality_then_length(spark, sf_dir):
         survivors = [r for r in members if r.is_survivor]
         assert len(survivors) == 1, cid
         assert survivors[0].doc_id == best.doc_id == survivors[0].survivor_id
+
+
+def test_winnowing_guarantee_on_verbatim_copy(spark):
+    """Winnowing's contract: a verbatim shared substring of >= W+2 words
+    must produce a shared fingerprint. A doc and its partial copy must
+    match; two disjoint-vocabulary docs must not."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    copy = "intro words then " + " ".join(base.split()[2:12]) + " outro bits"
+    other = "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15"
+    df = _docs(spark, [(1, base), (2, copy), (3, other)])
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.doc_winnowing_matches(df).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_index_smaller_than_postings(spark, sf_dir):
+    """The point of the selection: the winnowed fingerprint set must be
+    well under the full distinct-shingle posting count (~2/(W+1))."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from maap_data_pipelines_spark.functions.hashing import md5_long
+    from maap_data_pipelines_spark.operators.dedup import (
+        WINNOW_W,
+        _SPARK_SHINGLES,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    seqd = (
+        docs.withColumn("w", F.split(F.col("text"), " "))
+        .select("doc_id", F.posexplode(F.expr(_SPARK_SHINGLES)).alias("pos", "s"))
+        .select("doc_id", "pos", md5_long(F.col("s")).alias("h"))
+    )
+    full = seqd.select("doc_id", "h").distinct().count()
+    wf = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    nw = Window.partitionBy("doc_id")
+    fps = (
+        seqd.withColumn("n", F.count(F.lit(1)).over(nw))
+        .withColumn("wmin", F.min("h").over(wf))
+        .filter(F.col("pos") <= F.col("n") - WINNOW_W)
+        .select("doc_id", "wmin")
+        .distinct()
+        .count()
+    )
+    assert fps < 0.7 * full
