@@ -46,6 +46,18 @@ KEYS = [
     "orders_seasonal_decompose",
     "lineitem_price_index",
     "orders_duplicate_payments",
+    # r6 final-wave additions: rare-first prefix ranking, synchronous LP
+    # label ties, KMV top-K selection, NB cross-multiplied argmax, the
+    # 6-hop integer chain fold, in-plan Lloyd rounds, window-min
+    # fingerprint selection, and the one-step-ahead backtest lags
+    "dedup_prefix_filter",
+    "dedup_label_propagation",
+    "events_theta_overlap",
+    "quality_nb_classifier",
+    "events_markov_attribution_removal",
+    "customer_rfm_segments",
+    "doc_winnowing_matches",
+    "events_forecast_backtest",
 ]
 
 
