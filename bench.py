@@ -216,6 +216,7 @@ HEADLINE = [
     "dedup_canonical_election",
     "events_forecast_backtest",
     "doc_winnowing_matches",
+    "customer_t_closeness",
 ]
 
 

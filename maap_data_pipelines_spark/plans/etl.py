@@ -2777,6 +2777,98 @@ FROM af GROUP BY cid
 RFM_SEGMENTS_SQL = _rfm_sql()
 
 
+T_CLOSENESS_MAX_MICRO = 250_000  # t > 0.25 fails the release gate
+
+
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy-release triad.
+
+    k-anonymity bounds class SIZE, l-diversity bounds distinct sensitive
+    values, but a class can pass both while its sensitive DISTRIBUTION
+    still leaks (skewness attack: 90% of one band inside a class that is
+    10% globally). t-closeness bounds the distance between each class's
+    sensitive distribution and the corpus-wide one; for categorical
+    bands with unit ground distance the EMD reduces to total-variation:
+    t = ½ Σ_b |p(b|class) − p(b)|. All shares are exact micro ratios, so
+    t_micro is an exact integer both engines agree on.
+
+    Bands ABSENT from a class still contribute |0 − p(b)| — the grid is
+    completed by crossing the class list with the (small) band dim
+    before the cell left-join; both sides are aggregate-sized.
+
+    Output per QI class: k, t_micro, fails_t_closeness.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").alias("k")
+    )
+    glob = cells.groupBy("bal_band").agg(F.sum("c").alias("gc"))
+    tot = glob.agg(F.sum("gc").alias("n"))
+    bands = glob.crossJoin(F.broadcast(tot)).select(
+        "bal_band", F.expr("(gc * 1000000) div n").alias("g_micro")
+    )
+    grid = classes.crossJoin(F.broadcast(bands))
+    full = grid.join(
+        cells, ["c_nationkey", "c_mktsegment", "bal_band"], "left"
+    ).na.fill({"c": 0})
+    per = full.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        F.abs(F.expr("(c * 1000000) div k") - F.col("g_micro")).alias("d"),
+    )
+    return (
+        per.groupBy("c_nationkey", "c_mktsegment", "k")
+        .agg(F.expr("sum(d) div 2").alias("t_micro"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "t_micro",
+            (F.col("t_micro") > T_CLOSENESS_MAX_MICRO).alias(
+                "fails_t_closeness"
+            ),
+        )
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, SUM(c) AS k
+  FROM cells GROUP BY 1, 2
+),
+gband AS (SELECT bal_band, SUM(c) AS gc FROM cells GROUP BY 1),
+tot AS (SELECT SUM(gc) AS n FROM gband),
+bands AS (
+  SELECT bal_band, (gc * 1000000) // n AS g_micro FROM gband CROSS JOIN tot
+),
+grid AS (SELECT * FROM classes CROSS JOIN bands),
+fgrid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.k,
+         ABS((COALESCE(ce.c, 0) * 1000000) // g.k - g.g_micro) AS d
+  FROM grid g
+  LEFT JOIN cells ce USING (c_nationkey, c_mktsegment, bal_band)
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(k AS BIGINT) AS k,
+       CAST(SUM(d) // 2 AS BIGINT) AS t_micro,
+       SUM(d) // 2 > {T_CLOSENESS_MAX_MICRO} AS fails_t_closeness
+FROM fgrid
+GROUP BY c_nationkey, c_mktsegment, k
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
@@ -2820,6 +2912,7 @@ QUERIES = {
     "orders_profile": orders_profile,
     "gdpr_erasure_plan": gdpr_erasure_plan,
     "customer_rfm_segments": customer_rfm_segments,
+    "customer_t_closeness": customer_t_closeness,
 }
 
 ORACLES = {
@@ -2865,4 +2958,5 @@ ORACLES = {
     "orders_theilsen_trend": THEILSEN_SQL,
     "gdpr_erasure_plan": GDPR_ERASURE_SQL,
     "customer_rfm_segments": RFM_SEGMENTS_SQL,
+    "customer_t_closeness": T_CLOSENESS_SQL,
 }

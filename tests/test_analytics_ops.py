@@ -594,3 +594,37 @@ def test_forecast_backtest_strictly_one_step_ahead(spark, sf_dir):
         assert out[t].mae_holt_milli == eh * 1000 // n
         assert out[t].mae_naive_milli == en * 1000 // n
         assert out[t].holt_beats_naive == (eh <= en)
+
+
+def test_t_closeness_detects_planted_skew(spark, tmp_path, sf_dir):
+    """A QI class holding ONLY the rarest global band must score high t;
+    a class mirroring the global mix must score ~0. Verified on a
+    crafted customer table written through the same reader path."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.plans.etl import customer_t_closeness
+
+    rows = []
+    # global mix: band 0 x90, band 9 x10 (written via c_acctbal)
+    # class A (nation 1): mirrors global mix -> t ~ 0
+    for i in range(45):
+        rows.append((i, 1, "SEG", 500.0))
+    for i in range(45, 50):
+        rows.append((i, 1, "SEG", 9500.0))
+    # class B (nation 2): ONLY the rare band -> t high
+    for i in range(50, 60):
+        rows.append((i + 100, 2, "SEG", 9500.0))
+    # filler keeping the global mix at 90/10 overall
+    for i in range(60, 105):
+        rows.append((i + 200, 3, "SEG", 500.0))
+    df = spark.createDataFrame(
+        rows, ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    out_dir = str(tmp_path / "cust")
+    df.write.parquet(out_dir + "/customer.parquet")
+    got = {
+        r.c_nationkey: r
+        for r in customer_t_closeness(spark, str(tmp_path / "cust")).collect()
+    }
+    assert got[2].t_micro > got[1].t_micro
+    assert got[2].fails_t_closeness and not got[1].fails_t_closeness

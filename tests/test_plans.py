@@ -201,6 +201,9 @@ _BNLJ_ALLOWED = {
     "customer_rfm_segments",
     # 1-row population-totals broadcast crossed into the K cluster rows
     "embedding_centroid_drift",
+    # class-list x band-dim grid completion (both aggregate-sized) + the
+    # 1-row corpus-total broadcast — the month-spine class
+    "customer_t_closeness",
 }
 
 
