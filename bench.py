@@ -217,6 +217,7 @@ HEADLINE = [
     "events_forecast_backtest",
     "doc_winnowing_matches",
     "customer_t_closeness",
+    "dedup_strategy_comparison",
 ]
 
 

@@ -1963,3 +1963,106 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """
 QUERY_SQL["doc_winnowing_matches"] = DOC_WINNOWING_SQL
+
+
+# --- strategy comparison: measure the candidate-generation tier -------------
+
+
+def dedup_strategy_comparison(docs: DataFrame) -> DataFrame:
+    """Head-to-head audit of the three candidate-generation strategies
+    against EXACT truth — the table that justifies a dedup config.
+
+    Truth = the prefix-filtered exact Jaccard >= 0.5 join (proven
+    lossless against brute force by its own oracle). Each strategy's
+    emitted pairs are scored against it:
+
+      minhash  — LSH candidates with est_jaccard >= 0.5,
+      simhash  — Hamming <= 3 pairs of the 60-bit fingerprint,
+      ngram    — the df-bounded inverted-index join (drops hot shingles,
+                 so its recall deficit is exactly the df cap's cost).
+
+    Output per strategy: pairs emitted, true pairs found, recall and
+    precision in ppm — measured, not asserted (the LSH banding was tuned
+    on numbers from exactly this kind of table). Every input is an
+    already-oracled operator; the comparison is their composition.
+
+    Scale shape: three bounded pair frames + the truth frame, joined
+    pairwise on (doc_a, doc_b) — near-dup-mass-bounded, never corpus².
+    """
+    truth = dedup_prefix_filter(docs).select("doc_a", "doc_b").localCheckpoint()
+    n_true = truth.count()  # bounded driver scalar: one audit row input
+    strategies = [
+        (
+            "minhash",
+            dedup_minhash_lsh(docs)
+            .filter(F.col("est_jaccard") >= NGRAM_MIN_JACCARD)
+            .select("doc_a", "doc_b"),
+        ),
+        ("simhash", dedup_simhash(docs).select("doc_a", "doc_b")),
+        ("ngram", ngram_jaccard(docs).select("doc_a", "doc_b")),
+    ]
+    outs = []
+    for name, pairs in strategies:
+        p = pairs.localCheckpoint()
+        emitted = p.count()
+        found = p.join(truth, ["doc_a", "doc_b"], "left_semi").count()
+        outs.append((name, emitted, found))
+    spark = docs.sparkSession
+    res = spark.createDataFrame(
+        outs, "strategy string, n_emitted long, n_true_found long"
+    )
+    return res.select(
+        "strategy",
+        "n_emitted",
+        F.lit(n_true).cast("long").alias("n_true_pairs"),
+        "n_true_found",
+        F.expr(f"(n_true_found * 1000000) div greatest(1, {n_true})").alias(
+            "recall_ppm"
+        ),
+        F.expr("(n_true_found * 1000000) div greatest(1, n_emitted)").alias(
+            "precision_ppm"
+        ),
+    )
+
+
+def _strategy_comparison_sql() -> str:
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_PREFIX_FILTER_SQL})
+),
+mh AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})
+  WHERE est_jaccard >= {NGRAM_MIN_JACCARD}
+),
+sh AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_SIMHASH_SQL})
+),
+ng AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL})
+),
+nt AS (SELECT COUNT(*) AS n_true FROM truth),
+s AS (
+  SELECT 'minhash' AS strategy,
+         (SELECT COUNT(*) FROM mh) AS n_emitted,
+         (SELECT COUNT(*) FROM mh JOIN truth USING (doc_a, doc_b)) AS n_true_found
+  UNION ALL
+  SELECT 'simhash',
+         (SELECT COUNT(*) FROM sh),
+         (SELECT COUNT(*) FROM sh JOIN truth USING (doc_a, doc_b))
+  UNION ALL
+  SELECT 'ngram',
+         (SELECT COUNT(*) FROM ng),
+         (SELECT COUNT(*) FROM ng JOIN truth USING (doc_a, doc_b))
+)
+SELECT strategy,
+       CAST(n_emitted AS BIGINT) AS n_emitted,
+       CAST(n_true AS BIGINT) AS n_true_pairs,
+       CAST(n_true_found AS BIGINT) AS n_true_found,
+       CAST((n_true_found * 1000000) // GREATEST(1, n_true) AS BIGINT) AS recall_ppm,
+       CAST((n_true_found * 1000000) // GREATEST(1, n_emitted) AS BIGINT) AS precision_ppm
+FROM s CROSS JOIN nt
+"""
+
+
+DEDUP_STRATEGY_COMPARISON_SQL = _strategy_comparison_sql()
+QUERY_SQL["dedup_strategy_comparison"] = DEDUP_STRATEGY_COMPARISON_SQL

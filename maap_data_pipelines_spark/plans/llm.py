@@ -450,6 +450,7 @@ QUERIES = {
     "embedding_centroid_drift": _emb_plan(kmeans.embedding_centroid_drift),
     "dedup_canonical_election": _doc_plan(dedup.dedup_canonical_election),
     "doc_winnowing_matches": _doc_plan(dedup.doc_winnowing_matches),
+    "dedup_strategy_comparison": _doc_plan(dedup.dedup_strategy_comparison),
 }
 
 ORACLES = {

@@ -456,3 +456,22 @@ def test_winnowing_index_smaller_than_postings(spark, sf_dir):
         .count()
     )
     assert fps < 0.7 * full
+
+
+def test_strategy_comparison_bounds_and_tuned_recall(spark, sf_dir):
+    """Structural bounds hold for every strategy, and the tuned 12x4
+    MinHash banding must keep recall >= 0.9 at the 0.5 threshold (the
+    retune's documented contract)."""
+    from maap_data_pipelines_spark import registry
+
+    rows = {
+        r.strategy: r
+        for r in registry.queries()["dedup_strategy_comparison"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"minhash", "simhash", "ngram"}
+    for r in rows.values():
+        assert 0 <= r.n_true_found <= min(r.n_emitted, r.n_true_pairs)
+        assert r.recall_ppm <= 1_000_000 and r.precision_ppm <= 1_000_000
+    assert rows["minhash"].recall_ppm >= 900_000
