@@ -218,6 +218,7 @@ HEADLINE = [
     "doc_winnowing_matches",
     "customer_t_closeness",
     "dedup_strategy_comparison",
+    "part_recs_hitrate",
 ]
 
 

@@ -1164,7 +1164,175 @@ FROM s
 """
 
 
+# --- part_recs_hitrate: co-purchase recommender with honest holdout --------
+
+RECS_SPLIT = "2000-01-01"  # temporal train/eval split on o_orderdate
+RECS_TOPK = 3
+
+
+def part_recs_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase recommender, scored on a TEMPORAL holdout —
+    the recsys rung of the honest-eval family (next-event predictor,
+    forecast backtest, NB classifier): train co-occurrence counts on
+    orders before RECS_SPLIT, recommend each part's top-K co-purchased
+    parts (count desc, partkey asc ties), then measure on later orders:
+    an eval (order, part) HITS when any recommended part appears in the
+    same basket. The baseline column recommends the K globally
+    most-popular training parts to everyone — the lift over it is what
+    says the affinity signal is real, not popularity restated. (On
+    TPC-H's uniform-random baskets the affinity model does NOT beat
+    popularity — the honest reading this eval exists to produce; on
+    real purchase data the same table is the go/no-go.)
+
+    Scale shape: basket pairs fan out per order by distinct-parts² (TPC-H
+    ~4 lines/order — bounded); the model is a per-part top-K window over
+    the co-occurrence agg; scoring is two equi-joins (eval rows onto the
+    model, recommendations back onto the basket). One summary row.
+    """
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    basket = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            "l_partkey",
+            (F.col("o_orderdate") < RECS_SPLIT).alias("is_train"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    train = basket.filter("is_train").select("o_orderkey", "l_partkey")
+    a, b = train.alias("a"), train.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("rec")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    recs = (
+        co.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("p").orderBy(F.col("c").desc(), F.col("rec"))
+            ),
+        )
+        .filter(F.col("rn") <= RECS_TOPK)
+        .select("p", "rec")
+    )
+    pop = (
+        train.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("l_partkey"))
+        .limit(RECS_TOPK)
+        .select(F.col("l_partkey").alias("rec"))
+    )
+    ev = basket.filter(~F.col("is_train")).select("o_orderkey", "l_partkey")
+    model_hits = (
+        ev.join(recs, ev.l_partkey == recs.p)
+        .join(
+            basket.filter(~F.col("is_train"))
+            .select(F.col("o_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")),
+            (F.col("o_orderkey") == F.col("ok2")) & (F.col("rec") == F.col("pk2")),
+            "left_semi",
+        )
+        .select("o_orderkey", "l_partkey")
+        .distinct()
+    )
+    base_hits = (
+        ev.crossJoin(F.broadcast(pop))
+        .filter(F.col("rec") != F.col("l_partkey"))
+        .join(
+            basket.filter(~F.col("is_train"))
+            .select(F.col("o_orderkey").alias("ok2"), F.col("l_partkey").alias("pk2")),
+            (F.col("o_orderkey") == F.col("ok2")) & (F.col("rec") == F.col("pk2")),
+            "left_semi",
+        )
+        .select("o_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_eval = ev.count()
+    n_model = model_hits.count()
+    n_base = base_hits.count()
+    n_train_orders = train.select("o_orderkey").distinct().count()
+    return spark.createDataFrame(
+        [(n_train_orders, n_eval, n_model, n_base)],
+        "n_train_orders long, n_eval_rows long, n_model_hits long, n_baseline_hits long",
+    ).select(
+        "*",
+        F.expr("(n_model_hits * 1000000) div greatest(1, n_eval_rows)").alias(
+            "hit_ppm"
+        ),
+        F.expr(
+            "(n_baseline_hits * 1000000) div greatest(1, n_eval_rows)"
+        ).alias("baseline_ppm"),
+    )
+
+
+PART_RECS_SQL = f"""
+WITH basket AS (
+  SELECT DISTINCT o_orderkey, l_partkey, o_orderdate < '{RECS_SPLIT}' AS is_train
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+train AS (SELECT o_orderkey, l_partkey FROM basket WHERE is_train),
+co AS (
+  SELECT a.l_partkey AS p, b.l_partkey AS rec, COUNT(*) AS c
+  FROM train a JOIN train b
+    ON a.o_orderkey = b.o_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+recs AS (
+  SELECT p, rec FROM (
+    SELECT p, rec, ROW_NUMBER() OVER (PARTITION BY p ORDER BY c DESC, rec) AS rn
+    FROM co
+  ) WHERE rn <= {RECS_TOPK}
+),
+pop AS (
+  SELECT l_partkey AS rec FROM (
+    SELECT l_partkey, COUNT(*) AS c FROM train GROUP BY 1
+    ORDER BY c DESC, l_partkey LIMIT {RECS_TOPK}
+  )
+),
+ev AS (SELECT o_orderkey, l_partkey FROM basket WHERE NOT is_train),
+model_hits AS (
+  SELECT DISTINCT e.o_orderkey, e.l_partkey
+  FROM ev e
+  JOIN recs r ON e.l_partkey = r.p
+  JOIN ev e2 ON e2.o_orderkey = e.o_orderkey AND e2.l_partkey = r.rec
+),
+base_hits AS (
+  SELECT DISTINCT e.o_orderkey, e.l_partkey
+  FROM ev e
+  CROSS JOIN pop r
+  JOIN ev e2 ON e2.o_orderkey = e.o_orderkey AND e2.l_partkey = r.rec
+  WHERE r.rec <> e.l_partkey
+),
+s AS (
+  SELECT (SELECT COUNT(DISTINCT o_orderkey) FROM train) AS n_train_orders,
+         (SELECT COUNT(*) FROM ev) AS n_eval_rows,
+         (SELECT COUNT(*) FROM model_hits) AS n_model_hits,
+         (SELECT COUNT(*) FROM base_hits) AS n_baseline_hits
+)
+SELECT CAST(n_train_orders AS BIGINT) AS n_train_orders,
+       CAST(n_eval_rows AS BIGINT) AS n_eval_rows,
+       CAST(n_model_hits AS BIGINT) AS n_model_hits,
+       CAST(n_baseline_hits AS BIGINT) AS n_baseline_hits,
+       CAST((n_model_hits * 1000000) // GREATEST(1, n_eval_rows) AS BIGINT) AS hit_ppm,
+       CAST((n_baseline_hits * 1000000) // GREATEST(1, n_eval_rows) AS BIGINT) AS baseline_ppm
+FROM s
+"""
+
+
 QUERIES = {
+    "part_recs_hitrate": part_recs_hitrate,
     "orders_promo_lift": orders_promo_lift,
     "discount_elasticity": discount_elasticity,
     "lineitem_leadtime_profile": lineitem_leadtime_profile,
@@ -1188,6 +1356,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "part_recs_hitrate": PART_RECS_SQL,
     "orders_promo_lift": PROMO_LIFT_SQL,
     "discount_elasticity": ELASTICITY_SQL,
     "lineitem_leadtime_profile": LEADTIME_SQL,

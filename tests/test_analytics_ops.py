@@ -628,3 +628,16 @@ def test_t_closeness_detects_planted_skew(spark, tmp_path, sf_dir):
     }
     assert got[2].t_micro > got[1].t_micro
     assert got[2].fails_t_closeness and not got[1].fails_t_closeness
+
+
+def test_part_recs_eval_structure(spark, sf_dir):
+    """Holdout-eval invariants: hits never exceed eval rows, ppm columns
+    are exact ratios, and train/eval splits are both non-empty."""
+    from maap_data_pipelines_spark import registry
+
+    r = registry.queries()["part_recs_hitrate"](spark, sf_dir).collect()[0]
+    assert r.n_train_orders > 0 and r.n_eval_rows > 0
+    assert 0 <= r.n_model_hits <= r.n_eval_rows
+    assert 0 <= r.n_baseline_hits <= r.n_eval_rows
+    assert r.hit_ppm == r.n_model_hits * 1_000_000 // r.n_eval_rows
+    assert r.baseline_ppm == r.n_baseline_hits * 1_000_000 // r.n_eval_rows
