@@ -168,6 +168,20 @@ _DEFERRED: set[str] = {
     # r6 late addition #53 (replica-verified at both SFs): waits for r07
     # so the prefix-filter join and label propagation keep their slots
     "customer_rfm_segments",
+    # The restarted-session wave grew the unconfirmed backlog to 57 for
+    # 50 slots. Defer these seven SIMPLE single-scan/window keys (each
+    # replica-verified at sf0.01+sf0.1 and green in two full window
+    # rehearsals this round) so the intricate late additions — the
+    # prefix-filter join, LP communities, centroid drift, canonical
+    # election, winnowing, the strategy audit, and the threshold curve —
+    # receive the official driver record first.
+    "supplier_return_sla",
+    "orders_gap_distribution",
+    "customer_revenue_lorenz",
+    "lineitem_benford",
+    "orders_duplicate_payments",
+    "lineitem_leadtime_profile",
+    "orders_abc_classification",
 }
 
 
