@@ -219,6 +219,7 @@ HEADLINE = [
     "customer_t_closeness",
     "dedup_strategy_comparison",
     "part_recs_hitrate",
+    "nation_trade_pagerank",
 ]
 
 

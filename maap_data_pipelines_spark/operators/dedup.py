@@ -2066,3 +2066,70 @@ FROM s CROSS JOIN nt
 
 DEDUP_STRATEGY_COMPARISON_SQL = _strategy_comparison_sql()
 QUERY_SQL["dedup_strategy_comparison"] = DEDUP_STRATEGY_COMPARISON_SQL
+
+
+# --- weighted PageRank core --------------------------------------------------
+
+
+def pagerank_int_weighted(wedges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-exact WEIGHTED PageRank over a symmetric weighted edge list
+    (doc_a, doc_b, w). The :func:`pagerank_int` discipline generalized:
+    per round each node's rank flows along its edges proportionally to
+    weight — contribution = (rank div total_out_weight) * w, an exact
+    integer function of the graph, so the iterative score keeps a full
+    value-hash oracle. Same localCheckpoint-ed edge+degree table, same
+    fixed-round structure.
+    """
+    deg = wedges.groupBy("doc_a").agg(F.sum("w").alias("deg"))
+    edges = wedges.join(deg, "doc_a").select(
+        "doc_a", "doc_b", "w", "deg"
+    ).localCheckpoint()
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    base = 15 * PR_SCALE // 100
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.doc_a == ranks.doc_id)
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                F.expr("(rank div deg) * w").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).alias("rank"),
+        )
+    return ranks.select("doc_id", F.col("rank").alias("rank_u6"))
+
+
+def pagerank_weighted_sql(wedges_sql: str, iters: int = PR_ITERS) -> str:
+    """Oracle builder for :func:`pagerank_int_weighted` — wedges_sql must
+    yield (doc_a, doc_b, w), symmetric."""
+    base = 15 * PR_SCALE // 100
+    ctes = [
+        f"wund AS MATERIALIZED ({wedges_sql})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id FROM wund)",
+        "deg AS MATERIALIZED (SELECT doc_a, SUM(w) AS deg FROM wund GROUP BY 1)",
+        f"r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.doc_id,
+         CAST({base} + (85 * COALESCE(CAST(s.s AS BIGINT), 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT u.doc_b AS doc_id, SUM((r.rank // d.deg) * u.w) AS s
+    FROM wund u JOIN deg d ON u.doc_a = d.doc_a JOIN r{i - 1} r ON r.doc_id = u.doc_a
+    GROUP BY 1
+  ) s ON n.doc_id = s.doc_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, rank AS rank_u6 FROM r{iters}"
+    )

@@ -1331,7 +1331,103 @@ FROM s
 """
 
 
+# --- nation_trade_pagerank: centrality of the trade network -----------------
+
+
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-to-nation TRADE network — the
+    graph tier generalized beyond the dedup candidate graph (as RFM
+    k-means generalized the clustering tier): nodes are nations, edge
+    weight = line items shipped from a supplier nation to a customer
+    nation, symmetrized; rank is the integer-exact weighted PageRank
+    (operators/dedup.pagerank_int_weighted), so an iterative centrality
+    over a business graph keeps a full value-hash oracle. High-rank
+    nations are the hubs whose disruption propagates — Q7's volume
+    table answers "how much", this answers "how central".
+
+    Scale shape: the corpus-sized work is the supplier/orders/customer
+    equi-joins collapsing lineitem to a |nations|²-bounded weighted edge
+    list; the PageRank rounds run on that tiny frame.
+    """
+    from ..operators.dedup import pagerank_int_weighted
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    raw = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("sn"), F.col("c_nationkey").alias("cn")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = (
+        raw.select(F.col("sn").alias("doc_a"), F.col("cn").alias("doc_b"), "w")
+        .union(
+            raw.select(
+                F.col("cn").alias("doc_a"), F.col("sn").alias("doc_b"), "w"
+            )
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("w"))
+    )
+    ranks = pagerank_int_weighted(und)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return ranks.join(
+        F.broadcast(nation), ranks.doc_id == nation.n_nationkey
+    ).select(F.col("n_name").alias("nation"), "rank_u6")
+
+
+def _trade_pagerank_sql() -> str:
+    from ..operators.dedup import pagerank_weighted_sql
+
+    wedges = """
+  SELECT doc_a, doc_b, SUM(w) AS w FROM (
+    SELECT sn AS doc_a, cn AS doc_b, w FROM (
+      SELECT s_nationkey AS sn, c_nationkey AS cn, COUNT(*) AS w
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    UNION ALL
+    SELECT cn, sn, w FROM (
+      SELECT s_nationkey AS sn, c_nationkey AS cn, COUNT(*) AS w
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+  ) GROUP BY 1, 2
+"""
+    pr = pagerank_weighted_sql(wedges)
+    return f"""
+WITH pr AS ({pr})
+SELECT n_name AS nation, rank_u6
+FROM pr JOIN nation ON doc_id = n_nationkey
+"""
+
+
+TRADE_PAGERANK_SQL = _trade_pagerank_sql()
+
+
 QUERIES = {
+    "nation_trade_pagerank": nation_trade_pagerank,
     "part_recs_hitrate": part_recs_hitrate,
     "orders_promo_lift": orders_promo_lift,
     "discount_elasticity": discount_elasticity,
@@ -1356,6 +1452,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "nation_trade_pagerank": TRADE_PAGERANK_SQL,
     "part_recs_hitrate": PART_RECS_SQL,
     "orders_promo_lift": PROMO_LIFT_SQL,
     "discount_elasticity": ELASTICITY_SQL,

@@ -641,3 +641,19 @@ def test_part_recs_eval_structure(spark, sf_dir):
     assert 0 <= r.n_baseline_hits <= r.n_eval_rows
     assert r.hit_ppm == r.n_model_hits * 1_000_000 // r.n_eval_rows
     assert r.baseline_ppm == r.n_baseline_hits * 1_000_000 // r.n_eval_rows
+
+
+def test_trade_pagerank_conserves_and_ranks(spark, sf_dir):
+    """Sanity: one rank per nation present in the trade graph; total rank
+    mass ~ n_nations * PR_SCALE (damped sum conservation, truncation
+    drift strictly below 1 unit per node per round)."""
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.operators.dedup import PR_ITERS, PR_SCALE
+
+    rows = registry.queries()["nation_trade_pagerank"](spark, sf_dir).collect()
+    assert len(rows) == len({r.nation for r in rows}) >= 2
+    total = sum(r.rank_u6 for r in rows)
+    n = len(rows)
+    # exact conservation modulo truncating divisions
+    assert n * PR_SCALE * 0.9 <= total <= n * PR_SCALE * 1.1
+    assert max(r.rank_u6 for r in rows) > min(r.rank_u6 for r in rows) or n == 1
