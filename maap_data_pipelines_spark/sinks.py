@@ -506,3 +506,74 @@ def submit_items(
                 )
 
     return src.mapInPandas(_submit, schema=schema)
+
+
+# --- manifest-contract handoff ----------------------------------------------
+
+_MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _manifest_summary(df: DataFrame, key_cols: tuple[str, ...]) -> dict:
+    """Order-insensitive content summary: row count, a wrap-safe content
+    sum (per-row xxhash64 of the canonical JSON, reduced mod 2^32 before
+    summing so int64 cannot overflow below ~2^31 rows per partition
+    tree), and min/max per declared key column."""
+    cols = sorted(df.columns)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "sum(pmod(xxhash64(to_json(struct("
+            + ", ".join(cols)
+            + "))), 4294967296))"
+        ).alias("content_sum"),
+    ]
+    for c in key_cols:
+        aggs.append(F.min(c).alias(f"min__{c}"))
+        aggs.append(F.max(c).alias(f"max__{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {k: (v if not hasattr(v, "isoformat") else v.isoformat()) for k, v in row.items()}
+
+
+def write_with_manifest(
+    df: DataFrame, path: str, key_cols: tuple[str, ...] = ()
+) -> dict:
+    """Write parquet AND the data contract that lets the consumer verify
+    the handoff — the check a cross-team 100 TB delivery needs before
+    anyone trains on it: row count, an order-insensitive content sum,
+    and min/max bounds per declared key column, recomputed FROM THE
+    FILES WRITTEN (not from the in-memory frame), so the manifest
+    attests what actually landed. Local-filesystem manifest placement
+    (same directory, ``_MANIFEST.json``); on object stores the same
+    bytes would go through the store's API.
+    """
+    import json
+    import os
+
+    df.write.mode("overwrite").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    manifest = _manifest_summary(back, key_cols)
+    manifest["key_cols"] = list(key_cols)
+    with open(os.path.join(path, _MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def verify_manifest(spark, path: str) -> list[str]:
+    """Consumer-side check: recompute the summary from the files and
+    compare against the shipped manifest. Returns problems ([] = clean
+    handoff). A missing manifest is itself a problem."""
+    import json
+    import os
+
+    mpath = os.path.join(path, _MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        return [f"missing {_MANIFEST_NAME}"]
+    want = json.load(open(mpath))
+    key_cols = tuple(want.pop("key_cols", ()))
+    got = _manifest_summary(spark.read.parquet(path), key_cols)
+    problems = []
+    for k, v in want.items():
+        g = got.get(k)
+        if str(g) != str(v):
+            problems.append(f"{k}: manifest={v!r} recomputed={g!r}")
+    return problems

@@ -383,3 +383,32 @@ def test_submit_items_dry_run_never_calls_transport(spark, sf_dir):
     rows = receipts.collect()
     assert len(rows) == items.count()
     assert {r.status for r in rows} == {0}
+
+
+def test_manifest_roundtrip_and_tamper_detection(spark, sf_dir, tmp_path):
+    """A clean write verifies clean; appending a stray row file (the
+    classic partial-retry artifact) must be caught by BOTH the count and
+    the content sum; a key-range violation is caught by the bounds."""
+    from maap_data_pipelines_spark.sinks import (
+        verify_manifest,
+        write_with_manifest,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = str(tmp_path / "handoff")
+    m = write_with_manifest(docs, out, key_cols=("doc_id",))
+    assert m["n_rows"] == docs.count()
+    assert verify_manifest(spark, out) == []
+
+    # tamper: sneak one extra row file into the directory
+    extra = spark.createDataFrame(
+        [(999_999, "srcX", 1)], ["doc_id", "source", "n_chars"]
+    )
+    extra.coalesce(1).write.mode("append").parquet(out)
+    problems = verify_manifest(spark, out)
+    assert any(p.startswith("n_rows") for p in problems)
+    assert any(p.startswith("content_sum") for p in problems)
+    assert any(p.startswith("max__doc_id") for p in problems)
