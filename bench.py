@@ -220,6 +220,7 @@ HEADLINE = [
     "dedup_strategy_comparison",
     "part_recs_hitrate",
     "nation_trade_pagerank",
+    "lineitem_single_source_risk",
 ]
 
 

@@ -1426,7 +1426,96 @@ FROM pr JOIN nation ON doc_id = n_nationkey
 TRADE_PAGERANK_SQL = _trade_pagerank_sql()
 
 
+# --- lineitem_single_source_risk: supply-chain concentration audit ----------
+
+
+def lineitem_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk: parts whose ENTIRE observed supply ships
+    from one supplier, rolled up by that supplier's nation — the
+    disruption-exposure table next to supplier_concentration_hhi's
+    smooth index: HHI says "concentrated", this names the cliff. Per
+    nation: how many parts depend solely on one of its suppliers, and
+    the revenue that stops if it does.
+
+    Scale shape: one (part, supplier) distinct projection of lineitem
+    (map-side combined), a part-bounded count filter, then revenue
+    re-joined ONLY for the single-source parts (semi-join gate before
+    the heavy aggregation); output is |nations| rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    ).localCheckpoint()
+    srcs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.max("l_suppkey").alias("only_supp"),
+        )
+    )
+    single = srcs.filter(F.col("n_suppliers") == 1).select(
+        "l_partkey", "only_supp"
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    at_risk = (
+        li.join(F.broadcast(single), "l_partkey")
+        .groupBy("only_supp")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum("cents").alias("cents"),
+        )
+        .join(F.broadcast(sup), F.col("only_supp") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("n_parts").alias("n_single_source_parts"),
+            F.sum("cents").alias("revenue_at_risk_cents"),
+        )
+    )
+    return at_risk
+
+
+SINGLE_SOURCE_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+srcs AS (
+  SELECT l_partkey, COUNT(*) AS n_suppliers, MAX(l_suppkey) AS only_supp
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM li)
+  GROUP BY l_partkey
+),
+single AS (SELECT l_partkey, only_supp FROM srcs WHERE n_suppliers = 1),
+at_risk AS (
+  SELECT only_supp,
+         COUNT(DISTINCT l.l_partkey) AS n_parts,
+         SUM(cents) AS cents
+  FROM li l JOIN single s USING (l_partkey)
+  GROUP BY only_supp
+)
+SELECT n_name AS nation,
+       CAST(SUM(n_parts) AS BIGINT) AS n_single_source_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_at_risk_cents
+FROM at_risk
+JOIN supplier ON only_supp = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
+    "lineitem_single_source_risk": lineitem_single_source_risk,
     "nation_trade_pagerank": nation_trade_pagerank,
     "part_recs_hitrate": part_recs_hitrate,
     "orders_promo_lift": orders_promo_lift,
@@ -1452,6 +1541,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_single_source_risk": SINGLE_SOURCE_SQL,
     "nation_trade_pagerank": TRADE_PAGERANK_SQL,
     "part_recs_hitrate": PART_RECS_SQL,
     "orders_promo_lift": PROMO_LIFT_SQL,

@@ -657,3 +657,27 @@ def test_trade_pagerank_conserves_and_ranks(spark, sf_dir):
     # exact conservation modulo truncating divisions
     assert n * PR_SCALE * 0.9 <= total <= n * PR_SCALE * 1.1
     assert max(r.rank_u6 for r in rows) > min(r.rank_u6 for r in rows) or n == 1
+
+
+def test_single_source_risk_counts(spark, sf_dir):
+    """Independently recount: parts with exactly one observed supplier,
+    and the at-risk revenue conservation across nations."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    rows = registry.queries()["lineitem_single_source_risk"](
+        spark, sf_dir
+    ).collect()
+    li = read_table(spark, sf_dir, "lineitem")
+    singles = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .count()
+        .filter(F.col("count") == 1)
+        .count()
+    )
+    assert sum(r.n_single_source_parts for r in rows) == singles
+    assert all(r.revenue_at_risk_cents > 0 for r in rows)
