@@ -829,3 +829,55 @@ def run_stages(
                     raise
                 break  # skip: error routed to receipts, DAG continues
     return ctx, receipts
+
+
+def run_privacy_release_report(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict:
+    """The privacy RELEASE GATE as one artifact — run before any
+    customer-grain export leaves the warehouse. Composes the full triad
+    (every component an already-oracled registered operator):
+
+      k-anonymity  — equivalence-class size histogram (linkage risk),
+      l-diversity  — distinct sensitive values + homogeneity flags,
+      t-closeness  — sensitive-distribution distance per class
+                     (skewness risk the first two miss),
+
+    persists each section as parquet, and returns the go/no-go summary:
+    a release is OK only when no class fails any rung. The dict is the
+    machine-readable gate; the parquet sections are the evidence an
+    auditor reads.
+    """
+    from .plans.etl import (
+        customer_k_anonymity,
+        customer_l_diversity,
+        customer_t_closeness,
+    )
+
+    sections = {
+        "k_anonymity": customer_k_anonymity(spark, sf_dir),
+        "l_diversity": customer_l_diversity(spark, sf_dir),
+        "t_closeness": customer_t_closeness(spark, sf_dir),
+    }
+    for name, df in sections.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    k = spark.read.parquet(os.path.join(out_dir, "k_anonymity"))
+    n_at_risk = (
+        k.filter(F.col("at_risk")).agg(F.sum("n_rows")).collect()[0][0] or 0
+    )
+    ld = spark.read.parquet(os.path.join(out_dir, "l_diversity"))
+    n_low_div = ld.filter(
+        F.col("low_diversity") | F.col("homogeneous")
+    ).count()
+    tc = spark.read.parquet(os.path.join(out_dir, "t_closeness"))
+    worst_t = tc.agg(F.max("t_micro")).collect()[0][0] or 0
+    n_t_fail = tc.filter(F.col("fails_t_closeness")).count()
+    return {
+        "n_rows_k_at_risk": int(n_at_risk),
+        "n_classes_low_diversity": int(n_low_div),
+        "worst_t_micro": int(worst_t),
+        "n_classes_t_fail": int(n_t_fail),
+        "release_ok": bool(
+            n_at_risk == 0 and n_low_div == 0 and n_t_fail == 0
+        ),
+    }

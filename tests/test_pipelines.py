@@ -378,3 +378,22 @@ def test_retrieval_report(spark, sf_dir, tmp_path):
     bm25 = spark.read.parquet(os.path.join(out, "bm25"))
     pool = {(r.query_id, r.doc_id) for r in bm25.collect()}
     assert all((r.query_id, r.doc_id) in pool for r in mmr.collect())
+
+
+def test_privacy_release_report_gates_consistently(spark, sf_dir, tmp_path):
+    """The summary must agree with its own persisted evidence sections,
+    and release_ok must be the conjunction of the three rungs."""
+    from maap_data_pipelines_spark.pipelines import run_privacy_release_report
+
+    out = str(tmp_path / "privacy")
+    rep = run_privacy_release_report(spark, sf_dir, out)
+    k = spark.read.parquet(out + "/k_anonymity")
+    ld = spark.read.parquet(out + "/l_diversity")
+    tc = spark.read.parquet(out + "/t_closeness")
+    assert k.count() and ld.count() and tc.count()
+    assert rep["release_ok"] == (
+        rep["n_rows_k_at_risk"] == 0
+        and rep["n_classes_low_diversity"] == 0
+        and rep["n_classes_t_fail"] == 0
+    )
+    assert rep["worst_t_micro"] >= 0
