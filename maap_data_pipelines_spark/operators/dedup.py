@@ -1989,34 +1989,41 @@ def dedup_strategy_comparison(docs: DataFrame) -> DataFrame:
     Scale shape: three bounded pair frames + the truth frame, joined
     pairwise on (doc_a, doc_b) — near-dup-mass-bounded, never corpus².
     """
-    truth = dedup_prefix_filter(docs).select("doc_a", "doc_b").localCheckpoint()
-    n_true = truth.count()  # bounded driver scalar: one audit row input
-    strategies = [
-        (
+    truth = (
+        dedup_prefix_filter(docs)
+        .select("doc_a", "doc_b")
+        .withColumn("t", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+
+    def score(name: str, pairs: DataFrame) -> DataFrame:
+        j = pairs.join(truth, ["doc_a", "doc_b"], "left")
+        return j.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).alias("n_emitted"),
+            F.sum(F.coalesce(F.col("t"), F.lit(0))).alias("n_true_found"),
+        )
+
+    res = (
+        score(
             "minhash",
             dedup_minhash_lsh(docs)
             .filter(F.col("est_jaccard") >= NGRAM_MIN_JACCARD)
             .select("doc_a", "doc_b"),
-        ),
-        ("simhash", dedup_simhash(docs).select("doc_a", "doc_b")),
-        ("ngram", ngram_jaccard(docs).select("doc_a", "doc_b")),
-    ]
-    outs = []
-    for name, pairs in strategies:
-        p = pairs.localCheckpoint()
-        emitted = p.count()
-        found = p.join(truth, ["doc_a", "doc_b"], "left_semi").count()
-        outs.append((name, emitted, found))
-    spark = docs.sparkSession
-    res = spark.createDataFrame(
-        outs, "strategy string, n_emitted long, n_true_found long"
+        )
+        .union(score("simhash", dedup_simhash(docs).select("doc_a", "doc_b")))
+        .union(score("ngram", ngram_jaccard(docs).select("doc_a", "doc_b")))
     )
-    return res.select(
+    # fully lazy: ONE job computes all three strategy rows + the 1-row
+    # truth total (broadcast cross — the single-row-stats class); no
+    # driver-side counts, no createDataFrame
+    return res.crossJoin(F.broadcast(nt)).select(
         "strategy",
         "n_emitted",
-        F.lit(n_true).cast("long").alias("n_true_pairs"),
+        "n_true_pairs",
         "n_true_found",
-        F.expr(f"(n_true_found * 1000000) div greatest(1, {n_true})").alias(
+        F.expr("(n_true_found * 1000000) div greatest(1, n_true_pairs)").alias(
             "recall_ppm"
         ),
         F.expr("(n_true_found * 1000000) div greatest(1, n_emitted)").alias(

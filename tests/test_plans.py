@@ -204,6 +204,8 @@ _BNLJ_ALLOWED = {
     # class-list x band-dim grid completion (both aggregate-sized) + the
     # 1-row corpus-total broadcast — the month-spine class
     "customer_t_closeness",
+    # 1-row truth-total broadcast crossed into the 3 strategy rows
+    "dedup_strategy_comparison",
 }
 
 
