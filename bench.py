@@ -221,6 +221,7 @@ HEADLINE = [
     "part_recs_hitrate",
     "nation_trade_pagerank",
     "lineitem_single_source_risk",
+    "doc_length_anova",
 ]
 
 

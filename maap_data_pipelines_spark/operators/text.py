@@ -1770,3 +1770,81 @@ FROM s
 """
 
 QUERY_SQL["doc_zipf_fit"] = DOC_ZIPF_SQL
+
+
+# --- one-way ANOVA: does a grouping explain a numeric column? ---------------
+
+
+def doc_length_anova(docs: DataFrame) -> DataFrame:
+    """One-way ANOVA of document length across sources — the variance
+    rung of the stats tier (chi² tests categorical drift, Mann-Whitney
+    ranks two groups; ANOVA asks whether a k-way grouping explains a
+    numeric column at all). F = (SSB/(k−1)) / (SSW/(n−k)) from the three
+    classic exact sums per group (n, Σx, Σx²).
+
+    Every term stays INTEGER: the between-group sum uses per-group
+    floor((Σx)²/n) — s² formed in decimal(38,0)/HUGEINT for overflow
+    headroom — so the statistic is an exact integer function of the
+    data (the float version's Σ of doubles would be partition-order
+    dependent, the hazard the invariance sweep exists to catch). The
+    bounded floor bias (< 1 per group) is identical in both engines and
+    immaterial at ANOVA's scale. One integer cross-ratio yields F in
+    milli. A flat F ≈ 1000 says source explains nothing about length; a
+    large F flags a source whose length profile diverges (template or
+    truncation artifact).
+
+    Scale shape: one map-side-combined groupBy(source) for the
+    sufficient statistics, then a |sources|-row reduce — no window, no
+    join on data. Output: one row (k, n, ssb, ssw, f_milli).
+    """
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(cast(s as decimal(38,0)) * s / n) AS DECIMAL(38,0))"
+            )
+        ).alias("sbq_dec"),
+    )
+    return tot.select(
+        "k",
+        "n",
+        F.expr(
+            "CAST(sbq_dec - CAST(FLOOR(cast(s as decimal(38,0)) * s / n) AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("ssb"),
+        F.expr("CAST(ss - sbq_dec AS BIGINT)").alias("ssw"),
+        F.expr(
+            "CAST((CAST(sbq_dec - CAST(FLOOR(cast(s as decimal(38,0)) * s / n) AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            " * (n - k) * 1000) div (CAST(k - 1 AS DECIMAL(38,0)) * CAST(ss - sbq_dec AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+DOC_LENGTH_ANOVA_SQL = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n, SUM(n_chars) AS s,
+         SUM(n_chars * n_chars) AS ss
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss,
+         SUM(CAST(s AS HUGEINT) * s // n) AS sbq
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n,
+       CAST(sbq - CAST(s AS HUGEINT) * s // n AS BIGINT) AS ssb,
+       CAST(ss - sbq AS BIGINT) AS ssw,
+       CAST((sbq - CAST(s AS HUGEINT) * s // n) * (n - k) * 1000
+            // ((k - 1) * (ss - sbq)) AS BIGINT) AS f_milli
+FROM tot
+"""
+
+QUERY_SQL["doc_length_anova"] = DOC_LENGTH_ANOVA_SQL

@@ -80,6 +80,7 @@ QUERIES = {
     "doc_zipf_fit": _wrap(text.doc_zipf_fit),
     "doc_neyman_allocation": _wrap(curation.doc_neyman_allocation),
     "quality_nb_classifier": _wrap(curation.quality_nb_classifier),
+    "doc_length_anova": _wrap(text.doc_length_anova),
 }
 
 ORACLES = dict(text.QUERY_SQL)

@@ -311,3 +311,25 @@ def test_mmr_rel_monotone_and_schema(spark, sf_dir):
         for p in picks:
             assert p.mmr == p.rel - p.max_sim
             assert 0 <= p.max_sim <= 1_000_000
+
+
+def test_anova_flat_on_uniform_sources_high_on_planted(spark, sf_dir):
+    """Real corpus (uniform source lengths): F near 1. Planted corpus
+    with one long-doc source: F must explode."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.operators.text import doc_length_anova
+
+    rows = [(i, "t", "en", f"src{i % 4}", 100 + (i % 7)) for i in range(200)]
+    rows += [(1000 + i, "t", "en", "srcLONG", 5000 + i) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    planted = doc_length_anova(df).collect()[0]
+    assert planted.f_milli > 100_000  # wildly significant
+    from maap_data_pipelines_spark import registry
+
+    real = registry.queries()["doc_length_anova"](spark, sf_dir).collect()[0]
+    assert real.k >= 2 and real.n > 0
+    assert real.ssb >= 0 and real.ssw > 0
+    assert real.f_milli < 5_000  # uniform synthetic sources: flat
