@@ -222,6 +222,7 @@ HEADLINE = [
     "nation_trade_pagerank",
     "lineitem_single_source_risk",
     "doc_length_anova",
+    "events_user_entropy",
 ]
 
 

@@ -2389,6 +2389,75 @@ GROUP BY event_type
 FORECAST_BACKTEST_SQL = _backtest_sql()
 
 
+ENTROPY_TOPK = 20
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity entropy per user, lowest-K review queue — the
+    distribution-shape companion to events_bot_detection's timing
+    regularity: a script hammering one endpoint has near-zero entropy
+    over its event-type distribution no matter how human its pacing.
+
+    H_milli = Σ_t c_t·(lnm(n) − lnm(c_t)) div n with lnm(x) =
+    floor(1000·ln x) — one transcendental per integer, floor-quantized
+    once (the doc_zipf_fit discipline), everything else exact int64, so
+    the score is reproducible bit-for-bit. Output: the ENTROPY_TOPK
+    lowest-entropy users (H asc, user asc) via a distributed top-K
+    (TakeOrderedAndProject — never a global single-partition window).
+    """
+    ev = read_events(spark, sf_dir)
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lnm = "CAST(FLOOR(1000 * ln({})) AS BIGINT)"
+    per = (
+        cells.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("user_id"))
+        )
+        .select(
+            "user_id",
+            "n",
+            F.expr(
+                f"c * ({lnm.format('n')} - {lnm.format('c')})"
+            ).alias("term"),
+        )
+        .groupBy("user_id", "n")
+        .agg(F.expr("sum(term) div n").alias("entropy_milli"))
+    )
+    return (
+        per.select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "entropy_milli",
+        )
+        .orderBy(F.col("entropy_milli").asc(), F.col("user_id").asc())
+        .limit(ENTROPY_TOPK)
+    )
+
+
+USER_ENTROPY_SQL = f"""
+WITH cells AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT user_id, SUM(c) OVER (PARTITION BY user_id) AS n, c
+  FROM cells
+),
+h AS (
+  SELECT user_id, n,
+         SUM(c * (CAST(FLOOR(1000 * ln(n)) AS BIGINT)
+                - CAST(FLOOR(1000 * ln(c)) AS BIGINT))) // n AS entropy_milli
+  FROM per GROUP BY user_id, n
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(entropy_milli AS BIGINT) AS entropy_milli
+FROM h
+ORDER BY entropy_milli ASC, user_id ASC
+LIMIT {ENTROPY_TOPK}
+"""
+
+
 # --- events_markov_attribution_removal: Markov removal-effect attribution --
 
 MARKOV_STEPS = 6  # propagation horizon: mass still in transit after 6
@@ -2662,6 +2731,7 @@ QUERIES = {
     "events_next_event_prediction": events_next_event_prediction,
     "events_markov_attribution_removal": events_markov_attribution_removal,
     "events_forecast_backtest": events_forecast_backtest,
+    "events_user_entropy": events_user_entropy,
 }
 
 ORACLES = {
@@ -2708,4 +2778,5 @@ ORACLES = {
     "events_next_event_prediction": NEXT_EVENT_SQL,
     "events_markov_attribution_removal": MARKOV_REMOVAL_SQL,
     "events_forecast_backtest": FORECAST_BACKTEST_SQL,
+    "events_user_entropy": USER_ENTROPY_SQL,
 }

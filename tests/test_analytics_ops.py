@@ -681,3 +681,28 @@ def test_single_source_risk_counts(spark, sf_dir):
     )
     assert sum(r.n_single_source_parts for r in rows) == singles
     assert all(r.revenue_at_risk_cents > 0 for r in rows)
+
+
+def test_user_entropy_flags_single_type_script(spark, tmp_path):
+    """A planted one-endpoint script must surface at the head of the
+    low-entropy queue with H=0; a uniform user scores ~ln(k)*1000."""
+    rows = []
+    # scripted user 1: 40x one type
+    for i in range(40):
+        rows.append((i, "2024-01-01T00:00:00", 1, "click", 1.0, "{}"))
+    # diverse user 2: 10x each of 4 types
+    for j, t in enumerate(["view", "click", "signup", "error"]):
+        for i in range(10):
+            rows.append(
+                (1000 + j * 10 + i, "2024-01-01T00:00:00", 2, t, 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = str(tmp_path / "ev")
+    df.write.parquet(out + "/events.parquet")
+    from maap_data_pipelines_spark.plans.events import events_user_entropy
+
+    got = {r.user_id: r for r in events_user_entropy(spark, out).collect()}
+    assert got[1].entropy_milli == 0
+    assert 1300 <= got[2].entropy_milli <= 1400  # ln(4)*1000 = 1386
