@@ -223,6 +223,7 @@ HEADLINE = [
     "lineitem_single_source_risk",
     "doc_length_anova",
     "events_user_entropy",
+    "lineitem_revenue_bridge",
 ]
 
 

@@ -1514,7 +1514,111 @@ GROUP BY n_name
 """
 
 
+# --- lineitem_revenue_bridge: price/volume decomposition YoY -----------------
+
+BRIDGE_Y1 = "1997"
+BRIDGE_Y2 = "1998"
+
+
+def lineitem_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue BRIDGE per product type — the FP&A classic:
+    decompose ΔRevenue into a price effect (what changed because unit
+    prices moved, at last year's volume), a volume effect (what changed
+    because quantity moved, at last year's price), and the residual
+    cross/mix term, which together reconstruct the delta EXACTLY:
+
+      price  = q1·(S2/q2 − S1/q1)   volume = (q2 − q1)·S1/q1
+      residual = ΔS − price − volume   (identity, enforced by test)
+
+    Sums are exact int64 cents/quantities; each effect takes ONE
+    rational floor to milli-cents, and the residual is defined from
+    those floors so the identity holds in integers — both engines agree
+    bit-for-bit. The reading: price-led growth is margin, volume-led
+    growth is demand, a residual dominating either means the mix shifted.
+
+    Scale shape: one lineitem⇒part equi-join into a |p_type|-bounded
+    conditional aggregate (both years in one scan); no window, no
+    self-join.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_type",
+        F.year(F.col("l_shipdate")).alias("yr"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    s = (
+        j.filter(F.col("yr").isin(int(BRIDGE_Y1), int(BRIDGE_Y2)))
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.when(F.col("yr") == int(BRIDGE_Y1), F.col("cents")).otherwise(0)).alias("s1"),
+            F.sum(F.when(F.col("yr") == int(BRIDGE_Y1), F.col("qty")).otherwise(0)).alias("q1"),
+            F.sum(F.when(F.col("yr") == int(BRIDGE_Y2), F.col("cents")).otherwise(0)).alias("s2"),
+            F.sum(F.when(F.col("yr") == int(BRIDGE_Y2), F.col("qty")).otherwise(0)).alias("q2"),
+        )
+        .filter((F.col("q1") > 0) & (F.col("q2") > 0))
+    )
+    price = (
+        "CAST(FLOOR(CAST(q1 AS DOUBLE) * s2 * 1000 / q2"
+        " - CAST(s1 AS DOUBLE) * 1000) AS BIGINT)"
+    )
+    volume = (
+        "CAST(FLOOR((CAST(q2 AS DOUBLE) - q1) * s1 * 1000 / q1) AS BIGINT)"
+    )
+    return s.select(
+        "p_type",
+        F.col("s1").alias("rev1_cents"),
+        F.col("s2").alias("rev2_cents"),
+        ((F.col("s2") - F.col("s1")) * 1000).alias("delta_milli"),
+        F.expr(price).alias("price_effect_milli"),
+        F.expr(volume).alias("volume_effect_milli"),
+        (
+            (F.col("s2") - F.col("s1")) * 1000
+            - F.expr(price)
+            - F.expr(volume)
+        ).alias("residual_milli"),
+    )
+
+
+REVENUE_BRIDGE_SQL = f"""
+WITH j AS (
+  SELECT p_type,
+         EXTRACT(year FROM l_shipdate) AS yr,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+s AS (
+  SELECT p_type,
+         SUM(CASE WHEN yr = {BRIDGE_Y1} THEN cents ELSE 0 END) AS s1,
+         SUM(CASE WHEN yr = {BRIDGE_Y1} THEN qty ELSE 0 END) AS q1,
+         SUM(CASE WHEN yr = {BRIDGE_Y2} THEN cents ELSE 0 END) AS s2,
+         SUM(CASE WHEN yr = {BRIDGE_Y2} THEN qty ELSE 0 END) AS q2
+  FROM j WHERE yr IN ({BRIDGE_Y1}, {BRIDGE_Y2})
+  GROUP BY p_type
+)
+SELECT p_type,
+       CAST(s1 AS BIGINT) AS rev1_cents,
+       CAST(s2 AS BIGINT) AS rev2_cents,
+       CAST((s2 - s1) * 1000 AS BIGINT) AS delta_milli,
+       CAST(FLOOR(CAST(q1 AS DOUBLE) * s2 * 1000 / q2
+            - CAST(s1 AS DOUBLE) * 1000) AS BIGINT) AS price_effect_milli,
+       CAST(FLOOR((CAST(q2 AS DOUBLE) - q1) * s1 * 1000 / q1) AS BIGINT) AS volume_effect_milli,
+       CAST((s2 - s1) * 1000
+            - CAST(FLOOR(CAST(q1 AS DOUBLE) * s2 * 1000 / q2
+                   - CAST(s1 AS DOUBLE) * 1000) AS BIGINT)
+            - CAST(FLOOR((CAST(q2 AS DOUBLE) - q1) * s1 * 1000 / q1) AS BIGINT)
+            AS BIGINT) AS residual_milli
+FROM s
+WHERE q1 > 0 AND q2 > 0
+"""
+
+
 QUERIES = {
+    "lineitem_revenue_bridge": lineitem_revenue_bridge,
     "lineitem_single_source_risk": lineitem_single_source_risk,
     "nation_trade_pagerank": nation_trade_pagerank,
     "part_recs_hitrate": part_recs_hitrate,
@@ -1541,6 +1645,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_revenue_bridge": REVENUE_BRIDGE_SQL,
     "lineitem_single_source_risk": SINGLE_SOURCE_SQL,
     "nation_trade_pagerank": TRADE_PAGERANK_SQL,
     "part_recs_hitrate": PART_RECS_SQL,

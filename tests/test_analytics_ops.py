@@ -706,3 +706,17 @@ def test_user_entropy_flags_single_type_script(spark, tmp_path):
     got = {r.user_id: r for r in events_user_entropy(spark, out).collect()}
     assert got[1].entropy_milli == 0
     assert 1300 <= got[2].entropy_milli <= 1400  # ln(4)*1000 = 1386
+
+
+def test_revenue_bridge_identity(spark, sf_dir):
+    """The bridge must reconstruct the delta exactly:
+    delta = price + volume + residual, per type, in integers."""
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["lineitem_revenue_bridge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_milli == (
+            r.price_effect_milli + r.volume_effect_milli + r.residual_milli
+        ), r.p_type
+        assert r.delta_milli == (r.rev2_cents - r.rev1_cents) * 1000
