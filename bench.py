@@ -224,6 +224,7 @@ HEADLINE = [
     "doc_length_anova",
     "events_user_entropy",
     "lineitem_revenue_bridge",
+    "dedup_local_bridges",
 ]
 
 

@@ -2140,3 +2140,72 @@ def pagerank_weighted_sql(wedges_sql: str, iters: int = PR_ITERS) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT doc_id, rank AS rank_u6 FROM r{iters}"
     )
+
+
+# --- local bridges: the chain links that glue clusters together -------------
+
+
+def dedup_local_bridges(docs: DataFrame) -> DataFrame:
+    """LOCAL BRIDGES of the MinHash candidate graph — edges embedded in
+    no triangle (zero common neighbors). These are the chain links that
+    glue otherwise-separate near-dup neighborhoods into one giant
+    connected component: delete a local bridge and its endpoints' groups
+    typically fall apart. The audit names the exact pair (with its
+    estimated similarity) behind every suspicious cluster merge — the
+    actionable follow-up to label propagation's "this component is
+    really two communities".
+
+    Mechanics: an edge (a,b) is triangle-embedded iff some n is adjacent
+    to both ends; common neighbors come from one equi-join of the
+    undirected edge list with itself on the shared endpoint, and local
+    bridges are the anti-join of edges against that set. Everything is
+    edge-list-bounded (near-dup mass), never corpus².
+
+    Output: (doc_a, doc_b, est_jaccard) for every zero-embeddedness
+    candidate edge.
+    """
+    pairs = dedup_minhash_lsh(docs).select("doc_a", "doc_b", "est_jaccard")
+    und = (
+        pairs.select("doc_a", "doc_b")
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .localCheckpoint()
+    )
+    # common-neighbor pairs: a -> n and b -> n with a < b
+    x, y = und.alias("x"), und.alias("y")
+    embedded = (
+        x.join(
+            y,
+            (F.col("x.doc_b") == F.col("y.doc_b"))
+            & (F.col("x.doc_a") < F.col("y.doc_a")),
+        )
+        .select(
+            F.col("x.doc_a").alias("doc_a"), F.col("y.doc_a").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs.join(embedded, ["doc_a", "doc_b"], "left_anti")
+
+
+DEDUP_LOCAL_BRIDGES_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b, est_jaccard FROM ({DEDUP_MINHASH_SQL})
+),
+und AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+embedded AS (
+  SELECT DISTINCT x.doc_a AS doc_a, y.doc_a AS doc_b
+  FROM und x JOIN und y
+    ON x.doc_b = y.doc_b AND x.doc_a < y.doc_a
+)
+SELECT p.doc_a, p.doc_b, p.est_jaccard
+FROM pairs p
+LEFT JOIN embedded e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+WHERE e.doc_a IS NULL
+"""
+QUERY_SQL["dedup_local_bridges"] = DEDUP_LOCAL_BRIDGES_SQL

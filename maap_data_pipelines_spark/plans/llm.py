@@ -451,6 +451,7 @@ QUERIES = {
     "dedup_canonical_election": _doc_plan(dedup.dedup_canonical_election),
     "doc_winnowing_matches": _doc_plan(dedup.doc_winnowing_matches),
     "dedup_strategy_comparison": _doc_plan(dedup.dedup_strategy_comparison),
+    "dedup_local_bridges": _doc_plan(dedup.dedup_local_bridges),
 }
 
 ORACLES = {
