@@ -225,6 +225,7 @@ HEADLINE = [
     "events_user_entropy",
     "lineitem_revenue_bridge",
     "dedup_local_bridges",
+    "embedding_norm_health",
 ]
 
 

@@ -1487,3 +1487,61 @@ CROSS JOIN tot t
 
 EMBEDDING_DRIFT_SQL = _drift_sql()
 QUERY_SQL["embedding_centroid_drift"] = EMBEDDING_DRIFT_SQL
+
+
+# --- embedding_norm_health: the vector-table data-quality gate ---------------
+
+
+def embedding_norm_health(emb: DataFrame) -> DataFrame:
+    """Norm-distribution health check over the embedding table — the
+    data-quality gate BEFORE any similarity math: zero-norm vectors make
+    cosine undefined, and a norm distribution with a stray band usually
+    means an encoder version mixed in (scaled outputs) or a truncated
+    batch. Per vector the exact integer micro² squared norm; vectors
+    bucket by floor(log2(norm²)) (one transcendental, floor-quantized —
+    the zipf discipline; zero-norm vectors get band −1). Output is the
+    band histogram with per-band min/max — a new band appearing between
+    snapshots is the alert.
+
+    Scale shape: one map pass (quantize + fold) into a ≤64-row hash-agg.
+    """
+    q = emb.select(quantize_udf(F.col("embedding")).alias("qv"))
+    n2 = q.select(
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("n2")
+    )
+    banded = n2.select(
+        F.when(F.col("n2") == 0, F.lit(-1).cast("long"))
+        .otherwise(F.expr("CAST(FLOOR(LOG2(n2)) AS BIGINT)"))
+        .alias("band"),
+        "n2",
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("n2").alias("min_norm2"),
+        F.max("n2").alias("max_norm2"),
+    )
+
+
+_NORM_QV = ", ".join(
+    f"CAST(FLOOR(embedding[{i}]::DOUBLE * {KM_SCALE}) AS BIGINT)"
+    for i in range(1, EMBED_DIM + 1)
+)
+_NORM_SUM = " + ".join(f"qv[{i}] * qv[{i}]" for i in range(1, EMBED_DIM + 1))
+
+EMBEDDING_NORM_HEALTH_SQL = f"""
+WITH q AS (SELECT [{_NORM_QV}] AS qv FROM embeddings),
+n2t AS (SELECT CAST({_NORM_SUM} AS BIGINT) AS n2 FROM q),
+banded AS (
+  SELECT CASE WHEN n2 = 0 THEN -1
+              ELSE CAST(FLOOR(LOG2(n2)) AS BIGINT) END AS band, n2
+  FROM n2t
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(n2) AS BIGINT) AS min_norm2,
+       CAST(MAX(n2) AS BIGINT) AS max_norm2
+FROM banded GROUP BY band
+"""
+QUERY_SQL["embedding_norm_health"] = EMBEDDING_NORM_HEALTH_SQL

@@ -452,6 +452,7 @@ QUERIES = {
     "doc_winnowing_matches": _doc_plan(dedup.doc_winnowing_matches),
     "dedup_strategy_comparison": _doc_plan(dedup.dedup_strategy_comparison),
     "dedup_local_bridges": _doc_plan(dedup.dedup_local_bridges),
+    "embedding_norm_health": _emb_plan(kmeans.embedding_norm_health),
 }
 
 ORACLES = {

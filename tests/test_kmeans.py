@@ -136,3 +136,22 @@ def test_centroid_drift_same_distribution_is_calm(spark, sf_dir):
         assert r.share_shift_milli == r.share_new_milli - r.share_old_milli
         assert abs(r.share_shift_milli) <= 300  # same distribution: calm
         assert r.displacement_k >= 0
+
+
+def test_norm_health_bands_zero_and_scaled(spark):
+    """Zero vectors land in band -1; a 2x-scaled clone population lands
+    exactly two log2 bands above its source (norm² scales by 4)."""
+    rows = []
+    base = [0.5] * 64
+    for i in range(10):
+        rows.append((i, base))
+    for i in range(10, 20):
+        rows.append((i, [1.0] * 64))  # 2x scale -> norm2 4x -> +2 bands
+    rows.append((99, [0.0] * 64))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from maap_data_pipelines_spark.operators.kmeans import embedding_norm_health
+
+    got = {r.band: r.n_vecs for r in embedding_norm_health(df).collect()}
+    assert got.get(-1) == 1
+    bands = sorted(b for b in got if b >= 0)
+    assert len(bands) == 2 and bands[1] - bands[0] == 2
