@@ -182,6 +182,17 @@ _DEFERRED: set[str] = {
     "orders_duplicate_payments",
     "lineitem_leadtime_profile",
     "orders_abc_classification",
+    # Final wave pushed the backlog to 57 again; same rule, seven more
+    # simple replica-verified keys wait for r07 so the intricate llm
+    # additions (LP, drift, election, winnowing, strategy audit, local
+    # bridges, norm health) hold official-record slots.
+    "customer_k_anonymity",
+    "customer_l_diversity",
+    "customer_survival",
+    "lineitem_price_index",
+    "orders_seasonal_decompose",
+    "packing_efficiency",
+    "vocab_growth",
 }
 
 
