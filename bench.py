@@ -226,6 +226,7 @@ HEADLINE = [
     "lineitem_revenue_bridge",
     "dedup_local_bridges",
     "embedding_norm_health",
+    "media_silence_runs",
 ]
 
 

@@ -13,6 +13,7 @@ pinned by tests/test_multimodal.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     MEDIA_DEDUP_EXACT_SQL,
@@ -178,6 +179,71 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op_media_dedup_exact(make_media_df(docs))
 
 
+QUIET_MAX_SUM = 11_900  # ~p10 of window sums on the stub signal
+
+
+def media_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run detection over the audio window stream — the
+    GAPS-AND-ISLANDS sequence primitive (run-length encoding via the
+    index-minus-rank trick) the multimodal tier was missing: consecutive
+    quiet windows (window_sum below the fixed threshold) group into runs
+    by ``window_idx − row_number()`` within (doc, quiet); runs of >= 2
+    windows surface as (doc_id, run_start, run_len, run_min_sum) — the
+    segments an audio pipeline would trim before feature extraction.
+    On the stub signal "quiet" is a low byte-sum window (space-heavy);
+    a real deployment swaps the energy column, the RLE plumbing is
+    identical. Windows are doc-partitioned; the run grouping adds one
+    window function and one hash-agg — fan-out-bounded throughout.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import audio_windows
+    from ..sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = audio_windows(make_media_df(docs)).filter(
+        F.col("window_sum") < QUIET_MAX_SUM
+    )
+    grp = w.withColumn(
+        "grp",
+        F.col("window_idx")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("window_idx")
+        ),
+    )
+    return (
+        grp.groupBy("doc_id", "grp")
+        .agg(
+            F.min("window_idx").alias("run_start"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("window_sum").alias("run_min_sum"),
+        )
+        .filter(F.col("run_len") >= 2)
+        .select("doc_id", "run_start", "run_len", "run_min_sum")
+    )
+
+
+MEDIA_SILENCE_RUNS_SQL = f"""
+WITH aw AS ({MEDIA_AUDIO_WINDOWS_SQL}),
+quiet AS (
+  SELECT doc_id, window_idx, window_sum FROM aw
+  WHERE window_sum < {QUIET_MAX_SUM}
+),
+grp AS (
+  SELECT doc_id, window_idx, window_sum,
+         window_idx - ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY window_idx) AS g
+  FROM quiet
+)
+SELECT doc_id,
+       CAST(MIN(window_idx) AS BIGINT) AS run_start,
+       CAST(COUNT(*) AS BIGINT) AS run_len,
+       CAST(MIN(window_sum) AS BIGINT) AS run_min_sum
+FROM grp GROUP BY doc_id, g
+HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_phash_dedup": media_phash,
@@ -185,6 +251,7 @@ QUERIES = {
     "media_frame_sample": media_frame_sample,
     "media_resize": media_resize,
     "media_audio_windows": media_audio_windows,
+    "media_silence_runs": media_silence_runs,
     # r4 addition: placed in registry._DEFERRED so the in-flight driver
     # window (which this module feeds) is not displaced
     "media_dedup_exact": media_dedup_exact,
@@ -197,6 +264,7 @@ ORACLES = {
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "media_audio_windows": MEDIA_AUDIO_WINDOWS_SQL,
+    "media_silence_runs": MEDIA_SILENCE_RUNS_SQL,
     "media_phash_dedup": MEDIA_PHASH_DEDUP_SQL,
     "media_dedup_exact": MEDIA_DEDUP_EXACT_SQL,
     "media_phash_clusters": MEDIA_PHASH_CLUSTERS_SQL,

@@ -126,3 +126,34 @@ def test_media_phash_survives_small_perturbation(spark):
         for r in media_phash_dedup(make_media_df(docs)).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+
+
+def test_silence_runs_rle_grouping(spark, sf_dir):
+    """Every reported run must be a maximal consecutive quiet stretch:
+    re-derive quiet windows and check run boundaries are non-quiet (or
+    stream edges), and run_len counts exactly the members."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.plans.multimodal import (
+        QUIET_MAX_SUM,
+        make_media_df,
+        media_silence_runs,
+    )
+    from maap_data_pipelines_spark.operators.multimodal import audio_windows
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    runs = media_silence_runs(spark, sf_dir).collect()
+    assert runs  # threshold chosen so quiet stretches exist at sf0.001+
+    docs = read_table(spark, sf_dir, "documents")
+    aw = {
+        (r.doc_id, r.window_idx): r.window_sum
+        for r in audio_windows(make_media_df(docs)).collect()
+    }
+    for r in runs:
+        for k in range(r.run_start, r.run_start + r.run_len):
+            assert aw[(r.doc_id, k)] < QUIET_MAX_SUM, (r, k)
+        before = (r.doc_id, r.run_start - 1)
+        after = (r.doc_id, r.run_start + r.run_len)
+        assert before not in aw or aw[before] >= QUIET_MAX_SUM
+        assert after not in aw or aw[after] >= QUIET_MAX_SUM
+        assert r.run_len >= 2
