@@ -58,6 +58,17 @@ KEYS = [
     "customer_rfm_segments",
     "doc_winnowing_matches",
     "events_forecast_backtest",
+    # closing-wave keys: policy election windows, the strategy audit's
+    # truth semi-flags, RLE grouping, integer ANOVA/entropy folds, the
+    # weighted chain, and the bridge identity
+    "dedup_canonical_election",
+    "dedup_strategy_comparison",
+    "dedup_local_bridges",
+    "media_silence_runs",
+    "doc_length_anova",
+    "events_user_entropy",
+    "nation_trade_pagerank",
+    "lineitem_revenue_bridge",
 ]
 
 
