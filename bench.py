@@ -227,6 +227,7 @@ HEADLINE = [
     "dedup_local_bridges",
     "embedding_norm_health",
     "media_silence_runs",
+    "stac_coverage_gaps",
 ]
 
 

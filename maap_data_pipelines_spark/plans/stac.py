@@ -1150,6 +1150,73 @@ WHERE a.xlo <= b.xhi AND b.xlo <= a.xhi
 """
 
 
+GAP_MIN_DAYS = 30
+
+
+def stac_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal COVERAGE GAPS per collection — the catalog-QA read a
+    data-portal operator runs after every backfill: order each
+    collection's distinct item dates and surface every hole longer than
+    GAP_MIN_DAYS (a missed delivery window, a failed discovery run, or
+    a real instrument outage — all invisible in catalog_summary's
+    min/max). One lead() per collection-ordered date stream; gaps are
+    exact day differences, so the report is integer-deterministic.
+
+    Scale shape: distinct (collection, date) is a map-side-combined
+    projection of the item frame; the lead window partitions by
+    collection (collection-sized partitions — the catalog dimension,
+    not the asset count).
+    """
+    from pyspark.sql.window import Window
+
+    items = build_stac_items(spark, sf_dir)
+    days = (
+        items.select(
+            "collection",
+            F.to_date(
+                F.coalesce(F.col("datetime"), F.col("start_datetime")).substr(1, 10)
+            ).alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("collection").orderBy("d")
+    gaps = (
+        days.withColumn("nxt", F.lead("d").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("gap_days", F.datediff(F.col("nxt"), F.col("d")))
+        .filter(F.col("gap_days") > GAP_MIN_DAYS)
+    )
+    return gaps.select(
+        "collection",
+        F.col("d").cast("string").alias("gap_start"),
+        F.col("nxt").cast("string").alias("gap_end"),
+        F.col("gap_days").cast("long").alias("gap_days"),
+    )
+
+
+STAC_COVERAGE_GAPS_SQL = f"""
+WITH items AS ({BUILD_STAC_ITEMS_SQL}),
+days AS (
+  SELECT DISTINCT collection,
+         CAST(substring(COALESCE(datetime, start_datetime), 1, 10) AS DATE) AS d
+  FROM items
+  WHERE COALESCE(datetime, start_datetime) IS NOT NULL
+),
+gaps AS (
+  SELECT collection, d,
+         LEAD(d) OVER (PARTITION BY collection ORDER BY d) AS nxt
+  FROM days
+)
+SELECT collection,
+       CAST(d AS VARCHAR) AS gap_start,
+       CAST(nxt AS VARCHAR) AS gap_end,
+       CAST(datediff('day', d, nxt) AS BIGINT) AS gap_days
+FROM gaps
+WHERE nxt IS NOT NULL AND datediff('day', d, nxt) > {GAP_MIN_DAYS}
+"""
+
+
 QUERIES = {
     "assets_neighbor_join": assets_neighbor_join,
     "s3_discovery": s3_discovery,
@@ -1161,6 +1228,7 @@ QUERIES = {
     "multi_asset_group": multi_asset_group,
     "bbox": bbox,
     "build_stac_items": build_stac_items,
+    "stac_coverage_gaps": stac_coverage_gaps,
     "transfer_plan": transfer_plan,
     "stac_item_json": stac_item_json,
     "catalog_summary": catalog_summary,
@@ -1181,6 +1249,7 @@ ORACLES = {
     "multi_asset_group": MULTI_ASSET_GROUP_SQL,
     "bbox": BBOX_SQL,
     "build_stac_items": BUILD_STAC_ITEMS_SQL,
+    "stac_coverage_gaps": STAC_COVERAGE_GAPS_SQL,
     "transfer_plan": TRANSFER_PLAN_SQL,
     "stac_item_json": STAC_ITEM_JSON_SQL,
     "catalog_summary": CATALOG_SUMMARY_SQL,

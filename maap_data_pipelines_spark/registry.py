@@ -195,6 +195,7 @@ _DEFERRED: set[str] = {
     "vocab_growth",
     # registered after the final window rehearsal: waits for r07
     "media_silence_runs",
+    "stac_coverage_gaps",
 }
 
 

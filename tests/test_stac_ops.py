@@ -135,3 +135,40 @@ def test_stac_item_json_is_valid_json(spark, sf_dir):
         assert doc["type"] == "Feature"
         assert doc["id"]
         assert doc["assets"]["data"]["href"].startswith("s3://")
+
+
+def test_coverage_gaps_are_maximal_holes(spark, sf_dir):
+    """Every reported gap must be a true hole: no item date strictly
+    inside (gap_start, gap_end) for that collection, and both endpoints
+    must be real item dates."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark import registry
+
+    gaps = registry.queries()["stac_coverage_gaps"](spark, sf_dir).collect()
+    assert gaps  # synthetic catalogs have >30-day holes
+    items = registry.queries()["build_stac_items"](spark, sf_dir)
+    days = {
+        (r.collection, str(r.d))
+        for r in items.select(
+            "collection",
+            F.to_date(
+                F.coalesce(F.col("datetime"), F.col("start_datetime")).substr(1, 10)
+            ).alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+        .distinct()
+        .collect()
+    }
+    import datetime
+
+    for g in gaps:
+        assert (g.collection, g.gap_start) in days
+        assert (g.collection, g.gap_end) in days
+        s = datetime.date.fromisoformat(g.gap_start)
+        e = datetime.date.fromisoformat(g.gap_end)
+        assert (e - s).days == g.gap_days > 30
+        d = s + datetime.timedelta(days=1)
+        while d < e:
+            assert (g.collection, d.isoformat()) not in days
+            d += datetime.timedelta(days=1)
