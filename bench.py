@@ -228,6 +228,7 @@ HEADLINE = [
     "embedding_norm_health",
     "media_silence_runs",
     "stac_coverage_gaps",
+    "events_attribution_comparison",
 ]
 
 

@@ -2692,6 +2692,162 @@ FROM eff
 MARKOV_REMOVAL_SQL = _markov_sql()
 
 
+def events_attribution_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every attribution method side-by-side — the methods table that
+    stops "which model should we use" debates with numbers (the
+    dedup_strategy_comparison of the attribution tier): per channel the
+    credit share in ppm under FIRST-touch, LAST-touch, LINEAR
+    (multi-touch revenue split), and MARKOV removal effect. Positional
+    methods over-credit path endpoints; linear dilutes; removal measures
+    counterfactual contribution — the SPREAD across columns is the
+    decision risk of picking one model blindly.
+
+    First/last use the same segment partition as the linear operator
+    (segment = running count of strictly earlier purchases, so each
+    purchase credits only its own journey); per purchase the argmin /
+    argmax touch by (ts, event_id) — deterministic. Linear shares come
+    from the oracled multitouch operator (organic excluded), Markov from
+    the oracled removal operator; this table is their composition plus
+    two bounded window passes.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wseg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wseg),
+            F.lit(0),
+        ).alias("seg"),
+    ).localCheckpoint()
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id", "seg", "event_type", "ts_us", "event_id"
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg", F.col("ts_us").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    j = purchases.join(touches, ["user_id", "seg"]).filter(
+        F.col("ts_us") < F.col("pts")
+    )
+    ends = j.groupBy("user_id", "pid").agg(
+        F.expr("min_by(event_type, struct(ts_us, event_id))").alias("first_t"),
+        F.expr("max_by(event_type, struct(ts_us, event_id))").alias("last_t"),
+    )
+    firsts = ends.groupBy(F.col("first_t").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_first")
+    )
+    lasts = ends.groupBy(F.col("last_t").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_last")
+    )
+    linear = (
+        events_multitouch_attribution(spark, sf_dir)
+        .filter(F.col("event_type") != "(organic)")
+        .select(F.col("event_type").alias("channel"), "credit_milli")
+    )
+    markov = events_markov_attribution_removal(spark, sf_dir).select(
+        F.col("channel"), F.col("attribution_ppm").alias("markov_ppm")
+    )
+    base = (
+        linear.join(firsts, "channel", "left")
+        .join(lasts, "channel", "left")
+        .join(markov, "channel", "left")
+        .na.fill({"n_first": 0, "n_last": 0, "markov_ppm": 0})
+    )
+    tot = base.agg(
+        F.sum("n_first").alias("tf"),
+        F.sum("n_last").alias("tl"),
+        F.sum("credit_milli").alias("tc"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.expr("(n_first * 1000000) div greatest(1, tf)").alias("first_ppm"),
+            F.expr("(n_last * 1000000) div greatest(1, tl)").alias("last_ppm"),
+            F.expr("(credit_milli * 1000000) div greatest(1, tc)").alias(
+                "linear_ppm"
+            ),
+            "markov_ppm",
+        )
+    )
+
+
+def _attribution_comparison_sql() -> str:
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+  FROM events
+),
+touches AS (
+  SELECT user_id, seg, event_type, ts_us, event_id
+  FROM seq WHERE event_type <> 'purchase'
+),
+purchases AS (
+  SELECT user_id, seg, ts_us AS pts, event_id AS pid
+  FROM seq WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT p.user_id, p.pid, t.event_type,
+         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.pid
+                            ORDER BY t.ts_us ASC, t.event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.pid
+                            ORDER BY t.ts_us DESC, t.event_id DESC) AS rn_d
+  FROM purchases p JOIN touches t USING (user_id, seg)
+  WHERE t.ts_us < p.pts
+),
+firsts AS (SELECT event_type AS channel, COUNT(*) AS n_first
+           FROM ranked WHERE rn_a = 1 GROUP BY 1),
+lasts AS (SELECT event_type AS channel, COUNT(*) AS n_last
+          FROM ranked WHERE rn_d = 1 GROUP BY 1),
+linear AS (
+  SELECT event_type AS channel, credit_milli
+  FROM ({MULTITOUCH_SQL}) WHERE event_type <> '(organic)'
+),
+markov AS (
+  SELECT channel, attribution_ppm AS markov_ppm FROM ({MARKOV_REMOVAL_SQL})
+),
+base AS (
+  SELECT l.channel,
+         COALESCE(f.n_first, 0) AS n_first,
+         COALESCE(s.n_last, 0) AS n_last,
+         l.credit_milli,
+         COALESCE(m.markov_ppm, 0) AS markov_ppm
+  FROM linear l
+  LEFT JOIN firsts f USING (channel)
+  LEFT JOIN lasts s USING (channel)
+  LEFT JOIN markov m USING (channel)
+),
+tot AS (
+  SELECT SUM(n_first) AS tf, SUM(n_last) AS tl, SUM(credit_milli) AS tc
+  FROM base
+)
+SELECT channel,
+       CAST((n_first * 1000000) // GREATEST(1, tf) AS BIGINT) AS first_ppm,
+       CAST((n_last * 1000000) // GREATEST(1, tl) AS BIGINT) AS last_ppm,
+       CAST((credit_milli * 1000000) // GREATEST(1, tc) AS BIGINT) AS linear_ppm,
+       CAST(markov_ppm AS BIGINT) AS markov_ppm
+FROM base CROSS JOIN tot
+"""
+
+
+ATTRIBUTION_COMPARISON_SQL = _attribution_comparison_sql()
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
@@ -2732,6 +2888,7 @@ QUERIES = {
     "events_markov_attribution_removal": events_markov_attribution_removal,
     "events_forecast_backtest": events_forecast_backtest,
     "events_user_entropy": events_user_entropy,
+    "events_attribution_comparison": events_attribution_comparison,
 }
 
 ORACLES = {
@@ -2779,4 +2936,5 @@ ORACLES = {
     "events_markov_attribution_removal": MARKOV_REMOVAL_SQL,
     "events_forecast_backtest": FORECAST_BACKTEST_SQL,
     "events_user_entropy": USER_ENTROPY_SQL,
+    "events_attribution_comparison": ATTRIBUTION_COMPARISON_SQL,
 }

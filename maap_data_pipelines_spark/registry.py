@@ -196,6 +196,7 @@ _DEFERRED: set[str] = {
     # registered after the final window rehearsal: waits for r07
     "media_silence_runs",
     "stac_coverage_gaps",
+    "events_attribution_comparison",
 }
 
 

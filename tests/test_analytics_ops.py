@@ -720,3 +720,27 @@ def test_revenue_bridge_identity(spark, sf_dir):
             r.price_effect_milli + r.volume_effect_milli + r.residual_milli
         ), r.p_type
         assert r.delta_milli == (r.rev2_cents - r.rev1_cents) * 1000
+
+
+def test_attribution_comparison_shares_sum_and_agree(spark, sf_dir):
+    """Each method's shares must sum to ~1e6 ppm (floor dust below one
+    per channel), and the markov column must equal the removal
+    operator's own shares."""
+    from maap_data_pipelines_spark import registry
+
+    rows = registry.queries()["events_attribution_comparison"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    n = len(rows)
+    for col in ("first_ppm", "last_ppm", "linear_ppm", "markov_ppm"):
+        tot = sum(getattr(r, col) for r in rows)
+        assert 1_000_000 - n <= tot <= 1_000_000, col
+    want = {
+        r.channel: r.attribution_ppm
+        for r in registry.queries()["events_markov_attribution_removal"](
+            spark, sf_dir
+        ).collect()
+    }
+    for r in rows:
+        assert r.markov_ppm == want[r.channel]

@@ -206,6 +206,9 @@ _BNLJ_ALLOWED = {
     "customer_t_closeness",
     # 1-row truth-total broadcast crossed into the 3 strategy rows
     "dedup_strategy_comparison",
+    # composes the markov removal chain (allow-listed above) + a 1-row
+    # method-totals broadcast cross
+    "events_attribution_comparison",
 }
 
 
