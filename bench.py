@@ -229,6 +229,7 @@ HEADLINE = [
     "media_silence_runs",
     "stac_coverage_gaps",
     "events_attribution_comparison",
+    "events_ab_srm_check",
 ]
 
 

@@ -2848,6 +2848,58 @@ FROM base CROSS JOIN tot
 ATTRIBUTION_COMPARISON_SQL = _attribution_comparison_sql()
 
 
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio-Mismatch check — the TRUST gate an experiment readout
+    must pass BEFORE anyone reads its z statistic: if the md5 arm gate
+    was supposed to split users 50/50 but the observed counts deviate
+    beyond chance, the assignment (or the logging) is broken and the
+    test result is garbage regardless of significance. Pearson chi²
+    against the 50/50 expectation: with n_a + n_b = N and E = N/2,
+    chi² = (n_a − n_b)²/N exactly — computed as an integer milli ratio;
+    srm_suspected flags chi² > 3.841 (α=0.05, 1 df). One per-user agg +
+    one global conditional agg; single row at any scale.
+    """
+    ev = read_events(spark, sf_dir)
+    arm = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 2"
+    )
+    users = ev.select("user_id").distinct().select(arm.alias("arm"))
+    s = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "((n_a - n_b) * (n_a - n_b) * 1000) div (n_a + n_b)"
+        ).alias("chi2_milli"),
+        (
+            F.expr("((n_a - n_b) * (n_a - n_b) * 1000) div (n_a + n_b)")
+            > 3841
+        ).alias("srm_suspected"),
+    )
+
+
+AB_SRM_SQL = """
+WITH users AS (
+  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+s AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM users
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS BIGINT) AS chi2_milli,
+       (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841 AS srm_suspected
+FROM s
+"""
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
@@ -2889,6 +2941,7 @@ QUERIES = {
     "events_forecast_backtest": events_forecast_backtest,
     "events_user_entropy": events_user_entropy,
     "events_attribution_comparison": events_attribution_comparison,
+    "events_ab_srm_check": events_ab_srm_check,
 }
 
 ORACLES = {
@@ -2937,4 +2990,5 @@ ORACLES = {
     "events_forecast_backtest": FORECAST_BACKTEST_SQL,
     "events_user_entropy": USER_ENTROPY_SQL,
     "events_attribution_comparison": ATTRIBUTION_COMPARISON_SQL,
+    "events_ab_srm_check": AB_SRM_SQL,
 }

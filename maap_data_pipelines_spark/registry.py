@@ -197,6 +197,7 @@ _DEFERRED: set[str] = {
     "media_silence_runs",
     "stac_coverage_gaps",
     "events_attribution_comparison",
+    "events_ab_srm_check",
 }
 
 

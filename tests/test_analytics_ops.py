@@ -744,3 +744,39 @@ def test_attribution_comparison_shares_sum_and_agree(spark, sf_dir):
     }
     for r in rows:
         assert r.markov_ppm == want[r.channel]
+
+
+def test_srm_check_detects_planted_mismatch(spark, tmp_path, sf_dir):
+    """A healthy md5 gate passes; a planted 80/20 user population (ids
+    chosen by their own arm hash) must trip the flag."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.plans.events import events_ab_srm_check
+
+    r = registry.queries()["events_ab_srm_check"](spark, sf_dir).collect()[0]
+    assert r.n_a + r.n_b > 0 and not r.srm_suspected
+
+    # plant: compute arms for ids 0..999, keep all arm-0 plus 1/4 of arm-1
+    arm = F.expr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 2"
+    )
+    ids = (
+        spark.range(1000)
+        .select(F.col("id"), arm.alias("arm"))
+        .filter((F.col("arm") == 0) | (F.col("id") % 4 == 0))
+        .select(F.col("id").alias("user_id"))
+    )
+    ev = ids.select(
+        F.col("user_id").alias("event_id"),
+        F.lit("2024-01-01T00:00:00").alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = str(tmp_path / "srm")
+    ev.write.parquet(out + "/events.parquet")
+    planted = events_ab_srm_check(spark, out).collect()[0]
+    assert planted.srm_suspected
