@@ -230,6 +230,7 @@ HEADLINE = [
     "stac_coverage_gaps",
     "events_attribution_comparison",
     "events_ab_srm_check",
+    "doc_split_js_divergence",
 ]
 
 

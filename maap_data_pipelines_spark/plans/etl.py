@@ -2869,6 +2869,120 @@ GROUP BY c_nationkey, c_mktsegment, k
 """
 
 
+def doc_split_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the train and val unigram
+    distributions — the DISTRIBUTION-level split audit next to
+    split_leakage's verbatim n-gram overlap: leakage says "val text
+    appears in train", JS says the opposite failure, "val is not even
+    the same kind of text as train" (a skewed hash, a source that landed
+    entirely in one split). JS = ½KL(P‖M) + ½KL(Q‖M) with
+    M = (P+Q)/2; per term the log ratio reduces to integers,
+    ln(p/m) = lnm(2·a·B) − lnm(a·B + b·A), so each contribution is an
+    exact int64 product of a count and two floor-quantized lnm values
+    (the zipf discipline — one transcendental per integer), summed and
+    divided once per side. Bounded [0, ln 2]: js_milli ≈ 0 = splits
+    indistinguishable (what a healthy hash split shows), → 693 =
+    disjoint vocabularies.
+
+    Scale shape: one exploded-token groupBy (term, split) — map-side
+    combined, vocabulary-bounded — then a vocab-row reduce.
+    """
+    from ..operators.text import words_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id"))), F.lit(100)
+    )
+    split = F.when(bucket < SPLIT_TRAIN_PCT, "train").when(
+        bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val"
+    )
+    toks = (
+        docs.select(split.alias("split"), F.explode(words_col(F.lower(F.col("text")))).alias("t"))
+        .filter(F.col("split").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("b"),
+        )
+    )
+    tot = toks.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    lnm = "CAST(FLOOR(1000 * ln({})) AS BIGINT)"
+    terms = toks.crossJoin(F.broadcast(tot)).select(
+        "a",
+        "b",
+        F.when(
+            F.col("a") > 0,
+            F.expr(
+                f"a * ({lnm.format('2 * a * tb')} - {lnm.format('a * tb + b * ta')})"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("kl_p"),
+        F.when(
+            F.col("b") > 0,
+            F.expr(
+                f"b * ({lnm.format('2 * b * ta')} - {lnm.format('a * tb + b * ta')})"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("kl_q"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("kl_p").alias("skp"),
+        F.sum("kl_q").alias("skq"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "n_terms",
+            F.col("ta").alias("train_tokens"),
+            F.col("tb").alias("val_tokens"),
+            F.expr("(skp div ta + skq div tb) div 2").alias("js_milli"),
+        )
+    )
+
+
+_JS_BUCKET = _BUCKET_SQL
+_JS_LNM = "CAST(FLOOR(1000 * ln({})) AS BIGINT)"
+
+DOC_SPLIT_JS_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN {_JS_BUCKET} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {_JS_BUCKET} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+         END AS split, text
+  FROM documents
+),
+toks AS (
+  SELECT t,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS b
+  FROM (SELECT split, unnest(string_split(lower(text), ' ')) AS t
+        FROM assigned WHERE split IS NOT NULL)
+  GROUP BY t
+),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM toks),
+terms AS (
+  SELECT a, b,
+         CASE WHEN a > 0 THEN a * ({_JS_LNM.format("2 * a * tb")}
+                                 - {_JS_LNM.format("a * tb + b * ta")})
+              ELSE 0 END AS kl_p,
+         CASE WHEN b > 0 THEN b * ({_JS_LNM.format("2 * b * ta")}
+                                 - {_JS_LNM.format("a * tb + b * ta")})
+              ELSE 0 END AS kl_q
+  FROM toks CROSS JOIN tot
+),
+s AS (
+  SELECT COUNT(*) AS n_terms, SUM(kl_p) AS skp, SUM(kl_q) AS skq FROM terms
+)
+SELECT CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(ta AS BIGINT) AS train_tokens,
+       CAST(tb AS BIGINT) AS val_tokens,
+       CAST((skp // ta + skq // tb) // 2 AS BIGINT) AS js_milli
+FROM s CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
@@ -2913,6 +3027,7 @@ QUERIES = {
     "gdpr_erasure_plan": gdpr_erasure_plan,
     "customer_rfm_segments": customer_rfm_segments,
     "customer_t_closeness": customer_t_closeness,
+    "doc_split_js_divergence": doc_split_js_divergence,
 }
 
 ORACLES = {
@@ -2959,4 +3074,5 @@ ORACLES = {
     "gdpr_erasure_plan": GDPR_ERASURE_SQL,
     "customer_rfm_segments": RFM_SEGMENTS_SQL,
     "customer_t_closeness": T_CLOSENESS_SQL,
+    "doc_split_js_divergence": DOC_SPLIT_JS_SQL,
 }

@@ -198,6 +198,7 @@ _DEFERRED: set[str] = {
     "stac_coverage_gaps",
     "events_attribution_comparison",
     "events_ab_srm_check",
+    "doc_split_js_divergence",
 }
 
 

@@ -370,3 +370,41 @@ def test_quality_nb_posterior_argmax_crafted(spark):
         (not out[i].label_keep) and (not out[i].pred_keep) for i in (5, 6)
     )
     assert out[5].b_stop == 0 and out[1].b_stop > 0
+
+
+def test_js_divergence_zero_for_healthy_split_high_for_disjoint(spark, sf_dir, tmp_path):
+    """A hash split of one corpus reads ~0 milli-nats; a corpus whose
+    train and val vocabularies are DISJOINT must read near ln2=693."""
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.plans.etl import doc_split_js_divergence
+
+    healthy = registry.queries()["doc_split_js_divergence"](
+        spark, sf_dir
+    ).collect()[0]
+    assert healthy.js_milli <= 20
+
+    # craft: find ids hashing to train vs val, give them disjoint vocab
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.functions.hashing import md5_long
+
+    ids = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(
+            md5_long(F.concat(F.lit("split:"), F.col("id"))), F.lit(100)
+        ).alias("bucket"),
+    )
+    rows = ids.collect()
+    crafted = []
+    for r in rows:
+        if r.bucket < 80:
+            crafted.append((r.doc_id, "aaa bbb ccc ddd eee", "en", "s", 19))
+        elif r.bucket < 90:
+            crafted.append((r.doc_id, "vvv www xxx yyy zzz", "en", "s", 19))
+    df = spark.createDataFrame(
+        crafted, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = str(tmp_path / "js")
+    df.write.parquet(out + "/documents.parquet")
+    disjoint = doc_split_js_divergence(spark, out).collect()[0]
+    assert disjoint.js_milli >= 650
