@@ -231,6 +231,7 @@ HEADLINE = [
     "events_attribution_comparison",
     "events_ab_srm_check",
     "doc_split_js_divergence",
+    "supplier_dual_sourcing",
 ]
 
 

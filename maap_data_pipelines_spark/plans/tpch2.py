@@ -1430,36 +1430,55 @@ TRADE_PAGERANK_SQL = _trade_pagerank_sql()
 
 
 def lineitem_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source supply risk: parts whose ENTIRE observed supply ships
-    from one supplier, rolled up by that supplier's nation — the
-    disruption-exposure table next to supplier_concentration_hhi's
-    smooth index: HHI says "concentrated", this names the cliff. Per
-    nation: how many parts depend solely on one of its suppliers, and
-    the revenue that stops if it does.
+    """Supply-concentration risk by dominant-supplier nation — HHI says
+    "concentrated", this names the cliff. Two tiers per part: literal
+    SINGLE-SOURCE (one observed supplier — the hard cliff; zero on
+    TPC-H's ~26-supplier parts, counted honestly so real data surfaces
+    them) and the TOP-QUARTILE most concentrated parts by dominant-
+    supplier quantity share (rank-relative, so the table is never
+    degenerate-empty: every corpus has a most-concentrated tail). Per
+    dominant supplier's nation: how many flagged parts lean on one of
+    its suppliers, and the revenue flowing through that dominance.
 
-    Scale shape: one (part, supplier) distinct projection of lineitem
-    (map-side combined), a part-bounded count filter, then revenue
-    re-joined ONLY for the single-source parts (semi-join gate before
-    the heavy aggregation); output is |nations| rows.
+    Shares are exact ppm of int64 quantity sums; the quartile is a RANK
+    cut (share desc, partkey asc — deterministic), not a float quantile.
+    Scale shape: per-(part, supplier) aggregate → part-grain argmax
+    (max_by struct) → one global rank window over the PART dimension
+    (catalog-sized, not fact-sized) → |nations|-row rollup.
     """
+    from pyspark.sql.window import Window
+
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
         .cast("long")
         .alias("cents"),
-    ).localCheckpoint()
-    srcs = (
-        li.select("l_partkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_partkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
-            F.max("l_suppkey").alias("only_supp"),
-        )
     )
-    single = srcs.filter(F.col("n_suppliers") == 1).select(
-        "l_partkey", "only_supp"
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("q"),
+        F.sum("cents").alias("c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").alias("tq"),
+        F.expr("max_by(l_suppkey, struct(q, -l_suppkey))").alias("dom_supp"),
+        F.max("q").alias("dom_q"),
+        F.expr("max_by(c, struct(q, -l_suppkey))").alias("dom_cents"),
+    ).withColumn(
+        "share_ppm", F.expr("(dom_q * 1000000) div tq")
+    )
+    n_parts = per_part.count()  # catalog-sized driver scalar: rank cut
+    ranked = per_part.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("share_ppm").desc(), F.col("l_partkey").asc())
+        ),
+    )
+    flagged = ranked.filter(
+        (F.col("n_suppliers") == 1) | (F.col("rnk") * 4 <= F.lit(n_parts))
     )
     sup = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
@@ -1467,48 +1486,65 @@ def lineitem_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
-    at_risk = (
-        li.join(F.broadcast(single), "l_partkey")
-        .groupBy("only_supp")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.sum("cents").alias("cents"),
-        )
-        .join(F.broadcast(sup), F.col("only_supp") == F.col("s_suppkey"))
+    return (
+        flagged.join(F.broadcast(sup), F.col("dom_supp") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum("n_parts").alias("n_single_source_parts"),
-            F.sum("cents").alias("revenue_at_risk_cents"),
+            F.sum(F.when(F.col("n_suppliers") == 1, 1).otherwise(0)).alias(
+                "n_single_source_parts"
+            ),
+            F.count(F.lit(1)).alias("n_concentrated_parts"),
+            F.sum("dom_cents").alias("revenue_through_dominant_cents"),
+            F.max("share_ppm").alias("max_share_ppm"),
         )
     )
-    return at_risk
 
 
 SINGLE_SOURCE_SQL = """
 WITH li AS (
   SELECT l_partkey, l_suppkey,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
   FROM lineitem
 ),
-srcs AS (
-  SELECT l_partkey, COUNT(*) AS n_suppliers, MAX(l_suppkey) AS only_supp
-  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM li)
-  GROUP BY l_partkey
+ps AS (
+  SELECT l_partkey, l_suppkey, SUM(qty) AS q, SUM(cents) AS c
+  FROM li GROUP BY 1, 2
 ),
-single AS (SELECT l_partkey, only_supp FROM srcs WHERE n_suppliers = 1),
-at_risk AS (
-  SELECT only_supp,
-         COUNT(DISTINCT l.l_partkey) AS n_parts,
-         SUM(cents) AS cents
-  FROM li l JOIN single s USING (l_partkey)
-  GROUP BY only_supp
+per_part AS (
+  SELECT l_partkey,
+         COUNT(*) AS n_suppliers,
+         SUM(q) AS tq,
+         MAX(q) AS dom_q
+  FROM ps GROUP BY 1
+),
+dom AS (
+  SELECT p.l_partkey, p.n_suppliers, p.tq, p.dom_q,
+         s.l_suppkey AS dom_supp, s.c AS dom_cents,
+         (p.dom_q * 1000000) // p.tq AS share_ppm
+  FROM per_part p
+  JOIN ps s ON s.l_partkey = p.l_partkey AND s.q = p.dom_q
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.l_partkey
+                             ORDER BY s.l_suppkey ASC) = 1
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY share_ppm DESC, l_partkey ASC) AS rnk,
+         COUNT(*) OVER () AS n_parts
+  FROM dom
+),
+flagged AS (
+  SELECT * FROM ranked WHERE n_suppliers = 1 OR rnk * 4 <= n_parts
 )
 SELECT n_name AS nation,
-       CAST(SUM(n_parts) AS BIGINT) AS n_single_source_parts,
-       CAST(SUM(cents) AS BIGINT) AS revenue_at_risk_cents
-FROM at_risk
-JOIN supplier ON only_supp = s_suppkey
+       CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_source_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_concentrated_parts,
+       CAST(SUM(dom_cents) AS BIGINT) AS revenue_through_dominant_cents,
+       CAST(MAX(share_ppm) AS BIGINT) AS max_share_ppm
+FROM flagged
+JOIN supplier ON dom_supp = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
@@ -1617,7 +1653,129 @@ WHERE q1 > 0 AND q2 > 0
 """
 
 
+DUAL_SOURCE_TOPK = 3
+
+
+def supplier_dual_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-sourcing RECOMMENDATIONS for the most supply-concentrated
+    parts — the actionable follow-up to lineitem_single_source_risk: for
+    each part in the top concentration decile (dominant-supplier share
+    rank; decile rather than the risk table's quartile keeps the
+    recommendation queue review-sized), the top-K candidate alternates =
+    suppliers with the largest proven shipment volume in the SAME
+    product type, excluding the dominant incumbent. Ties break by
+    supplier key; part rank ties by part key — fully deterministic.
+
+    Scale shape: the concentration rank is a part-dimension window (the
+    catalog, not the fact stream); type-level supplier volumes are one
+    lineitem⇒part⇒supplier aggregate (|type|×|supplier| bounded); the
+    recommendation join is an equi-join on p_type + a per-part top-K
+    window (fan-out K).
+    """
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("q"))
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"),
+        F.expr("max_by(l_suppkey, struct(q, -l_suppkey))").alias("incumbent"),
+        F.max("q").alias("dom_q"),
+    ).withColumn("share_ppm", F.expr("(dom_q * 1000000) div tq"))
+    n_parts = per_part.count()  # catalog-sized driver scalar: rank cut
+    conc = (
+        per_part.withColumn(
+            "prnk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("share_ppm").desc(), F.col("l_partkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("prnk") * 10 <= F.lit(n_parts))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "incumbent", "p_type")
+    )
+    type_vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("qty").alias("type_qty"))
+    )
+    cand = (
+        conc.join(type_vol, "p_type")
+        .filter(F.col("l_suppkey") != F.col("incumbent"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("l_partkey").orderBy(
+                    F.col("type_qty").desc(), F.col("l_suppkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= DUAL_SOURCE_TOPK)
+    )
+    return cand.select(
+        F.col("l_partkey").alias("partkey"),
+        "incumbent",
+        F.col("l_suppkey").alias("candidate_supp"),
+        "type_qty",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+DUAL_SOURCING_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+),
+ps AS (
+  SELECT l_partkey, l_suppkey, SUM(qty) AS q FROM li GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, SUM(q) AS tq, MAX(q) AS dom_q FROM ps GROUP BY 1
+),
+dom AS (
+  SELECT p.l_partkey, s.l_suppkey AS incumbent,
+         (p.dom_q * 1000000) // p.tq AS share_ppm
+  FROM per_part p
+  JOIN ps s ON s.l_partkey = p.l_partkey AND s.q = p.dom_q
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.l_partkey
+                             ORDER BY s.l_suppkey ASC) = 1
+),
+conc AS (
+  SELECT d.l_partkey, d.incumbent, pt.p_type FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (ORDER BY share_ppm DESC, l_partkey ASC) AS prnk,
+           COUNT(*) OVER () AS n_parts
+    FROM dom
+  ) d JOIN part pt ON d.l_partkey = pt.p_partkey
+  WHERE d.prnk * 10 <= d.n_parts
+),
+type_vol AS (
+  SELECT p_type, l_suppkey, SUM(qty) AS type_qty
+  FROM li JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT c.l_partkey AS partkey, c.incumbent,
+         v.l_suppkey AS candidate_supp, v.type_qty,
+         ROW_NUMBER() OVER (PARTITION BY c.l_partkey
+                            ORDER BY v.type_qty DESC, v.l_suppkey ASC) AS rnk
+  FROM conc c JOIN type_vol v USING (p_type)
+  WHERE v.l_suppkey <> c.incumbent
+)
+SELECT partkey, incumbent, candidate_supp,
+       CAST(type_qty AS BIGINT) AS type_qty,
+       CAST(rnk AS BIGINT) AS rnk
+FROM cand WHERE rnk <= {DUAL_SOURCE_TOPK}
+"""
+
+
 QUERIES = {
+    "supplier_dual_sourcing": supplier_dual_sourcing,
     "lineitem_revenue_bridge": lineitem_revenue_bridge,
     "lineitem_single_source_risk": lineitem_single_source_risk,
     "nation_trade_pagerank": nation_trade_pagerank,
@@ -1645,6 +1803,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_dual_sourcing": DUAL_SOURCING_SQL,
     "lineitem_revenue_bridge": REVENUE_BRIDGE_SQL,
     "lineitem_single_source_risk": SINGLE_SOURCE_SQL,
     "nation_trade_pagerank": TRADE_PAGERANK_SQL,

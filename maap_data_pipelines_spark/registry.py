@@ -199,6 +199,7 @@ _DEFERRED: set[str] = {
     "events_attribution_comparison",
     "events_ab_srm_check",
     "doc_split_js_divergence",
+    "supplier_dual_sourcing",
 }
 
 

@@ -660,8 +660,10 @@ def test_trade_pagerank_conserves_and_ranks(spark, sf_dir):
 
 
 def test_single_source_risk_counts(spark, sf_dir):
-    """Independently recount: parts with exactly one observed supplier,
-    and the at-risk revenue conservation across nations."""
+    """The flagged set must be the top concentration quartile plus every
+    literal single-source part — NEVER degenerate-empty (TPC-H spreads
+    each part across ~26 suppliers, so the absolute-threshold version of
+    this table was always empty; the rank cut cannot be)."""
     import pyspark.sql.functions as F
 
     from maap_data_pipelines_spark import registry
@@ -670,7 +672,9 @@ def test_single_source_risk_counts(spark, sf_dir):
     rows = registry.queries()["lineitem_single_source_risk"](
         spark, sf_dir
     ).collect()
+    assert rows  # rank-relative: a most-concentrated tail always exists
     li = read_table(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
     singles = (
         li.select("l_partkey", "l_suppkey")
         .distinct()
@@ -680,7 +684,10 @@ def test_single_source_risk_counts(spark, sf_dir):
         .count()
     )
     assert sum(r.n_single_source_parts for r in rows) == singles
-    assert all(r.revenue_at_risk_cents > 0 for r in rows)
+    total_flagged = sum(r.n_concentrated_parts for r in rows)
+    assert n_parts // 4 <= total_flagged <= n_parts // 4 + singles
+    assert all(r.revenue_through_dominant_cents > 0 for r in rows)
+    assert all(0 < r.max_share_ppm <= 1_000_000 for r in rows)
 
 
 def test_user_entropy_flags_single_type_script(spark, tmp_path):
@@ -780,3 +787,23 @@ def test_srm_check_detects_planted_mismatch(spark, tmp_path, sf_dir):
     ev.write.parquet(out + "/events.parquet")
     planted = events_ab_srm_check(spark, out).collect()[0]
     assert planted.srm_suspected
+
+
+def test_dual_sourcing_covers_risk_parts(spark, sf_dir):
+    """Every top-decile concentrated part must get <= K ranked
+    recommendations, never including the dominant incumbent."""
+    from maap_data_pipelines_spark import registry
+    from maap_data_pipelines_spark.plans.tpch2 import DUAL_SOURCE_TOPK
+
+    recs = registry.queries()["supplier_dual_sourcing"](spark, sf_dir).collect()
+    assert recs
+    by_part = {}
+    for r in recs:
+        assert r.candidate_supp != r.incumbent
+        by_part.setdefault(r.partkey, []).append(r)
+    for pk, rows in by_part.items():
+        assert 1 <= len(rows) <= DUAL_SOURCE_TOPK
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        qtys = [r.type_qty for r in sorted(rows, key=lambda x: x.rnk)]
+        assert qtys == sorted(qtys, reverse=True)
