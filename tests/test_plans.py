@@ -209,6 +209,9 @@ _BNLJ_ALLOWED = {
     # composes the markov removal chain (allow-listed above) + a 1-row
     # method-totals broadcast cross
     "events_attribution_comparison",
+    # two 1-row token-totals broadcasts crossed into the vocab rows
+    # (the single-row-stats class)
+    "doc_split_js_divergence",
 }
 
 
