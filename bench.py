@@ -30,6 +30,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from maap_data_pipelines_spark import registry  # noqa: E402
 from maap_data_pipelines_spark.session import get_spark  # noqa: E402
 
+# FROZEN core headline (r7): 50 representative queries — TPC-H reps plus
+# the heaviest composition per family (events science, dedup cascade, ANN
+# quantized tier, curation, STAC, warehouse ETL). This list NEVER grows:
+# cross-round regression comparison reads `core_total` / the core subset
+# of `queries` so real drift isn't buried under the ever-growing full
+# sweep's noise (the full 174+-query headline is 3×4.5 min per take on a
+# noisy host). New operators extend HEADLINE below, not CORE.
+CORE = [
+    # TPC-H representatives
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q9_product_type_profit",
+    "q13_customer_distribution", "q17_small_quantity_revenue",
+    "q18_large_orders", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # window / graph analytics
+    "top_customers_window", "orders_running_revenue", "nation_trade_pagerank",
+    # events battery (sessionize, as-of, banded range join, state science)
+    "events_hourly_rollup", "events_sessionize", "events_funnel",
+    "events_asof_attribution", "events_purchase_context",
+    "events_transition_matrix", "events_windowed_funnel",
+    "events_multitouch_attribution", "events_attribution_comparison",
+    # dedup candidate + graph + audit tier
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "ngram_jaccard",
+    "dedup_incremental", "dedup_prefix_filter", "dedup_strategy_comparison",
+    # ANN / embedding tier
+    "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "embedding_kmeans", "embedding_silhouette", "embedding_dedup_banded",
+    # text / curation compositions
+    "corpus_curation", "corpus_curation_extended", "curation_yield_report",
+    "tfidf_top_terms", "bm25_topk", "decontaminate", "bpe_token_stats",
+    # STAC pipeline
+    "build_stac_items", "assets_neighbor_join", "stac_coverage_gaps",
+    # warehouse ETL
+    "orders_scd2", "orders_revenue_trend", "orders_bootstrap_ci",
+    "lineitem_corr_matrix", "customer_entity_resolution",
+]
+
 # Representative, scale-sensitive subset: scans+aggs, multi-join, window,
 # sessionization, funnel, text hashing. Extended as operators land.
 HEADLINE = [
@@ -243,6 +280,12 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Sample the co-tenant load BEFORE any Spark work: once the bench
+    # itself runs, load1 reflects our own 32 threads, not contention.
+    try:
+        pre_load = round(os.getloadavg()[0], 2)
+    except OSError:
+        pre_load = -1.0
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
@@ -257,9 +300,14 @@ def main() -> int:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for key in HEADLINE:
         if key not in qs:
             continue
+        try:
+            loads[key] = round(os.getloadavg()[0], 1)
+        except OSError:
+            loads[key] = -1.0
         runs = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -269,6 +317,7 @@ def main() -> int:
         timings[key] = round(runs[len(runs) // 2], 3)
         spread[key] = round(runs[-1] - runs[0], 3)
     total = round(sum(timings.values()), 3)
+    core_total = round(sum(timings[k] for k in CORE if k in timings), 3)
     # Field order matters: artifact captures may keep only the TAIL of
     # stdout (observed: a 2000-char tail window). Emit the noise bars
     # (spread) FIRST — they are the expendable detail — then the MEDIANS
@@ -280,20 +329,28 @@ def main() -> int:
         load1 = os.getloadavg()[0]
     except OSError:
         load1 = -1.0
-    n_cpus = os.cpu_count() or 1
+    # r6's "idle: true at load1 4.6" (one end-of-run sample, generous
+    # 0.5*ncpus threshold) let a contended take masquerade as settled and
+    # would eventually fire a false regression alarm. The idle gate now
+    # reads the sample taken BEFORE any Spark work against an absolute
+    # 1.5 threshold; `load1_per_query` keeps the during-run samples
+    # (which include our own executor load — read them relatively) so
+    # contended spans can be discounted post-hoc.
     line = json.dumps(
         {
+            "load1_per_query": loads,
             "spread": spread,
             "queries": timings,
             "n_queries": len(timings),
             "runs": n_runs,
             "sf": sf,
-            # pre-run 1-min load average vs CPU count: co-tenant noise
-            # flag for cross-round comparisons (this host swings ~2.4x)
             "load1": round(load1, 2),
-            "idle": bool(load1 >= 0 and load1 < 0.5 * n_cpus),
+            "load1_pre": pre_load,
+            "idle": bool(0 <= pre_load < 1.5),
             "unit": "sec",
             "metric": "headline_total",
+            "core_queries": len([k for k in CORE if k in timings]),
+            "core_total": core_total,
             "value": total,
         }
     )

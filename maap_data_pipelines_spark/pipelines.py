@@ -133,7 +133,14 @@ def discover_from_inventory_event(
     ]
     mk, mt = event.get("metadata_file_url_key"), event.get("metadata_type")
     if mk and mt:
-        cols.append(F.create_map(F.lit(mt), F.col(mk)).alias("assets"))
+        # rendered as the engine's ONE canonical assets encoding — the
+        # ';'-joined 'key=url' string multi_asset_group and the cmr
+        # adapter emit — so every discovery mode unions by name into a
+        # single onboarding frame (run_discovery_spec) without a
+        # map-vs-string type clash.
+        cols.append(
+            F.concat(F.lit(f"{mt}="), F.col(mk)).alias("assets")
+        )
     for k, v in event.items():
         if "asset" in k and k != "metadata_file_url_key":
             cols.append(F.lit(str(v)).alias(k))

@@ -111,6 +111,31 @@ _CONFIRMED = {
     "corpus_curation_extended",
     "ann_sq8_topk", "ann_sq8_recall",
     "ann_bq_topk", "ann_bq_recall", "ann_bq_rerank", "ann_bq_rerank_recall",
+    # r06 window: CORRECTNESS_r06.json, 50/50 green — the r6 wave
+    # (dedup graph extensions, strategy audit, embedding health battery,
+    # events science tier, warehouse additions, BPE, media upgrades).
+    "ann_filtered_topk", "ann_ivf_nprobe_curve",
+    "bpe_token_stats", "bpe_train_merges",
+    "cluster_topics", "curation_yield_report",
+    "customer_pareto_frontier", "customer_t_closeness",
+    "dedup_canonical_election", "dedup_label_propagation",
+    "dedup_local_bridges", "dedup_pair_diffstats", "dedup_prefix_filter",
+    "dedup_source_modularity", "dedup_strategy_comparison",
+    "dedup_threshold_curve", "discount_elasticity",
+    "doc_length_anova", "doc_neyman_allocation",
+    "doc_weighted_sample_exact_k", "doc_winnowing_matches", "doc_zipf_fit",
+    "embedding_centroid_drift", "embedding_intrinsic_dim",
+    "embedding_norm_health", "embedding_silhouette",
+    "events_ab_power", "events_ab_test", "events_bot_detection",
+    "events_changepoint", "events_cms_topk", "events_forecast_backtest",
+    "events_forecast_holt", "events_markov_attribution_removal",
+    "events_multitouch_attribution", "events_next_event_prediction",
+    "events_periodicity", "events_theta_overlap", "events_user_entropy",
+    "lineitem_revenue_bridge", "lineitem_single_source_risk",
+    "media_features", "media_phash_clusters", "nation_trade_pagerank",
+    "orders_theilsen_trend", "part_recs_hitrate", "quality_nb_classifier",
+    "referential_integrity_census", "retrieval_mmr_topk",
+    "supplier_concentration_hhi",
 }
 
 # Every full-oracle key is now officially confirmed (cumulative r02-r05
@@ -122,6 +147,23 @@ _CONFIRMED = {
 # embedding diagnostics, sketch monitors, heavy ETL) rather than an
 # arbitrary _CONFIRMED iteration order.
 _RECONFIRM = [
+    # r6-wave re-confirmations head the fill (VERDICT r6 item 1): the
+    # intricate machinery confirmed only once (r06) re-proves first.
+    "dedup_prefix_filter", "dedup_label_propagation",
+    "dedup_canonical_election", "dedup_strategy_comparison",
+    "dedup_threshold_curve", "dedup_local_bridges",
+    "dedup_source_modularity", "dedup_pair_diffstats",
+    "doc_winnowing_matches", "quality_nb_classifier",
+    "curation_yield_report", "retrieval_mmr_topk", "cluster_topics",
+    "events_theta_overlap", "events_cms_topk",
+    "events_markov_attribution_removal", "events_multitouch_attribution",
+    "events_forecast_backtest", "events_changepoint",
+    "embedding_silhouette", "embedding_centroid_drift",
+    "embedding_intrinsic_dim", "embedding_norm_health",
+    "ann_ivf_nprobe_curve", "ann_filtered_topk",
+    "bpe_train_merges", "bpe_token_stats",
+    "media_features", "media_phash_clusters",
+    "nation_trade_pagerank", "lineitem_single_source_risk",
     # quantized / composed ANN tier
     "ann_pq_topk", "ann_pq_recall", "ann_pq_rerank", "ann_pq_rerank_recall",
     "ann_ivfpq_topk", "ann_ivfpq_recall",
@@ -157,49 +199,10 @@ _RECONFIRM = [
 # key so the in-flight window is not displaced; they enter a window next
 # rotation. Clear entries as they reach _CONFIRMED.
 _DEFERRED: set[str] = {
-    # r6 late additions #51/#52: the unconfirmed backlog exceeds one
-    # window by two, so the two SIMPLEST late keys (single-scan
-    # conditional aggregates, replica-verified at sf0.01 AND sf0.1) wait
-    # for r07; the intricate late keys (prefix-filter join, label
-    # propagation, KMV overlap, NB classifier, Markov removal) keep
-    # their official-record slots.
-    "gdpr_erasure_plan",
-    "orders_promo_lift",
-    # r6 late addition #53 (replica-verified at both SFs): waits for r07
-    # so the prefix-filter join and label propagation keep their slots
-    "customer_rfm_segments",
-    # The restarted-session wave grew the unconfirmed backlog to 57 for
-    # 50 slots. Defer these seven SIMPLE single-scan/window keys (each
-    # replica-verified at sf0.01+sf0.1 and green in two full window
-    # rehearsals this round) so the intricate late additions — the
-    # prefix-filter join, LP communities, centroid drift, canonical
-    # election, winnowing, the strategy audit, and the threshold curve —
-    # receive the official driver record first.
-    "supplier_return_sla",
-    "orders_gap_distribution",
-    "customer_revenue_lorenz",
-    "lineitem_benford",
-    "orders_duplicate_payments",
-    "lineitem_leadtime_profile",
-    "orders_abc_classification",
-    # Final wave pushed the backlog to 57 again; same rule, seven more
-    # simple replica-verified keys wait for r07 so the intricate llm
-    # additions (LP, drift, election, winnowing, strategy audit, local
-    # bridges, norm health) hold official-record slots.
-    "customer_k_anonymity",
-    "customer_l_diversity",
-    "customer_survival",
-    "lineitem_price_index",
-    "orders_seasonal_decompose",
-    "packing_efficiency",
-    "vocab_growth",
-    # registered after the final window rehearsal: waits for r07
-    "media_silence_runs",
-    "stac_coverage_gaps",
-    "events_attribution_comparison",
-    "events_ab_srm_check",
-    "doc_split_js_divergence",
-    "supplier_dual_sourcing",
+    # r07: the 23 keys deferred across r6 drained into the window head
+    # (tier 1) — official records land in CORRECTNESS_r07. New keys
+    # registered mid-r07 go here so the in-flight window composition
+    # stays fixed.
 }
 
 

@@ -103,7 +103,9 @@ def test_discover_from_inventory_event(spark, tmp_path):
     assert r.product_id == "CCI_2020_tile1"
     assert r.collection == "ESACCI_Biomass" and r.upload and r.ingest
     assert not r.cogify
-    assert r.assets == {"xml": "s3://b/CCI_2020_tile1.xml"}
+    # canonical 'key=url' assets rendering (same encoding as the cmr
+    # adapter and multi_asset_group -> union-compatible across modes)
+    assert r.assets == "xml=s3://b/CCI_2020_tile1.xml"
     assert r.sample_asset_name == "cog_default"  # 'asset' key passthrough
 
 
