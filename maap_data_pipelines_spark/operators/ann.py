@@ -809,6 +809,166 @@ def ann_ivf_recall2(emb: DataFrame) -> DataFrame:
     return ann_ivf_recall(emb, nprobe=2)
 
 
+RECALL_QPL = 3  # stratified recall probe: queries per label
+
+
+def ann_recall_by_label(emb: DataFrame) -> DataFrame:
+    """Recall@5 of the IVF index STRATIFIED by label — index fairness.
+
+    An aggregate recall number hides the failure mode that matters in a
+    training-data pipeline: the index quietly under-serving one slice of
+    the corpus (a language, a domain, a modality bucket) because its
+    vectors straddle cell boundaries. This probe takes the first
+    RECALL_QPL vec_ids PER LABEL (deterministic stratified sample — every
+    stratum is measured no matter how rare), computes brute-force truth
+    and IVF candidates for exactly that query set, and reports per-label
+    hits and recall_ppm (integer micro-rate, no float division).
+
+    Scale shape: the query set is |labels|*QPL rows — broadcast
+    everywhere it appears; brute truth is one linear O(Q*N) scan (the
+    per-label cap bounds Q); the IVF side reuses the same broadcast-join
+    assignment as ann_ivf_topk. One corpus-sized shuffle (the stratify
+    window) — at 100 TB replace with a per-label reservoir sample; the
+    contract (QPL queries per label) is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    w_strat = Window.partitionBy("label").orderBy("vec_id")
+    q = (
+        emb.withColumn("rn", F.row_number().over(w_strat))
+        .filter(F.col("rn") <= RECALL_QPL)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "label",
+        )
+    )
+    # brute-force truth over the stratified query set (ann_cosine_topk's
+    # scoring, custom query frame)
+    c = emb.select("vec_id", F.col("embedding").alias("ce"))
+    scored = c.join(
+        F.broadcast(q.drop("label")), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", "vec_id", F.round(cosine_cols("qe", "ce"), 6).alias("cosine")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    truth = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "vec_id")
+    )
+    # IVF candidates for the same query set (ann_ivf_topk's machinery)
+    cents = ivf_centroids(emb)
+    cvec = ivf_assign(emb, cents).select(
+        "vec_id", F.col("embedding").alias("ce"), "cell"
+    )
+    qv = ivf_assign(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qe").alias("embedding")),
+        cents,
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
+    )
+    pairs = cvec.join(F.broadcast(qv), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = (
+        pairs.select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_udf(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    per_q = (
+        truth.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+    )
+    return (
+        per_q.join(q.select("query_id", "label"), "query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_hits",
+            F.expr(f"(n_hits * 1000000) div (n_queries * {IVF_TOPK})").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+ANN_RECALL_BY_LABEL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label
+  FROM embeddings
+  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= {RECALL_QPL}
+),
+brute AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND({cosine_sql('q.qe', 'e.embedding')}, 6) AS cosine
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM brute
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+          <= {IVF_TOPK}
+),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings
+  WHERE vec_id < {IVF_K}
+),
+cscored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         ROUND({cosine_sql('e.embedding', 'c.cemb')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell
+  FROM cscored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) = 1
+),
+qcell AS (
+  SELECT s.vec_id AS query_id, s.embedding AS qe, s.centroid_id AS cell
+  FROM cscored s JOIN q ON q.query_id = s.vec_id
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id ORDER BY s.ccos DESC, s.centroid_id) = 1
+),
+appr AS (
+  SELECT query_id, vec_id, 1 AS hit FROM (
+    SELECT qc.query_id, c.vec_id,
+           ROUND({cosine_sql('qc.qe', 'c.embedding')}, 6) AS cosine
+    FROM assigned c JOIN qcell qc USING (cell)
+    WHERE c.vec_id <> qc.query_id
+  )
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+          <= {IVF_TOPK}
+),
+per_q AS (
+  SELECT t.query_id, CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits
+  FROM truth t LEFT JOIN appr a
+    ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+  GROUP BY t.query_id
+)
+SELECT q.label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(p.n_hits) AS BIGINT) AS n_hits,
+       (CAST(SUM(p.n_hits) AS BIGINT) * 1000000)
+         // (CAST(COUNT(*) AS BIGINT) * {IVF_TOPK}) AS recall_ppm
+FROM per_q p JOIN q ON q.query_id = p.query_id
+GROUP BY q.label
+ORDER BY q.label
+"""
+
+
 QUERY_SQL = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
@@ -821,6 +981,7 @@ QUERY_SQL = {
     "ann_ivf_topk2": ANN_IVF_TOPK2_SQL,
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "ann_ivf_recall2": ANN_IVF_RECALL2_SQL,
+    "ann_recall_by_label": ANN_RECALL_BY_LABEL_SQL,
 }
 
 

@@ -831,6 +831,75 @@ FROM per_cluster GROUP BY 1
 """
 
 
+def dedup_token_savings(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Training-token yield of dedup, by duplicate-cluster size.
+
+    The number a pretraining-data owner actually budgets with: if we
+    keep one canonical survivor (min doc_id — the engine's documented
+    election default) per near-dup cluster, how many DOCUMENTS, TOKENS
+    and CHARS drop out of the training mix, broken down by cluster size
+    (2-doc pairs vs giant templated families have very different blast
+    radii). Complements dedup_cluster_sizes (doc counts only) with the
+    token economics.
+
+    Scale shape: CC labels (bounded by near-dup mass) join the docs once
+    for per-doc token/char counts (one scan, map-side combine), then two
+    aggregate-sized groupBys (cluster, then cluster_size). Survivor
+    token counts ride the same aggregate via min_by(doc_id) — no second
+    join, no window. All integer-exact.
+    """
+    labels = dedup_clusters(docs, max_iter=max_iter)
+    sized = labels.join(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+        ),
+        "doc_id",
+    )
+    per_cluster = sized.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_tokens").alias("tok_total"),
+        F.sum("n_chars").alias("chr_total"),
+        F.min_by("n_tokens", "doc_id").alias("tok_keep"),
+        F.min_by("n_chars", "doc_id").alias("chr_keep"),
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("docs_removed"),
+            F.sum(F.col("tok_total") - F.col("tok_keep")).alias("tokens_removed"),
+            F.sum(F.col("chr_total") - F.col("chr_keep")).alias("chars_removed"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_TOKEN_SAVINGS_SQL = f"""
+WITH labels AS ({DEDUP_CLUSTERS_SQL}),
+sized AS (
+  SELECT l.cluster_id, l.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(d.text) AS BIGINT) AS n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+),
+per_cluster AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+         CAST(SUM(n_chars) AS BIGINT) AS chr_total,
+         arg_min(n_tokens, doc_id) AS tok_keep,
+         arg_min(n_chars, doc_id) AS chr_keep
+  FROM sized GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
+       CAST(SUM(tok_total - tok_keep) AS BIGINT) AS tokens_removed,
+       CAST(SUM(chr_total - chr_keep) AS BIGINT) AS chars_removed
+FROM per_cluster GROUP BY 1 ORDER BY 1
+"""
 
 
 CONTAIN_MIN = 0.8
@@ -1007,6 +1076,7 @@ QUERY_SQL = {
     "dedup_pagerank": DEDUP_PAGERANK_SQL,
     "similar_docs_topk": SIMILAR_DOCS_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
+    "dedup_token_savings": DEDUP_TOKEN_SAVINGS_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "dedup_triangles": DEDUP_TRIANGLES_SQL,
 }

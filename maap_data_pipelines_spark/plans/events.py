@@ -2154,6 +2154,114 @@ FROM r
 """
 
 
+# MDE grid: 1..10 percentage-point lifts in micro units (10_000 micro =
+# 1 ppt). The grid is a literal contract shared by both engines.
+MDE_GRID_LO = 10_000
+MDE_GRID_HI = 100_000
+MDE_GRID_STEP = 10_000
+
+
+def events_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-planning MDE curve: required n per arm across lifts.
+
+    events_ab_power answers "what n detects the lift we OBSERVED?";
+    this is the planning-side table an experimentation platform shows
+    BEFORE launch: for each minimum-detectable-effect in a fixed grid
+    (1..10 ppt above the corpus' pooled conversion baseline), the
+    per-arm sample size at alpha=0.05 / power=0.80, and whether the
+    current population could already support it (n_required vs half the
+    observed users). Same two-proportion formula as events_ab_power with
+    p1 = pooled baseline, p2 = baseline + MDE.
+
+    Scale shape: ONE map-side-combined per-user agg collapses the corpus
+    to a 1-row summary; the 10-row grid fans out INSIDE that row via
+    explode(sequence(...)) — no join, no cross product, plan size
+    constant in both corpus size and grid length. Floats: rates and the
+    z-formula are doubles derived from exact int64 counts through one
+    identical expression tree on both engines (ab_power's documented
+    pattern).
+    """
+    ev = read_events(spark, sf_dir)
+    per_user = ab_user_conversions(ev)
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    grid = s.select(
+        "n_users",
+        "n_conv",
+        F.explode(
+            F.sequence(
+                F.lit(MDE_GRID_LO), F.lit(MDE_GRID_HI), F.lit(MDE_GRID_STEP)
+            )
+        ).alias("delta_micro"),
+    )
+    n_req = (
+        f"CAST(CEIL(POWER({AB_POWER_Z_ALPHA} * SQRT(2.0 * p1 * (1.0 - p1))"
+        f" + {AB_POWER_Z_BETA} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)"
+        " / POWER(CAST(delta_micro AS DOUBLE) / 1000000.0, 2)) AS BIGINT)"
+    )
+    return (
+        grid.withColumn("p1", F.expr("CAST(n_conv AS DOUBLE) / n_users"))
+        .withColumn(
+            "p2", F.expr("p1 + CAST(delta_micro AS DOUBLE) / 1000000.0")
+        )
+        .withColumn("n_required_per_arm", F.expr(n_req))
+        .select(
+            F.col("delta_micro").cast("long").alias("delta_micro"),
+            "n_users",
+            "n_conv",
+            "n_required_per_arm",
+            F.expr(
+                "CAST(CASE WHEN n_required_per_arm <= n_users div 2"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("feasible_now"),
+        )
+        .orderBy("delta_micro")
+    )
+
+
+MDE_CURVE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(ROUND(value * 100) AS BIGINT) >= {AB_CONV_CENTS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM per_user
+),
+grid AS (
+  SELECT n_users, n_conv, CAST(g.delta_micro AS BIGINT) AS delta_micro
+  FROM s, generate_series({MDE_GRID_LO}, {MDE_GRID_HI}, {MDE_GRID_STEP})
+       AS g(delta_micro)
+),
+r AS (
+  SELECT *,
+         CAST(n_conv AS DOUBLE) / n_users AS p1,
+         CAST(n_conv AS DOUBLE) / n_users
+           + CAST(delta_micro AS DOUBLE) / 1000000.0 AS p2
+  FROM grid
+),
+req AS (
+  SELECT delta_micro, n_users, n_conv,
+         CAST(CEIL(POWER({AB_POWER_Z_ALPHA} * SQRT(2.0 * p1 * (1.0 - p1))
+                   + {AB_POWER_Z_BETA} * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+              / POWER(CAST(delta_micro AS DOUBLE) / 1000000.0, 2)) AS BIGINT)
+           AS n_required_per_arm
+  FROM r
+)
+SELECT delta_micro, n_users, n_conv, n_required_per_arm,
+       CAST(CASE WHEN n_required_per_arm <= n_users // 2
+            THEN 1 ELSE 0 END AS INT) AS feasible_now
+FROM req
+ORDER BY delta_micro
+"""
+
+
 def events_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (theta) sketch segment-overlap estimates with enforcement flags.
 
@@ -2942,6 +3050,7 @@ QUERIES = {
     "events_user_entropy": events_user_entropy,
     "events_attribution_comparison": events_attribution_comparison,
     "events_ab_srm_check": events_ab_srm_check,
+    "events_mde_curve": events_mde_curve,
 }
 
 ORACLES = {
@@ -2991,4 +3100,5 @@ ORACLES = {
     "events_user_entropy": USER_ENTROPY_SQL,
     "events_attribution_comparison": ATTRIBUTION_COMPARISON_SQL,
     "events_ab_srm_check": AB_SRM_SQL,
+    "events_mde_curve": MDE_CURVE_SQL,
 }

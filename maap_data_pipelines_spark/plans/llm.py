@@ -389,11 +389,13 @@ QUERIES = {
     "dedup_pagerank": _doc_plan(dedup.dedup_pagerank),
     "similar_docs_topk": _doc_plan(dedup.similar_docs_topk),
     "dedup_cluster_sizes": _doc_plan(dedup.dedup_cluster_sizes),
+    "dedup_token_savings": _doc_plan(dedup.dedup_token_savings),
     "dedup_triangles": _doc_plan(dedup.dedup_triangles),
     "minhash_calibration": _doc_plan(dedup.minhash_calibration),
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),
     "ann_filtered_topk": _emb_plan(ann.ann_filtered_topk),
+    "ann_recall_by_label": _emb_plan(ann.ann_recall_by_label),
     "semantic_decontaminate": _emb_plan(ann.semantic_decontaminate),
     "embedding_dedup": _emb_plan(ann.embedding_dedup),
     "embedding_dedup_lsh": _emb_plan(ann.embedding_dedup_lsh),

@@ -203,6 +203,9 @@ _DEFERRED: set[str] = {
     # (tier 1) — official records land in CORRECTNESS_r07. New keys
     # registered mid-r07 go here so the in-flight window composition
     # stays fixed.
+    "events_mde_curve",
+    "dedup_token_savings",
+    "ann_recall_by_label",
 }
 
 
