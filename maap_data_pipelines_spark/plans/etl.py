@@ -1756,6 +1756,104 @@ GROUP BY n_pairs
 """
 
 
+SHEWHART_WIN = 28  # trailing window (days with data), excludes current
+SHEWHART_TOPK = 20
+
+
+def orders_shewhart_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart 3-sigma control chart over daily revenue — DQ sentinel.
+
+    The classic process-control monitor a warehouse runs on every fact
+    feed: each day's revenue against the mean/variance of its own
+    trailing SHEWHART_WIN days (strictly preceding — the day under test
+    never contaminates its own control limits). Integer-exact sigma
+    test: |x-mu| > 3*sigma  <=>  (x*n - s1)^2 > 9*(n*s2 - s1^2), all in
+    KILOdollars (cents div 100_000): daily revenue squared then summed
+    over the window must stay in int64 — whole dollars overflowed at
+    the 10x harness SF (n*s2 ~ 1.8e19), kilodollar cells hold to
+    ~sf1000 with sigma resolution ~0.1% of a day. Output is the
+    TOP-SHEWHART_TOPK days by
+    standardized deviation (denominator-quantized ppm ratio, the lorenz
+    pattern), breach-flagged — rank-relative, so the table is never
+    degenerate-empty on in-control data, and real breaches sort first.
+
+    Scale shape: one map-side-combined day rollup (bounded by calendar
+    days, not orders), one day-grain window pass, TakeOrderedAndProject
+    top-K. No fact-sized shuffle beyond the day rollup.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("o_day")
+    ).agg(
+        F.expr(
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100000"
+        ).alias("rev_kd")
+    )
+    w = (
+        Window.orderBy("o_day")
+        .rowsBetween(-SHEWHART_WIN, -1)
+    )
+    stats = daily.select(
+        "o_day",
+        "rev_kd",
+        F.count("rev_kd").over(w).alias("n"),
+        F.sum("rev_kd").over(w).alias("s1"),
+        F.sum(F.col("rev_kd") * F.col("rev_kd")).over(w).alias("s2"),
+    ).filter(F.col("n") == SHEWHART_WIN)
+    scored = stats.select(
+        "o_day",
+        "rev_kd",
+        F.expr("s1 div n").alias("mu_kd"),
+        F.expr(
+            "((rev_kd * n - s1) * (rev_kd * n - s1))"
+            " div NULLIF((9 * (n * s2 - s1 * s1)) div 1000000, 0)"
+        ).alias("dev_ratio_ppm"),
+        F.expr(
+            "CAST(CASE WHEN (rev_kd * n - s1) * (rev_kd * n - s1)"
+            " > 9 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END AS INT)"
+        ).alias("breach"),
+    )
+    return (
+        scored.orderBy(
+            F.desc_nulls_last("dev_ratio_ppm"), F.col("o_day")
+        ).limit(SHEWHART_TOPK)
+    )
+
+
+SHEWHART_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS o_day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100000 AS rev_kd
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT o_day, rev_kd,
+         COUNT(rev_kd) OVER w AS n,
+         SUM(rev_kd) OVER w AS s1,
+         SUM(rev_kd * rev_kd) OVER w AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY o_day ROWS BETWEEN {SHEWHART_WIN} PRECEDING
+               AND 1 PRECEDING)
+),
+scored AS (
+  SELECT o_day,
+         CAST(rev_kd AS BIGINT) AS rev_kd,
+         CAST(s1 // n AS BIGINT) AS mu_kd,
+         CAST((rev_kd * n - s1) * (rev_kd * n - s1) AS BIGINT)
+           // NULLIF(CAST(9 * (n * s2 - s1 * s1) AS BIGINT) // 1000000, 0)
+           AS dev_ratio_ppm,
+         CAST(CASE WHEN (rev_kd * n - s1) * (rev_kd * n - s1)
+              > 9 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END AS INT) AS breach
+  FROM stats WHERE n = {SHEWHART_WIN}
+)
+SELECT * FROM scored
+ORDER BY dev_ratio_ppm DESC NULLS LAST, o_day
+LIMIT {SHEWHART_TOPK}
+"""
+
+
 WESK_K = 100
 _WESK_U = 1_000_000
 
@@ -2999,6 +3097,7 @@ QUERIES = {
     "customer_l_diversity": customer_l_diversity,
     "orders_seasonal_decompose": orders_seasonal_decompose,
     "orders_theilsen_trend": orders_theilsen_trend,
+    "orders_shewhart_control": orders_shewhart_control,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -3071,6 +3170,7 @@ ORACLES = {
     "customer_l_diversity": L_DIVERSITY_SQL,
     "orders_seasonal_decompose": SEASONAL_SQL,
     "orders_theilsen_trend": THEILSEN_SQL,
+    "orders_shewhart_control": SHEWHART_SQL,
     "gdpr_erasure_plan": GDPR_ERASURE_SQL,
     "customer_rfm_segments": RFM_SEGMENTS_SQL,
     "customer_t_closeness": T_CLOSENESS_SQL,

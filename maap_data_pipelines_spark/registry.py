@@ -206,6 +206,7 @@ _DEFERRED: set[str] = {
     "events_mde_curve",
     "dedup_token_savings",
     "ann_recall_by_label",
+    "orders_shewhart_control",
 }
 
 
