@@ -831,6 +831,151 @@ FROM per_cluster GROUP BY 1
 """
 
 
+def dedup_rand_index(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Clustering agreement between MinHash-CC and SimHash-CC: (A)RI.
+
+    dedup_strategy_comparison audits candidate generators at PAIR grain;
+    this audits them at CLUSTERING grain — after connected components,
+    do the two independent strategies partition the corpus the same
+    way? Pair-counting Rand and Adjusted Rand indices, computed WITHOUT
+    enumerating pairs: the (lab1, lab2) contingency table (docs in
+    neither candidate graph are singletons in both and contribute zero
+    to every C(n,2) sum, so only docs appearing in either graph are
+    materialized; the corpus count enters only through C(n_docs,2)).
+
+    One summary row: raw integer sufficient statistics (the contract)
+    plus rand_ppm / ari_ppm — the ppms are FLOOR'd doubles derived from
+    exact int64 stats through one identical expression tree on both
+    engines (int64 products like C(n,2)*sum_a overflow at ~100x, the
+    doubles don't; documented float discipline).
+
+    Scale shape: two candidate pipelines + two CCs (each bounded by
+    near-dup mass), a full-outer join of two label frames, three
+    aggregate-sized groupBys, then 1-row broadcast crosses to combine
+    scalars. Nothing corpus-quadratic.
+    """
+    m = dedup_clusters(docs, max_iter=max_iter).select(
+        "doc_id", F.col("cluster_id").alias("c1")
+    )
+    sp = dedup_simhash(docs).select("doc_a", "doc_b")
+    und = sp.union(
+        sp.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    s_labels, _ = connected_components(und, max_iter=max_iter)
+    s = s_labels.select("doc_id", F.col("cluster_id").alias("c2"))
+    u = (
+        m.join(s, "doc_id", "full_outer")
+        .select(
+            F.coalesce(F.col("c1"), F.col("doc_id")).alias("lab1"),
+            F.coalesce(F.col("c2"), F.col("doc_id")).alias("lab2"),
+        )
+    )
+    cells = u.groupBy("lab1", "lab2").agg(F.count(F.lit(1)).alias("nij"))
+    sum_both = cells.agg(
+        F.sum(F.expr("(nij * (nij - 1)) div 2")).cast("long").alias("sum_both")
+    )
+    sum_a = (
+        cells.groupBy("lab1")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(F.sum(F.expr("(ai * (ai - 1)) div 2")).cast("long").alias("sum_minhash"))
+    )
+    sum_b = (
+        cells.groupBy("lab2")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.sum(F.expr("(bj * (bj - 1)) div 2")).cast("long").alias("sum_simhash"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    combined = (
+        n_docs.crossJoin(F.broadcast(sum_both))
+        .crossJoin(F.broadcast(sum_a))
+        .crossJoin(F.broadcast(sum_b))
+    )
+    return combined.select(
+        "n_docs",
+        F.expr("(n_docs * (n_docs - 1)) div 2").alias("n_pairs"),
+        "sum_both",
+        "sum_minhash",
+        "sum_simhash",
+        F.expr(
+            "CAST(FLOOR(CAST((n_docs * (n_docs - 1)) div 2"
+            " - sum_minhash - sum_simhash + 2 * sum_both AS DOUBLE)"
+            " * 1000000.0"
+            " / CAST((n_docs * (n_docs - 1)) div 2 AS DOUBLE)) AS BIGINT)"
+        ).alias("rand_ppm"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * (2.0 * ("
+            "CAST((n_docs * (n_docs - 1)) div 2 AS DOUBLE) * CAST(sum_both AS DOUBLE)"
+            " - CAST(sum_minhash AS DOUBLE) * CAST(sum_simhash AS DOUBLE)))"
+            " / NULLIF("
+            "CAST((n_docs * (n_docs - 1)) div 2 AS DOUBLE)"
+            " * (CAST(sum_minhash AS DOUBLE) + CAST(sum_simhash AS DOUBLE))"
+            " - 2.0 * CAST(sum_minhash AS DOUBLE) * CAST(sum_simhash AS DOUBLE),"
+            " 0.0)) AS BIGINT)"
+        ).alias("ari_ppm"),
+    )
+
+
+DEDUP_RAND_INDEX_SQL = f"""
+WITH lab1 AS ({DEDUP_CLUSTERS_SQL}),
+simpairs AS ({DEDUP_SIMHASH_SQL}),
+sund AS (
+  SELECT doc_a AS a, doc_b AS b FROM simpairs
+  UNION
+  SELECT doc_b, doc_a FROM simpairs
+),
+sreach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT a, a FROM sund
+    UNION
+    SELECT u.a, r.lab FROM sund u JOIN r ON r.node = u.b
+  )
+  SELECT node, lab FROM r
+),
+lab2 AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM sreach GROUP BY node
+),
+u AS (
+  SELECT COALESCE(l1.cluster_id, COALESCE(l1.doc_id, l2.doc_id)) AS g1,
+         COALESCE(l2.cluster_id, COALESCE(l1.doc_id, l2.doc_id)) AS g2
+  FROM lab1 l1 FULL OUTER JOIN lab2 l2 ON l1.doc_id = l2.doc_id
+),
+cells AS (
+  SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS nij FROM u GROUP BY 1, 2
+),
+sb AS (
+  SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sum_both FROM cells
+),
+sa AS (
+  SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS sum_minhash FROM (
+    SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM cells GROUP BY g1
+  )
+),
+sbj AS (
+  SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS sum_simhash FROM (
+    SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY g2
+  )
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs,
+       CAST((n_docs * (n_docs - 1)) // 2 AS BIGINT) AS n_pairs,
+       sum_both, sum_minhash, sum_simhash,
+       CAST(FLOOR(CAST((n_docs * (n_docs - 1)) // 2
+            - sum_minhash - sum_simhash + 2 * sum_both AS DOUBLE)
+            * 1000000.0
+            / CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE)) AS BIGINT)
+         AS rand_ppm,
+       CAST(FLOOR(1000000.0 * (2.0 * (
+            CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE) * CAST(sum_both AS DOUBLE)
+            - CAST(sum_minhash AS DOUBLE) * CAST(sum_simhash AS DOUBLE)))
+            / NULLIF(
+            CAST((n_docs * (n_docs - 1)) // 2 AS DOUBLE)
+            * (CAST(sum_minhash AS DOUBLE) + CAST(sum_simhash AS DOUBLE))
+            - 2.0 * CAST(sum_minhash AS DOUBLE) * CAST(sum_simhash AS DOUBLE),
+            0.0)) AS BIGINT) AS ari_ppm
+FROM nd CROSS JOIN sb CROSS JOIN sa CROSS JOIN sbj
+"""
+
+
 def dedup_token_savings(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     """Training-token yield of dedup, by duplicate-cluster size.
 
@@ -1077,6 +1222,7 @@ QUERY_SQL = {
     "similar_docs_topk": SIMILAR_DOCS_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTER_SIZES_SQL,
     "dedup_token_savings": DEDUP_TOKEN_SAVINGS_SQL,
+    "dedup_rand_index": DEDUP_RAND_INDEX_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "dedup_triangles": DEDUP_TRIANGLES_SQL,
 }

@@ -390,6 +390,7 @@ QUERIES = {
     "similar_docs_topk": _doc_plan(dedup.similar_docs_topk),
     "dedup_cluster_sizes": _doc_plan(dedup.dedup_cluster_sizes),
     "dedup_token_savings": _doc_plan(dedup.dedup_token_savings),
+    "dedup_rand_index": _doc_plan(dedup.dedup_rand_index),
     "dedup_triangles": _doc_plan(dedup.dedup_triangles),
     "minhash_calibration": _doc_plan(dedup.minhash_calibration),
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),

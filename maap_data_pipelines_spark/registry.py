@@ -207,6 +207,7 @@ _DEFERRED: set[str] = {
     "dedup_token_savings",
     "ann_recall_by_label",
     "orders_shewhart_control",
+    "dedup_rand_index",
 }
 
 

@@ -62,6 +62,12 @@ _BNLJ_ALLOWED = {
     "ann_ivf_recall2",
     # composes the quadratic embedding_dedup baseline as its truth side
     "embedding_dedup_recall",
+    # stratified recall probe: composes ann_cosine_topk's brute truth and
+    # ann_ivf_topk's 16-row centroid broadcast cross (both allowlisted)
+    "ann_recall_by_label",
+    # 1-row scalar combine: n_docs x sum_both x sum_minhash x sum_simhash
+    # (four aggregate rows crossed to one summary row)
+    "dedup_rand_index",
     # single-row scalar-subquery broadcasts (TPC-H Q11/Q15/Q22 shape):
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",
