@@ -203,6 +203,123 @@ def frame_sample(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(_batches, schema=schema)
 
 
+SCENE_CUT_TOPK = 3
+SCENE_HIST_BUCKETS = 16
+
+
+def scene_cut_deltas(media: DataFrame) -> DataFrame:
+    """Per-frame histogram deltas over video payloads — scene-cut signal.
+
+    The shot-boundary primitive every video curation pipeline runs
+    before frame dedup / clip selection: consecutive FULL frames (the
+    trailing partial frame is skipped — its smaller byte count would
+    read as a spurious cut) each get a 16-bucket byte histogram
+    (byte >> 4); the cut signal is the exact integer L1 distance between
+    adjacent histograms. Arrow-batched ``mapInPandas`` fan-out, zero
+    shuffle, output partitioning inherited from the scan; a real
+    deployment swaps the stub byte-decode for an ffmpeg frame reader
+    with the identical (doc_id, frame_idx, l1_dist) contract.
+    """
+    import numpy as np
+
+    schema = "doc_id bigint, frame_idx bigint, l1_dist bigint"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            dists: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_full = len(arr) // FRAME_BYTES
+                if n_full < 2:
+                    continue
+                buck = (arr[: n_full * FRAME_BYTES] >> 4).reshape(
+                    n_full, FRAME_BYTES
+                )
+                hists = np.stack(
+                    [
+                        np.bincount(row, minlength=SCENE_HIST_BUCKETS)
+                        for row in buck
+                    ]
+                ).astype(np.int64)
+                l1 = np.abs(np.diff(hists, axis=0)).sum(axis=1)
+                for k in range(1, n_full):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    dists.append(int(l1[k - 1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "l1_dist": pd.Series(dists, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_batches, schema=schema)
+
+
+def media_scene_cuts(media: DataFrame) -> DataFrame:
+    """Top-SCENE_CUT_TOPK scene-cut candidates per video.
+
+    Rank-relative cut selection (the degeneracy discipline): the K
+    largest inter-frame histogram deltas per video surface as cut
+    candidates — never empty on low-motion content, and real hard cuts
+    sort first. Per-video window over frame-count-bounded rows.
+    """
+    from pyspark.sql.window import Window
+
+    deltas = scene_cut_deltas(media.filter(F.col("media_type") == "video/mp4"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("l1_dist"), "frame_idx")
+    return (
+        deltas.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= SCENE_CUT_TOPK)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ASCII byte == char under the stub identity, so the byte-bucket
+# histogram is a char-codepoint histogram and the whole cut signal is
+# SQL-expressible (the media_frame_sample discipline).
+MEDIA_SCENE_CUTS_SQL = f"""
+WITH m AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, k AS frame_idx,
+         substring(text, CAST(k * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})
+           AS frame
+  FROM m, UNNEST(range(0, n // {FRAME_BYTES})) AS t(k)
+),
+h AS (
+  SELECT doc_id, frame_idx,
+         list_transform(range(0, {SCENE_HIST_BUCKETS}), b ->
+           CAST(len(list_filter(
+             list_transform(range(1, {FRAME_BYTES} + 1),
+                            i -> ord(substring(frame, CAST(i AS INT), 1)) // 16),
+             v -> v = b)) AS BIGINT)) AS hist
+  FROM f
+),
+d AS (
+  SELECT doc_id, frame_idx, hist,
+         lag(hist) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM h
+),
+l AS (
+  SELECT doc_id, frame_idx,
+         CAST(list_sum(list_transform(range(1, {SCENE_HIST_BUCKETS} + 1),
+              i -> abs(hist[i] - prev[i]))) AS BIGINT) AS l1_dist
+  FROM d WHERE prev IS NOT NULL
+)
+SELECT doc_id, frame_idx, l1_dist,
+       CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY l1_dist DESC, frame_idx) AS BIGINT) AS rnk
+FROM l
+QUALIFY rnk <= {SCENE_CUT_TOPK}
+ORDER BY doc_id, rnk
+"""
+
+
 AUDIO_WINDOW_BYTES = 128
 AUDIO_HOP_BYTES = 64
 

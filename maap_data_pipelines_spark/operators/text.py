@@ -1072,6 +1072,145 @@ LIMIT {COOC_TOPK}
 """
 
 
+RAKE_TOPK = 5
+RAKE_SCALE = 1000
+
+
+def doc_keyphrase_rake(docs: DataFrame) -> DataFrame:
+    """RAKE keyphrase extraction: top phrases per source, integer-exact.
+
+    Rapid Automatic Keyword Extraction (Rose et al. 2010) — the classic
+    unsupervised keyphrase miner a metadata-enrichment stage runs over a
+    crawl: text segments into candidate phrases at stopword/non-alpha
+    delimiters; each word scores degree/frequency (degree = summed
+    length of phrases containing it — co-occurrence weight); a phrase
+    scores the sum of its word scores. Scores are integer milli-units
+    ((degree*1000) div freq — integer division, reshard-stable); top
+    RAKE_TOPK phrases per source, ties by phrase text.
+
+    Scale shape: one posexplode pass; phrase segmentation is a per-doc
+    running sum (doc-sized window partitions); word stats one hash agg
+    keyed by vocabulary; phrase assembly one (doc, phrase) agg with
+    order carried explicitly via sort_array(struct(pos, word)) —
+    collect_list alone is NOT order-deterministic; per-source top-K is
+    WindowGroupLimit. No corpus-quadratic step anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(words_col(F.lower(F.col("text")))).alias("pos", "word"),
+    )
+    delim = (
+        F.col("word").isin(*STOPWORDS) | ~F.col("word").rlike("^[a-z]+$")
+    ).cast("int")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    pw = (
+        toks.withColumn("d", delim)
+        .withColumn("phrase_id", F.sum("d").over(w_doc))
+        .filter(F.col("d") == 0)
+        .withColumn(
+            "phrase_len",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id", "phrase_id"))
+            .cast("long"),
+        )
+    )
+    wstats = pw.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phrase_len").alias("degree"),
+    )
+    scored = pw.join(
+        wstats.select(
+            "word", F.expr(f"(degree * {RAKE_SCALE}) div freq").alias("wscore")
+        ),
+        "word",
+    )
+    pscore = scored.groupBy("doc_id", "source", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("wscore").cast("long").alias("score_milli"),
+    )
+    agg = pscore.groupBy("source", "phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("score_milli").alias("score_milli"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("score_milli"), F.col("phrase")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= RAKE_TOPK)
+        .select(
+            "source", "phrase", "n_words", "n_occurrences", "score_milli", "rnk"
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+_RAKE_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+DOC_KEYPHRASE_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, u['pos'] AS pos, u['word'] AS word FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(ws)+1),
+                  i -> {{'pos': i, 'word': ws[i]}})) AS u
+    FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+          FROM documents)
+  )
+),
+marked AS (
+  SELECT *, CASE WHEN word IN ({_RAKE_STOPS})
+                  OR NOT regexp_matches(word, '^[a-z]+$') THEN 1 ELSE 0 END AS d
+  FROM toks
+),
+ph AS (
+  SELECT doc_id, source, pos, word,
+         SUM(d) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM marked QUALIFY d = 0
+),
+pw AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS BIGINT)
+            AS phrase_len
+  FROM ph
+),
+wstats AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(phrase_len) AS BIGINT) AS degree
+  FROM pw GROUP BY word
+),
+pscore AS (
+  SELECT pw.doc_id, pw.source, pw.phrase_id,
+         string_agg(pw.word, ' ' ORDER BY pw.pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM((w.degree * {RAKE_SCALE}) // w.freq) AS BIGINT) AS score_milli
+  FROM pw JOIN wstats w USING (word)
+  GROUP BY pw.doc_id, pw.source, pw.phrase_id
+),
+agg AS (
+  SELECT source, phrase, MAX(n_words) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MAX(score_milli) AS score_milli
+  FROM pscore GROUP BY 1, 2
+)
+SELECT source, phrase, n_words, n_occurrences, score_milli,
+       CAST(row_number() OVER (PARTITION BY source
+            ORDER BY score_milli DESC, phrase) AS BIGINT) AS rnk
+FROM agg
+QUALIFY rnk <= {RAKE_TOPK}
+ORDER BY source, rnk
+"""
+
+
 def doc_length_outliers(docs: DataFrame) -> DataFrame:
     """Model-based formatting-outlier detection: OLS residuals as dataflow.
 
@@ -1199,6 +1338,7 @@ QUERY_SQL = {
     "bm25_topk": BM25_TOPK_SQL,
     "bm25_proximity_rerank": BM25_PROXIMITY_SQL,
     "term_cooccurrence": TERM_COOCCURRENCE_SQL,
+    "doc_keyphrase_rake": DOC_KEYPHRASE_RAKE_SQL,
     "doc_cosine_topk": DOC_COSINE_TOPK_SQL,
     "vocab_overlap": VOCAB_OVERLAP_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,

@@ -42,6 +42,7 @@ QUERIES = {
     "bm25_topk": _wrap(text.bm25_topk),
     "bm25_proximity_rerank": _wrap(text.bm25_proximity_rerank),
     "term_cooccurrence": _wrap(text.term_cooccurrence),
+    "doc_keyphrase_rake": _wrap(text.doc_keyphrase_rake),
     "dedup_containment": _wrap(dedup.dedup_containment),
     "doc_cosine_topk": _wrap(text.doc_cosine_topk),
     "bpe_token_stats": _wrap(bpe.bpe_token_stats_gate),

@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     MEDIA_DEDUP_EXACT_SQL,
+    MEDIA_SCENE_CUTS_SQL,
     MEDIA_PHASH_CLUSTERS_SQL,
     MEDIA_PHASH_DEDUP_SQL,
     media_phash_clusters as op_media_phash_clusters,
+    media_scene_cuts as op_media_scene_cuts,
     media_dedup_exact as op_media_dedup_exact,
     media_phash_dedup,
     AUDIO_HOP_BYTES,
@@ -244,6 +246,11 @@ HAVING COUNT(*) >= 2
 """
 
 
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return op_media_scene_cuts(make_media_df(docs))
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_phash_dedup": media_phash,
@@ -252,6 +259,7 @@ QUERIES = {
     "media_resize": media_resize,
     "media_audio_windows": media_audio_windows,
     "media_silence_runs": media_silence_runs,
+    "media_scene_cuts": media_scene_cuts,
     # r4 addition: placed in registry._DEFERRED so the in-flight driver
     # window (which this module feeds) is not displaced
     "media_dedup_exact": media_dedup_exact,
@@ -265,6 +273,7 @@ ORACLES = {
     "media_resize": MEDIA_RESIZE_SQL,
     "media_audio_windows": MEDIA_AUDIO_WINDOWS_SQL,
     "media_silence_runs": MEDIA_SILENCE_RUNS_SQL,
+    "media_scene_cuts": MEDIA_SCENE_CUTS_SQL,
     "media_phash_dedup": MEDIA_PHASH_DEDUP_SQL,
     "media_dedup_exact": MEDIA_DEDUP_EXACT_SQL,
     "media_phash_clusters": MEDIA_PHASH_CLUSTERS_SQL,

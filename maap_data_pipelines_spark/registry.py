@@ -208,6 +208,8 @@ _DEFERRED: set[str] = {
     "ann_recall_by_label",
     "orders_shewhart_control",
     "dedup_rand_index",
+    "doc_keyphrase_rake",
+    "media_scene_cuts",
 }
 
 
