@@ -269,6 +269,15 @@ HEADLINE = [
     "events_ab_srm_check",
     "doc_split_js_divergence",
     "supplier_dual_sourcing",
+    # round 7: experiment planning, dedup economics + clustering
+    # agreement, stratified recall, control chart, RAKE, scene cuts
+    "events_mde_curve",
+    "dedup_token_savings",
+    "dedup_rand_index",
+    "ann_recall_by_label",
+    "orders_shewhart_control",
+    "doc_keyphrase_rake",
+    "media_scene_cuts",
 ]
 
 

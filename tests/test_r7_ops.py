@@ -1,0 +1,115 @@
+"""Behavioral pins for the r7 operator wave (crafted inputs + plan-level
+sanity), complementing the DuckDB value-hash oracles each op carries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from maap_data_pipelines_spark.operators import dedup, multimodal, text
+from maap_data_pipelines_spark.registry import queries
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_rand_index_identical_clusterings_score_one(spark):
+    # docs 1/2 byte-identical (minhash AND simhash both pair them),
+    # 3 unrelated -> both clusterings agree exactly: RI = ARI = 1.0
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = _docs(spark, [(1, t), (2, t), (3, "completely unrelated words " * 3)])
+    r = dedup.dedup_rand_index(df).collect()[0]
+    assert r.n_docs == 3 and r.n_pairs == 3
+    assert r.sum_both == r.sum_minhash == r.sum_simhash == 1
+    assert r.rand_ppm == 1_000_000
+    assert r.ari_ppm == 1_000_000
+
+
+def test_token_savings_counts_non_survivor_tokens(spark):
+    # three identical 12-token docs -> one size-3 cluster, survivor=min id,
+    # savings = 2 docs * 12 tokens; the unique doc forms no cluster
+    t = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    df = _docs(
+        spark, [(1, t), (2, t), (3, t), (9, "completely unrelated words " * 4)]
+    )
+    rows = {r.cluster_size: r for r in dedup.dedup_token_savings(df).collect()}
+    assert set(rows) == {3}
+    r = rows[3]
+    assert r.n_clusters == 1 and r.docs_removed == 2
+    assert r.tokens_removed == 24
+    assert r.chars_removed == 2 * len(t)
+
+
+def test_rake_segments_on_stopwords_and_scores_degree_over_freq(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta the gamma", "s1")], ["doc_id", "text", "source"]
+    )
+    rows = {r.phrase: r for r in text.doc_keyphrase_rake(df).collect()}
+    # "the" delimits: phrases are "alpha beta" (deg 2 each word -> 4000)
+    # and "gamma" (deg 1 -> 1000)
+    assert set(rows) == {"alpha beta", "gamma"}
+    assert rows["alpha beta"].score_milli == 4000
+    assert rows["alpha beta"].n_words == 2
+    assert rows["gamma"].score_milli == 1000
+    assert rows["alpha beta"].rnk == 1
+
+
+def test_scene_cuts_flags_the_hard_cut(spark):
+    # doc_id=2 -> video/mp4; three 64-byte frames: aa|aa|pp -- the only
+    # non-zero delta is at frame 2 ('a'=0x61 bucket 6, 'p'=0x70 bucket 7,
+    # all 64 bytes move bucket -> L1 = 128)
+    payload = "a" * 64 + "a" * 64 + "p" * 64
+    docs = spark.createDataFrame([(2, payload)], ["doc_id", "text"])
+    media = multimodal.make_media_df(
+        docs.withColumn("text", F.col("text"))
+    )
+    rows = multimodal.media_scene_cuts(media).collect()
+    assert [(r.frame_idx, r.l1_dist, r.rnk) for r in rows] == [
+        (2, 128, 1),
+        (1, 0, 2),
+    ]
+
+
+def test_scene_cuts_skips_partial_tail_and_non_video(spark):
+    # doc 0 is image/png (filtered); doc 2's 100-byte payload has only
+    # one FULL frame -> no deltas at all
+    docs = spark.createDataFrame(
+        [(0, "a" * 200), (2, "a" * 100)], ["doc_id", "text"]
+    )
+    assert multimodal.media_scene_cuts(multimodal.make_media_df(docs)).count() == 0
+
+
+def test_mde_curve_required_n_monotone_decreasing(spark, sf_dir):
+    rows = queries()["events_mde_curve"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    req = [r.n_required_per_arm for r in rows]
+    assert req == sorted(req, reverse=True)
+    assert all(r.n_users > 0 and 0 <= r.feasible_now <= 1 for r in rows)
+    # feasibility is monotone once reached (smaller n required)
+    feas = [r.feasible_now for r in rows]
+    assert feas == sorted(feas)
+
+
+def test_shewhart_output_shape_and_ranking(spark, sf_dir):
+    rows = queries()["orders_shewhart_control"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    devs = [r.dev_ratio_ppm for r in rows if r.dev_ratio_ppm is not None]
+    assert devs == sorted(devs, reverse=True)
+    for r in rows:
+        assert r.breach in (0, 1)
+        # breach iff the ratio exceeds 1.0 (ppm over a million)
+        if r.dev_ratio_ppm is not None and r.dev_ratio_ppm > 1_000_000:
+            assert r.breach == 1
+
+
+def test_recall_by_label_covers_every_label(spark, sf_dir):
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    rows = queries()["ann_recall_by_label"](spark, sf_dir).collect()
+    assert len(rows) == n_labels
+    for r in rows:
+        assert r.n_queries == 3
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.n_hits <= r.n_queries * 5
