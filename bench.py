@@ -278,6 +278,7 @@ HEADLINE = [
     "orders_shewhart_control",
     "doc_keyphrase_rake",
     "media_scene_cuts",
+    "events_holt_winters",
 ]
 
 

@@ -1170,6 +1170,137 @@ FROM holt
 """
 
 
+HW_PERIOD = 7  # weekly seasonality over daily counts
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing — the forecasting tier's
+    top rung (ewma -> holt -> holt_winters -> backtest).
+
+    THREE coupled sequential recurrences (level, trend, weekly seasonal)
+    that no window frame can express; like events_forecast_holt they run
+    inside one ``aggregate`` fold per type over the sort_array-assembled
+    day series (state bounded by days-per-type):
+
+        warmup t <= 7:  l_t = x_t, b_t = 0, s_t = 0
+        t > 7:          l_t = floor((x_t - s_{t-7} + 3*(l+b)) / 4)
+                        b_t = floor(((l_t - l_{t-1}) + 3*b) / 4)
+                        s_t = floor(((x_t - l_t) + 3*s_{t-7}) / 4)
+
+    floor(x/4.0) not div — trend/seasonal go negative (the documented
+    truncation-vs-floor hazard). The seasonal lag reads element_at(acc,
+    -7) inside the fold (CASE-guarded, the holt discipline); the oracle
+    is a recursive CTE carrying the last-7 seasonals as a LIST. The
+    one-step-ahead forecast adds the seasonal that applies to t+1
+    (lag(seasonal, 6)) — a plain window over the fitted output, shared
+    verbatim by both engines.
+    """
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        (F.col("ts_us") - F.col("ts_us") % _DAY_US).alias("day_us"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day_us", "n"))).alias("ds")
+    )
+    prev_lt = "(element_at(acc, -1).level + element_at(acc, -1).trend)"
+    s_lag = "element_at(acc, -7).seasonal"
+    new_level = (
+        f"CAST(FLOOR((d.n - {s_lag} + 3 * {prev_lt}) / 4.0D) AS BIGINT)"
+    )
+    new_trend = (
+        f"CAST(FLOOR((({new_level} - element_at(acc, -1).level)"
+        " + 3 * element_at(acc, -1).trend) / 4.0D) AS BIGINT)"
+    )
+    new_seas = (
+        f"CAST(FLOOR(((d.n - {new_level}) + 3 * {s_lag}) / 4.0D) AS BIGINT)"
+    )
+    fold = (
+        "aggregate(ds,"
+        " CAST(array() AS array<struct<day_us: bigint, n: bigint,"
+        " level: bigint, trend: bigint, seasonal: bigint>>),"
+        " (acc, d) -> array_append(acc, named_struct("
+        "   'day_us', d.day_us, 'n', d.n,"
+        f"  'level', CASE WHEN size(acc) < {HW_PERIOD} THEN d.n"
+        f"    ELSE {new_level} END,"
+        f"  'trend', CASE WHEN size(acc) < {HW_PERIOD} THEN CAST(0 AS BIGINT)"
+        f"    ELSE {new_trend} END,"
+        f"  'seasonal', CASE WHEN size(acc) < {HW_PERIOD} THEN CAST(0 AS BIGINT)"
+        f"    ELSE {new_seas} END)))"
+    )
+    from pyspark.sql.window import Window
+
+    fitted = series.select(
+        "event_type", F.explode(F.expr(fold)).alias("r")
+    ).select(
+        "event_type",
+        F.col("r.day_us").alias("day_us"),
+        F.col("r.n").alias("n_events"),
+        F.col("r.level").alias("level"),
+        F.col("r.trend").alias("trend"),
+        F.col("r.seasonal").alias("seasonal"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day_us")
+    return fitted.withColumn(
+        "forecast_next",
+        (
+            F.col("level")
+            + F.col("trend")
+            + F.lag("seasonal", HW_PERIOD - 1, 0).over(w)
+        ).cast("long"),
+    )
+
+
+HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+),
+daily AS (
+  SELECT event_type,
+         CAST(ts_us - ts_us % {_DAY_US} AS BIGINT) AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, day_us, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day_us) AS rn
+  FROM daily
+),
+hw AS (
+  SELECT event_type, day_us, n, rn,
+         n AS level, CAST(0 AS BIGINT) AS trend, CAST(0 AS BIGINT) AS seasonal,
+         [CAST(0 AS BIGINT)] AS hist
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day_us, s.n, s.rn,
+         CASE WHEN s.rn <= {HW_PERIOD} THEN s.n
+              ELSE CAST(FLOOR((s.n - h.hist[1] + 3 * (h.level + h.trend))
+                   / 4.0) AS BIGINT) END AS level,
+         CASE WHEN s.rn <= {HW_PERIOD} THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(((CAST(FLOOR((s.n - h.hist[1]
+                     + 3 * (h.level + h.trend)) / 4.0) AS BIGINT) - h.level)
+                   + 3 * h.trend) / 4.0) AS BIGINT) END AS trend,
+         CASE WHEN s.rn <= {HW_PERIOD} THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(((s.n - CAST(FLOOR((s.n - h.hist[1]
+                     + 3 * (h.level + h.trend)) / 4.0) AS BIGINT))
+                   + 3 * h.hist[1]) / 4.0) AS BIGINT) END AS seasonal,
+         (CASE WHEN len(h.hist) = {HW_PERIOD} THEN h.hist[2:] ELSE h.hist END)
+           || [CASE WHEN s.rn <= {HW_PERIOD} THEN CAST(0 AS BIGINT)
+               ELSE CAST(FLOOR(((s.n - CAST(FLOOR((s.n - h.hist[1]
+                      + 3 * (h.level + h.trend)) / 4.0) AS BIGINT))
+                    + 3 * h.hist[1]) / 4.0) AS BIGINT) END] AS hist
+  FROM hw h JOIN seq s
+    ON s.event_type = h.event_type AND s.rn = h.rn + 1
+)
+SELECT event_type, day_us, n AS n_events, level, trend, seasonal,
+       CAST(level + trend
+            + COALESCE(lag(seasonal, {HW_PERIOD - 1})
+              OVER (PARTITION BY event_type ORDER BY day_us), 0) AS BIGINT)
+         AS forecast_next
+FROM hw
+"""
+
+
 def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint per event type over hourly counts.
 
@@ -3051,6 +3182,7 @@ QUERIES = {
     "events_attribution_comparison": events_attribution_comparison,
     "events_ab_srm_check": events_ab_srm_check,
     "events_mde_curve": events_mde_curve,
+    "events_holt_winters": events_holt_winters,
 }
 
 ORACLES = {
@@ -3101,4 +3233,5 @@ ORACLES = {
     "events_attribution_comparison": ATTRIBUTION_COMPARISON_SQL,
     "events_ab_srm_check": AB_SRM_SQL,
     "events_mde_curve": MDE_CURVE_SQL,
+    "events_holt_winters": HOLT_WINTERS_SQL,
 }

@@ -210,6 +210,7 @@ _DEFERRED: set[str] = {
     "dedup_rand_index",
     "doc_keyphrase_rake",
     "media_scene_cuts",
+    "events_holt_winters",
 }
 
 

@@ -113,3 +113,26 @@ def test_recall_by_label_covers_every_label(spark, sf_dir):
         assert r.n_queries == 3
         assert 0 <= r.recall_ppm <= 1_000_000
         assert r.n_hits <= r.n_queries * 5
+
+
+def test_holt_winters_warmup_and_forecast_identity(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    df = queries()["events_holt_winters"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # warmup contract: first 7 days per type fit exactly, no trend/season
+    w = Window.partitionBy("event_type").orderBy("day_us")
+    first7 = (
+        df.withColumn("rn", F.row_number().over(w)).filter("rn <= 7").collect()
+    )
+    for r in first7:
+        assert (r.level, r.trend, r.seasonal) == (r.n_events, 0, 0)
+    # the seasonal component must actually engage after warmup
+    assert any(r.seasonal != 0 for r in rows)
+    # forecast identity: level + trend + seasonal-lag-6 (default 0)
+    lagged = (
+        df.withColumn("sl", F.lag("seasonal", 6, 0).over(w)).collect()
+    )
+    for r in lagged:
+        assert r.forecast_next == r.level + r.trend + r.sl
