@@ -69,6 +69,19 @@ KEYS = [
     "events_user_entropy",
     "nation_trade_pagerank",
     "lineitem_revenue_bridge",
+    # r7 wave: contingency-table pair counting over two CCs, min_by
+    # survivor rides, stratified window sampling + dual top-k ranking,
+    # trailing-window sigma test with rank pick, RAKE's order-carried
+    # phrase assembly, mapInPandas frame deltas + rank, and the
+    # triple-recurrence seasonal fold
+    "dedup_rand_index",
+    "dedup_token_savings",
+    "ann_recall_by_label",
+    "orders_shewhart_control",
+    "doc_keyphrase_rake",
+    "media_scene_cuts",
+    "events_holt_winters",
+    "events_mde_curve",
 ]
 
 
