@@ -1319,6 +1319,20 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("ts_us") - F.col("ts_us") % _HOUR_US).alias("hour_us"),
     ).agg(F.count(F.lit(1)).alias("c"))
+    return cusum_detect(hourly)
+
+
+def cusum_detect(hourly: DataFrame) -> DataFrame:
+    """The CUSUM detector kernel over an (event_type, hour_us, c) frame.
+
+    Factored out so the STREAMING twin (streaming/rollup.py
+    streaming_cusum_state — hourly counts maintained additively across
+    micro-batches) runs the IDENTICAL detector over its state table:
+    stream==batch equality is then equality of inputs, not a
+    re-implementation claim.
+    """
+    from pyspark.sql.window import Window
+
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"), F.sum("c").alias("total")
     )

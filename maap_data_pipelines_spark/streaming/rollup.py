@@ -758,3 +758,70 @@ def streaming_markov_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cusum_state(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+):
+    """Maintain the CUSUM changepoint monitor's hourly counts across
+    micro-batches — the streaming twin of plans/events.events_changepoint.
+
+    The detector itself (per-type cumulative deviation argmax) is NOT
+    incrementally maintainable — a new hour shifts every prior cusum
+    term through the mean — but its INPUT is: hourly counts are
+    additive, so the state table holds (event_type, hour_us, c) merged
+    per micro-batch via merge_aggregate (work proportional to the
+    batch's touched hours, never the history). Detection is then
+    ``plans.events.cusum_detect`` applied UNCHANGED to the state table:
+    stream==batch is equality of inputs into one shared kernel, not a
+    re-implementation claim. Exactly-once: additive merges must skip
+    replays, so the applied-batch-id guard rides the same commit.
+    """
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("cusum_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        hourly = (
+            batch_df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            .groupBy(
+                "event_type",
+                (F.col("ts_us") - F.col("ts_us") % (3600 * 1_000_000)).alias(
+                    "hour_us"
+                ),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        table.merge_aggregate(
+            hourly,
+            keys=["event_type", "hour_us"],
+            sum_cols=["c"],
+            meta={"cusum_batch_id": batch_id},
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cusum_changepoint_from_state(spark: SparkSession, table) -> DataFrame:
+    """Run the shared CUSUM detector over the streaming state table."""
+    from ..plans.events import cusum_detect
+
+    return cusum_detect(table.read(spark).select("event_type", "hour_us", "c"))

@@ -1326,3 +1326,72 @@ def test_streaming_markov_state_matches_batch_lag(spark, tmp_path):
         for r in t.read(spark).filter(F.col("dst").isNotNull()).collect()
     }
     assert got2 == got
+
+
+def test_streaming_cusum_state_matches_batch_detector(spark, tmp_path):
+    """Hourly counts merged across 3 micro-batches (hours split ACROSS
+    batches so no single batch holds a full hour), then the shared
+    cusum_detect kernel over the state == events_changepoint's detector
+    over all events in one batch pass; replays must skip (additive)."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.plans.events import cusum_detect
+    from maap_data_pipelines_spark.streaming.rollup import (
+        cusum_changepoint_from_state,
+        streaming_cusum_state,
+    )
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    src = tmp_path / "cu_src"
+    src.mkdir()
+    all_rows = []
+    eid = 0
+    # 12 hours of 'view' at base rate 2/hour, jumping to 6/hour at hour 6
+    # (a real mean shift); each hour's events are SPLIT across batches
+    for b in range(3):
+        batch = []
+        for h in range(12):
+            rate = 2 if h < 6 else 6
+            for i in range(rate):
+                if (i + h) % 3 != b:
+                    continue
+                eid += 1
+                batch.append(
+                    {
+                        "event_id": eid,
+                        "ts": f"2024-01-01T{h:02d}:{10 + i:02d}:00",
+                        "user_id": i,
+                        "event_type": "view",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+        _write_events(src / f"b{b}.json", batch)
+        all_rows += batch
+
+    t = VersionedTable(str(tmp_path / "cu_state"))
+    q = streaming_cusum_state(spark, str(src), t, str(tmp_path / "cu_ckpt"))
+    q.awaitTermination(120)
+
+    got = cusum_changepoint_from_state(spark, t).collect()
+
+    ev = spark.createDataFrame(
+        [(r["event_type"], r["ts"]) for r in all_rows], ["event_type", "ts"]
+    ).withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    hourly = ev.groupBy(
+        "event_type",
+        (F.col("ts_us") - F.col("ts_us") % (3600 * 1_000_000)).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    want = cusum_detect(hourly).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the detected change hour is the true shift boundary: CUSUM
+    # troughs at the LAST pre-shift hour (05:00) for an upward step
+    assert got[0].change_hour_us == int(
+        spark.sql("SELECT unix_micros(TIMESTAMP '2024-01-01 05:00:00')").collect()[0][0]
+    )
+    assert got[0].direction == -1
+    # replay with a fresh checkpoint: additive guard must skip all batches
+    q2 = streaming_cusum_state(spark, str(src), t, str(tmp_path / "cu_ckpt2"))
+    q2.awaitTermination(120)
+    total = t.read(spark).agg(F.sum("c")).collect()[0][0]
+    assert total == len(all_rows)
