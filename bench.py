@@ -279,6 +279,7 @@ HEADLINE = [
     "doc_keyphrase_rake",
     "media_scene_cuts",
     "events_holt_winters",
+    "quality_nb_calibration",
 ]
 
 

@@ -1483,6 +1483,27 @@ def quality_nb_classifier(docs: DataFrame) -> DataFrame:
     Output per doc: buckets, rule label, NB prediction, correctness —
     the training-set confusion is one GROUP BY away.
     """
+    scored, lhs, rhs = _nb_scored(docs)
+    return scored.select(
+        "doc_id",
+        "b_stop",
+        "b_words",
+        "b_wlen",
+        (F.col("y") == 1).alias("label_keep"),
+        F.expr(f"({lhs}) > ({rhs})").alias("pred_keep"),
+        (F.expr(f"({lhs}) > ({rhs})") == (F.col("y") == 1)).alias("correct"),
+    )
+
+
+def _nb_scored(docs: DataFrame):
+    """Shared NB scoring frame: features joined to the trained tables.
+
+    Returns (scored_df, lhs_sql, rhs_sql) where lhs/rhs are the exact
+    decimal(38,0) cross-multiplication products whose comparison IS the
+    posterior argmax — quality_nb_classifier takes the boolean,
+    quality_nb_calibration buckets the implied posterior into deciles
+    by pure product comparisons (never a wide division).
+    """
     from .text import quality_filter
 
     m = quality_filter(docs).select(
@@ -1560,14 +1581,54 @@ def quality_nb_classifier(docs: DataFrame) -> DataFrame:
             f"n_pos + {NB_B_WLEN}",
         )
     )
-    return scored.select(
-        "doc_id",
-        "b_stop",
-        "b_words",
-        "b_wlen",
-        (F.col("y") == 1).alias("label_keep"),
-        F.expr(f"({lhs}) > ({rhs})").alias("pred_keep"),
-        (F.expr(f"({lhs}) > ({rhs})") == (F.col("y") == 1)).alias("correct"),
+    return scored, lhs, rhs
+
+
+def quality_nb_calibration(docs: DataFrame) -> DataFrame:
+    """Reliability diagram of the trained NB quality classifier.
+
+    A classifier that is ACCURATE can still be mis-CALIBRATED — its
+    confidence scores unusable as sampling weights or review-queue
+    priorities. This is the table that decides: per posterior-confidence
+    decile, how many docs land there and what fraction is ACTUALLY
+    keep-labeled (observed_keep_ppm vs the decile's nominal band).
+
+    The posterior p = lhs/(lhs+rhs) over the exact decimal(38,0) NB
+    products never gets divided (wide-decimal division loses digits on
+    both engines): the decile is decided by NINE PRODUCT COMPARISONS —
+    decile = |{k in 1..9 : k*(lhs+rhs) <= 10*lhs}| — so the bucketing
+    is exact integer arithmetic end-to-end (~1e27 peak, inside
+    decimal(38,0)/HUGEINT). Output: one row per non-empty decile with
+    doc count, label-keep count, predicted-keep count and observed ppm.
+
+    Scale shape: inherits the classifier's (bucket-sized broadcast
+    tables + one scoring pass); the diagram is one 10-row groupBy.
+    """
+    scored, lhs, rhs = _nb_scored(docs)
+    decile = " + ".join(
+        f"(CASE WHEN CAST({k} AS DECIMAL(38,0)) * (({lhs}) + ({rhs}))"
+        f" <= CAST(10 AS DECIMAL(38,0)) * ({lhs}) THEN 1 ELSE 0 END)"
+        for k in range(1, 10)
+    )
+    return (
+        scored.select(
+            F.expr(f"CAST({decile} AS BIGINT)").alias("conf_decile"),
+            "y",
+            F.expr(f"CASE WHEN ({lhs}) > ({rhs}) THEN 1 ELSE 0 END").alias(
+                "pred"
+            ),
+        )
+        .groupBy("conf_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_label_keep"),
+            F.sum("pred").cast("long").alias("n_pred_keep"),
+        )
+        .withColumn(
+            "observed_keep_ppm",
+            F.expr("(n_label_keep * 1000000) div n_docs"),
+        )
+        .orderBy("conf_decile")
     )
 
 
@@ -1630,3 +1691,76 @@ CROSS JOIN priors
 
 QUALITY_NB_SQL = _nb_sql()
 QUERY_SQL["quality_nb_classifier"] = QUALITY_NB_SQL
+
+
+def _nb_calibration_sql() -> str:
+    from .text import QUALITY_FILTER_SQL
+
+    d = "CAST({} AS HUGEINT)"
+    lhs = " * ".join(
+        d.format(x)
+        for x in (
+            "n_pos",
+            "c_pos_b_stop + 1",
+            "c_pos_b_words + 1",
+            "c_pos_b_wlen + 1",
+            f"n_neg + {NB_B_STOP}",
+            f"n_neg + {NB_B_WORDS}",
+            f"n_neg + {NB_B_WLEN}",
+        )
+    )
+    rhs = " * ".join(
+        d.format(x)
+        for x in (
+            "n_neg",
+            "c_neg_b_stop + 1",
+            "c_neg_b_words + 1",
+            "c_neg_b_wlen + 1",
+            f"n_pos + {NB_B_STOP}",
+            f"n_pos + {NB_B_WORDS}",
+            f"n_pos + {NB_B_WLEN}",
+        )
+    )
+    decile = " + ".join(
+        f"(CASE WHEN CAST({k} AS HUGEINT) * (({lhs}) + ({rhs}))"
+        f" <= CAST(10 AS HUGEINT) * ({lhs}) THEN 1 ELSE 0 END)"
+        for k in range(1, 10)
+    )
+    return f"""
+WITH qf AS ({QUALITY_FILTER_SQL}),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN keep THEN 1 ELSE 0 END AS y,
+         CASE WHEN n_stopwords = 0 THEN 0 ELSE LEAST(CAST(FLOOR(n_stopwords * 10 / n_words) AS BIGINT), {NB_B_STOP - 2}) + 1 END AS b_stop,
+         LEAST(CAST(FLOOR(n_words / 50) AS BIGINT), {NB_B_WORDS - 1}) AS b_words,
+         LEAST(CAST(FLOOR(mean_wlen) AS BIGINT), {NB_B_WLEN - 1}) AS b_wlen
+  FROM qf
+),
+priors AS (SELECT SUM(y) AS n_pos, SUM(1 - y) AS n_neg FROM feats),
+t_stop AS (SELECT b_stop, SUM(y) AS c_pos_b_stop, SUM(1 - y) AS c_neg_b_stop
+           FROM feats GROUP BY b_stop),
+t_words AS (SELECT b_words, SUM(y) AS c_pos_b_words, SUM(1 - y) AS c_neg_b_words
+            FROM feats GROUP BY b_words),
+t_wlen AS (SELECT b_wlen, SUM(y) AS c_pos_b_wlen, SUM(1 - y) AS c_neg_b_wlen
+           FROM feats GROUP BY b_wlen),
+scored AS (
+  SELECT CAST({decile} AS BIGINT) AS conf_decile,
+         y,
+         CASE WHEN ({lhs}) > ({rhs}) THEN 1 ELSE 0 END AS pred
+  FROM feats
+  JOIN t_stop USING (b_stop)
+  JOIN t_words USING (b_words)
+  JOIN t_wlen USING (b_wlen)
+  CROSS JOIN priors
+)
+SELECT conf_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_label_keep,
+       CAST(SUM(pred) AS BIGINT) AS n_pred_keep,
+       (CAST(SUM(y) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT)
+         AS observed_keep_ppm
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERY_SQL["quality_nb_calibration"] = _nb_calibration_sql()

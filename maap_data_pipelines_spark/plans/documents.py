@@ -81,6 +81,7 @@ QUERIES = {
     "doc_zipf_fit": _wrap(text.doc_zipf_fit),
     "doc_neyman_allocation": _wrap(curation.doc_neyman_allocation),
     "quality_nb_classifier": _wrap(curation.quality_nb_classifier),
+    "quality_nb_calibration": _wrap(curation.quality_nb_calibration),
     "doc_length_anova": _wrap(text.doc_length_anova),
 }
 

@@ -211,6 +211,7 @@ _DEFERRED: set[str] = {
     "doc_keyphrase_rake",
     "media_scene_cuts",
     "events_holt_winters",
+    "quality_nb_calibration",
 }
 
 

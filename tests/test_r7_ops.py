@@ -136,3 +136,20 @@ def test_holt_winters_warmup_and_forecast_identity(spark, sf_dir):
     )
     for r in lagged:
         assert r.forecast_next == r.level + r.trend + r.sl
+
+
+def test_nb_calibration_deciles_consistent_with_argmax(spark, sf_dir):
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    rows = queries()["quality_nb_calibration"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.conf_decile <= 9
+        assert 0 <= r.observed_keep_ppm <= 1_000_000
+        # decile >= 6 implies lhs > rhs (pred 1); decile <= 4 implies
+        # rhs > lhs (pred 0) -- a theorem of the product bucketing
+        if r.conf_decile >= 6:
+            assert r.n_pred_keep == r.n_docs
+        if r.conf_decile <= 4:
+            assert r.n_pred_keep == 0
