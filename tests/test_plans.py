@@ -190,8 +190,10 @@ _BNLJ_ALLOWED = {
     # 1-row revenue-total broadcast crossed into the ~45 band rows
     "orders_abc_classification",
     # 1-row class-prior broadcast crossed into the scored docs (the
-    # single-row-stats class: bm25/dsir/fisher above)
+    # single-row-stats class: bm25/dsir/fisher above); the calibration
+    # diagram inherits the identical scoring subtree
     "quality_nb_classifier",
+    "quality_nb_calibration",
     # segment-pair grid: |types| x |types| where both sides are
     # aggregate-sized segment summaries (the month-spine class:
     # orders_monthly_gapfill above)
