@@ -280,6 +280,8 @@ HEADLINE = [
     "media_scene_cuts",
     "events_holt_winters",
     "quality_nb_calibration",
+    "orders_backlog_aging",
+    "ann_centroid_balance",
 ]
 
 

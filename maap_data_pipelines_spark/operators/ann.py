@@ -969,6 +969,70 @@ ORDER BY q.label
 """
 
 
+def ann_centroid_balance(emb: DataFrame) -> DataFrame:
+    """IVF cell-occupancy balance — the index-health row ops watches.
+
+    A skewed coarse quantizer is the IVF failure mode that never shows
+    up in recall: one hot cell holds half the corpus, every probe of it
+    scans half the corpus, and at 100 TB that cell IS the hot partition.
+    Per cell: vector count, share in ppm, and a hot flag (occupancy
+    more than 2x the uniform K-share — the standard imbalance alarm).
+    The uniform comparison is pure integer cross-multiplication
+    (n_vecs * K > 2 * N), no division.
+
+    Scale shape: one broadcast-assign pass (the ivf_assign kernel) +
+    one K-row aggregate + a 1-row corpus-count broadcast.
+    """
+    cents = ivf_centroids(emb)
+    assigned = ivf_assign(emb, cents)
+    per_cell = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            F.expr("(n_vecs * 1000000) div n_total").alias("share_ppm"),
+            F.expr(
+                f"CAST(CASE WHEN n_vecs * {IVF_K} > 2 * n_total"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("hot"),
+        )
+        .orderBy("cell")
+    )
+
+
+ANN_CENTROID_BALANCE_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings
+  WHERE vec_id < {IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROUND({cosine_sql('e.embedding', 'c.cemb')}, 6) AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS cell
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) = 1
+),
+per_cell AS (
+  SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assigned GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings)
+SELECT cell, n_vecs,
+       (n_vecs * 1000000) // n_total AS share_ppm,
+       CAST(CASE WHEN n_vecs * {IVF_K} > 2 * n_total THEN 1 ELSE 0 END AS INT)
+         AS hot
+FROM per_cell CROSS JOIN total
+ORDER BY cell
+"""
+
+
 QUERY_SQL = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_BUCKETS_SQL,
@@ -982,6 +1046,7 @@ QUERY_SQL = {
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "ann_ivf_recall2": ANN_IVF_RECALL2_SQL,
     "ann_recall_by_label": ANN_RECALL_BY_LABEL_SQL,
+    "ann_centroid_balance": ANN_CENTROID_BALANCE_SQL,
 }
 
 

@@ -1854,6 +1854,84 @@ LIMIT {SHEWHART_TOPK}
 """
 
 
+BACKLOG_BUCKET_DAYS = 30
+BACKLOG_MAX_BUCKET = 12
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the fulfillment-ops dashboard table.
+
+    Orders not yet finished (status <> 'F') bucketed by age in 30-day
+    bands relative to the dataset's own as-of anchor (max order date —
+    a warehouse never ages against wall-clock, or every backfill
+    re-ages the world). Per band: order count, value in cents, and the
+    band's share of total open value in ppm (integer division). The
+    anchor is a 1-row max-date broadcast (the Q11/RFM allowlisted
+    shape); the aging itself is one scan + one band-sized aggregate.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("as_of"))
+    aged = orders.filter(F.col("o_orderstatus") != "F").crossJoin(
+        F.broadcast(anchor)
+    )
+    bucket = F.least(
+        F.floor(
+            F.datediff(F.col("as_of"), F.col("o_orderdate"))
+            / BACKLOG_BUCKET_DAYS
+        ).cast("long"),
+        F.lit(BACKLOG_MAX_BUCKET).cast("long"),
+    )
+    per_bucket = (
+        aged.select(
+            bucket.alias("age_bucket"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+    total = per_bucket.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_bucket.crossJoin(F.broadcast(total))
+        .select(
+            "age_bucket",
+            "n_orders",
+            "value_cents",
+            # denominator-quantized ppm (the lorenz pattern):
+            # value_cents*1e6 overflows int64 at the 10x harness SF
+            F.expr(
+                "value_cents div NULLIF(total_cents div 1000000, 0)"
+            ).alias("value_share_ppm"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+BACKLOG_AGING_SQL = f"""
+WITH anchor AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+aged AS (
+  SELECT LEAST(CAST(FLOOR(date_diff('day', o_orderdate, as_of)
+                    / {BACKLOG_BUCKET_DAYS}) AS BIGINT),
+               {BACKLOG_MAX_BUCKET}) AS age_bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN anchor
+  WHERE o_orderstatus <> 'F'
+),
+per_bucket AS (
+  SELECT age_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM aged GROUP BY 1
+),
+total AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per_bucket)
+SELECT age_bucket, n_orders, value_cents,
+       value_cents // NULLIF(total_cents // 1000000, 0) AS value_share_ppm
+FROM per_bucket CROSS JOIN total
+ORDER BY age_bucket
+"""
+
+
 WESK_K = 100
 _WESK_U = 1_000_000
 
@@ -3098,6 +3176,7 @@ QUERIES = {
     "orders_seasonal_decompose": orders_seasonal_decompose,
     "orders_theilsen_trend": orders_theilsen_trend,
     "orders_shewhart_control": orders_shewhart_control,
+    "orders_backlog_aging": orders_backlog_aging,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
     "orders_revenue_ewma": orders_revenue_ewma,
@@ -3171,6 +3250,7 @@ ORACLES = {
     "orders_seasonal_decompose": SEASONAL_SQL,
     "orders_theilsen_trend": THEILSEN_SQL,
     "orders_shewhart_control": SHEWHART_SQL,
+    "orders_backlog_aging": BACKLOG_AGING_SQL,
     "gdpr_erasure_plan": GDPR_ERASURE_SQL,
     "customer_rfm_segments": RFM_SEGMENTS_SQL,
     "customer_t_closeness": T_CLOSENESS_SQL,

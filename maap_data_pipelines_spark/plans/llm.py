@@ -397,6 +397,7 @@ QUERIES = {
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),
     "ann_filtered_topk": _emb_plan(ann.ann_filtered_topk),
     "ann_recall_by_label": _emb_plan(ann.ann_recall_by_label),
+    "ann_centroid_balance": _emb_plan(ann.ann_centroid_balance),
     "semantic_decontaminate": _emb_plan(ann.semantic_decontaminate),
     "embedding_dedup": _emb_plan(ann.embedding_dedup),
     "embedding_dedup_lsh": _emb_plan(ann.embedding_dedup_lsh),

@@ -212,6 +212,8 @@ _DEFERRED: set[str] = {
     "media_scene_cuts",
     "events_holt_winters",
     "quality_nb_calibration",
+    "orders_backlog_aging",
+    "ann_centroid_balance",
 }
 
 

@@ -82,6 +82,8 @@ KEYS = [
     "media_scene_cuts",
     "events_holt_winters",
     "events_mde_curve",
+    "orders_backlog_aging",
+    "ann_centroid_balance",
 ]
 
 

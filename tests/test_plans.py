@@ -76,6 +76,11 @@ _BNLJ_ALLOWED = {
     # single-row max-date broadcast (Q11 shape)
     "orders_rfm",
     "q22_global_sales_opportunity",
+    # 1-row as-of anchor + 1-row backlog-total broadcast crosses
+    "orders_backlog_aging",
+    # 16-row centroid broadcast cross (ivf_assign kernel) + 1-row
+    # corpus-count broadcast
+    "ann_centroid_balance",
     # corpus-total single row joined back to per-source rows (same shape)
     "domain_mixture",
     # composes domain_mixture, inheriting its single-row broadcast

@@ -153,3 +153,27 @@ def test_nb_calibration_deciles_consistent_with_argmax(spark, sf_dir):
             assert r.n_pred_keep == r.n_docs
         if r.conf_decile <= 4:
             assert r.n_pred_keep == 0
+
+
+def test_backlog_aging_shares_and_anchor(spark, sf_dir):
+    rows = queries()["orders_backlog_aging"](spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.age_bucket <= 12 for r in rows)
+    # shares sum to ~1e6: floor division loses up to n_buckets ppm low,
+    # and the quantized denominator (total div 1e6) overshoots by up to
+    # ~1e6/total relative -- a few hundred ppm at the smallest SF
+    s = sum(r.value_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000 + 512
+    assert all(r.n_orders > 0 and r.value_cents > 0 for r in rows)
+
+
+def test_centroid_balance_covers_corpus(spark, sf_dir):
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    n = read_table(spark, sf_dir, "embeddings").count()
+    rows = queries()["ann_centroid_balance"](spark, sf_dir).collect()
+    assert sum(r.n_vecs for r in rows) == n
+    for r in rows:
+        assert 0 <= r.cell <= 15
+        # hot flag consistency with the cross-multiplication rule
+        assert r.hot == (1 if r.n_vecs * 16 > 2 * n else 0)
