@@ -1601,6 +1601,16 @@ def quality_nb_calibration(docs: DataFrame) -> DataFrame:
     decimal(38,0)/HUGEINT). Output: one row per non-empty decile with
     doc count, label-keep count, predicted-keep count and observed ppm.
 
+    Headroom bound (tighter than the classifier's): the k*(lhs+rhs)
+    comparison spends ONE extra decimal digit on top of the 7-factor NB
+    products, so where the classifier's products must stay under 1e38,
+    the calibration needs them under 1e37 — a 10^(1/7) ~ 1.4x tighter
+    corpus-size ceiling. Inside it by >9 digits at every tested SF
+    (1e27 peak at the 30x tier); past it Spark (non-ANSI) silently
+    NULLs the CASE while DuckDB raises — if corpora ever approach the
+    bound, rescale the bucket counts before the products, do NOT widen
+    to floats (the exactness is the contract).
+
     Scale shape: inherits the classifier's (bucket-sized broadcast
     tables + one scoring pass); the diagram is one 10-row groupBy.
     """

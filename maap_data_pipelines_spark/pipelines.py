@@ -105,8 +105,10 @@ def discover_from_inventory_event(
     event dict: ``file_url_key`` selects the CSV column (header-name
     based, so any inventory layout works), ``filename_regex`` applies
     with ``re.match`` start-anchoring, ``product_id`` is the stem of the
-    last path segment, ``metadata_file_url_key``+``metadata_type`` become
-    a one-entry assets map, and every event key containing "asset"
+    last path segment, ``metadata_file_url_key``+``metadata_type`` render
+    as the canonical ';'-joined ``key=url`` assets string (one entry —
+    the same encoding every discovery adapter emits, so downstream
+    unions are schema-compatible), and every event key containing "asset"
     propagates verbatim — the Lambda's exact enrichment rules. The CSV is
     read distributed (a multi-GB inventory is just a dataset), replacing
     the download-to-/tmp + DictReader + 230 KB chunking loop.

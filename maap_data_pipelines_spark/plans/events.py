@@ -2349,7 +2349,14 @@ def events_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.withColumn("p1", F.expr("CAST(n_conv AS DOUBLE) / n_users"))
         .withColumn(
-            "p2", F.expr("p1 + CAST(delta_micro AS DOUBLE) / 1000000.0")
+            # LEAST(, 1.0) keeps SQRT(p2*(1-p2)) defined when the pooled
+            # baseline sits within a grid step of 1.0 — without it Spark
+            # emits NaN rows while DuckDB raises, diverging instead of
+            # failing together. Identical clamp in MDE_CURVE_SQL.
+            "p2",
+            F.expr(
+                "LEAST(p1 + CAST(delta_micro AS DOUBLE) / 1000000.0, 1.0)"
+            ),
         )
         .withColumn("n_required_per_arm", F.expr(n_req))
         .select(
@@ -2387,8 +2394,8 @@ grid AS (
 r AS (
   SELECT *,
          CAST(n_conv AS DOUBLE) / n_users AS p1,
-         CAST(n_conv AS DOUBLE) / n_users
-           + CAST(delta_micro AS DOUBLE) / 1000000.0 AS p2
+         LEAST(CAST(n_conv AS DOUBLE) / n_users
+           + CAST(delta_micro AS DOUBLE) / 1000000.0, 1.0) AS p2
   FROM grid
 ),
 req AS (

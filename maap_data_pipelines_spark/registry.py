@@ -136,85 +136,71 @@ _CONFIRMED = {
     "orders_theilsen_trend", "part_recs_hitrate", "quality_nb_classifier",
     "referential_integrity_census", "retrieval_mmr_topk",
     "supplier_concentration_hhi",
+    # r07 window: CORRECTNESS_r07.json, 50/50 green — the 23 keys deferred
+    # across r6, the 11-key r7 wave, and 16 r6 re-confirmations. With this
+    # fold every registered key has an official driver-green record.
+    "stac_coverage_gaps",
+    "supplier_dual_sourcing", "orders_promo_lift",
+    "lineitem_leadtime_profile", "orders_abc_classification",
+    "events_attribution_comparison", "events_ab_srm_check",
+    "customer_k_anonymity", "customer_l_diversity", "customer_rfm_segments", "customer_survival", "customer_revenue_lorenz",
+    "lineitem_benford", "lineitem_price_index", "orders_duplicate_payments",
+    "orders_gap_distribution", "orders_seasonal_decompose",
+    "supplier_return_sla", "gdpr_erasure_plan",
+    "doc_split_js_divergence", "packing_efficiency", "vocab_growth",
+    "media_silence_runs",
+    # r7 wave (registered mid-r7 via _DEFERRED, green inside the r07 window)
+    "events_mde_curve", "dedup_token_savings", "ann_recall_by_label",
+    "orders_shewhart_control", "dedup_rand_index", "doc_keyphrase_rake",
+    "media_scene_cuts", "events_holt_winters", "quality_nb_calibration",
+    "orders_backlog_aging", "ann_centroid_balance",
 }
 
-# Every full-oracle key is now officially confirmed (cumulative r02-r05
+# Every full-oracle key is officially confirmed (cumulative r02-r07
 # records), so the driver's 50-slot window is free capacity. _RECONFIRM
 # spends it deliberately: the listed confirmed keys sort directly after
-# the (few) never-confirmed keys, in THIS order, turning each round's
-# window into a regression re-confirmation of the most intricate
-# machinery (quantized-ANN tier, dedup graph ops, curation composition,
-# embedding diagnostics, sketch monitors, heavy ETL) rather than an
-# arbitrary _CONFIRMED iteration order.
+# the (few) never-confirmed keys, in THIS order. As of r8 the fill policy
+# is STALENESS ROTATION (VERDICT r7 item 1): the window re-proves the
+# keys whose newest official record is oldest, so no registered key's
+# record lags the engine's growth by more than a few rounds. The r8 list
+# is every key whose newest green record is CORRECTNESS_r02 (48 keys —
+# the tpch head, the r2 events wave, the documents text head) plus the
+# two most intricate r3-era keys (iterative Lloyd + within-cluster
+# semantic dedup); the r9 rotation continues with the remaining r3-era
+# records (ann quantized tier, dedup graph, stac head), then r4, r5.
 _RECONFIRM = [
-    # r6-wave re-confirmations head the fill (VERDICT r6 item 1): the
-    # intricate machinery confirmed only once (r06) re-proves first.
-    "dedup_prefix_filter", "dedup_label_propagation",
-    "dedup_canonical_election", "dedup_strategy_comparison",
-    "dedup_threshold_curve", "dedup_local_bridges",
-    "dedup_source_modularity", "dedup_pair_diffstats",
-    "doc_winnowing_matches", "quality_nb_classifier",
-    "curation_yield_report", "retrieval_mmr_topk", "cluster_topics",
-    "events_theta_overlap", "events_cms_topk",
-    "events_markov_attribution_removal", "events_multitouch_attribution",
-    "events_forecast_backtest", "events_changepoint",
-    "embedding_silhouette", "embedding_centroid_drift",
-    "embedding_intrinsic_dim", "embedding_norm_health",
-    "ann_ivf_nprobe_curve", "ann_filtered_topk",
-    "bpe_train_merges", "bpe_token_stats",
-    "media_features", "media_phash_clusters",
-    "nation_trade_pagerank", "lineitem_single_source_risk",
-    # quantized / composed ANN tier
-    "ann_pq_topk", "ann_pq_recall", "ann_pq_rerank", "ann_pq_rerank_recall",
-    "ann_ivfpq_topk", "ann_ivfpq_recall",
-    "ann_sq8_topk", "ann_sq8_recall",
-    "ann_bq_topk", "ann_bq_recall", "ann_bq_rerank", "ann_bq_rerank_recall",
-    "ann_matryoshka_topk", "ann_matryoshka_recall",
-    "ann_ivf_kmeans_topk",
-    # dedup graph layer (kcore carries the r5 `converged` column)
-    "dedup_kcore", "dedup_minhash_incremental", "dedup_pagerank",
-    "dedup_clusters", "dedup_triangles",
-    # curation composition + selection
-    "corpus_curation_extended", "dsir_importance", "dsir_auc",
-    "doc_ngram_novelty", "decontaminate", "semantic_decontaminate",
-    # embedding diagnostics
-    "embedding_label_centroids", "embedding_label_confusion",
-    "embedding_knn_accuracy", "embedding_fisher_ratio",
-    "embedding_triplets", "embedding_pca_top", "doc_embedding_outliers",
-    # sketch monitors + intricate events
-    "events_distinct_sketch", "events_quantile_sketch",
-    "events_windowed_funnel", "events_segment_lattice",
-    "events_burst_detection", "events_key_skew_report",
-    # heavy warehouse ETL
-    "orders_bootstrap_ci", "orders_cohort_ltv",
-    "orders_lineitem_reconcile", "orders_revenue_ewma",
-    # STAC r5 additions + multimodal dedup rungs
-    "assets_tile_rollup", "assets_bbox_overlap",
-    "media_phash_dedup", "media_dedup_exact",
+    # r2-era events wave (newest record: CORRECTNESS_r02)
+    "events_sessionize", "events_asof_attribution", "events_purchase_context",
+    "events_funnel", "events_cube", "events_retention_triangle",
+    "events_rollup_multigrain", "events_value_quantiles", "events_type_pivot",
+    "events_json_props", "events_hourly_rollup", "events_hourly_anomaly",
+    "events_concurrency", "events_dau_wau",
+    # r2-era tpch head
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_items", "q11_important_stock", "q12_shipmode",
+    "q13_customer_distribution", "q14_promo", "q15_top_supplier",
+    "q16_supplier_diversity", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    # r2-era tpch2 analytics head
+    "top_customers_window", "order_cohort_retention",
+    "orders_running_revenue", "revenue_concentration", "market_basket_types",
+    # r2-era documents text head
+    "token_stats", "text_quality", "lang_id", "doc_fingerprint",
+    "quality_filter", "term_topk", "bigram_topk",
+    # the 2 most intricate r3-era records round out the 50 slots
+    "embedding_kmeans", "semantic_dedup",
 ]
 
 
 # Unconfirmed full-oracle keys added MID-ROUND (after the round's 50-key
 # window composition was fixed): they sort after every other unconfirmed
 # key so the in-flight window is not displaced; they enter a window next
-# rotation. Clear entries as they reach _CONFIRMED.
-_DEFERRED: set[str] = {
-    # r07: the 23 keys deferred across r6 drained into the window head
-    # (tier 1) — official records land in CORRECTNESS_r07. New keys
-    # registered mid-r07 go here so the in-flight window composition
-    # stays fixed.
-    "events_mde_curve",
-    "dedup_token_savings",
-    "ann_recall_by_label",
-    "orders_shewhart_control",
-    "dedup_rand_index",
-    "doc_keyphrase_rake",
-    "media_scene_cuts",
-    "events_holt_winters",
-    "quality_nb_calibration",
-    "orders_backlog_aging",
-    "ann_centroid_balance",
-}
+# rotation. Clear entries as they reach _CONFIRMED. Empty as of the r8
+# fold — all 11 r7-wave keys landed green inside the r07 window.
+_DEFERRED: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
