@@ -8,8 +8,9 @@ is where persist/checkpoint lifecycles and manifests belong:
   (discovery-derived catalog -> STAC items -> partitioned catalog write
   -> transfer plan -> batched submission receipts), mirroring the Step
   Functions flow (`/root/reference/deploy` wiring) as one Spark job.
-* :func:`run_curation_pipeline` — the training-data product: keep/reject
-  cascade -> curated corpus partitioned by source + rejection histogram.
+* :func:`run_curation_pipeline` — the training-data product: five-stage
+  keep/reject cascade (one materialized verdict frame) -> curated corpus
+  partitioned by source + rejection histogram + token-yield report.
 
 Both are idempotent (overwrite semantics keyed by the output dir): rerun
 produces byte-identical results, so a failed run is re-submitted whole —
@@ -280,8 +281,18 @@ def run_stac_pipeline(
 
 
 def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Keep/reject cascade -> curated corpus + rejection histogram."""
-    decisions = llm.corpus_curation(spark, sf_dir)
+    """Five-stage keep/reject cascade -> curated corpus + rejection
+    histogram + token-yield report.
+
+    All three products branch from ONE materialized verdict frame
+    (``llm.cascade_verdicts`` — the cascade's quality scan, exact-dup
+    groupBy, LSH band join, containment join and novelty pass run
+    exactly once per pipeline run, not once per product). The yield
+    report reuses the registered query's body via
+    ``yield_report_from_verdicts`` so the pipeline artifact is
+    row-identical to `curation_yield_report`.
+    """
+    decisions = llm.cascade_verdicts(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
     kept = docs.join(
         decisions.filter(F.col("keep")).select("doc_id"), "doc_id"
@@ -295,6 +306,8 @@ def run_curation_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
         .coalesce(1)
     )
     hist.write.mode("overwrite").parquet(os.path.join(out_dir, "rejections"))
+    yield_report = llm.yield_report_from_verdicts(decisions, docs).coalesce(1)
+    yield_report.write.mode("overwrite").parquet(os.path.join(out_dir, "yield"))
     n_in = docs.count()
     n_kept = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
     return {"n_in": n_in, "n_kept": n_kept, "n_rejected": n_in - n_kept}

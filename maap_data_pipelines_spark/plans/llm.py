@@ -269,20 +269,34 @@ def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-reason document AND token yield of the five-stage cascade.
+def cascade_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-stage verdict frame, MATERIALIZED for multi-consumer runs.
 
-    The number a data team actually reports upstream: "X% of documents,
-    Y% of tokens survive curation — and here is where the rest went".
-    Token mass matters separately from doc count because rejects skew
-    long (near-dups, boilerplate) or short (quality): a 5% doc cut can
-    be a 20% token cut. One row per verdict reason with exact doc/token
-    counts and integer-micro corpus shares; composes the oracled cascade
-    verdicts with the exact whitespace token count (swap in
-    bpe_token_stats for model-true budgets).
+    ``corpus_curation_extended`` and ``curation_yield_report`` are
+    registered queries and must each stand alone (the oracle contract);
+    but an API consumer that wants the curated corpus AND the yield
+    report AND the rejection histogram in one session would otherwise
+    pay the five-stage cascade (quality scan, exact-dup groupBy, LSH
+    band join, containment join, novelty pass) once PER consumer. This
+    helper runs the cascade exactly once and ``localCheckpoint``s the
+    per-doc verdict frame — doc_id + reason + keep is corpus-sized but
+    3 columns, so the checkpoint is cheap relative to re-derivation —
+    letting every downstream product branch from materialized rows.
+    ``run_curation_pipeline`` consumes this; byte-equality with the
+    standalone registered query is pinned by
+    tests/test_curation.py::test_cascade_verdicts_matches_standalone.
     """
-    verdicts = corpus_curation_extended(spark, sf_dir)
-    docs = read_table(spark, sf_dir, "documents")
+    return corpus_curation_extended(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def yield_report_from_verdicts(verdicts: DataFrame, docs: DataFrame) -> DataFrame:
+    """curation_yield_report's body over a CALLER-SUPPLIED verdict frame.
+
+    Split out so pipeline/API consumers can feed the one
+    :func:`cascade_verdicts` checkpoint instead of re-deriving the
+    cascade; the registered query composes it with a fresh standalone
+    cascade (identical plan, same oracle).
+    """
     toks = docs.select(
         "doc_id",
         (F.size(F.split(F.lower(F.col("text")), " "))).cast("long").alias("n_tokens"),
@@ -307,6 +321,26 @@ def curation_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_docs * 1000000) div t_docs").alias("doc_share_micro"),
             F.expr("(n_tokens * 1000000) div t_tokens").alias("token_share_micro"),
         )
+    )
+
+
+def curation_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-reason document AND token yield of the five-stage cascade.
+
+    The number a data team actually reports upstream: "X% of documents,
+    Y% of tokens survive curation — and here is where the rest went".
+    Token mass matters separately from doc count because rejects skew
+    long (near-dups, boilerplate) or short (quality): a 5% doc cut can
+    be a 20% token cut. One row per verdict reason with exact doc/token
+    counts and integer-micro corpus shares; composes the oracled cascade
+    verdicts with the exact whitespace token count (swap in
+    bpe_token_stats for model-true budgets). Standalone by contract;
+    multi-consumer sessions should feed :func:`cascade_verdicts` to
+    :func:`yield_report_from_verdicts` instead.
+    """
+    return yield_report_from_verdicts(
+        corpus_curation_extended(spark, sf_dir),
+        read_table(spark, sf_dir, "documents"),
     )
 
 

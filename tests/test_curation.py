@@ -408,3 +408,29 @@ def test_js_divergence_zero_for_healthy_split_high_for_disjoint(spark, sf_dir, t
     df.write.parquet(out + "/documents.parquet")
     disjoint = doc_split_js_divergence(spark, out).collect()[0]
     assert disjoint.js_milli >= 650
+
+
+def test_cascade_verdicts_matches_standalone(spark, sf_dir):
+    """cascade_verdicts() is the SAME verdict frame the registered query
+    emits — materialization must not change a single row — and the
+    factored yield body over it reproduces curation_yield_report."""
+    from maap_data_pipelines_spark.plans import llm
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    verdicts = llm.cascade_verdicts(spark, sf_dir)
+    standalone = llm.corpus_curation_extended(spark, sf_dir)
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(verdicts.collect(), key=key) == sorted(
+        standalone.collect(), key=key
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    via_helper = llm.yield_report_from_verdicts(verdicts, docs)
+    registered = llm.curation_yield_report(spark, sf_dir)
+    key2 = lambda r: r.reason  # noqa: E731
+    assert sorted(via_helper.collect(), key=key2) == sorted(
+        registered.collect(), key=key2
+    )
+    # the checkpoint actually took: the helper's plan is a materialized
+    # scan, not a re-derivation of the five-stage cascade
+    plan = verdicts._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan and "parquet" not in plan.lower()
