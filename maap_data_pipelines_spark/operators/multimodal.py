@@ -56,12 +56,36 @@ def make_media_df(docs: DataFrame) -> DataFrame:
 def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> np.ndarray:
     """Decode a media payload to a pixel/sample array.
 
-    STUB: real decoding needs PIL/ffmpeg/soundfile, which are not in this
-    container. With ``allow_stub`` the payload bytes themselves are
-    reinterpreted as the sample array (deterministic, shape-correct
-    plumbing); without it this raises so nobody mistakes the stub for a
-    real codec.
+    ONE REAL CODEC PATH, zero new dependencies: ``audio/wav`` payloads
+    that are actual RIFF/WAVE containers are parsed with the stdlib
+    ``wave`` module — container header stripped, fmt chunk honoured,
+    interleaved PCM frames returned as int64 samples (8-bit unsigned
+    and 16-bit signed little-endian, the two classic PCM encodings).
+    tests/test_multimodal.py generates real WAV bytes and drives them
+    through the window/silence operators end-to-end.
+
+    Everything else stays STUBBED: image/video decoding needs
+    PIL/ffmpeg, which are not in this container. With ``allow_stub``
+    the payload bytes themselves are reinterpreted as the sample array
+    (deterministic, shape-correct plumbing); without it this raises so
+    nobody mistakes the stub for a real codec.
     """
+    if (
+        media_type == "audio/wav"
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        if width == 1:
+            return np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        if width == 2:
+            return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        raise NotImplementedError(f"unsupported WAV sample width: {width}")
     if not allow_stub:
         raise NotImplementedError(
             f"no codec available for {media_type}; pass allow_stub=True for "
@@ -324,16 +348,25 @@ AUDIO_WINDOW_BYTES = 128
 AUDIO_HOP_BYTES = 64
 
 
-def audio_windows(media: DataFrame) -> DataFrame:
+def audio_windows(media: DataFrame, decode: bool = False) -> DataFrame:
     """Overlapping sliding windows over audio payloads (STFT-frame shape).
 
     Unlike :func:`frame_sample` (disjoint frames), windows OVERLAP:
     window k covers bytes [k*hop, k*hop + window), hop < window — the
     frame layout every spectral feature (STFT/MFCC) consumes. Only
-    windows that fit entirely are emitted (standard truncation). The
-    stub "signal" is the byte stream; sum and peak per window are exact
-    integers, so the fan-out is fully oracle-checkable. Zero shuffle,
-    output partitioning inherited from the scan.
+    windows that fit entirely are emitted (standard truncation).
+
+    Two signal paths, identical plumbing:
+    * ``decode=False`` (default, the registered/oracled contract): the
+      stub "signal" is the raw byte stream; sum and peak per window are
+      exact integers, fully oracle-checkable.
+    * ``decode=True``: payloads go through :func:`decode_media`'s REAL
+      codec (RIFF/WAVE parse) and windows run over the L1 MAGNITUDE of
+      the PCM samples — signed 16-bit audio sums to ~0 raw, so |x| is
+      the energy measure that makes the downstream quiet-threshold
+      (silence_runs) meaningful on real audio.
+
+    Zero shuffle either way; output partitioning inherited from the scan.
     """
     import numpy as np
 
@@ -344,8 +377,13 @@ def audio_windows(media: DataFrame) -> DataFrame:
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {k: [] for k in ("doc_id", "window_idx", "window_sum", "window_peak")}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if decode:
+                    arr = np.abs(decode_media(payload, mt))
+                else:
+                    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 n_win = (len(arr) - AUDIO_WINDOW_BYTES) // AUDIO_HOP_BYTES + 1
                 for k in range(max(n_win, 0)):
                     w = arr[k * AUDIO_HOP_BYTES : k * AUDIO_HOP_BYTES + AUDIO_WINDOW_BYTES]
@@ -357,7 +395,9 @@ def audio_windows(media: DataFrame) -> DataFrame:
                 {k: pd.Series(v, dtype="int64") for k, v in out.items()}
             )
 
-    return media.select("doc_id", "payload").mapInPandas(_batches, schema=schema)
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        _batches, schema=schema
+    )
 
 
 RESIZE_FACTOR = 2

@@ -184,28 +184,20 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUIET_MAX_SUM = 11_900  # ~p10 of window sums on the stub signal
 
 
-def media_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Silence-run detection over the audio window stream — the
-    GAPS-AND-ISLANDS sequence primitive (run-length encoding via the
-    index-minus-rank trick) the multimodal tier was missing: consecutive
-    quiet windows (window_sum below the fixed threshold) group into runs
-    by ``window_idx − row_number()`` within (doc, quiet); runs of >= 2
-    windows surface as (doc_id, run_start, run_len, run_min_sum) — the
-    segments an audio pipeline would trim before feature extraction.
-    On the stub signal "quiet" is a low byte-sum window (space-heavy);
-    a real deployment swaps the energy column, the RLE plumbing is
-    identical. Windows are doc-partitioned; the run grouping adds one
-    window function and one hash-agg — fan-out-bounded throughout.
+def silence_runs_from_windows(
+    windows: DataFrame, quiet_max_sum: int = QUIET_MAX_SUM
+) -> DataFrame:
+    """The silence-run RLE over ANY audio-window frame.
+
+    Factored from :func:`media_silence_runs` so the same gaps-and-islands
+    machinery runs on the stub byte stream (the registered/oracled
+    contract) AND on real decoded PCM windows
+    (``audio_windows(..., decode=True)`` — the quiet threshold then reads
+    L1 sample magnitude; see tests/test_multimodal.py's real-WAV fixture).
     """
     from pyspark.sql.window import Window
 
-    from ..operators.multimodal import audio_windows
-    from ..sources.catalog import read_table
-
-    docs = read_table(spark, sf_dir, "documents")
-    w = audio_windows(make_media_df(docs)).filter(
-        F.col("window_sum") < QUIET_MAX_SUM
-    )
+    w = windows.filter(F.col("window_sum") < quiet_max_sum)
     grp = w.withColumn(
         "grp",
         F.col("window_idx")
@@ -223,6 +215,27 @@ def media_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 2)
         .select("doc_id", "run_start", "run_len", "run_min_sum")
     )
+
+
+def media_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run detection over the audio window stream — the
+    GAPS-AND-ISLANDS sequence primitive (run-length encoding via the
+    index-minus-rank trick) the multimodal tier was missing: consecutive
+    quiet windows (window_sum below the fixed threshold) group into runs
+    by ``window_idx − row_number()`` within (doc, quiet); runs of >= 2
+    windows surface as (doc_id, run_start, run_len, run_min_sum) — the
+    segments an audio pipeline would trim before feature extraction.
+    On the stub signal "quiet" is a low byte-sum window (space-heavy);
+    on real audio the same RLE runs over decoded PCM magnitude
+    (:func:`silence_runs_from_windows`). Windows are doc-partitioned;
+    the run grouping adds one window function and one hash-agg —
+    fan-out-bounded throughout.
+    """
+    from ..operators.multimodal import audio_windows
+    from ..sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return silence_runs_from_windows(audio_windows(make_media_df(docs)))
 
 
 MEDIA_SILENCE_RUNS_SQL = f"""

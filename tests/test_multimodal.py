@@ -157,3 +157,81 @@ def test_silence_runs_rle_grouping(spark, sf_dir):
         assert before not in aw or aw[before] >= QUIET_MAX_SUM
         assert after not in aw or aw[after] >= QUIET_MAX_SUM
         assert r.run_len >= 2
+
+
+def _make_wav(samples: list[int], sampwidth: int, framerate: int = 8000) -> bytes:
+    """Real RIFF/WAVE bytes via the stdlib encoder (mono PCM)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(framerate)
+        if sampwidth == 1:
+            wf.writeframes(bytes(samples))
+        else:
+            wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_decode_media_real_wav_roundtrip():
+    """The REAL codec path: stdlib-encoded WAV bytes decode back to the
+    exact PCM samples — container header stripped, no stub involved."""
+    s16 = [0, 1000, -1000, 32767, -32768, 5]
+    arr16 = multimodal.decode_media(_make_wav(s16, 2), "audio/wav")
+    assert arr16.tolist() == s16 and arr16.dtype == np.int64
+    u8 = [0, 128, 255, 7]
+    arr8 = multimodal.decode_media(_make_wav(u8, 1), "audio/wav")
+    assert arr8.tolist() == u8
+    # a non-RIFF audio payload still refuses without the stub gate
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"not a riff container", "audio/wav")
+
+
+def test_real_wav_through_window_and_silence_operators(spark):
+    """End-to-end on REAL audio bytes: a generated 16-bit WAV with a
+    loud-silent-loud layout flows through audio_windows(decode=True) and
+    the exact silence-run RLE the registered query uses; the detected
+    run matches the signal layout sample-for-sample."""
+    from maap_data_pipelines_spark.operators.multimodal import (
+        AUDIO_HOP_BYTES,
+        AUDIO_WINDOW_BYTES,
+    )
+    from maap_data_pipelines_spark.plans.multimodal import (
+        silence_runs_from_windows,
+    )
+
+    hop, win = AUDIO_HOP_BYTES, AUDIO_WINDOW_BYTES
+    # loud (4 hops), silence (6 hops), loud (4 hops): signed PCM, so the
+    # loud blocks alternate +/-2000 (raw sum ~0 — exactly why the decode
+    # path windows over |x|).
+    loud = [2000 if i % 2 == 0 else -2000 for i in range(4 * hop)]
+    signal = loud + [0] * (6 * hop) + loud
+    payload = _make_wav(signal, 2)
+    media = spark.createDataFrame(
+        [(1, "audio/wav", 0, 0, len(payload), bytearray(payload))],
+        "doc_id long, media_type string, width int, height int, "
+        "n_bytes long, payload binary",
+    )
+    w = multimodal.audio_windows(media, decode=True)
+    rows = {r.window_idx: r for r in w.collect()}
+    n_win = (len(signal) - win) // hop + 1
+    assert set(rows) == set(range(n_win))
+    # windows fully inside the silent block: magnitude sum exactly 0
+    silent_ws = [
+        k for k in rows
+        if k * hop >= 4 * hop and k * hop + win <= 10 * hop
+    ]
+    assert len(silent_ws) >= 2
+    for k in silent_ws:
+        assert rows[k].window_sum == 0 and rows[k].window_peak == 0
+    # windows fully inside a loud block: magnitude sum = 2000 * win
+    assert rows[0].window_sum == 2000 * win and rows[0].window_peak == 2000
+    runs = silence_runs_from_windows(w, quiet_max_sum=1).collect()
+    assert len(runs) == 1
+    r = runs[0]
+    assert r.run_start == min(silent_ws)
+    assert r.run_len == len(silent_ws)
+    assert r.run_min_sum == 0
