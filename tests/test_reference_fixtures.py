@@ -247,3 +247,74 @@ def test_every_real_collection_document_flows_crud(spark):
         ).count()
         == 0
     )
+
+
+def test_versioned_table_cdf_over_collection_corpus(spark, tmp_path):
+    """Marry the two newest subsystems: the 31 real Collection docs land
+    in a VersionedTable, a second version applies one update + one
+    delete + one insert via merge_upsert, and changes() emits exactly
+    those CDF rows — agreeing row-for-row with what plan_item_changes
+    derives from the same two snapshots."""
+    from maap_data_pipelines_spark.sinks import plan_item_changes
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    paths = sorted(glob.glob(os.path.join(COLL_DIR, "*.json")))
+    docs = []
+    for p in paths:
+        with open(p) as f:
+            doc = json.load(f)
+        docs.append((doc["id"], json.dumps(doc, sort_keys=True)))
+    assert len(docs) >= 30
+    schema = "collection_id string, collection_json string"
+    tbl = VersionedTable(str(tmp_path / "collections_tbl"))
+    v1 = tbl.commit(spark.createDataFrame(docs, schema), mode="overwrite")
+
+    # second version: bump one doc's JSON, delete another, add a new one
+    upd_id, del_id = docs[0][0], docs[1][0]
+    bumped = json.dumps(
+        {**json.loads(docs[0][1]), "description": "v2 description"},
+        sort_keys=True,
+    )
+    new_doc = json.dumps(
+        {"id": "synthetic-new-collection", "type": "Collection"},
+        sort_keys=True,
+    )
+    updates = spark.createDataFrame(
+        [
+            (upd_id, bumped, False),
+            (del_id, docs[1][1], True),
+            ("synthetic-new-collection", new_doc, False),
+        ],
+        schema + ", is_delete boolean",
+    )
+    v2 = tbl.merge_upsert(updates, key="collection_id", delete_col="is_delete")
+
+    cdf = tbl.changes(spark, v1, v2, key="collection_id").collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert [len(by_type.get(t, [])) for t in (
+        "insert", "delete", "update_preimage", "update_postimage"
+    )] == [1, 1, 1, 1]
+    assert by_type["insert"][0].collection_id == "synthetic-new-collection"
+    assert by_type["delete"][0].collection_id == del_id
+    assert by_type["update_preimage"][0].collection_json == docs[0][1]
+    assert by_type["update_postimage"][0].collection_json == bumped
+
+    # the CDF and the CRUD planner tell the same story about v1 -> v2
+    plan = {
+        (r.op, r.item_id)
+        for r in plan_item_changes(
+            tbl.read(spark, v2),
+            tbl.read(spark, v1),
+            id_col="collection_id",
+            json_col="collection_json",
+        ).collect()
+    }
+    assert plan == {
+        ("insert", "synthetic-new-collection"),
+        ("delete", del_id),
+        ("update", upd_id),
+    }
+    # untouched docs appear in neither feed
+    assert len(cdf) == 4
