@@ -282,6 +282,9 @@ HEADLINE = [
     "quality_nb_calibration",
     "orders_backlog_aging",
     "ann_centroid_balance",
+    # r8 wave
+    "events_cuped",
+    "quality_isotonic_calibration",
 ]
 
 

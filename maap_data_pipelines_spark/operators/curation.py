@@ -1642,6 +1642,103 @@ def quality_nb_calibration(docs: DataFrame) -> DataFrame:
     )
 
 
+def isotonic_from_deciles(deciles: DataFrame) -> DataFrame:
+    """PAV isotonic regression over a (conf_decile, n_docs, n_label_keep)
+    reliability frame — via the exact MINIMAX identity, not the
+    sequential pooling loop.
+
+    Pool-adjacent-violators is inherently sequential (merge while the
+    rate decreases), which SQL cannot loop; but PAV's fitted value has
+    the closed form iso(i) = max_{j<=i} min_{l>=j} rate(j..l) (the
+    minimax theorem for isotonic L2 regression), and at decile grain
+    the interval lattice is <= 10x10 rows — so the whole fit is: prefix
+    sums (one tiny window), the (j<=l) interval grid (a <=100-row
+    nested-loop join over a localCheckpointed 10-row frame — the
+    aggregate-sized BNLJ class), per-j MIN, one running-MAX window.
+    Rates are floor-quantized ppm; floor is monotone, so it commutes
+    with min/max and the output is EXACTLY floor(1e6 * exact-PAV) —
+    deterministic, identical on both engines.
+
+    Output per decile: observed_ppm, calibrated_ppm (monotone
+    non-decreasing by construction), pooled flag (fit != observed).
+    """
+    from pyspark.sql.window import Window
+
+    wcum = Window.orderBy("conf_decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pref = deciles.select(
+        "conf_decile",
+        "n_docs",
+        "n_label_keep",
+        F.sum("n_docs").over(wcum).alias("cum_n"),
+        F.sum("n_label_keep").over(wcum).alias("cum_k"),
+    ).localCheckpoint(eager=True)
+    j = pref.select(
+        F.col("conf_decile").alias("j"),
+        "n_docs",
+        "n_label_keep",
+        (F.col("cum_n") - F.col("n_docs")).alias("n_before"),
+        (F.col("cum_k") - F.col("n_label_keep")).alias("k_before"),
+    )
+    lside = pref.select(
+        F.col("conf_decile").alias("l"),
+        F.col("cum_n").alias("cum_n_l"),
+        F.col("cum_k").alias("cum_k_l"),
+    )
+    iv = j.join(F.broadcast(lside), F.col("j") <= F.col("l"))
+    mins = iv.groupBy("j", "n_docs", "n_label_keep").agg(
+        F.min(
+            F.expr("((cum_k_l - k_before) * 1000000) div (cum_n_l - n_before)")
+        ).alias("m")
+    )
+    wrun = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        mins.select(
+            F.col("j").alias("conf_decile"),
+            "n_docs",
+            "n_label_keep",
+            F.expr("(n_label_keep * 1000000) div n_docs").alias(
+                "observed_ppm"
+            ),
+            F.max("m").over(wrun).alias("calibrated_ppm"),
+        )
+        .withColumn(
+            "pooled",
+            (F.col("calibrated_ppm") != F.col("observed_ppm")).cast("int"),
+        )
+        .orderBy("conf_decile")
+    )
+
+
+def quality_isotonic_calibration(docs: DataFrame) -> DataFrame:
+    """CALIBRATED quality classifier: isotonic (PAV) fit over the NB
+    reliability deciles.
+
+    quality_nb_calibration (r7) MEASURES miscalibration; this op FIXES
+    it — the per-decile isotonic fit is the monotone map that turns the
+    NB confidence decile into an unbiased keep-probability usable as a
+    sampling weight or review-queue priority (the standard
+    calibrate-then-sample step of a curation pipeline). Composes the
+    oracled reliability diagram with :func:`isotonic_from_deciles`.
+
+    Scale shape: inherits the classifier's one scoring pass; everything
+    after the <=10-row decile aggregate is decile-grain (window + 100-row
+    lattice join) — plan constant in corpus size.
+
+    Honesty note: the synthetic corpus' NB is near-perfectly separated
+    (observed rates already monotone at every test SF), so here the fit
+    is the identity; the POOLING path is pinned by the planted-violator
+    frames in tests/test_curation.py (isotonic_from_deciles is
+    input-generic by design).
+    """
+    return isotonic_from_deciles(
+        quality_nb_calibration(docs).select(
+            "conf_decile", "n_docs", "n_label_keep"
+        )
+    )
+
+
 def _nb_sql() -> str:
     from .text import QUALITY_FILTER_SQL
 
@@ -1774,3 +1871,51 @@ FROM scored GROUP BY 1 ORDER BY 1
 
 
 QUERY_SQL["quality_nb_calibration"] = _nb_calibration_sql()
+
+
+def _isotonic_sql() -> str:
+    # the reliability-diagram CTE re-renders without its trailing ORDER BY
+    # (window CTEs + ORDER BY inside a WITH member is fine in DuckDB, but
+    # the fit must consume the bare aggregate)
+    cal = _nb_calibration_sql().rstrip().rstrip('"').rstrip()
+    assert cal.endswith("ORDER BY 1")
+    cal = cal[: -len("ORDER BY 1")]
+    return f"""
+WITH cal AS ({cal}),
+pref AS (
+  SELECT conf_decile, n_docs, n_label_keep,
+         CAST(SUM(n_docs) OVER (ORDER BY conf_decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+         CAST(SUM(n_label_keep) OVER (ORDER BY conf_decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_k
+  FROM cal
+),
+iv AS (
+  SELECT a.conf_decile AS j, a.n_docs, a.n_label_keep,
+         a.cum_n - a.n_docs AS n_before, a.cum_k - a.n_label_keep AS k_before,
+         b.cum_n AS cum_n_l, b.cum_k AS cum_k_l
+  FROM pref a JOIN pref b ON a.conf_decile <= b.conf_decile
+),
+mins AS (
+  SELECT j, n_docs, n_label_keep,
+         MIN(((cum_k_l - k_before) * 1000000) // (cum_n_l - n_before)) AS m
+  FROM iv GROUP BY j, n_docs, n_label_keep
+),
+iso AS (
+  SELECT j AS conf_decile, n_docs, n_label_keep,
+         (n_label_keep * 1000000) // n_docs AS observed_ppm,
+         CAST(MAX(m) OVER (ORDER BY j
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS calibrated_ppm
+  FROM mins
+)
+SELECT conf_decile, n_docs, n_label_keep, observed_ppm, calibrated_ppm,
+       CAST(CASE WHEN calibrated_ppm <> observed_ppm THEN 1 ELSE 0 END
+            AS INT) AS pooled
+FROM iso ORDER BY conf_decile
+"""
+
+
+QUERY_SQL["quality_isotonic_calibration"] = _isotonic_sql()

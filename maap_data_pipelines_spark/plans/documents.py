@@ -82,6 +82,7 @@ QUERIES = {
     "doc_neyman_allocation": _wrap(curation.doc_neyman_allocation),
     "quality_nb_classifier": _wrap(curation.quality_nb_classifier),
     "quality_nb_calibration": _wrap(curation.quality_nb_calibration),
+    "quality_isotonic_calibration": _wrap(curation.quality_isotonic_calibration),
     "doc_length_anova": _wrap(text.doc_length_anova),
 }
 

@@ -2414,6 +2414,182 @@ ORDER BY delta_micro
 """
 
 
+# CUPED pre-period split: days 1-15 are the covariate window, days 16+
+# the experiment window (2024-01-16T00:00:00Z in epoch micros). A fixed
+# calendar boundary is the contract — re-deriving it from the data's max
+# ts would re-assign periods on every late-arriving batch.
+CUPED_SPLIT_US = 1_705_363_200_000_000
+
+
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13).
+
+    The missing rung between events_ab_test (raw z) and events_ab_power
+    /events_mde_curve (planning): production experimentation platforms
+    never ship the raw treatment-control difference — they regress out
+    each user's PRE-EXPERIMENT behavior (the covariate X) and read the
+    adjusted metric Y' = Y - theta*(X - mean(X)), cutting variance by
+    the squared pre/post correlation and with it the required sample
+    size. Per-user pre/post purchase revenue (cents, exact int64) with
+    the same md5 arm hash as events_ab_test; theta = cov(X,Y)/var(X)
+    from the five exact integer sufficient statistics (n, Sx, Sy, Sxx,
+    Sxy) through ONE identical double expression tree on both engines
+    (the ab_power pattern — no per-engine association order anywhere).
+    Output: one row — per-arm n / pre / post means (exact milli-cents),
+    theta_micro, raw vs CUPED-adjusted lift, and rho2_ppm (the realized
+    variance-reduction fraction).
+
+    Scale shape: one corpus scan -> map-side-combined per-user agg ->
+    1-row global agg. No joins, no windows; int64 headroom: Sxy ~
+    users * (per-user cents)^2 ~ 4e13 at sf0.1, linear in users (~2e5 x
+    sf0.1 before int64 pressure — the 10x/30x scale gate watches it).
+    """
+    ev = read_events(spark, sf_dir)
+    pre = (F.col("event_type") == "purchase") & (
+        F.col("ts_us") < CUPED_SPLIT_US
+    )
+    post = (F.col("event_type") == "purchase") & (
+        F.col("ts_us") >= CUPED_SPLIT_US
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0))).alias("pre_cents"),
+        F.sum(F.when(post, cents).otherwise(F.lit(0))).alias("post_cents"),
+    )
+    armed = per_user.select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT) % 2"
+        ).alias("arm"),
+        "pre_cents",
+        "post_cents",
+    )
+    s = armed.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre_cents")).otherwise(0)).alias("pre_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre_cents")).otherwise(0)).alias("pre_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post_cents")).otherwise(0)).alias("post_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post_cents")).otherwise(0)).alias("post_b"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_cents").alias("sx"),
+        F.sum("post_cents").alias("sy"),
+        F.sum(F.expr("pre_cents * pre_cents")).alias("sxx"),
+        F.sum(F.expr("post_cents * post_cents")).alias("syy"),
+        F.sum(F.expr("pre_cents * post_cents")).alias("sxy"),
+    )
+    theta = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))"
+    )
+    diff_cuped = (
+        "((CAST(post_b AS DOUBLE) / n_b - CAST(post_a AS DOUBLE) / n_a)"
+        f" - {theta} * (CAST(pre_b AS DOUBLE) / n_b"
+        " - CAST(pre_a AS DOUBLE) / n_a))"
+    )
+    rho2 = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0))"
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr("(pre_a * 1000) div n_a").alias("pre_mean_a_milli"),
+        F.expr("(pre_b * 1000) div n_b").alias("pre_mean_b_milli"),
+        F.expr("(post_a * 1000) div n_a").alias("post_mean_a_milli"),
+        F.expr("(post_b * 1000) div n_b").alias("post_mean_b_milli"),
+        F.expr(f"CAST(FLOOR({theta} * 1000000) AS BIGINT)").alias("theta_micro"),
+        F.expr(
+            "(post_b * 1000) div n_b - (post_a * 1000) div n_a"
+        ).alias("diff_raw_milli"),
+        F.expr(f"CAST(FLOOR({diff_cuped} * 1000) AS BIGINT)").alias(
+            "diff_cuped_milli"
+        ),
+        F.expr(f"CAST(FLOOR({rho2} * 1000000) AS BIGINT)").alias("rho2_ppm"),
+    )
+
+
+def _cuped_sql() -> str:
+    theta = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))"
+    )
+    diff_cuped = (
+        "((CAST(post_b AS DOUBLE) / n_b - CAST(post_a AS DOUBLE) / n_a)"
+        f" - {theta} * (CAST(pre_b AS DOUBLE) / n_b"
+        " - CAST(pre_a AS DOUBLE) / n_a))"
+    )
+    rho2 = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0))"
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND epoch_us(ts) < {CUPED_SPLIT_US}
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre_cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND epoch_us(ts) >= {CUPED_SPLIT_US}
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post_cents
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+           AS arm,
+         pre_cents, post_cents
+  FROM per_user
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN pre_cents ELSE 0 END) AS BIGINT) AS pre_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN pre_cents ELSE 0 END) AS BIGINT) AS pre_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN post_cents ELSE 0 END) AS BIGINT) AS post_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN post_cents ELSE 0 END) AS BIGINT) AS post_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre_cents) AS BIGINT) AS sx,
+         CAST(SUM(post_cents) AS BIGINT) AS sy,
+         CAST(SUM(pre_cents * pre_cents) AS BIGINT) AS sxx,
+         CAST(SUM(post_cents * post_cents) AS BIGINT) AS syy,
+         CAST(SUM(pre_cents * post_cents) AS BIGINT) AS sxy
+  FROM armed
+)
+SELECT n_a, n_b,
+       (pre_a * 1000) // n_a AS pre_mean_a_milli,
+       (pre_b * 1000) // n_b AS pre_mean_b_milli,
+       (post_a * 1000) // n_a AS post_mean_a_milli,
+       (post_b * 1000) // n_b AS post_mean_b_milli,
+       CAST(FLOOR({theta} * 1000000) AS BIGINT) AS theta_micro,
+       (post_b * 1000) // n_b - (post_a * 1000) // n_a AS diff_raw_milli,
+       CAST(FLOOR({diff_cuped} * 1000) AS BIGINT) AS diff_cuped_milli,
+       CAST(FLOOR({rho2} * 1000000) AS BIGINT) AS rho2_ppm
+FROM s
+"""
+
+
+CUPED_SQL = _cuped_sql()
+
+
+
 def events_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (theta) sketch segment-overlap estimates with enforcement flags.
 
@@ -3203,6 +3379,7 @@ QUERIES = {
     "events_attribution_comparison": events_attribution_comparison,
     "events_ab_srm_check": events_ab_srm_check,
     "events_mde_curve": events_mde_curve,
+    "events_cuped": events_cuped,
     "events_holt_winters": events_holt_winters,
 }
 
@@ -3254,5 +3431,6 @@ ORACLES = {
     "events_attribution_comparison": ATTRIBUTION_COMPARISON_SQL,
     "events_ab_srm_check": AB_SRM_SQL,
     "events_mde_curve": MDE_CURVE_SQL,
+    "events_cuped": CUPED_SQL,
     "events_holt_winters": HOLT_WINTERS_SQL,
 }

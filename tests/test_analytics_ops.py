@@ -807,3 +807,34 @@ def test_dual_sourcing_covers_risk_parts(spark, sf_dir):
         assert ranks == list(range(1, len(rows) + 1))
         qtys = [r.type_qty for r in sorted(rows, key=lambda x: x.rnk)]
         assert qtys == sorted(qtys, reverse=True)
+
+
+def test_cuped_reduces_or_matches_variance_and_identities(spark, sf_dir):
+    """CUPED sanity: one row; rho2 in [0, 1e6]; theta finite; the
+    adjusted diff equals raw diff minus theta * pre-imbalance (re-derived
+    from the emitted means within quantization slack); arms partition
+    the users."""
+    from maap_data_pipelines_spark.plans.events import (
+        events_cuped,
+        read_events,
+    )
+
+    rows = events_cuped(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_a > 0 and r.n_b > 0
+    users = (
+        read_events(spark, sf_dir).select("user_id").distinct().count()
+    )
+    assert r.n_a + r.n_b == users
+    assert 0 <= r.rho2_ppm <= 1_000_000
+    # identity check from the emitted milli-cent means: diff_cuped =
+    # raw - theta * pre_imbalance. Every emitted term is floor-quantized
+    # (means to milli, theta to micro, the final diff to milli), so the
+    # re-derivation carries a small deterministic slack.
+    raw = r.post_mean_b_milli - r.post_mean_a_milli
+    assert r.diff_raw_milli == raw
+    pre_imb_milli = r.pre_mean_b_milli - r.pre_mean_a_milli
+    approx = raw - (r.theta_micro / 1e6) * pre_imb_milli
+    slack = abs(pre_imb_milli) * 2e-6 + 2 * (1 + abs(r.theta_micro) / 1e6) + 2
+    assert abs(r.diff_cuped_milli - approx) <= slack

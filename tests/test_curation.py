@@ -434,3 +434,79 @@ def test_cascade_verdicts_matches_standalone(spark, sf_dir):
     # scan, not a re-derivation of the five-stage cascade
     plan = verdicts._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan and "parquet" not in plan.lower()
+
+
+def _deciles(spark, rows):
+    return spark.createDataFrame(
+        rows, "conf_decile bigint, n_docs bigint, n_label_keep bigint"
+    )
+
+
+def test_isotonic_pools_planted_violator(spark):
+    """rates [250k, 750k, 500k] ppm: PAV pools deciles 2+3 into
+    (3+2)/(4+4) = 625k; decile 1 untouched."""
+    from maap_data_pipelines_spark.operators.curation import (
+        isotonic_from_deciles,
+    )
+
+    out = {
+        r.conf_decile: r
+        for r in isotonic_from_deciles(
+            _deciles(spark, [(1, 4, 1), (2, 4, 3), (3, 4, 2)])
+        ).collect()
+    }
+    assert [out[d].calibrated_ppm for d in (1, 2, 3)] == [
+        250_000, 625_000, 625_000,
+    ]
+    assert [out[d].pooled for d in (1, 2, 3)] == [0, 1, 1]
+    assert [out[d].observed_ppm for d in (1, 2, 3)] == [
+        250_000, 750_000, 500_000,
+    ]
+
+
+def test_isotonic_identity_on_monotone_input(spark):
+    """Already-monotone observed rates come back untouched."""
+    from maap_data_pipelines_spark.operators.curation import (
+        isotonic_from_deciles,
+    )
+
+    rows = [(0, 10, 1), (1, 10, 4), (2, 10, 9)]
+    out = isotonic_from_deciles(_deciles(spark, rows)).collect()
+    for r in out:
+        assert r.calibrated_ppm == r.observed_ppm and r.pooled == 0
+
+
+def test_isotonic_global_violation_pools_everything(spark):
+    """Strictly DECREASING rates pool into one block = the global rate,
+    and the fit is constant (the PAV worst case)."""
+    from maap_data_pipelines_spark.operators.curation import (
+        isotonic_from_deciles,
+    )
+
+    rows = [(1, 5, 5), (2, 5, 3), (3, 5, 1)]
+    out = {
+        r.conf_decile: r
+        for r in isotonic_from_deciles(_deciles(spark, rows)).collect()
+    }
+    assert {r.calibrated_ppm for r in out.values()} == {600_000}  # 9/15
+    # decile 2's observed rate (3/5) coincides with the pooled rate, so
+    # its fit-differs-from-observed flag is legitimately 0
+    assert [out[d].pooled for d in (1, 2, 3)] == [1, 0, 1]
+
+
+def test_isotonic_registered_query_monotone(spark, sf_dir):
+    """The registered composition: calibrated_ppm must be monotone
+    non-decreasing in conf_decile and agree with the reliability
+    diagram's counts."""
+    from maap_data_pipelines_spark.plans.documents import QUERIES
+
+    rows = sorted(
+        QUERIES["quality_isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r.conf_decile,
+    )
+    assert rows
+    cal = [r.calibrated_ppm for r in rows]
+    assert cal == sorted(cal)
+    for r in rows:
+        assert 0 <= r.calibrated_ppm <= 1_000_000
+        assert r.observed_ppm == (r.n_label_keep * 1_000_000) // r.n_docs

@@ -84,6 +84,8 @@ KEYS = [
     "events_mde_curve",
     "orders_backlog_aging",
     "ann_centroid_balance",
+    "events_cuped",
+    "quality_isotonic_calibration",
 ]
 
 

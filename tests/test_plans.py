@@ -199,6 +199,10 @@ _BNLJ_ALLOWED = {
     # diagram inherits the identical scoring subtree
     "quality_nb_classifier",
     "quality_nb_calibration",
+    # inherits the scoring subtree above PLUS the PAV minimax lattice:
+    # a (j <= l) inequality join over a localCheckpointed <=10-row decile
+    # frame (<=100 interval rows — the aggregate-sized BNLJ class)
+    "quality_isotonic_calibration",
     # segment-pair grid: |types| x |types| where both sides are
     # aggregate-sized segment summaries (the month-spine class:
     # orders_monthly_gapfill above)
