@@ -2444,7 +2444,16 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     users * (per-user cents)^2 ~ 4e13 at sf0.1, linear in users (~2e5 x
     sf0.1 before int64 pressure — the 10x/30x scale gate watches it).
     """
-    ev = read_events(spark, sf_dir)
+    return cuped_readout(cuped_user_stats(read_events(spark, sf_dir)))
+
+
+def cuped_user_stats(ev: DataFrame) -> DataFrame:
+    """(user_id, pre_cents, post_cents) — CUPED's per-user sufficient
+    statistic. Both columns are SUMS, so the frame is additively
+    mergeable across any partition of the event log — the streaming
+    state twin folds micro-batches with merge_aggregate and reaches the
+    identical frame (the ab_user_conversions property, revenue-valued).
+    """
     pre = (F.col("event_type") == "purchase") & (
         F.col("ts_us") < CUPED_SPLIT_US
     )
@@ -2452,10 +2461,16 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us") >= CUPED_SPLIT_US
     )
     cents = F.round(F.col("value") * 100).cast("long")
-    per_user = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         F.sum(F.when(pre, cents).otherwise(F.lit(0))).alias("pre_cents"),
         F.sum(F.when(post, cents).otherwise(F.lit(0))).alias("post_cents"),
     )
+
+
+def cuped_readout(per_user: DataFrame) -> DataFrame:
+    """One-row CUPED readout from a (user_id, pre_cents, post_cents)
+    frame (batch or streaming state) — the shared kernel: stream==batch
+    is equality of inputs, not a re-implementation claim."""
     armed = per_user.select(
         F.expr(
             "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"

@@ -825,3 +825,68 @@ def cusum_changepoint_from_state(spark: SparkSession, table) -> DataFrame:
     from ..plans.events import cusum_detect
 
     return cusum_detect(table.read(spark).select("event_type", "hour_us", "c"))
+
+
+def streaming_cuped_state(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+):
+    """Maintain CUPED's per-user pre/post revenue sums across
+    micro-batches — the streaming twin of plans/events.events_cuped
+    (ST19, the ST18 pattern applied to the experimentation tier).
+
+    The readout (theta, adjusted lift, rho2) is NOT incrementally
+    maintainable — one new purchase moves every covariance term — but
+    its INPUT is: per-user pre/post cents are additive SUMS, so the
+    state table holds (user_id, pre_cents, post_cents) merged per
+    micro-batch via merge_aggregate (work proportional to the batch's
+    touched users, never the user base). The readout is then
+    ``plans.events.cuped_readout`` applied UNCHANGED to the state table:
+    stream==batch is equality of inputs into one shared kernel.
+    Exactly-once: the applied-batch-id guard rides the same commit so
+    checkpoint-loss replays cannot double-count revenue.
+    """
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("cuped_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        from ..plans.events import cuped_user_stats
+
+        per_user = cuped_user_stats(
+            batch_df.withColumn(
+                "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+        )
+        table.merge_aggregate(
+            per_user,
+            keys=["user_id"],
+            sum_cols=["pre_cents", "post_cents"],
+            meta={"cuped_batch_id": batch_id},
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cuped_readout_from_state(spark: SparkSession, table) -> DataFrame:
+    """Run the shared CUPED readout kernel over the streaming state."""
+    from ..plans.events import cuped_readout
+
+    return cuped_readout(
+        table.read(spark).select("user_id", "pre_cents", "post_cents")
+    )

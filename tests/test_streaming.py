@@ -1395,3 +1395,83 @@ def test_streaming_cusum_state_matches_batch_detector(spark, tmp_path):
     q2.awaitTermination(120)
     total = t.read(spark).agg(F.sum("c")).collect()[0][0]
     assert total == len(all_rows)
+
+
+def test_streaming_cuped_state_matches_batch_readout(spark, tmp_path):
+    """ST19: per-user pre/post revenue sums merged across 3 micro-batches
+    (each user's purchases SPLIT across batches, straddling the CUPED
+    calendar boundary), then the shared cuped_readout kernel over the
+    state == the kernel over one batch pass; replays must skip."""
+    import pyspark.sql.functions as F
+
+    from maap_data_pipelines_spark.plans.events import (
+        cuped_readout,
+        cuped_user_stats,
+    )
+    from maap_data_pipelines_spark.streaming.rollup import (
+        cuped_readout_from_state,
+        streaming_cuped_state,
+    )
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    src = tmp_path / "cuped_src"
+    src.mkdir()
+    all_rows = []
+    eid = 0
+    for b in range(3):
+        batch = []
+        for u in range(12):
+            # pre-period purchase (Jan 5) and post-period purchase
+            # (Jan 20) per user per batch, value varying by (u, b);
+            # non-purchase noise events must not count
+            for day, etype in ((5, "purchase"), (20, "purchase"), (20, "view")):
+                eid += 1
+                batch.append(
+                    {
+                        "event_id": eid,
+                        "ts": f"2024-01-{day:02d}T0{b}:00:00",
+                        "user_id": u,
+                        "event_type": etype,
+                        "value": float(10 + 7 * u + 3 * b + day),
+                        "props": "{}",
+                    }
+                )
+        _write_events(src / f"b{b}.json", batch)
+        all_rows += batch
+
+    t = VersionedTable(str(tmp_path / "cuped_state"))
+    q = streaming_cuped_state(spark, str(src), t, str(tmp_path / "cp_ckpt"))
+    q.awaitTermination(120)
+
+    ev = spark.createDataFrame(
+        [
+            (r["user_id"], r["event_type"], r["ts"], r["value"])
+            for r in all_rows
+        ],
+        ["user_id", "event_type", "ts", "value"],
+    ).withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    want_users = {
+        r.user_id: (r.pre_cents, r.post_cents)
+        for r in cuped_user_stats(ev).collect()
+    }
+    got_users = {
+        r.user_id: (r.pre_cents, r.post_cents)
+        for r in t.read(spark).collect()
+    }
+    assert got_users == want_users
+    # a user's pre and post are both non-zero (the split engaged)
+    assert all(p > 0 and q_ > 0 for p, q_ in got_users.values())
+
+    got = cuped_readout_from_state(spark, t).collect()
+    want = cuped_readout(cuped_user_stats(ev)).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # replay with a fresh checkpoint: the batch-id guard must skip all
+    # batches (no double-counted revenue)
+    q2 = streaming_cuped_state(spark, str(src), t, str(tmp_path / "cp_ckpt2"))
+    q2.awaitTermination(120)
+    again = {
+        r.user_id: (r.pre_cents, r.post_cents)
+        for r in t.read(spark).collect()
+    }
+    assert again == want_users
