@@ -314,10 +314,17 @@ def main() -> int:
     # discards that warmup AND one noise spike, unlike a min (which hides
     # steady-state regressions behind one lucky pass) or a single run.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # SPARK_GRAFT_BENCH_SET=core restricts the sweep to the FROZEN core
+    # (median-of-5 core takes are the cross-round regression gate — the
+    # full headline's 185+-query noise floor buries ±5% core drift).
+    # Default stays the full headline: the driver's per-round record
+    # must keep covering every registered operator.
+    bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET", "headline")
+    bench_keys = CORE if bench_set == "core" else HEADLINE
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     loads: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in bench_keys:
         if key not in qs:
             continue
         try:
@@ -365,12 +372,16 @@ def main() -> int:
             "idle": bool(0 <= pre_load < 1.5),
             "unit": "sec",
             "metric": "headline_total",
+            "bench_set": bench_set,
             "core_queries": len([k for k in CORE if k in timings]),
             "core_total": core_total,
             "value": total,
         }
     )
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    # core-set takes land in their own file so a core run never
+    # clobbers the committed full-headline record (and vice versa)
+    fname = "BENCH_CORE.json" if bench_set == "core" else "BENCH_LOCAL.json"
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     with open(out, "w") as f:
         f.write(line + "\n")
     print(line)

@@ -44,9 +44,22 @@ def _latest_two() -> tuple[str, str]:
 
 
 def main(argv: list[str]) -> int:
+    # --core: gate on the FROZEN core only (the cross-round regression
+    # bar; the ever-growing full headline compares key-by-key too, but
+    # its noise floor is wider — see SURVEY §6)
+    core_only = "--core" in argv
+    argv = [a for a in argv if a != "--core"]
     old_path, new_path = argv[1:3] if len(argv) >= 3 else _latest_two()
     old, new = _load(old_path), _load(new_path)
     oldq, newq = old.get("queries", {}), new.get("queries", {})
+    if core_only:
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from bench import CORE
+
+        oldq = {k: v for k, v in oldq.items() if k in CORE}
+        newq = {k: v for k, v in newq.items() if k in CORE}
     flagged = []
     print(f"# {old_path} ({old.get('value')}s) -> {new_path} ({new.get('value')}s)")
     for key in sorted(newq):
