@@ -279,3 +279,135 @@ def test_bloom_membership_never_false_negative(spark, build_keys, probe_keys):
     assert r.n_true == inter
     assert r.n_false_negative == 0
     assert r.n_maybe == r.n_true + r.n_false_positive
+
+
+# --- PAV isotonic: minimax identity vs the classic sequential pooler ------
+
+
+def _pav_sequential(cells: list[tuple[int, int]]) -> list[int]:
+    """Reference PAV: pool-adjacent-violators over (n, k) cells in order;
+    fitted value floored to ppm exactly as the operator documents."""
+    blocks: list[list[int]] = []  # [n, k]
+    for n, k in cells:
+        blocks.append([n, k])
+        # merge while the last block's rate is below its predecessor's
+        while len(blocks) >= 2:
+            n2, k2 = blocks[-1]
+            n1, k1 = blocks[-2]
+            if k2 * n1 < k1 * n2:  # exact rational compare
+                blocks[-2] = [n1 + n2, k1 + k2]
+                blocks.pop()
+            else:
+                break
+    fitted = []
+    for n, k in blocks:
+        # each block spans as many input cells as its pooled n covers —
+        # reconstruct by walking the inputs again
+        fitted.append((n, (k * 1_000_000) // n))
+    expanded = []
+    i = 0
+    for n, v in fitted:
+        acc = 0
+        while acc < n:
+            acc += cells[i][0]
+            expanded.append(v)
+            i += 1
+    return expanded
+
+
+@settings(deadline=None, max_examples=12, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),  # n_docs
+            st.integers(min_value=0, max_value=40),  # n_label_keep <= n
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_isotonic_minimax_equals_sequential_pav(spark, cells):
+    """The operator's max-min-over-intervals formulation must agree with
+    the classic sequential PAV (both in floored ppm) on arbitrary
+    reliability frames — the minimax identity, executed distributed."""
+    from maap_data_pipelines_spark.operators.curation import (
+        isotonic_from_deciles,
+    )
+
+    cells = [(n, min(k, n)) for n, k in cells]
+    df = spark.createDataFrame(
+        [(i, n, k) for i, (n, k) in enumerate(cells)],
+        "conf_decile bigint, n_docs bigint, n_label_keep bigint",
+    )
+    got = [
+        r.calibrated_ppm
+        for r in sorted(
+            isotonic_from_deciles(df).collect(), key=lambda r: r.conf_decile
+        )
+    ]
+    want = _pav_sequential(cells)
+    assert got == want
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200_000),  # pre cents
+            st.integers(min_value=0, max_value=200_000),  # post cents
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_cuped_readout_matches_numpy(spark, users):
+    """cuped_readout's theta/rho2/adjusted-lift over arbitrary per-user
+    frames must match the straight numpy regression-adjustment formulas
+    (floored at the documented quantizations) — the kernel is closed-form,
+    so the agreement is exact, not approximate."""
+    import math
+
+    import numpy as np
+
+    from maap_data_pipelines_spark.plans.events import cuped_readout
+
+    df = spark.createDataFrame(
+        [(i, p, q) for i, (p, q) in enumerate(users)],
+        "user_id bigint, pre_cents bigint, post_cents bigint",
+    )
+    rows = cuped_readout(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+
+    # replicate the md5 arm split
+    import hashlib
+
+    def arm(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    arms = np.array([arm(i) for i in range(len(users))])
+    x = np.array([p for p, _ in users], dtype=np.int64)
+    y = np.array([q for _, q in users], dtype=np.int64)
+    n = len(users)
+    n_a, n_b = int((arms == 0).sum()), int((arms == 1).sum())
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    if n_a == 0 or n_b == 0:
+        return  # degenerate split: means are NULL-guarded engine-side
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    varx = float(n) * sxx - float(sx) * sx
+    cov = float(n) * sxy - float(sx) * sy
+    vary = float(n) * syy - float(sy) * sy
+    if varx != 0.0:
+        theta = cov / varx
+        assert r.theta_micro == math.floor(theta * 1_000_000)
+        pre_a = int(x[arms == 0].sum()); pre_b = int(x[arms == 1].sum())
+        post_a = int(y[arms == 0].sum()); post_b = int(y[arms == 1].sum())
+        diff = (post_b / n_b - post_a / n_a) - theta * (
+            pre_b / n_b - pre_a / n_a
+        )
+        assert r.diff_cuped_milli == math.floor(diff * 1000)
+    if varx != 0.0 and vary != 0.0:
+        assert r.rho2_ppm == math.floor(cov * cov / (varx * vary) * 1_000_000)
