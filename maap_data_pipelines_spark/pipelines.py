@@ -732,6 +732,56 @@ def run_retrieval_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     }
 
 
+def run_experiment_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """One-stop experiment readout — the report an experimentation
+    platform renders per test, in trust order.
+
+    Composes the oracled experimentation battery into a single artifact
+    directory + summary dict: (1) the SRM TRUST GATE first (a broken
+    assignment invalidates everything downstream regardless of
+    significance), (2) the raw two-proportion z readout, (3) the CUPED
+    variance-reduced readout (the number actually shipped), (4) the
+    post-hoc power table, (5) the forward-looking MDE curve. Every
+    section is an already-oracled registered operator; the report is
+    their composition, persisted as parquet per section — the
+    run_embedding_health_report pattern applied to experimentation.
+    """
+    from .plans import events as ev
+
+    sections = {
+        "srm": ev.events_ab_srm_check(spark, sf_dir),
+        "z_readout": ev.events_ab_test(spark, sf_dir),
+        "cuped": ev.events_cuped(spark, sf_dir),
+        "power": ev.events_ab_power(spark, sf_dir),
+        "mde_curve": ev.events_mde_curve(spark, sf_dir),
+    }
+    for name, df in sections.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    srm = spark.read.parquet(os.path.join(out_dir, "srm")).collect()[0]
+    z = spark.read.parquet(os.path.join(out_dir, "z_readout")).collect()[0]
+    cuped = spark.read.parquet(os.path.join(out_dir, "cuped")).collect()[0]
+    mde = spark.read.parquet(os.path.join(out_dir, "mde_curve"))
+    feasible = (
+        mde.filter(F.col("feasible_now") == 1)
+        .agg(F.min("delta_micro").alias("m"))
+        .collect()[0]
+        .m
+    )
+    return {
+        # the gate: downstream numbers are only readable if this is 0
+        "srm_suspected": int(srm.srm_suspected),
+        "n_a": int(z.n_a),
+        "n_b": int(z.n_b),
+        "z_milli": int(z.z_milli),
+        "diff_raw_milli": int(cuped.diff_raw_milli),
+        "diff_cuped_milli": int(cuped.diff_cuped_milli),
+        "variance_reduction_ppm": int(cuped.rho2_ppm),
+        # smallest lift (micro) the CURRENT population can already detect;
+        # None when even 10ppt is out of reach
+        "min_feasible_mde_micro": None if feasible is None else int(feasible),
+    }
+
+
 def run_live_rollup_pipeline(
     spark: SparkSession,
     landing_dir: str,

@@ -399,3 +399,42 @@ def test_privacy_release_report_gates_consistently(spark, sf_dir, tmp_path):
         and rep["n_classes_t_fail"] == 0
     )
     assert rep["worst_t_micro"] >= 0
+
+
+def test_experiment_report_end_to_end(spark, sf_dir, tmp_path):
+    from maap_data_pipelines_spark.pipelines import run_experiment_report
+
+    out = str(tmp_path / "exp_out")
+    m = run_experiment_report(spark, sf_dir, out)
+    # the gate + readout identities
+    assert m["srm_suspected"] in (0, 1)
+    assert m["n_a"] > 0 and m["n_b"] > 0
+    assert 0 <= m["variance_reduction_ppm"] <= 1_000_000
+    # every persisted section is the registered operator's exact frame
+    from maap_data_pipelines_spark.plans import events as ev
+
+    for name, fn in (
+        ("srm", ev.events_ab_srm_check),
+        ("z_readout", ev.events_ab_test),
+        ("cuped", ev.events_cuped),
+        ("power", ev.events_ab_power),
+        ("mde_curve", ev.events_mde_curve),
+    ):
+        back = spark.read.parquet(out + "/" + name)
+        want = fn(spark, sf_dir)
+        assert sorted(back.columns) == sorted(want.columns)
+        key = lambda r: tuple(  # noqa: E731
+            (v is None, v) for v in (r[c] for c in sorted(back.columns))
+        )
+        assert sorted(back.collect(), key=key) == sorted(
+            want.collect(), key=key
+        )
+    # the summary's feasible MDE is consistent with the persisted curve
+    mde = spark.read.parquet(out + "/mde_curve").collect()
+    feas = [r.delta_micro for r in mde if r.feasible_now == 1]
+    if feas:
+        assert m["min_feasible_mde_micro"] == min(feas)
+    else:
+        assert m["min_feasible_mde_micro"] is None
+    # idempotent: rerun == same summary
+    assert run_experiment_report(spark, sf_dir, out) == m
