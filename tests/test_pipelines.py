@@ -438,3 +438,18 @@ def test_experiment_report_end_to_end(spark, sf_dir, tmp_path):
         assert m["min_feasible_mde_micro"] is None
     # idempotent: rerun == same summary
     assert run_experiment_report(spark, sf_dir, out) == m
+
+
+def test_curation_pipeline_yield_section_matches_registered(spark, sf_dir, tmp_path):
+    """The pipeline's persisted yield report must equal the registered
+    curation_yield_report row-for-row (the cascade_verdicts sharing must
+    not change a single number)."""
+    from maap_data_pipelines_spark.pipelines import run_curation_pipeline
+    from maap_data_pipelines_spark.plans.llm import curation_yield_report
+
+    out = str(tmp_path / "cur_yield")
+    run_curation_pipeline(spark, sf_dir, out)
+    back = spark.read.parquet(out + "/yield")
+    want = curation_yield_report(spark, sf_dir)
+    key = lambda r: r.reason  # noqa: E731
+    assert sorted(back.collect(), key=key) == sorted(want.collect(), key=key)

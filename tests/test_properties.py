@@ -411,3 +411,33 @@ def test_cuped_readout_matches_numpy(spark, users):
         assert r.diff_cuped_milli == math.floor(diff * 1000)
     if varx != 0.0 and vary != 0.0:
         assert r.rho2_ppm == math.floor(cov * cov / (varx * vary) * 1_000_000)
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=2),  # sample width (bytes)
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400),
+)
+def test_wav_codec_roundtrip_property(width, samples):
+    """Any PCM sample sequence survives encode->decode exactly through
+    the stdlib WAV container (8-bit clamped to unsigned range)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from maap_data_pipelines_spark.operators.multimodal import decode_media
+
+    if width == 1:
+        samples = [s & 0xFF for s in samples]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(width)
+        wf.setframerate(8000)
+        if width == 1:
+            wf.writeframes(bytes(samples))
+        else:
+            wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    arr = decode_media(buf.getvalue(), "audio/wav")
+    assert arr.tolist() == samples
