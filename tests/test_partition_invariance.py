@@ -86,6 +86,16 @@ KEYS = [
     "ann_centroid_balance",
     "events_cuped",
     "quality_isotonic_calibration",
+    # r8 extension: the five-stage cascade composition and its yield
+    # rollup, the four-method attribution grid, the decile
+    # cross-multiplication bucketing, TakeOrdered-fed OLS, and pioneer
+    # (min doc_id) attribution
+    "corpus_curation_extended",
+    "curation_yield_report",
+    "events_attribution_comparison",
+    "quality_nb_calibration",
+    "doc_zipf_fit",
+    "vocab_growth",
 ]
 
 
