@@ -410,3 +410,25 @@ def test_batch_session_window_matches_lag_sessionize(spark, sf_dir):
         for r in registry.queries()["events_sessionize"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cuped_plan_is_two_aggregates_no_joins(spark, sf_dir):
+    """events_cuped's 100TB contract: one corpus scan, the per-user
+    partial/final aggregate, one single-row global aggregate — exactly
+    two Exchanges, zero joins, zero windows."""
+    plan = _physical(spark, "events_cuped", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 2
+    assert plan.count("Scan parquet") == 1
+
+
+def test_isotonic_lattice_runs_on_checkpointed_deciles(spark, sf_dir):
+    """quality_isotonic_calibration's corpus-sized work is exactly the
+    inherited classifier pass: the PAV lattice join consumes the
+    localCheckpointed <=10-row decile frame (ExistingRDD scans), so the
+    corpus parquet is scanned only by the (pre-checkpoint) scoring
+    lineage — the registered plan itself reads NO parquet."""
+    plan = _physical(spark, "quality_isotonic_calibration", sf_dir)
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # corpus paid once, at checkpoint time
