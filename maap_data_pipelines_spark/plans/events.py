@@ -2604,6 +2604,196 @@ FROM s
 CUPED_SQL = _cuped_sql()
 
 
+def events_cuped_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified CUPED: per-stratum theta — the multi-covariate
+    production variant of :func:`events_cuped`.
+
+    Real experimentation platforms never fit ONE theta across a
+    heterogeneous population: a whale's pre-period revenue predicts its
+    post-period revenue on a different slope than a dormant user's, so
+    the covariate adjustment is fit WITHIN strata and the per-stratum
+    adjusted lifts are combined by weight (post-stratification, Deng et
+    al. WSDM'13 §5). Stratum = digit count of the user's pre-period
+    revenue cents (0 for no pre-revenue) — an exact integer log10
+    bucketing that needs no quantile pass, adapts to any corpus scale,
+    and is pre-experiment by construction (unaffected by treatment).
+    Same md5 arm hash, same five exact int64 sufficient statistics and
+    the SAME theta/diff/rho2 double expression trees as events_cuped,
+    just grouped one level finer; degenerate strata (single-arm or
+    zero pre-variance) surface as NULLs via NULLIF guards instead of
+    poisoning the readout. The combined estimate is the
+    n-weighted integer fold of diff_cuped_milli over strata — left to
+    the consumer (pipelines layer) because it is grain-changing.
+
+    Scale shape: one corpus scan -> map-side-combined per-user agg ->
+    per-stratum agg (<= ~12 rows: digit counts). Two exchanges, zero
+    joins, zero windows — identical to events_cuped's pinned shape with
+    one extra tiny groupBy key. Int64 headroom: per-stratum Sxy <=
+    global Sxy, so events_cuped's documented ~2e5 x sf0.1 user ceiling
+    carries over unchanged.
+    """
+    return cuped_stratified_readout(cuped_user_stats(read_events(spark, sf_dir)))
+
+
+_CUPED_STRATUM = (
+    "CAST(CASE WHEN pre_cents <= 0 THEN 0"
+    " ELSE length(CAST(pre_cents AS {vtype})) END AS BIGINT)"
+)
+
+
+def cuped_stratified_readout(per_user: DataFrame) -> DataFrame:
+    """Per-stratum CUPED readout from a (user_id, pre_cents, post_cents)
+    frame (batch or the ST19 streaming state — additively mergeable, so
+    the stream twin reaches the identical frame)."""
+    armed = per_user.select(
+        F.expr(_CUPED_STRATUM.format(vtype="STRING")).alias("stratum"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT) % 2"
+        ).alias("arm"),
+        "pre_cents",
+        "post_cents",
+    )
+    s = armed.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre_cents")).otherwise(0)).alias("pre_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre_cents")).otherwise(0)).alias("pre_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post_cents")).otherwise(0)).alias("post_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post_cents")).otherwise(0)).alias("post_b"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_cents").alias("sx"),
+        F.sum("post_cents").alias("sy"),
+        F.sum(F.expr("pre_cents * pre_cents")).alias("sxx"),
+        F.sum(F.expr("post_cents * post_cents")).alias("syy"),
+        F.sum(F.expr("pre_cents * post_cents")).alias("sxy"),
+    )
+    theta = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))"
+    )
+    diff_cuped = (
+        "((CAST(post_b AS DOUBLE) / NULLIF(n_b, 0)"
+        " - CAST(post_a AS DOUBLE) / NULLIF(n_a, 0))"
+        f" - {theta} * (CAST(pre_b AS DOUBLE) / NULLIF(n_b, 0)"
+        " - CAST(pre_a AS DOUBLE) / NULLIF(n_a, 0)))"
+    )
+    rho2 = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0))"
+    )
+    return (
+        s.select(
+            "stratum",
+            "n_a",
+            "n_b",
+            F.expr("(post_a * 1000) div NULLIF(n_a, 0)").alias(
+                "post_mean_a_milli"
+            ),
+            F.expr("(post_b * 1000) div NULLIF(n_b, 0)").alias(
+                "post_mean_b_milli"
+            ),
+            F.expr(f"CAST(FLOOR({theta} * 1000000) AS BIGINT)").alias(
+                "theta_micro"
+            ),
+            F.expr(
+                "(post_b * 1000) div NULLIF(n_b, 0)"
+                " - (post_a * 1000) div NULLIF(n_a, 0)"
+            ).alias("diff_raw_milli"),
+            F.expr(f"CAST(FLOOR({diff_cuped} * 1000) AS BIGINT)").alias(
+                "diff_cuped_milli"
+            ),
+            F.expr(f"CAST(FLOOR({rho2} * 1000000) AS BIGINT)").alias(
+                "rho2_ppm"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
+def _cuped_stratified_sql() -> str:
+    theta = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))"
+    )
+    diff_cuped = (
+        "((CAST(post_b AS DOUBLE) / NULLIF(n_b, 0)"
+        " - CAST(post_a AS DOUBLE) / NULLIF(n_a, 0))"
+        f" - {theta} * (CAST(pre_b AS DOUBLE) / NULLIF(n_b, 0)"
+        " - CAST(pre_a AS DOUBLE) / NULLIF(n_a, 0)))"
+    )
+    rho2 = (
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0))"
+    )
+    stratum = _CUPED_STRATUM.format(vtype="VARCHAR")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND epoch_us(ts) < {CUPED_SPLIT_US}
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre_cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND epoch_us(ts) >= {CUPED_SPLIT_US}
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post_cents
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT {stratum} AS stratum,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+           AS arm,
+         pre_cents, post_cents
+  FROM per_user
+),
+s AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN pre_cents ELSE 0 END) AS BIGINT) AS pre_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN pre_cents ELSE 0 END) AS BIGINT) AS pre_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN post_cents ELSE 0 END) AS BIGINT) AS post_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN post_cents ELSE 0 END) AS BIGINT) AS post_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pre_cents) AS BIGINT) AS sx,
+         CAST(SUM(post_cents) AS BIGINT) AS sy,
+         CAST(SUM(pre_cents * pre_cents) AS BIGINT) AS sxx,
+         CAST(SUM(post_cents * post_cents) AS BIGINT) AS syy,
+         CAST(SUM(pre_cents * post_cents) AS BIGINT) AS sxy
+  FROM armed GROUP BY stratum
+)
+SELECT stratum, n_a, n_b,
+       (post_a * 1000) // NULLIF(n_a, 0) AS post_mean_a_milli,
+       (post_b * 1000) // NULLIF(n_b, 0) AS post_mean_b_milli,
+       CAST(FLOOR({theta} * 1000000) AS BIGINT) AS theta_micro,
+       (post_b * 1000) // NULLIF(n_b, 0) - (post_a * 1000) // NULLIF(n_a, 0)
+         AS diff_raw_milli,
+       CAST(FLOOR({diff_cuped} * 1000) AS BIGINT) AS diff_cuped_milli,
+       CAST(FLOOR({rho2} * 1000000) AS BIGINT) AS rho2_ppm
+FROM s ORDER BY stratum
+"""
+
+
+CUPED_STRATIFIED_SQL = _cuped_stratified_sql()
+
+
 
 def events_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (theta) sketch segment-overlap estimates with enforcement flags.
@@ -3395,6 +3585,7 @@ QUERIES = {
     "events_ab_srm_check": events_ab_srm_check,
     "events_mde_curve": events_mde_curve,
     "events_cuped": events_cuped,
+    "events_cuped_stratified": events_cuped_stratified,
     "events_holt_winters": events_holt_winters,
 }
 
@@ -3447,5 +3638,6 @@ ORACLES = {
     "events_ab_srm_check": AB_SRM_SQL,
     "events_mde_curve": MDE_CURVE_SQL,
     "events_cuped": CUPED_SQL,
+    "events_cuped_stratified": CUPED_STRATIFIED_SQL,
     "events_holt_winters": HOLT_WINTERS_SQL,
 }

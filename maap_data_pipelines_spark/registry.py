@@ -154,44 +154,45 @@ _CONFIRMED = {
     "orders_shewhart_control", "dedup_rand_index", "doc_keyphrase_rake",
     "media_scene_cuts", "events_holt_winters", "quality_nb_calibration",
     "orders_backlog_aging", "ann_centroid_balance",
+    # r08 window: CORRECTNESS_r08.json, 50/50 green — the 2 r8 operators
+    # (the other 48 slots re-confirmed r2-era records already listed above).
+    "events_cuped", "quality_isotonic_calibration",
 }
 
-# Every full-oracle key is officially confirmed (cumulative r02-r07
+# Every full-oracle key is officially confirmed (cumulative r02-r08
 # records), so the driver's 50-slot window is free capacity. _RECONFIRM
 # spends it deliberately: the listed confirmed keys sort directly after
 # the (few) never-confirmed keys, in THIS order. As of r8 the fill policy
 # is STALENESS ROTATION (VERDICT r7 item 1): the window re-proves the
 # keys whose newest official record is oldest, so no registered key's
-# record lags the engine's growth by more than a few rounds. The r8 list
-# is every key whose newest green record is CORRECTNESS_r02 (48 keys —
-# the tpch head, the r2 events wave, the documents text head) plus the
-# two most intricate r3-era keys (iterative Lloyd + within-cluster
-# semantic dedup); the r9 rotation continues with the remaining r3-era
-# records (ann quantized tier, dedup graph, stac head), then r4, r5.
+# record lags the engine's growth by more than a few rounds. The r9 list
+# (emitted by tools/rotation.py after the r8 fold) is the 50 keys whose
+# newest green record is CORRECTNESS_r03: the kmeans/semantic pair the r8
+# window displaced, the 15-key STAC head, corpus_curation + the dedup/ANN
+# r3 wave, and the sqlapi pair. The 2 new r9 operators take the window's
+# lead slots, displacing the last 2 entries (sql_revenue_by_nation,
+# sql_priority_share) to the r10 rotation alongside the r4-era records.
 _RECONFIRM = [
-    # r2-era events wave (newest record: CORRECTNESS_r02)
-    "events_sessionize", "events_asof_attribution", "events_purchase_context",
-    "events_funnel", "events_cube", "events_retention_triangle",
-    "events_rollup_multigrain", "events_value_quantiles", "events_type_pivot",
-    "events_json_props", "events_hourly_rollup", "events_hourly_anomaly",
-    "events_concurrency", "events_dau_wau",
-    # r2-era tpch head
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "q10_returned_items", "q11_important_stock", "q12_shipmode",
-    "q13_customer_distribution", "q14_promo", "q15_top_supplier",
-    "q16_supplier_diversity", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
-    "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    # r2-era tpch2 analytics head
-    "top_customers_window", "order_cohort_retention",
-    "orders_running_revenue", "revenue_concentration", "market_basket_types",
-    # r2-era documents text head
-    "token_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "quality_filter", "term_topk", "bigram_topk",
-    # the 2 most intricate r3-era records round out the 50 slots
     "embedding_kmeans", "semantic_dedup",
+    # r3-era STAC head
+    "assets_neighbor_join", "s3_discovery", "inventory_discovery", "item_id",
+    "extract_dates", "datetime_range", "media_type_map", "multi_asset_group",
+    "bbox", "build_stac_items", "transfer_plan", "stac_item_json",
+    "catalog_summary", "cogify", "cmr_discovery",
+    # r3-era dedup / curation wave
+    "corpus_curation", "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_simhash", "ngram_jaccard", "dedup_clusters", "dedup_pagerank",
+    "similar_docs_topk", "dedup_cluster_sizes", "dedup_triangles",
+    "minhash_calibration",
+    # r3-era ANN / embedding wave
+    "ann_cosine_topk", "ann_lsh_buckets", "semantic_decontaminate",
+    "embedding_dedup", "embedding_dedup_lsh", "embedding_dedup_mp",
+    "embedding_dedup_banded", "embedding_dedup_recall",
+    "ann_ivf_topk", "ann_ivf_topk2", "ann_ivf_recall", "ann_ivf_recall2",
+    "ann_ivf_kmeans_topk", "ann_ivf_kmeans_recall", "ann_l2_topk",
+    "ann_pq_topk", "ann_pq_recall", "ann_pq_rerank", "ann_pq_rerank_recall",
+    # r3-era sqlapi pair (window tail — displaced to r10 by the r9 wave)
+    "sql_revenue_by_nation", "sql_priority_share",
 ]
 
 
