@@ -1673,7 +1673,8 @@ def isotonic_from_deciles(deciles: DataFrame) -> DataFrame:
         "n_label_keep",
         F.sum("n_docs").over(wcum).alias("cum_n"),
         F.sum("n_label_keep").over(wcum).alias("cum_k"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: building the plan costs nothing;
+    # the checkpoint materializes with the first consuming action
     j = pref.select(
         F.col("conf_decile").alias("j"),
         "n_docs",
@@ -1919,3 +1920,201 @@ FROM iso ORDER BY conf_decile
 
 
 QUERY_SQL["quality_isotonic_calibration"] = _isotonic_sql()
+
+
+def platt_from_deciles(deciles: DataFrame) -> DataFrame:
+    """Platt-style parametric calibration over a (conf_decile, n_docs,
+    n_label_keep) reliability frame — closed-form, no iteration.
+
+    Platt scaling fits p = sigmoid(a*s + b) by logistic MLE; the MLE is
+    iterative (IRLS) and its float trajectory is not reproducible across
+    engines. At decile grain the classical closed-form surrogate is
+    Berkson's minimum logit chi-squared estimator (Berkson, JASA 1944):
+    weighted least squares of the EMPIRICAL logits z_i on the decile
+    index, with the IRLS weights n_i*t_i*(1-t_i) evaluated at the
+    observed (Laplace-smoothed) rates t_i = (k_i+1)/(n_i+2) — exactly
+    the first IRLS step initialized at the observed rates, and the
+    asymptotically efficient estimator in its own right. Smoothing
+    doubles as Platt's out-of-sample correction for separated deciles
+    (t never reaches 0/1, so every logit is finite).
+
+    Determinism discipline (the cuped pattern): z is quantized to
+    milli-logits of an integer RATIO ln((k+1)/(n-k+1)) and w to exact
+    integer micro-weights via decimal(38,0)/HUGEINT division, so the
+    five OLS sufficient statistics (S0,S1,S2,Sz,Sxz) are EXACT integer
+    sums — association-order-free — and (a, b) fall out of one identical
+    double expression tree on both engines. Only the final sigmoid's
+    exp() is float-transcendental, applied once per output row to
+    bit-identical inputs.
+
+    Output per decile: observed_ppm, platt_ppm = floor(1e6*sigmoid),
+    and the fitted slope/intercept (micro-logits, floor-quantized).
+
+    Scale shape: the input frame is decile-grain (<=10 rows) — one tiny
+    agg + a broadcast cross-join back; plan constant in corpus size.
+    Headroom: w_micro <= n/4 * 1e6 and |z_milli| <= ~1000*ln(n), so
+    Sxz stays under int64 to ~1e11 docs/decile; the decimal(38,0)
+    intermediates clear 1e38 by >4 digits at any conceivable corpus.
+    """
+    base = deciles.select(
+        "conf_decile", "n_docs", "n_label_keep"
+    ).localCheckpoint(eager=False)
+    q = base.select(
+        "conf_decile",
+        F.expr(
+            "CAST(ROUND(1000 * ln((n_label_keep + 1.0)"
+            " / (n_docs - n_label_keep + 1.0))) AS BIGINT)"
+        ).alias("z_milli"),
+        F.expr(
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * (n_label_keep + 1)"
+            " * (n_docs - n_label_keep + 1) * 1000000)"
+            " div (CAST(n_docs + 2 AS DECIMAL(38,0)) * (n_docs + 2))"
+            " AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    s = q.agg(
+        F.sum(F.expr("CAST(w_micro AS DECIMAL(38,0))")).alias("s0"),
+        F.sum(F.expr("CAST(w_micro AS DECIMAL(38,0)) * conf_decile")).alias("s1"),
+        F.sum(
+            F.expr("CAST(w_micro AS DECIMAL(38,0)) * conf_decile * conf_decile")
+        ).alias("s2"),
+        F.sum(F.expr("CAST(w_micro AS DECIMAL(38,0)) * z_milli")).alias("sz"),
+        F.sum(
+            F.expr("CAST(w_micro AS DECIMAL(38,0)) * conf_decile * z_milli")
+        ).alias("sxz"),
+    )
+    a = (
+        "((CAST(s0 AS DOUBLE) * CAST(sxz AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(sz AS DOUBLE))"
+        " / NULLIF(CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))"
+    )
+    b = (
+        f"((CAST(sz AS DOUBLE) - {a} * CAST(s1 AS DOUBLE))"
+        " / NULLIF(CAST(s0 AS DOUBLE), 0.0))"
+    )
+    return (
+        base.crossJoin(F.broadcast(s))
+        .select(
+            "conf_decile",
+            "n_docs",
+            "n_label_keep",
+            F.expr("(n_label_keep * 1000000) div n_docs").alias(
+                "observed_ppm"
+            ),
+            F.expr(
+                "CAST(FLOOR(1000000.0 / (1.0 + exp(-"
+                f"(({a}) * conf_decile + ({b})) / 1000.0))) AS BIGINT)"
+            ).alias("platt_ppm"),
+            F.expr(f"CAST(FLOOR({a} * 1000) AS BIGINT)").alias("slope_micro"),
+            F.expr(f"CAST(FLOOR({b} * 1000) AS BIGINT)").alias(
+                "intercept_micro"
+            ),
+        )
+        .orderBy("conf_decile")
+    )
+
+
+def quality_platt_scaling(docs: DataFrame) -> DataFrame:
+    """Platt vs isotonic calibration, side by side on the same decile
+    lattice.
+
+    The parametric companion to quality_isotonic_calibration: both fit
+    the NB reliability deciles, but Platt imposes a 2-parameter sigmoid
+    (smooth, extrapolates, never overfits a decile) where isotonic only
+    imposes monotonicity (exact where data is dense, staircase where
+    sparse) — the standard production choice is Platt for small
+    calibration sets and isotonic past ~1k points (Niculescu-Mizil &
+    Caruana, ICML'05). Emitting both per decile makes the trade-off a
+    query result instead of a doc claim.
+
+    Scale shape: ONE corpus scoring scan (the decile frame is lazily
+    checkpointed and shared by both fits); everything downstream is
+    decile-grain. Composes three already-oracled parts: the reliability
+    diagram, :func:`isotonic_from_deciles`, :func:`platt_from_deciles`.
+    """
+    deciles = quality_nb_calibration(docs).select(
+        "conf_decile", "n_docs", "n_label_keep"
+    ).localCheckpoint(eager=False)
+    platt = platt_from_deciles(deciles)
+    iso = isotonic_from_deciles(deciles).select(
+        "conf_decile", F.col("calibrated_ppm").alias("isotonic_ppm")
+    )
+    return platt.join(F.broadcast(iso), "conf_decile").orderBy("conf_decile")
+
+
+def _platt_sql() -> str:
+    cal = _nb_calibration_sql().rstrip().rstrip('"').rstrip()
+    assert cal.endswith("ORDER BY 1")
+    cal = cal[: -len("ORDER BY 1")]
+    a = (
+        "((CAST(s0 AS DOUBLE) * CAST(sxz AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(sz AS DOUBLE))"
+        " / NULLIF(CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))"
+    )
+    b = (
+        f"((CAST(sz AS DOUBLE) - {a} * CAST(s1 AS DOUBLE))"
+        " / NULLIF(CAST(s0 AS DOUBLE), 0.0))"
+    )
+    return f"""
+WITH cal AS ({cal}),
+q AS (
+  SELECT conf_decile,
+         CAST(ROUND(1000 * ln((n_label_keep + 1.0)
+              / (n_docs - n_label_keep + 1.0))) AS BIGINT) AS z_milli,
+         CAST((CAST(n_docs AS HUGEINT) * (n_label_keep + 1)
+               * (n_docs - n_label_keep + 1) * 1000000)
+              // (CAST(n_docs + 2 AS HUGEINT) * (n_docs + 2)) AS BIGINT)
+           AS w_micro
+  FROM cal
+),
+s AS (
+  SELECT SUM(CAST(w_micro AS HUGEINT)) AS s0,
+         SUM(CAST(w_micro AS HUGEINT) * conf_decile) AS s1,
+         SUM(CAST(w_micro AS HUGEINT) * conf_decile * conf_decile) AS s2,
+         SUM(CAST(w_micro AS HUGEINT) * z_milli) AS sz,
+         SUM(CAST(w_micro AS HUGEINT) * conf_decile * z_milli) AS sxz
+  FROM q
+),
+pref AS (
+  SELECT conf_decile, n_docs, n_label_keep,
+         CAST(SUM(n_docs) OVER (ORDER BY conf_decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_n,
+         CAST(SUM(n_label_keep) OVER (ORDER BY conf_decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_k
+  FROM cal
+),
+iv AS (
+  SELECT a.conf_decile AS j, a.n_docs, a.n_label_keep,
+         a.cum_n - a.n_docs AS n_before, a.cum_k - a.n_label_keep AS k_before,
+         b.cum_n AS cum_n_l, b.cum_k AS cum_k_l
+  FROM pref a JOIN pref b ON a.conf_decile <= b.conf_decile
+),
+mins AS (
+  SELECT j, n_docs, n_label_keep,
+         MIN(((cum_k_l - k_before) * 1000000) // (cum_n_l - n_before)) AS m
+  FROM iv GROUP BY j, n_docs, n_label_keep
+),
+iso AS (
+  SELECT j AS conf_decile, n_docs, n_label_keep,
+         (n_label_keep * 1000000) // n_docs AS observed_ppm,
+         CAST(MAX(m) OVER (ORDER BY j
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS calibrated_ppm
+  FROM mins
+)
+SELECT i.conf_decile, i.n_docs, i.n_label_keep, i.observed_ppm,
+       CAST(FLOOR(1000000.0 / (1.0 + exp(-(({a}) * i.conf_decile + ({b}))
+            / 1000.0))) AS BIGINT) AS platt_ppm,
+       CAST(FLOOR({a} * 1000) AS BIGINT) AS slope_micro,
+       CAST(FLOOR({b} * 1000) AS BIGINT) AS intercept_micro,
+       i.calibrated_ppm AS isotonic_ppm
+FROM iso i CROSS JOIN s
+ORDER BY i.conf_decile
+"""
+
+
+QUERY_SQL["quality_platt_scaling"] = _platt_sql()

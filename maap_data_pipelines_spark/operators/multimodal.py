@@ -53,22 +53,108 @@ def make_media_df(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Stdlib PNG decode: chunk walk -> zlib inflate -> unfilter.
+
+    Supports the non-interlaced 8-bit-depth profiles (gray / RGB /
+    gray+alpha / RGBA) — the shapes every screenshot/thumbnail pipeline
+    actually emits. Returns pixels as a flat int64 array in top-down
+    row-major sample order (the same 1-D contract as the WAV path, so
+    every downstream histogram/hash/window operator is codec-agnostic).
+    Filters 0-4 (None/Sub/Up/Average/Paeth) are reconstructed per spec;
+    the per-byte Python loop is fine at Arrow-batch test scale — a
+    production deployment swaps this function for a vectorized library
+    behind the identical mapInPandas plumbing.
+    """
+    import struct
+    import zlib
+
+    buf = bytes(payload)
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = b""
+    while pos + 8 <= len(buf):
+        (length,), ctype = struct.unpack(">I", buf[pos : pos + 4]), buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_code, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype_code not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"unsupported PNG profile: depth={depth} color={ctype_code} "
+            f"interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[ctype_code]
+    stride = width * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the in-row left neighbor
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter byte: {f}")
+                rec[i] = (cur[i] + pred) & 0xFF
+        out[r] = rec
+        prev = rec
+    return out.reshape(-1)
+
+
 def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> np.ndarray:
     """Decode a media payload to a pixel/sample array.
 
-    ONE REAL CODEC PATH, zero new dependencies: ``audio/wav`` payloads
-    that are actual RIFF/WAVE containers are parsed with the stdlib
-    ``wave`` module — container header stripped, fmt chunk honoured,
-    interleaved PCM frames returned as int64 samples (8-bit unsigned
-    and 16-bit signed little-endian, the two classic PCM encodings).
-    tests/test_multimodal.py generates real WAV bytes and drives them
-    through the window/silence operators end-to-end.
+    TWO REAL CODEC PATHS, zero new dependencies:
 
-    Everything else stays STUBBED: image/video decoding needs
-    PIL/ffmpeg, which are not in this container. With ``allow_stub``
-    the payload bytes themselves are reinterpreted as the sample array
-    (deterministic, shape-correct plumbing); without it this raises so
-    nobody mistakes the stub for a real codec.
+    - ``audio/wav`` payloads that are actual RIFF/WAVE containers are
+      parsed with the stdlib ``wave`` module — container header
+      stripped, fmt chunk honoured, interleaved PCM frames returned as
+      int64 samples (8-bit unsigned and 16-bit signed little-endian,
+      the two classic PCM encodings).
+    - ``image/png`` payloads that carry the PNG signature are decoded
+      via the stdlib ``zlib`` chunk walk in :func:`_decode_png`
+      (8-bit gray/RGB/gray+alpha/RGBA, filters 0-4, non-interlaced).
+
+    tests/test_multimodal.py generates real WAV and real PNG bytes and
+    drives them through the window/histogram/hash operators end-to-end.
+
+    Everything else stays STUBBED: video decoding needs ffmpeg, exotic
+    PNG/WAV profiles need PIL/soundfile, none of which are in this
+    container. With ``allow_stub`` an unsupported payload falls back to
+    byte-passthrough (deterministic, shape-correct plumbing); without
+    it this raises so nobody mistakes the stub for a real codec.
     """
     if (
         media_type == "audio/wav"
@@ -85,7 +171,19 @@ def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> n
             return np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
         if width == 2:
             return np.frombuffer(raw, dtype="<i2").astype(np.int64)
-        raise NotImplementedError(f"unsupported WAV sample width: {width}")
+        if not allow_stub:
+            raise NotImplementedError(
+                f"unsupported WAV sample width: {width}; pass allow_stub=True"
+                " for the deterministic byte-passthrough used in tests"
+            )
+        return np.frombuffer(payload, dtype=np.uint8)
+    if media_type == "image/png" and payload[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            return _decode_png(payload)
+        except NotImplementedError:
+            if not allow_stub:
+                raise
+            return np.frombuffer(payload, dtype=np.uint8)
     if not allow_stub:
         raise NotImplementedError(
             f"no codec available for {media_type}; pass allow_stub=True for "

@@ -83,6 +83,7 @@ QUERIES = {
     "quality_nb_classifier": _wrap(curation.quality_nb_classifier),
     "quality_nb_calibration": _wrap(curation.quality_nb_calibration),
     "quality_isotonic_calibration": _wrap(curation.quality_isotonic_calibration),
+    "quality_platt_scaling": _wrap(curation.quality_platt_scaling),
     "doc_length_anova": _wrap(text.doc_length_anova),
 }
 

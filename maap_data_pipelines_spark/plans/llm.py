@@ -286,7 +286,12 @@ def cascade_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone registered query is pinned by
     tests/test_curation.py::test_cascade_verdicts_matches_standalone.
     """
-    return corpus_curation_extended(spark, sf_dir).localCheckpoint(eager=True)
+    # Lazy checkpoint: callers that BUILD the verdict frame but never run
+    # it (plan inspection, conditional pipelines) pay nothing; the cascade
+    # executes once, with the first consuming action. Checkpointed RDDs
+    # persist for the session either way — long-lived sessions that call
+    # this repeatedly should hold ONE frame and reuse it.
+    return corpus_curation_extended(spark, sf_dir).localCheckpoint(eager=False)
 
 
 def yield_report_from_verdicts(verdicts: DataFrame, docs: DataFrame) -> DataFrame:

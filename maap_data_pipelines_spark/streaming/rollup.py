@@ -845,28 +845,53 @@ def streaming_cuped_state(
     touched users, never the user base). The readout is then
     ``plans.events.cuped_readout`` applied UNCHANGED to the state table:
     stream==batch is equality of inputs into one shared kernel.
-    Exactly-once: the applied-batch-id guard rides the same commit so
-    checkpoint-loss replays cannot double-count revenue.
+
+    Exactly-once via a SOURCE-FILE guard (not a raw batch-id compare):
+    the set of applied source files rides the same atomic manifest
+    commit as the merged sums, and each micro-batch admits only rows
+    from files not yet in that set. This is strictly stronger than the
+    ST18 batch-id guard — after a checkpoint loss, a restart over an
+    EXTENDED source directory re-numbers batches from 0, and an id
+    compare would silently drop the genuinely new files; the file set
+    distinguishes replayed data (skipped) from new data (admitted).
+    ``cuped_batch_id`` is still recorded (monotone max) for
+    observability. The file list grows with the source directory — at
+    production file counts, compact it into a bloom/manifest the way
+    the sink manifests already do; at state-table scale here it is a
+    few strings per commit.
     """
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last = table.latest_meta().get("cuped_batch_id")
-        if last is not None and batch_id <= last:
+        meta = table.latest_meta()
+        done = set(meta.get("cuped_files") or [])
+        with_src = batch_df.withColumn("_src_file", F.input_file_name())
+        files = {
+            r[0] for r in with_src.select("_src_file").distinct().collect()
+        }
+        new_files = files - done
+        if not new_files:
             return
         from ..plans.events import cuped_user_stats
 
+        fresh = with_src.filter(
+            F.col("_src_file").isin(*sorted(new_files))
+        ).drop("_src_file")
         per_user = cuped_user_stats(
-            batch_df.withColumn(
+            fresh.withColumn(
                 "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
             )
         )
+        last = meta.get("cuped_batch_id")
         table.merge_aggregate(
             per_user,
             keys=["user_id"],
             sum_cols=["pre_cents", "post_cents"],
-            meta={"cuped_batch_id": batch_id},
+            meta={
+                "cuped_batch_id": batch_id if last is None else max(batch_id, last),
+                "cuped_files": sorted(done | new_files),
+            },
         )
 
     stream = (

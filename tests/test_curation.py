@@ -510,3 +510,95 @@ def test_isotonic_registered_query_monotone(spark, sf_dir):
     for r in rows:
         assert 0 <= r.calibrated_ppm <= 1_000_000
         assert r.observed_ppm == (r.n_label_keep * 1_000_000) // r.n_docs
+
+
+def _platt_numpy(rows):
+    """Independent replica of the Berkson minimum-logit-chi2 fit with the
+    operator's exact quantization discipline (integer z_milli / w_micro)."""
+    import math
+
+    stats = [0, 0, 0, 0, 0]  # s0, s1, s2, sz, sxz
+    per = []
+    for x, n, k in rows:
+        z = round(1000 * math.log((k + 1.0) / (n - k + 1.0)))
+        w = (n * (k + 1) * (n - k + 1) * 1_000_000) // ((n + 2) * (n + 2))
+        per.append((x, n, k, z, w))
+        stats[0] += w
+        stats[1] += w * x
+        stats[2] += w * x * x
+        stats[3] += w * z
+        stats[4] += w * x * z
+    s0, s1, s2, sz, sxz = (float(v) for v in stats)
+    den = s0 * s2 - s1 * s1
+    a = (s0 * sxz - s1 * sz) / den
+    b = (sz - a * s1) / s0
+    out = {}
+    for x, n, k, _z, _w in per:
+        p = 1_000_000.0 / (1.0 + math.exp(-(a * x + b) / 1000.0))
+        out[x] = (math.floor(p), math.floor(a * 1000), math.floor(b * 1000))
+    return out
+
+
+def test_platt_fit_matches_independent_replica(spark):
+    """platt_from_deciles == a from-scratch Python replica of the
+    closed-form weighted-logit fit on a planted noisy-sigmoid frame
+    (ppm tolerance 1 for the exp() ulp boundary)."""
+    from maap_data_pipelines_spark.operators.curation import platt_from_deciles
+
+    rows = [
+        (0, 40, 2), (1, 35, 4), (2, 50, 9), (3, 45, 15), (4, 60, 28),
+        (5, 55, 33), (6, 48, 36), (7, 52, 45), (8, 38, 35), (9, 44, 43),
+    ]
+    want = _platt_numpy(rows)
+    got = {
+        r.conf_decile: (r.platt_ppm, r.slope_micro, r.intercept_micro)
+        for r in platt_from_deciles(_deciles(spark, rows)).collect()
+    }
+    assert set(got) == set(want)
+    for x in want:
+        assert abs(got[x][0] - want[x][0]) <= 1, (x, got[x], want[x])
+        assert abs(got[x][1] - want[x][1]) <= 1
+        assert abs(got[x][2] - want[x][2]) <= 1
+    # a noisy-but-increasing reliability curve fits a positive slope and
+    # a smooth fit: platt_ppm strictly increasing in the decile
+    ppms = [got[x][0] for x in sorted(got)]
+    assert got[0][1] > 0
+    assert all(p1 < p2 for p1, p2 in zip(ppms, ppms[1:]))
+
+
+def test_platt_separated_deciles_stay_finite(spark):
+    """Perfect separation (all-0 then all-1 deciles) diverges under raw
+    logistic MLE; the Laplace-smoothed closed form must stay finite and
+    monotone — the exact failure mode Platt's smoothing exists for."""
+    from maap_data_pipelines_spark.operators.curation import platt_from_deciles
+
+    rows = [(0, 30, 0), (1, 30, 0), (2, 30, 0), (7, 30, 30), (8, 30, 30), (9, 30, 30)]
+    out = {r.conf_decile: r for r in platt_from_deciles(_deciles(spark, rows)).collect()}
+    assert set(out) == {0, 1, 2, 7, 8, 9}
+    for r in out.values():
+        assert r.platt_ppm is not None and 0 <= r.platt_ppm <= 1_000_000
+    assert out[0].platt_ppm < 100_000 and out[9].platt_ppm > 900_000
+    assert out[0].slope_micro > 0
+
+
+def test_platt_registered_query_composition(spark, sf_dir):
+    """quality_platt_scaling emits BOTH fits on the same lattice: the
+    isotonic column equals the standalone isotonic query's fit, the platt
+    column is a valid probability, and the shared deciles agree with the
+    reliability diagram."""
+    from maap_data_pipelines_spark.operators.curation import (
+        quality_isotonic_calibration,
+        quality_nb_calibration,
+        quality_platt_scaling,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = {r.conf_decile: r for r in quality_platt_scaling(docs).collect()}
+    iso = {r.conf_decile: r for r in quality_isotonic_calibration(docs).collect()}
+    cal = {r.conf_decile: r for r in quality_nb_calibration(docs).collect()}
+    assert set(out) == set(iso) == set(cal)
+    for d, r in out.items():
+        assert r.isotonic_ppm == iso[d].calibrated_ppm
+        assert (r.n_docs, r.n_label_keep) == (cal[d].n_docs, cal[d].n_label_keep)
+        assert 0 <= r.platt_ppm <= 1_000_000

@@ -441,3 +441,71 @@ def test_wav_codec_roundtrip_property(width, samples):
             wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
     arr = decode_media(buf.getvalue(), "audio/wav")
     assert arr.tolist() == samples
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200_000),  # pre cents
+            st.integers(min_value=0, max_value=200_000),  # post cents
+        ),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_cuped_stratified_readout_matches_numpy(spark, users):
+    """Per-stratum CUPED over arbitrary per-user frames == the numpy
+    regression-adjustment formulas applied within each digit-count
+    stratum, NULL guards engaging exactly on the degenerate strata."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from maap_data_pipelines_spark.plans.events import cuped_stratified_readout
+
+    df = spark.createDataFrame(
+        [(i, p, q) for i, (p, q) in enumerate(users)],
+        "user_id bigint, pre_cents bigint, post_cents bigint",
+    )
+    got = {r.stratum: r for r in cuped_stratified_readout(df).collect()}
+
+    def arm(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    def stratum(pre: int) -> int:
+        return 0 if pre <= 0 else len(str(pre))
+
+    strata = sorted({stratum(p) for p, _ in users})
+    assert sorted(got) == strata
+    for s in strata:
+        members = [
+            (i, p, q) for i, (p, q) in enumerate(users) if stratum(p) == s
+        ]
+        arms = np.array([arm(i) for i, _, _ in members])
+        x = np.array([p for _, p, _ in members], dtype=np.int64)
+        y = np.array([q for _, _, q in members], dtype=np.int64)
+        n = len(members)
+        n_a, n_b = int((arms == 0).sum()), int((arms == 1).sum())
+        r = got[s]
+        assert (r.n_a, r.n_b) == (n_a, n_b)
+        if n_a == 0 or n_b == 0:
+            assert r.diff_raw_milli is None and r.diff_cuped_milli is None
+            continue
+        sx, sy = int(x.sum()), int(y.sum())
+        varx = float(n) * int((x * x).sum()) - float(sx) * sx
+        cov = float(n) * int((x * y).sum()) - float(sx) * sy
+        vary = float(n) * int((y * y).sum()) - float(sy) * sy
+        post_a = int(y[arms == 0].sum()); post_b = int(y[arms == 1].sum())
+        assert r.diff_raw_milli == (post_b * 1000) // n_b - (post_a * 1000) // n_a
+        if varx == 0.0:
+            assert r.theta_micro is None and r.diff_cuped_milli is None
+            continue
+        theta = cov / varx
+        assert r.theta_micro == math.floor(theta * 1_000_000)
+        pre_a = int(x[arms == 0].sum()); pre_b = int(x[arms == 1].sum())
+        diff = (post_b / n_b - post_a / n_a) - theta * (pre_b / n_b - pre_a / n_a)
+        assert r.diff_cuped_milli == math.floor(diff * 1000)
+        if vary != 0.0:
+            assert r.rho2_ppm == math.floor(cov * cov / (varx * vary) * 1_000_000)

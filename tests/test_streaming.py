@@ -1466,7 +1466,7 @@ def test_streaming_cuped_state_matches_batch_readout(spark, tmp_path):
     want = cuped_readout(cuped_user_stats(ev)).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
-    # replay with a fresh checkpoint: the batch-id guard must skip all
+    # replay with a fresh checkpoint: the source-file guard must skip all
     # batches (no double-counted revenue)
     q2 = streaming_cuped_state(spark, str(src), t, str(tmp_path / "cp_ckpt2"))
     q2.awaitTermination(120)
@@ -1475,3 +1475,56 @@ def test_streaming_cuped_state_matches_batch_readout(spark, tmp_path):
         for r in t.read(spark).collect()
     }
     assert again == want_users
+
+    # fresh checkpoint over an EXTENDED source dir: batch ids restart
+    # from 0, but the file guard must admit exactly the NEW file's rows
+    # (a raw batch-id compare would silently drop them) while still
+    # skipping every replayed file
+    extra = [
+        {
+            "event_id": 10_000,
+            "ts": "2024-01-20T05:00:00",
+            "user_id": 0,
+            "event_type": "purchase",
+            "value": 123.0,
+            "props": "{}",
+        }
+    ]
+    _write_events(src / "b3.json", extra)
+    all_rows += extra
+    q3 = streaming_cuped_state(spark, str(src), t, str(tmp_path / "cp_ckpt3"))
+    q3.awaitTermination(120)
+    ev2 = spark.createDataFrame(
+        [
+            (r["user_id"], r["event_type"], r["ts"], r["value"])
+            for r in all_rows
+        ],
+        ["user_id", "event_type", "ts", "value"],
+    ).withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    want2 = {
+        r.user_id: (r.pre_cents, r.post_cents)
+        for r in cuped_user_stats(ev2).collect()
+    }
+    got2 = {
+        r.user_id: (r.pre_cents, r.post_cents)
+        for r in t.read(spark).collect()
+    }
+    assert got2 == want2
+    assert got2[0][1] == want_users[0][1] + 12300  # only user 0 moved, post-period
+    # the guard meta records every applied file exactly once
+    assert len(t.latest_meta()["cuped_files"]) == 4
+
+    # the stratified readout is the same shared-kernel property: state
+    # frame in, batch frame in, identical per-stratum rows out
+    from maap_data_pipelines_spark.plans.events import cuped_stratified_readout
+
+    got_s = [
+        tuple(r)
+        for r in cuped_stratified_readout(
+            t.read(spark).select("user_id", "pre_cents", "post_cents")
+        ).collect()
+    ]
+    want_s = [
+        tuple(r) for r in cuped_stratified_readout(cuped_user_stats(ev2)).collect()
+    ]
+    assert got_s == want_s and len(got_s) >= 2

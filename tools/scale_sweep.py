@@ -28,13 +28,19 @@ def main() -> int:
     sf_dir = sys.argv[1]
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
     only = set(sys.argv[3:])
+    qs = registry.queries()
+    unknown = only - qs.keys()
+    if unknown:
+        print(f"ERROR: unknown keys (not in registry): {sorted(unknown)}")
+        return 2
     spark = get_spark("scale-sweep")
     out = open(out_path, "w") if out_path else None
     failures = 0
-    qs = registry.queries()
+    executed = 0
     for key, fn in qs.items():
         if only and key not in only:
             continue
+        executed += 1
         t0 = time.time()
         rec: dict = {"key": key}
         try:
@@ -51,7 +57,7 @@ def main() -> int:
         if out:
             out.write(line + "\n")
             out.flush()
-    print(f"# {failures} failures / {len(only) if only else len(qs)} keys")
+    print(f"# {failures} failures / {executed} keys executed")
     if out:
         out.close()
     return 1 if failures else 0
