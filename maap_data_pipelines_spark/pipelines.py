@@ -248,8 +248,13 @@ def discover_from_cmr_event(
 def run_stac_pipeline(
     spark: SparkSession, sf_dir: str, out_dir: str, endpoint: str = "dry://ingest"
 ) -> dict:
-    """Catalog -> items -> partitioned write -> transfer plan -> receipts."""
-    items = stac.build_stac_items(spark, sf_dir)
+    """Catalog -> items -> partitioned write -> transfer plan -> receipts.
+
+    The items frame is assembled ONCE (``stac.stac_items_materialized``)
+    and shared by the catalog write and the JSON rendering — the
+    cascade_verdicts composition lever applied to the STAC tier.
+    """
+    items = stac.stac_items_materialized(spark, sf_dir)
     sinks.write_items_partitioned(
         items, os.path.join(out_dir, "catalog"), partition_cols=("collection",)
     )
@@ -261,7 +266,7 @@ def run_stac_pipeline(
     copy_receipts.write.mode("overwrite").parquet(
         os.path.join(out_dir, "transfer_receipts")
     )
-    docs = stac.stac_item_json(spark, sf_dir).select(
+    docs = stac.stac_item_json_from_items(items).select(
         F.col("asset_id").cast("string").alias("item_id"), "item_json"
     )
     receipts = sinks.submit_items(docs, endpoint=endpoint)

@@ -556,6 +556,24 @@ def build_stac_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stac_items_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STAC items frame, MATERIALIZED for multi-consumer sessions.
+
+    ``stac_item_json``, ``catalog_summary``, ``stac_coverage_gaps`` and
+    the partitioned catalog write each re-derive ``build_stac_items``
+    when run standalone (the registered-query contract); a pipeline or
+    API session that needs several of those products would otherwise pay
+    the catalog scan + regex/date assembly once PER consumer. Same
+    pattern as ``plans.llm.cascade_verdicts``: run the assembly once,
+    ``localCheckpoint`` the item rows (lazy — building the plan costs
+    nothing; the checkpoint materializes with the first consuming
+    action), branch every product from materialized rows via the
+    ``*_from_items`` bodies. Byte-equality with the standalone build is
+    pinned by tests/test_stac.py::test_stac_items_materialized_shares.
+    """
+    return build_stac_items(spark, sf_dir).localCheckpoint(eager=False)
+
+
 BUILD_STAC_ITEMS_SQL = f"""
 WITH {CATALOG_SQL},
 d AS (SELECT *, {extracted_dates_sql('remote_fileurl')} AS dates
@@ -651,7 +669,14 @@ def stac_item_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical documents (synthesized values contain no characters
     needing JSON escaping).
     """
-    items = build_stac_items(spark, sf_dir)
+    return stac_item_json_from_items(build_stac_items(spark, sf_dir))
+
+
+def stac_item_json_from_items(items: DataFrame) -> DataFrame:
+    """stac_item_json's rendering body over a CALLER-SUPPLIED items frame
+    (the cascade_verdicts split: pipelines feed one materialized items
+    frame to every consumer; the registered query composes a fresh
+    standalone build, same oracle)."""
 
     def _jstr(col: Column) -> Column:
         return F.when(col.isNull(), F.lit("null")).otherwise(
@@ -704,7 +729,11 @@ def catalog_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: scripts/collection.py (collection summaries over its items).
     """
-    items = build_stac_items(spark, sf_dir)
+    return catalog_summary_from_items(build_stac_items(spark, sf_dir))
+
+
+def catalog_summary_from_items(items: DataFrame) -> DataFrame:
+    """catalog_summary's rollup body over a caller-supplied items frame."""
     return items.groupBy("collection").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.min(F.coalesce(F.col("datetime"), F.col("start_datetime"))).alias(
@@ -1167,9 +1196,13 @@ def stac_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     collection (collection-sized partitions — the catalog dimension,
     not the asset count).
     """
+    return coverage_gaps_from_items(build_stac_items(spark, sf_dir))
+
+
+def coverage_gaps_from_items(items: DataFrame) -> DataFrame:
+    """stac_coverage_gaps' gap scan over a caller-supplied items frame."""
     from pyspark.sql.window import Window
 
-    items = build_stac_items(spark, sf_dir)
     days = (
         items.select(
             "collection",

@@ -172,3 +172,25 @@ def test_coverage_gaps_are_maximal_holes(spark, sf_dir):
         while d < e:
             assert (g.collection, d.isoformat()) not in days
             d += datetime.timedelta(days=1)
+
+
+def test_stac_items_materialized_shares(spark, sf_dir):
+    """The materialized items frame is byte-equal to the standalone
+    build, and every *_from_items body over it reproduces its registered
+    query row-for-row (the cascade_verdicts lever applied to STAC)."""
+    from maap_data_pipelines_spark.plans import stac
+
+    items = stac.stac_items_materialized(spark, sf_dir)
+    key = lambda r: tuple("" if v is None else str(v) for v in r)
+    assert sorted(map(key, items.collect())) == sorted(
+        map(key, stac.build_stac_items(spark, sf_dir).collect())
+    )
+    pairs = [
+        (stac.stac_item_json_from_items(items), stac.stac_item_json),
+        (stac.catalog_summary_from_items(items), stac.catalog_summary),
+        (stac.coverage_gaps_from_items(items), stac.stac_coverage_gaps),
+    ]
+    for shared, standalone in pairs:
+        assert sorted(map(key, shared.collect())) == sorted(
+            map(key, standalone(spark, sf_dir).collect())
+        ), standalone.__name__
