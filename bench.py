@@ -285,6 +285,9 @@ HEADLINE = [
     # r8 wave
     "events_cuped",
     "quality_isotonic_calibration",
+    # r9 wave
+    "events_cuped_stratified",
+    "quality_platt_scaling",
 ]
 
 
@@ -381,9 +384,26 @@ def main() -> int:
     # core-set takes land in their own file so a core run never
     # clobbers the committed full-headline record (and vice versa)
     fname = "BENCH_CORE.json" if bench_set == "core" else "BENCH_LOCAL.json"
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
-    with open(out, "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, fname), "w") as f:
         f.write(line + "\n")
+    # Round-stamp the COMPLETE record: the external capture of stdout may
+    # keep only a tail window, so full-headline takes also land in
+    # BENCH_r{N}.json directly (N from SPARK_GRAFT_ROUND, else inferred
+    # as max existing round + 1 — the in-flight round). tools/bench_diff.py
+    # reads these files for cross-round per-query comparison.
+    if bench_set != "core":
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import glob
+
+            recorded = [
+                int("".join(c for c in os.path.basename(p) if c.isdigit()))
+                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            ]
+            rnd = str(max(recorded, default=0) + 1)
+        with open(os.path.join(here, f"BENCH_r{int(rnd):02d}.json"), "w") as f:
+            f.write(line + "\n")
     print(line)
     return 0
 

@@ -1803,6 +1803,12 @@ def dedup_prefix_filter(docs: DataFrame) -> DataFrame:
     a doc_id-partitioned window (doc-sized partitions); candidates come
     from an equi-join on shingle over the prefix index only; verification
     is two hash joins keyed (doc_a) then (doc_b, s). Zero nested loops.
+    Every join in this operator has CORPUS-SIZED sides (postings, prefix
+    index, candidate pairs), so each is pinned shuffle_hash: AQE's
+    compressed-shuffle size estimate sits under the broadcast threshold
+    long after the in-memory hash relation stops fitting (the 100x sweep
+    caught exactly this — a broadcast-build OOM at 500k docs), and a
+    broadcast of a corpus-sized side is wrong at any threshold.
 
     Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard) for exact
     Jaccard >= 0.5, decided by the integer predicate
@@ -1815,7 +1821,7 @@ def dedup_prefix_filter(docs: DataFrame) -> DataFrame:
     shd = _shingles_df(docs).distinct().localCheckpoint()
     dfreq = shd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        shd.join(dfreq, "s")
+        shd.join(dfreq.hint("shuffle_hash"), "s")
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn(
             "pos",
@@ -1829,7 +1835,7 @@ def dedup_prefix_filter(docs: DataFrame) -> DataFrame:
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(
@@ -1845,9 +1851,9 @@ def dedup_prefix_filter(docs: DataFrame) -> DataFrame:
     )
     pa, pb = shd.alias("pa"), shd.alias("pb")
     common = (
-        cand.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
+        cand.hint("shuffle_hash").join(pa, F.col("pa.doc_id") == F.col("doc_a"))
         .join(
-            pb,
+            pb.hint("shuffle_hash"),
             (F.col("pb.doc_id") == F.col("doc_b")) & (F.col("pb.s") == F.col("pa.s")),
         )
         .groupBy("doc_a", "doc_b", "size_a", "size_b")

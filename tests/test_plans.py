@@ -97,6 +97,8 @@ _BNLJ_ALLOWED = {
     "doc_perplexity",
     # single-row graph-stats x single-row triangle-count cross (1x1)
     "dedup_triangles",
+    # 1-row OLS-stats broadcast crossed onto the <=10-row decile lattice
+    "quality_platt_scaling",
     # integer-L2 brute truth (same documented baseline class as
     # ann_cosine_topk) and the PQ recall monitors that compose it
     "ann_l2_topk",
@@ -432,3 +434,27 @@ def test_isotonic_lattice_runs_on_checkpointed_deciles(spark, sf_dir):
     plan = _physical(spark, "quality_isotonic_calibration", sf_dir)
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan  # corpus paid once, at checkpoint time
+
+
+def test_cuped_stratified_plan_shape(spark, sf_dir):
+    """events_cuped_stratified's 100TB contract: one corpus scan, the
+    per-user aggregate, the tiny per-stratum aggregate, the final sort —
+    at most three Exchanges, zero joins, zero windows (events_cuped's
+    pinned shape plus one stratum-grain shuffle of <= ~12 rows)."""
+    plan = _physical(spark, "events_cuped_stratified", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
+    assert plan.count("Scan parquet") == 1
+
+
+def test_platt_plan_runs_on_checkpointed_deciles(spark, sf_dir):
+    """quality_platt_scaling's corpus-sized work is exactly the inherited
+    classifier pass: both the platt OLS branch and the isotonic lattice
+    consume the lazily checkpointed <=10-row decile frame (ExistingRDD
+    scans), so the registered plan itself reads NO parquet, and both
+    decile-grain joins broadcast."""
+    plan = _physical(spark, "quality_platt_scaling", sf_dir)
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # corpus paid once, at checkpoint time
+    assert "SortMergeJoin" not in plan
