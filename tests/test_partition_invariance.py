@@ -96,6 +96,11 @@ KEYS = [
     "quality_nb_calibration",
     "doc_zipf_fit",
     "vocab_growth",
+    # r9 wave: per-stratum sufficient-statistic folds (digit-count
+    # bucketing + the per-stratum double trees), and the quantized
+    # weighted-logit OLS + dual-fit lattice join
+    "events_cuped_stratified",
+    "quality_platt_scaling",
 ]
 
 
