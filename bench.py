@@ -288,6 +288,7 @@ HEADLINE = [
     # r9 wave
     "events_cuped_stratified",
     "quality_platt_scaling",
+    "embedding_dedup_collapsed",
 ]
 
 

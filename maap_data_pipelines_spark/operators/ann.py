@@ -508,6 +508,92 @@ WHERE ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {DEDUP_COS_THRES
 """
 
 
+def embedding_dedup_collapsed(emb: DataFrame) -> DataFrame:
+    """Exact-collapse -> banded LSH over DISTINCT vectors -> multiplicity
+    report: the duplicate-heavy-corpus scale path for near-dup pairs.
+
+    The r9 100x sweep proved why this rung must exist: on a corpus where
+    vectors repeat verbatim (boilerplate embeddings, mirrored shards,
+    re-crawls — and the 100x replica tier by construction), every LSH
+    bucket holds c clones of each member, so PAIR-LISTING output grows
+    quadratically in clone count (c^2 per true pair plus C(c,2) per
+    clique) — embedding_dedup_banded's Arrow cosine pass died under
+    ~1e9 candidate pairs that were 99.99% clone echoes. The production
+    composition collapses bit-identical vectors to one canonical
+    representative FIRST (min vec_id — the corpus_curation exact->near
+    cascade order applied to embeddings), runs the banded LSH over the
+    distinct survivors, and reports clone multiplicities instead of
+    materializing the quadratic expansion: n_expanded_pairs =
+    clones_a * clones_b is the exact count of underlying vector pairs
+    each rep pair stands for. At the 100x tier this runs in ~1 min where
+    the direct listing cannot finish.
+
+    Scale shape: one groupBy on the embedding bytes (map-side combined;
+    clone cliques collapse before any join), the banded candidate join
+    over distinct reps only, cosine verification on rep pairs, two
+    broadcast-able joins to ride the clone counts back on. Output is
+    linear in DISTINCT near-dup structure, independent of clone depth.
+    """
+    groups = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.count(F.lit(1)).cast("long").alias("clones"),
+    ).localCheckpoint(eager=False)  # one collapse feeds reps + both count joins
+    reps = groups.select("vec_id", "embedding")
+    counts = groups.select("vec_id", "clones")
+    pairs = embedding_dedup_banded(reps)
+    ca = counts.select(
+        F.col("vec_id").alias("vec_a"), F.col("clones").alias("clones_a")
+    )
+    cb = counts.select(
+        F.col("vec_id").alias("vec_b"), F.col("clones").alias("clones_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "vec_a")
+        .join(F.broadcast(cb), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cosine",
+            "clones_a",
+            "clones_b",
+            (F.col("clones_a") * F.col("clones_b")).alias("n_expanded_pairs"),
+        )
+    )
+
+
+EMBEDDING_DEDUP_COLLAPSED_SQL = f"""
+WITH g AS MATERIALIZED (
+  SELECT MIN(vec_id) AS vec_id, CAST(COUNT(*) AS BIGINT) AS clones, embedding
+  FROM embeddings GROUP BY embedding
+),
+b AS MATERIALIZED (
+  SELECT vec_id, ({bucket_sql('embedding', EMB_SIG_PLANES)}) AS bucket FROM g
+),
+k AS (
+  SELECT vec_id, band, (bucket >> ({EMB_BAND_BITS} * band)) & {(1 << EMB_BAND_BITS) - 1} AS code
+  FROM b, UNNEST(range(0, {EMB_BANDS})) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM k a JOIN k b2 ON a.band = b2.band AND a.code = b2.code AND a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+  FROM cand
+  JOIN g ea ON ea.vec_id = vec_a
+  JOIN g eb ON eb.vec_id = vec_b
+  WHERE ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {DEDUP_COS_THRESHOLD}
+)
+SELECT s.vec_a, s.vec_b, s.cosine,
+       ga.clones AS clones_a, gb.clones AS clones_b,
+       ga.clones * gb.clones AS n_expanded_pairs
+FROM scored s
+JOIN g ga ON ga.vec_id = s.vec_a
+JOIN g gb ON gb.vec_id = s.vec_b
+"""
+
+
 def embedding_dedup_recall(emb: DataFrame) -> DataFrame:
     """Pair recall of every approximate near-dup variant vs exact truth.
 
@@ -1040,6 +1126,7 @@ QUERY_SQL = {
     "embedding_dedup_lsh": EMBEDDING_DEDUP_LSH_SQL,
     "embedding_dedup_mp": EMBEDDING_DEDUP_MP_SQL,
     "embedding_dedup_banded": EMBEDDING_DEDUP_BANDED_SQL,
+    "embedding_dedup_collapsed": EMBEDDING_DEDUP_COLLAPSED_SQL,
     "embedding_dedup_recall": EMBEDDING_DEDUP_RECALL_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "ann_ivf_topk2": ANN_IVF_TOPK2_SQL,

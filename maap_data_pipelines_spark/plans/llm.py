@@ -442,6 +442,7 @@ QUERIES = {
     "embedding_dedup_lsh": _emb_plan(ann.embedding_dedup_lsh),
     "embedding_dedup_mp": _emb_plan(ann.embedding_dedup_mp),
     "embedding_dedup_banded": _emb_plan(ann.embedding_dedup_banded),
+    "embedding_dedup_collapsed": _emb_plan(ann.embedding_dedup_collapsed),
     "embedding_dedup_recall": _emb_plan(ann.embedding_dedup_recall),
     "ann_ivf_topk": _emb_plan(ann.ann_ivf_topk),
     "ann_ivf_topk2": _emb_plan(ann.ann_ivf_topk2),

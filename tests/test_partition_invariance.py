@@ -97,10 +97,12 @@ KEYS = [
     "doc_zipf_fit",
     "vocab_growth",
     # r9 wave: per-stratum sufficient-statistic folds (digit-count
-    # bucketing + the per-stratum double trees), and the quantized
-    # weighted-logit OLS + dual-fit lattice join
+    # bucketing + the per-stratum double trees), the quantized
+    # weighted-logit OLS + dual-fit lattice join, and the exact-collapse
+    # (min-id election over embedding-bytes groups) -> banded LSH path
     "events_cuped_stratified",
     "quality_platt_scaling",
+    "embedding_dedup_collapsed",
 ]
 
 

@@ -228,3 +228,50 @@ def test_label_confusion_conserves_and_beats_chance(spark, sf_dir):
     n_labels = len({r.true_label for r in rows})
     # nearest-centroid must beat 2x chance on labeled synthetic data
     assert diag / n_vecs > 2.0 / n_labels
+
+
+def test_collapsed_dedup_matches_direct_listing_on_cloned_corpus(spark, sf_dir):
+    """The duplicate-heavy scale path's defining identity: clone every
+    embedding c=3 times; embedding_dedup_collapsed's rep pairs then
+    stand for EXACTLY the direct banded listing's cross-clique pairs
+    (n_expanded_pairs = 3x3 per rep pair, cosine identical), while the
+    C(3,2)-per-vector clique-internal pairs are deliberately excluded
+    (bit-identical vectors are dedup_exact's domain, not near-dup's)."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    c = 3
+    cloned = emb
+    for i in range(1, c):
+        cloned = cloned.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    out = ann.embedding_dedup_collapsed(cloned).collect()
+    assert out, "crafted corpus must contain near-dup structure"
+    # every clone group has exactly c members; reps are the original ids
+    assert all(r.clones_a == c and r.clones_b == c for r in out)
+    assert all(r.n_expanded_pairs == c * c for r in out)
+    rep_pairs = {(r.vec_a, r.vec_b): r.cosine for r in out}
+    assert all(a < 10_000_000 and b < 10_000_000 for a, b in rep_pairs)
+    # direct listing on the cloned corpus: cross-clique pairs group to the
+    # rep pairs with multiplicity c*c; clique-internal pairs (cosine 1.0
+    # between clones of ONE vector) are the quadratic echo collapsed away
+    direct = ann.embedding_dedup_banded(cloned).collect()
+    base = lambda v: v % 10_000_000
+    cross = {}
+    n_clique = 0
+    for r in direct:
+        a, b = base(r.vec_a), base(r.vec_b)
+        if a == b:
+            n_clique += 1
+            continue
+        k = (min(a, b), max(a, b))
+        cross[k] = cross.get(k, 0) + 1
+    assert set(cross) == set(rep_pairs)
+    assert all(v == c * c for v in cross.values())
+    # each vector's clone clique is fully banded (identical signatures):
+    # the direct listing carries n * C(c,2) echo pairs the collapse removes
+    assert n_clique == n * c * (c - 1) // 2
