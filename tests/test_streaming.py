@@ -14,10 +14,26 @@ import os
 import time
 
 
+_WRITE_SEQ = [0]
+
+
 def _write_events(path, rows):
     with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    # Spark's FileStreamSource orders files by modification time and its
+    # tie-break on equal-ms stamps is listing order (nondeterministic) —
+    # under low load successive writes land in the same millisecond, and
+    # the ORDER-DEPENDENT state tests (markov carries, cascade prefix
+    # decisions) flake when batches permute. Stamp each written file with
+    # a strictly increasing mtime so delivery order is the write order,
+    # which is the precondition those operators document.
+    import os
+    import time
+
+    _WRITE_SEQ[0] += 1
+    t = time.time() + _WRITE_SEQ[0]
+    os.utime(path, (t, t))
 
 
 def test_streaming_hourly_rollup(spark, tmp_path):
