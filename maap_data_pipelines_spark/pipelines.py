@@ -746,10 +746,17 @@ def run_experiment_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
     assignment invalidates everything downstream regardless of
     significance), (2) the raw two-proportion z readout, (3) the CUPED
     variance-reduced readout (the number actually shipped), (4) the
-    post-hoc power table, (5) the forward-looking MDE curve. Every
-    section is an already-oracled registered operator; the report is
-    their composition, persisted as parquet per section — the
+    per-stratum CUPED breakdown plus its n-weighted combined estimate
+    (post-stratification — the heterogeneity read: a lift concentrated
+    in one revenue stratum and a uniform lift print the same pooled
+    number), (5) the post-hoc power table, (6) the forward-looking MDE
+    curve. Every section is an already-oracled registered operator; the
+    report is their composition, persisted as parquet per section — the
     run_embedding_health_report pattern applied to experimentation.
+    The combined estimate is the exact integer fold the
+    events_cuped_stratified docstring leaves to consumers:
+    sum((n_a+n_b) * diff_cuped_milli) div sum(n_a+n_b) over the strata
+    with a defined adjusted lift.
     """
     from .plans import events as ev
 
@@ -757,6 +764,7 @@ def run_experiment_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
         "srm": ev.events_ab_srm_check(spark, sf_dir),
         "z_readout": ev.events_ab_test(spark, sf_dir),
         "cuped": ev.events_cuped(spark, sf_dir),
+        "cuped_strata": ev.events_cuped_stratified(spark, sf_dir),
         "power": ev.events_ab_power(spark, sf_dir),
         "mde_curve": ev.events_mde_curve(spark, sf_dir),
     }
@@ -765,6 +773,17 @@ def run_experiment_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
     srm = spark.read.parquet(os.path.join(out_dir, "srm")).collect()[0]
     z = spark.read.parquet(os.path.join(out_dir, "z_readout")).collect()[0]
     cuped = spark.read.parquet(os.path.join(out_dir, "cuped")).collect()[0]
+    strata = spark.read.parquet(os.path.join(out_dir, "cuped_strata"))
+    combined = (
+        strata.filter(F.col("diff_cuped_milli").isNotNull())
+        .agg(
+            F.expr(
+                "sum((n_a + n_b) * diff_cuped_milli) div sum(n_a + n_b)"
+            ).alias("d"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .collect()[0]
+    )
     mde = spark.read.parquet(os.path.join(out_dir, "mde_curve"))
     feasible = (
         mde.filter(F.col("feasible_now") == 1)
@@ -781,6 +800,11 @@ def run_experiment_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
         "diff_raw_milli": int(cuped.diff_raw_milli),
         "diff_cuped_milli": int(cuped.diff_cuped_milli),
         "variance_reduction_ppm": int(cuped.rho2_ppm),
+        # post-stratified combined lift (n-weighted over defined strata)
+        # beside the pooled one: divergence between the two is the
+        # heterogeneity signal the per-stratum section breaks down
+        "diff_stratified_milli": None if combined.d is None else int(combined.d),
+        "n_strata_defined": int(combined.k),
         # smallest lift (micro) the CURRENT population can already detect;
         # None when even 10ppt is out of reach
         "min_feasible_mde_micro": None if feasible is None else int(feasible),

@@ -417,6 +417,7 @@ def test_experiment_report_end_to_end(spark, sf_dir, tmp_path):
         ("srm", ev.events_ab_srm_check),
         ("z_readout", ev.events_ab_test),
         ("cuped", ev.events_cuped),
+        ("cuped_strata", ev.events_cuped_stratified),
         ("power", ev.events_ab_power),
         ("mde_curve", ev.events_mde_curve),
     ):
@@ -436,6 +437,20 @@ def test_experiment_report_end_to_end(spark, sf_dir, tmp_path):
         assert m["min_feasible_mde_micro"] == min(feas)
     else:
         assert m["min_feasible_mde_micro"] is None
+    # the combined post-stratified lift is the exact n-weighted integer
+    # fold of the persisted per-stratum section
+    srows = [
+        r
+        for r in spark.read.parquet(out + "/cuped_strata").collect()
+        if r.diff_cuped_milli is not None
+    ]
+    assert m["n_strata_defined"] == len(srows)
+    if srows:
+        num = sum((r.n_a + r.n_b) * r.diff_cuped_milli for r in srows)
+        den = sum(r.n_a + r.n_b for r in srows)
+        # Spark's `div` truncates toward zero (unlike Python's floor //)
+        trunc = -(abs(num) // den) if num < 0 else num // den
+        assert m["diff_stratified_milli"] == trunc
     # idempotent: rerun == same summary
     assert run_experiment_report(spark, sf_dir, out) == m
 

@@ -509,3 +509,37 @@ def test_cuped_stratified_readout_matches_numpy(spark, users):
         assert r.diff_cuped_milli == math.floor(diff * 1000)
         if vary != 0.0:
             assert r.rho2_ppm == math.floor(cov * cov / (varx * vary) * 1_000_000)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=10, unique=True),
+    st.data(),
+)
+def test_platt_fit_matches_replica_on_random_lattices(spark, xs, data):
+    """platt_from_deciles over arbitrary reliability lattices == the
+    from-scratch Python replica of the quantized Berkson fit (ppm/micro
+    tolerance 1 for the exp()/ln() ulp boundary) — the closed form is
+    deterministic, so agreement holds on any frame, not just the shipped
+    corpus' near-separated one."""
+    from test_curation import _platt_numpy
+
+    from maap_data_pipelines_spark.operators.curation import platt_from_deciles
+
+    rows = []
+    for x in sorted(xs):
+        n = data.draw(st.integers(min_value=1, max_value=1000))
+        k = data.draw(st.integers(min_value=0, max_value=n))
+        rows.append((x, n, k))
+    df = spark.createDataFrame(
+        rows, "conf_decile bigint, n_docs bigint, n_label_keep bigint"
+    )
+    got = {
+        r.conf_decile: (r.platt_ppm, r.slope_micro, r.intercept_micro)
+        for r in platt_from_deciles(df).collect()
+    }
+    want = _platt_numpy(rows)
+    assert set(got) == set(want)
+    for x in want:
+        for g, w in zip(got[x], want[x]):
+            assert abs(g - w) <= 1, (x, got[x], want[x])
