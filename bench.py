@@ -289,6 +289,7 @@ HEADLINE = [
     "events_cuped_stratified",
     "quality_platt_scaling",
     "embedding_dedup_collapsed",
+    "events_ab_sequential",
 ]
 
 

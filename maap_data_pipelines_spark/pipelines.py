@@ -767,6 +767,8 @@ def run_experiment_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
         "cuped_strata": ev.events_cuped_stratified(spark, sf_dir),
         "power": ev.events_ab_power(spark, sf_dir),
         "mde_curve": ev.events_mde_curve(spark, sf_dir),
+        # peeking-safe monitoring: the number a live dashboard may show
+        "sequential": ev.events_ab_sequential(spark, sf_dir),
     }
     for name, df in sections.items():
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
@@ -784,6 +786,7 @@ def run_experiment_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
         )
         .collect()[0]
     )
+    seq = spark.read.parquet(os.path.join(out_dir, "sequential")).collect()[0]
     mde = spark.read.parquet(os.path.join(out_dir, "mde_curve"))
     feasible = (
         mde.filter(F.col("feasible_now") == 1)
@@ -808,6 +811,10 @@ def run_experiment_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dic
         # smallest lift (micro) the CURRENT population can already detect;
         # None when even 10ppt is out of reach
         "min_feasible_mde_micro": None if feasible is None else int(feasible),
+        # always-valid (peeking-safe) p — the only p a live dashboard
+        # may display mid-experiment
+        "always_valid_p_ppm": int(seq.always_valid_p_ppm),
+        "sequential_reject": int(seq.reject_at_5pct),
     }
 
 

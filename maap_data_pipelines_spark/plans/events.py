@@ -2066,6 +2066,131 @@ def ab_test_from_users(per_user: DataFrame) -> DataFrame:
     )
 
 
+# mSPRT mixture variance: the scale of effect sizes the sequential test
+# is tuned to detect (~1ppt conversion moves). A fixed constant is the
+# contract — re-tuning mid-experiment invalidates the always-valid
+# guarantee the statistic exists to provide.
+AB_SEQ_TAU2 = 1e-4
+AB_SEQ_LN20_MILLI = 2995  # floor(ln(1/0.05)*1000): reject when lnL exceeds
+
+
+def events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B readout — the mSPRT mixture
+    likelihood ratio (Johari, Koomen, Pekelis & Walsh, KDD'17).
+
+    The fixed-horizon z (events_ab_test) is only valid if nobody looks
+    until the planned n: production dashboards are PEEKED at daily, and
+    repeated looks inflate the false-positive rate many-fold. The
+    mixture sequential probability ratio test fixes this with a
+    statistic whose inverse is a p-value valid at EVERY look
+    simultaneously: with a normal mixture over effect sizes (variance
+    tau^2), ln Lambda_n = 0.5*ln(V/(V+tau^2)) + d^2*tau^2/(2V(V+tau^2))
+    where d is the observed rate difference and V the pooled null
+    variance p(1-p)(1/n_a+1/n_b); always-valid p = min(1, 1/Lambda).
+    Completes the experimentation trust ladder: SRM gate -> fixed z ->
+    CUPED -> power/MDE planning -> PEEKING-SAFE monitoring.
+
+    Exactness: the same four exact int64 sufficient statistics as
+    events_ab_test (shared ab_user_conversions frame — the ST6
+    streaming state feeds this readout unchanged), one identical double
+    expression tree both engines (ln/exp on bit-identical inputs, the
+    user-entropy precedent), outputs floor-quantized; the reject flag
+    compares the QUANTIZED milli-log-LR against floor(ln(20)*1000) so
+    the decision is integer-deterministic. NULLIF degeneracy guard:
+    zero or saturated conversions give NULL statistics, not errors.
+
+    Scale shape: identical to events_ab_test — one map-side-combined
+    per-user agg, one single-row conditional agg, no joins.
+    """
+    return ab_sequential_from_users(ab_user_conversions(read_events(spark, sf_dir)))
+
+
+def _ab_seq_exprs() -> tuple[str, str]:
+    d = (
+        "(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)"
+    )
+    v = (
+        "((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b))"
+    )
+    lnl = (
+        f"(0.5 * ln({v} / ({v} + {AB_SEQ_TAU2}))"
+        f" + {d} * {d} * {AB_SEQ_TAU2}"
+        f" / NULLIF(2.0 * {v} * ({v} + {AB_SEQ_TAU2}), 0.0))"
+    )
+    p = f"LEAST(1.0, exp(-({lnl})))"
+    return lnl, p
+
+
+def ab_sequential_from_users(per_user: DataFrame) -> DataFrame:
+    """One-row mSPRT readout from a (user_id, conv) frame (batch or the
+    ST6 streaming state — the shared-kernel property)."""
+    arm = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 2"
+    )
+    armed = per_user.select(arm.alias("arm"), "conv")
+    s = armed.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    lnl, p = _ab_seq_exprs()
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr(
+            "(conv_b * 1000000) div n_b - (conv_a * 1000000) div n_a"
+        ).alias("delta_micro"),
+        F.expr(f"CAST(FLOOR({lnl} * 1000) AS BIGINT)").alias("ln_lambda_milli"),
+        F.expr(f"CAST(FLOOR({p} * 1000000) AS BIGINT)").alias(
+            "always_valid_p_ppm"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN CAST(FLOOR({lnl} * 1000) AS BIGINT)"
+            f" > {AB_SEQ_LN20_MILLI} THEN 1 ELSE 0 END AS INT)"
+        ).alias("reject_at_5pct"),
+    )
+
+
+def _ab_sequential_sql() -> str:
+    lnl, p = _ab_seq_exprs()
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(ROUND(value * 100) AS BIGINT) >= {AB_CONV_CENTS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm, conv
+  FROM per_user
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM armed
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       (conv_b * 1000000) // n_b - (conv_a * 1000000) // n_a AS delta_micro,
+       CAST(FLOOR({lnl} * 1000) AS BIGINT) AS ln_lambda_milli,
+       CAST(FLOOR({p} * 1000000) AS BIGINT) AS always_valid_p_ppm,
+       CAST(CASE WHEN CAST(FLOOR({lnl} * 1000) AS BIGINT)
+            > {AB_SEQ_LN20_MILLI} THEN 1 ELSE 0 END AS INT) AS reject_at_5pct
+FROM s
+"""
+
+
+AB_SEQUENTIAL_SQL = _ab_sequential_sql()
+
+
 AB_TEST_SQL = f"""
 WITH per_user AS (
   SELECT user_id,
@@ -3586,6 +3711,7 @@ QUERIES = {
     "events_mde_curve": events_mde_curve,
     "events_cuped": events_cuped,
     "events_cuped_stratified": events_cuped_stratified,
+    "events_ab_sequential": events_ab_sequential,
     "events_holt_winters": events_holt_winters,
 }
 
@@ -3639,5 +3765,6 @@ ORACLES = {
     "events_mde_curve": MDE_CURVE_SQL,
     "events_cuped": CUPED_SQL,
     "events_cuped_stratified": CUPED_STRATIFIED_SQL,
+    "events_ab_sequential": AB_SEQUENTIAL_SQL,
     "events_holt_winters": HOLT_WINTERS_SQL,
 }

@@ -169,11 +169,12 @@ _CONFIRMED = {
 # (emitted by tools/rotation.py after the r8 fold) is the 50 keys whose
 # newest green record is CORRECTNESS_r03: the kmeans/semantic pair the r8
 # window displaced, the 15-key STAC head, corpus_curation + the dedup/ANN
-# r3 wave, and the sqlapi pair. The 3 new r9 operators (cuped_stratified,
-# platt_scaling, and the 100x-sweep-motivated embedding_dedup_collapsed)
-# take the window's lead slots, displacing the last 3 entries
-# (ann_pq_rerank_recall, sql_revenue_by_nation, sql_priority_share) to
-# the r10 rotation alongside the r4-era records.
+# r3 wave, and the sqlapi pair. The 4 new r9 operators (cuped_stratified,
+# platt_scaling, ab_sequential, and the 100x-sweep-motivated
+# embedding_dedup_collapsed) take the window's lead slots, displacing the
+# last 4 entries (ann_pq_rerank, ann_pq_rerank_recall,
+# sql_revenue_by_nation, sql_priority_share) to the r10 rotation
+# alongside the r4-era records.
 _RECONFIRM = [
     "embedding_kmeans", "semantic_dedup",
     # r3-era STAC head

@@ -103,6 +103,7 @@ KEYS = [
     "events_cuped_stratified",
     "quality_platt_scaling",
     "embedding_dedup_collapsed",
+    "events_ab_sequential",
 ]
 
 

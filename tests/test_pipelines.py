@@ -420,6 +420,7 @@ def test_experiment_report_end_to_end(spark, sf_dir, tmp_path):
         ("cuped_strata", ev.events_cuped_stratified),
         ("power", ev.events_ab_power),
         ("mde_curve", ev.events_mde_curve),
+        ("sequential", ev.events_ab_sequential),
     ):
         back = spark.read.parquet(out + "/" + name)
         want = fn(spark, sf_dir)

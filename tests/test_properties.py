@@ -543,3 +543,86 @@ def test_platt_fit_matches_replica_on_random_lattices(spark, xs, data):
     for x in want:
         for g, w in zip(got[x], want[x]):
             assert abs(g - w) <= 1, (x, got[x], want[x])
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=1), min_size=8, max_size=200)
+)
+def test_ab_sequential_matches_numpy(spark, convs):
+    """The mSPRT readout over arbitrary per-user conversion frames ==
+    the straight numpy mixture-likelihood formulas at the documented
+    quantizations (tolerance 1 milli/ppm for the ln/exp ulp boundary);
+    the reject flag is an exact integer function of the quantized
+    log-LR."""
+    import hashlib
+    import math
+
+    from maap_data_pipelines_spark.plans.events import (
+        AB_SEQ_LN20_MILLI,
+        AB_SEQ_TAU2,
+        ab_sequential_from_users,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(convs)], "user_id bigint, conv bigint"
+    )
+    r = ab_sequential_from_users(df).collect()[0]
+
+    def arm(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    n_a = sum(1 for i in range(len(convs)) if arm(i) == 0)
+    n_b = len(convs) - n_a
+    c_a = sum(c for i, c in enumerate(convs) if arm(i) == 0)
+    c_b = sum(c for i, c in enumerate(convs) if arm(i) == 1)
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n_a, n_b, c_a, c_b)
+    if n_a == 0 or n_b == 0:
+        return
+    assert r.delta_micro == (c_b * 1_000_000) // n_b - (c_a * 1_000_000) // n_a
+    pool = (c_a + c_b) / (n_a + n_b)
+    v = pool * (1 - pool) * (1 / n_a + 1 / n_b)
+    if v == 0.0:
+        # ln(0) -> NULL log-LR; LEAST(1.0, NULL) -> 1.0 in BOTH engines,
+        # which is the right semantics: no evidence, p = 1, never reject
+        assert r.ln_lambda_milli is None
+        assert r.always_valid_p_ppm == 1_000_000
+        assert r.reject_at_5pct == 0
+        return
+    d = c_b / n_b - c_a / n_a
+    lnl = 0.5 * math.log(v / (v + AB_SEQ_TAU2)) + d * d * AB_SEQ_TAU2 / (
+        2 * v * (v + AB_SEQ_TAU2)
+    )
+    assert abs(r.ln_lambda_milli - math.floor(lnl * 1000)) <= 1
+    p = min(1.0, math.exp(-lnl))
+    assert abs(r.always_valid_p_ppm - math.floor(p * 1_000_000)) <= 1
+    assert r.reject_at_5pct == int(r.ln_lambda_milli > AB_SEQ_LN20_MILLI)
+
+
+def test_ab_sequential_behavior_null_vs_planted_effect(spark):
+    """Statistical sanity: a balanced null frame must NOT reject (the
+    always-valid p stays high), while a large planted effect must
+    reject decisively — the always-valid guarantee is about never
+    rejecting nulls at ANY look, not about losing all power."""
+    from maap_data_pipelines_spark.plans.events import ab_sequential_from_users
+
+    # null: conversion independent of the md5 arm (same rate both arms)
+    null = spark.createDataFrame(
+        [(i, i % 2) for i in range(2000)], "user_id bigint, conv bigint"
+    )
+    rn = ab_sequential_from_users(null).collect()[0]
+    assert rn.reject_at_5pct == 0
+    assert rn.always_valid_p_ppm > 50_000  # far from the 5% boundary
+    # planted: arm b converts ~4x arm a
+    import hashlib
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    rows = []
+    for i in range(2000):
+        a = arm(i)
+        rows.append((i, 1 if (a == 1 and i % 5 != 0) or (a == 0 and i % 5 == 0) else 0))
+    eff = spark.createDataFrame(rows, "user_id bigint, conv bigint")
+    re_ = ab_sequential_from_users(eff).collect()[0]
+    assert re_.reject_at_5pct == 1 and re_.always_valid_p_ppm < 1_000
