@@ -178,9 +178,18 @@ def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> n
             )
         return np.frombuffer(payload, dtype=np.uint8)
     if media_type == "image/png" and payload[: len(_PNG_SIG)] == _PNG_SIG:
+        # ADVICE r9 (low): a corrupt payload that still carries the PNG
+        # signature surfaces as zlib.error (bad IDAT stream), ValueError
+        # (scanline size / filter byte), or struct.error (truncated
+        # chunk header) — all must fall back to byte-passthrough under
+        # allow_stub exactly like an unsupported profile, or one bad row
+        # fails the whole Arrow batch in extract_features.
+        import struct
+        import zlib
+
         try:
             return _decode_png(payload)
-        except NotImplementedError:
+        except (NotImplementedError, ValueError, zlib.error, struct.error):
             if not allow_stub:
                 raise
             return np.frombuffer(payload, dtype=np.uint8)

@@ -2115,7 +2115,7 @@ def _ab_seq_exprs() -> tuple[str, str]:
         " * (1.0 / n_a + 1.0 / n_b))"
     )
     lnl = (
-        f"(0.5 * ln({v} / ({v} + {AB_SEQ_TAU2}))"
+        f"(0.5 * ln(NULLIF({v}, 0.0) / ({v} + {AB_SEQ_TAU2}))"
         f" + {d} * {d} * {AB_SEQ_TAU2}"
         f" / NULLIF(2.0 * {v} * ({v} + {AB_SEQ_TAU2}), 0.0))"
     )

@@ -569,7 +569,7 @@ def stac_items_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing; the checkpoint materializes with the first consuming
     action), branch every product from materialized rows via the
     ``*_from_items`` bodies. Byte-equality with the standalone build is
-    pinned by tests/test_stac.py::test_stac_items_materialized_shares.
+    pinned by tests/test_stac_ops.py::test_stac_items_materialized_shares.
     """
     return build_stac_items(spark, sf_dir).localCheckpoint(eager=False)
 

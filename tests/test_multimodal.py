@@ -397,6 +397,39 @@ def test_decode_media_unsupported_profiles_fall_back_to_stub():
     assert stub.tolist() == list(wav32)
 
 
+def test_decode_media_corrupt_png_falls_back_to_stub():
+    """ADVICE r9: a CORRUPT payload carrying the PNG signature — bad
+    zlib stream, wrong scanline size, truncated chunk header — must fall
+    back to byte-passthrough under allow_stub (and still raise without
+    it), or one bad row would fail the whole Arrow batch in
+    extract_features."""
+    import zlib
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(2, 3), dtype=np.uint8)
+    good = _make_png(gray, color_type=0)
+    # bad zlib stream inside a well-formed IDAT chunk (zlib.error)
+    idat_at = good.index(b"IDAT") - 4
+    bad_zlib = (
+        good[:idat_at]
+        + _png_chunk(b"IDAT", b"\x00not-deflate\xff")
+        + _png_chunk(b"IEND", b"")
+    )
+    # scanline size mismatch: valid deflate of too-few bytes (ValueError)
+    bad_size = (
+        good[:idat_at]
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+        + _png_chunk(b"IEND", b"")
+    )
+    # truncated mid-IHDR: chunk walk runs off the buffer (struct.error)
+    truncated = good[:14]
+    for corrupt in (bad_zlib, bad_size, truncated):
+        with pytest.raises(Exception):
+            multimodal.decode_media(corrupt, "image/png", allow_stub=False)
+        stub = multimodal.decode_media(corrupt, "image/png", allow_stub=True)
+        assert stub.tolist() == list(corrupt)
+
+
 def test_real_png_through_feature_operators(spark):
     """End-to-end on REAL image bytes: generated PNGs flow through the
     Arrow-batched feature extractors with allow_stub=False (any stub

@@ -626,3 +626,45 @@ def test_ab_sequential_behavior_null_vs_planted_effect(spark):
     eff = spark.createDataFrame(rows, "user_id bigint, conv bigint")
     re_ = ab_sequential_from_users(eff).collect()[0]
     assert re_.reject_at_5pct == 1 and re_.always_valid_p_ppm < 1_000
+
+
+def test_ab_sequential_degenerate_corpus_parity(spark, tmp_path):
+    """ADVICE r9 (medium): with zero (or saturated) conversions the
+    pooled variance V is 0 and the mixture log-LR's ln argument hits 0.
+    Spark's ln(0) is NULL but DuckDB 1.x RAISES on ln(0), so the shared
+    expression guards the argument with NULLIF(V, 0.0) — NULL in BOTH
+    engines, p = 1, never reject. This pins the parity on a 10-user
+    zero-purchase corpus: the oracle must RUN (no Out of Range error)
+    and agree value-for-value with the Spark readout."""
+    import duckdb
+    import pandas as pd
+
+    from maap_data_pipelines_spark.plans.events import (
+        AB_SEQUENTIAL_SQL,
+        events_ab_sequential,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": pd.to_datetime([f"2024-01-0{1 + i % 9} 00:00:00" for i in range(10)]),
+            "user_id": list(range(10)),
+            "event_type": ["view"] * 10,  # zero purchases => conv == 0 everywhere
+            "value": [0.0] * 10,
+            "props": ["{}"] * 10,
+        }
+    )
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    rows.to_parquet(d / "events.parquet")
+
+    got = events_ab_sequential(spark, str(d)).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(AB_SEQUENTIAL_SQL).fetchone()  # must not raise
+    assert (got.n_a, got.n_b, got.conv_a, got.conv_b) == tuple(want[:4])
+    assert got.ln_lambda_milli is None and want[5] is None
+    assert got.always_valid_p_ppm == want[6] == 1_000_000
+    assert got.reject_at_5pct == want[7] == 0
