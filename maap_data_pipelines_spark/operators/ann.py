@@ -428,26 +428,14 @@ EMB_BAND_BITS = 4
 EMB_SIG_PLANES = EMB_BANDS * EMB_BAND_BITS  # 48-bit signature, < 63
 
 
-def embedding_dedup_banded(emb: DataFrame) -> DataFrame:
-    """Banded hyperplane LSH near-dup pairs: 12 bands x 4 planes.
+def _banded_pairs(emb: DataFrame) -> DataFrame:
+    """Raw 12x4 banded-LSH pair listing over a (vec_id, embedding) frame.
 
-    At cosine 0.4 the per-plane agreement probability is ~0.63, so
-    requiring all 16 signs to match (:func:`embedding_dedup_lsh`) has
-    ~0.63^16 = 0.06% pair recall — measured 0/59 true pairs at sf0.01.
-    The MinHash-banding construction fixes this: compute a 48-plane sign
-    signature and split it into 12 bands of 4; a pair is a candidate if
-    ANY band matches (per-band p = 0.63^4 = 0.16, any-of-12 =
-    1-(1-0.16)^12 = ~0.87 predicted — the 4x4 predecessor measured
-    0.56, this setting measures >= 0.8 on the recall monitor).
-    Candidates still come from an equi-join on (band, code) — never all
-    pairs — then exact cosine verifies. The recall/cost dial is
-    (bands x bits): more bands -> higher recall, proportionally more
-    candidates (k/2^(b+1) of all pairs).
-
-    Scale shape: x12 map-side explode into the band-key self-join,
-    candidate fan-out bounded per (band, code) bucket; the distinct
-    collapses multi-band hits before scoring, and vectors are re-fetched
-    by hash join so the distinct shuffles only (vec_a, vec_b) pairs.
+    The LSH kernel shared by :func:`embedding_dedup_banded` and
+    :func:`embedding_dedup_collapsed` — BOTH feed it distinct survivors
+    only (r10): running it over a clone-heavy frame is exactly the
+    quadratic candidate echo the r9 100x sweep killed (~1e9 candidates
+    that were 99.99% clone-of-clone band hits).
     """
     withb = emb.select(
         "vec_id", sig_udf(EMB_SIG_PLANES)(F.col("embedding")).alias("bucket")
@@ -487,6 +475,87 @@ def embedding_dedup_banded(emb: DataFrame) -> DataFrame:
     )
 
 
+def embedding_dedup_banded(emb: DataFrame) -> DataFrame:
+    """Banded hyperplane LSH near-dup pairs: 12 bands x 4 planes,
+    collapse-first (r10).
+
+    At cosine 0.4 the per-plane agreement probability is ~0.63, so
+    requiring all 16 signs to match (:func:`embedding_dedup_lsh`) has
+    ~0.63^16 = 0.06% pair recall — measured 0/59 true pairs at sf0.01.
+    The MinHash-banding construction fixes this: compute a 48-plane sign
+    signature and split it into 12 bands of 4; a pair is a candidate if
+    ANY band matches (per-band p = 0.63^4 = 0.16, any-of-12 =
+    1-(1-0.16)^12 = ~0.87 predicted — the 4x4 predecessor measured
+    0.56, this setting measures >= 0.8 on the recall monitor).
+    Candidates still come from an equi-join on (band, code) — never all
+    pairs — then exact cosine verifies. The recall/cost dial is
+    (bands x bits): more bands -> higher recall, proportionally more
+    candidates (k/2^(b+1) of all pairs).
+
+    r10 scale fix (VERDICT r9 item 1): the r9 100x sweep killed the
+    direct form of this listing on duplicate-heavy data — every LSH
+    bucket holds c clones of each member, so the candidate join emitted
+    ~1e9 pairs that were 99.99% clone echoes and the Arrow cosine pass
+    died at 1420 s. The OUTPUT was never the problem (~25M rows at
+    100x); the CANDIDATE volume was. So the listing now goes through
+    the :func:`embedding_dedup_collapsed` decomposition internally
+    while keeping the exact pair-listing contract (oracle unchanged):
+    collapse bit-identical vectors to a min-id representative, run the
+    banded kernel over DISTINCT survivors only, then expand back —
+    cross pairs by joining group membership onto each side of the rep
+    pairs (clone signatures and cosines are bit-identical to their
+    rep's, so rep-level candidacy <=> member-level candidacy and the
+    expansion is exact, not approximate), clone-clique pairs from a
+    per-group member self-join with the group's self-cosine (identical
+    48-bit signatures always band-match, so every clique pair was a
+    candidate in the direct form too). Work and shuffles are now linear
+    in distinct structure + final output size — the theoretical floor
+    for a listing contract.
+
+    Scale shape: one map-side-combined groupBy on the embedding bytes,
+    the x12 band explode + self-join over distinct reps, and
+    expansion joins pinned shuffle_hash (the r9 dedup_prefix_filter
+    lesson: AQE mis-broadcasts corpus-sized sides at 100x from
+    compressed-size under-estimates).
+    """
+    groups = (
+        emb.groupBy("embedding")
+        .agg(F.min("vec_id").alias("rep"))
+        .localCheckpoint(eager=False)  # one collapse feeds reps + members
+    )
+    reps = groups.select(F.col("rep").alias("vec_id"), "embedding")
+    rep_pairs = _banded_pairs(reps)
+    members = (
+        emb.join(groups.hint("shuffle_hash"), "embedding")
+        .select("vec_id", "rep")
+        .localCheckpoint(eager=False)
+    )
+    ma = members.select(F.col("rep").alias("vec_a"), F.col("vec_id").alias("ia"))
+    mb = members.select(F.col("rep").alias("vec_b"), F.col("vec_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma.hint("shuffle_hash"), "vec_a")
+        .join(mb.hint("shuffle_hash"), "vec_b")
+        .select(
+            F.least("ia", "ib").alias("vec_a"),
+            F.greatest("ia", "ib").alias("vec_b"),
+            "cosine",
+        )
+    )
+    self_cos = reps.select(
+        F.col("vec_id").alias("rep"),
+        F.round(cosine_cols("embedding", "embedding"), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= DEDUP_COS_THRESHOLD)
+    m1 = members.select("rep", F.col("vec_id").alias("ia"))
+    m2 = members.select("rep", F.col("vec_id").alias("ib"))
+    clique = (
+        m1.join(self_cos, "rep")
+        .join(m2.hint("shuffle_hash"), "rep")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b"), "cosine")
+    )
+    return cross.unionByName(clique)
+
+
 EMBEDDING_DEDUP_BANDED_SQL = f"""
 WITH b AS MATERIALIZED (
   SELECT vec_id, ({bucket_sql('embedding', EMB_SIG_PLANES)}) AS bucket FROM embeddings
@@ -517,7 +586,7 @@ def embedding_dedup_collapsed(emb: DataFrame) -> DataFrame:
     re-crawls — and the 100x replica tier by construction), every LSH
     bucket holds c clones of each member, so PAIR-LISTING output grows
     quadratically in clone count (c^2 per true pair plus C(c,2) per
-    clique) — embedding_dedup_banded's Arrow cosine pass died under
+    clique) — the direct banded listing's Arrow cosine pass died under
     ~1e9 candidate pairs that were 99.99% clone echoes. The production
     composition collapses bit-identical vectors to one canonical
     representative FIRST (min vec_id — the corpus_curation exact->near
@@ -540,7 +609,7 @@ def embedding_dedup_collapsed(emb: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=False)  # one collapse feeds reps + both count joins
     reps = groups.select("vec_id", "embedding")
     counts = groups.select("vec_id", "clones")
-    pairs = embedding_dedup_banded(reps)
+    pairs = _banded_pairs(reps)
     ca = counts.select(
         F.col("vec_id").alias("vec_a"), F.col("clones").alias("clones_a")
     )
