@@ -157,6 +157,10 @@ _CONFIRMED = {
     # r08 window: CORRECTNESS_r08.json, 50/50 green — the 2 r8 operators
     # (the other 48 slots re-confirmed r2-era records already listed above).
     "events_cuped", "quality_isotonic_calibration",
+    # r09 window: CORRECTNESS_r09.json, 50/50 green — the 4 r9 operators
+    # (the other 46 slots re-confirmed r3-era records already listed above).
+    "events_cuped_stratified", "events_ab_sequential", "quality_platt_scaling",
+    "embedding_dedup_collapsed",
 }
 
 # Every full-oracle key is officially confirmed (cumulative r02-r08
@@ -176,26 +180,33 @@ _CONFIRMED = {
 # sql_revenue_by_nation, sql_priority_share) to the r10 rotation
 # alongside the r4-era records.
 _RECONFIRM = [
-    "embedding_kmeans", "semantic_dedup",
-    # r3-era STAC head
-    "assets_neighbor_join", "s3_discovery", "inventory_discovery", "item_id",
-    "extract_dates", "datetime_range", "media_type_map", "multi_asset_group",
-    "bbox", "build_stac_items", "transfer_plan", "stac_item_json",
-    "catalog_summary", "cogify", "cmr_discovery",
-    # r3-era dedup / curation wave
-    "corpus_curation", "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_simhash", "ngram_jaccard", "dedup_clusters", "dedup_pagerank",
-    "similar_docs_topk", "dedup_cluster_sizes", "dedup_triangles",
-    "minhash_calibration",
-    # r3-era ANN / embedding wave
-    "ann_cosine_topk", "ann_lsh_buckets", "semantic_decontaminate",
-    "embedding_dedup", "embedding_dedup_lsh", "embedding_dedup_mp",
-    "embedding_dedup_banded", "embedding_dedup_recall",
-    "ann_ivf_topk", "ann_ivf_topk2", "ann_ivf_recall", "ann_ivf_recall2",
-    "ann_ivf_kmeans_topk", "ann_ivf_kmeans_recall", "ann_l2_topk",
-    "ann_pq_topk", "ann_pq_recall", "ann_pq_rerank", "ann_pq_rerank_recall",
-    # r3-era sqlapi pair (window tail — displaced to r10 by the r9 wave)
+    # r10 staleness rotation (tools/rotation.py after the r9 fold): the 4
+    # r3-era records the r9 wave displaced, then the 46 oldest r4-era
+    # records. New r10 operators take the window's lead slots
+    # automatically (unconfirmed sorts first), displacing the tail to r11.
+    "ann_pq_rerank", "ann_pq_rerank_recall",
     "sql_revenue_by_nation", "sql_priority_share",
+    # r4-era warehouse/ETL head
+    "customer_entity_resolution", "doc_surrogate_keys",
+    "lineitem_corr_matrix", "orders_scd2", "lineitem_salted_part_revenue",
+    "orders_zorder_layout", "orders_rfm", "doc_split_assign",
+    "doc_stratified_sample", "doc_sample_exact_k", "documents_checksum",
+    "orders_snapshot_diff", "compaction_plan", "orders_dq_expectations",
+    "orders_revenue_trend", "orders_monthly_gapfill", "orders_price_quantiles",
+    "lineitem_manifest_pruning", "bloom_customer_filter", "doc_weighted_sample",
+    "lineitem_scd2_lookup", "orders_profile",
+    # r4-era multimodal
+    "media_metadata", "media_phash_dedup", "media_frame_sample",
+    "media_resize", "media_audio_windows",
+    # r4-era events
+    "events_attribution_latency", "sessions_campaign_overlap",
+    "events_transition_matrix", "events_user_paths", "events_salted_rollup",
+    "events_sliding_trend", "orders_trailing_year", "orders_value_deciles",
+    # r4-era text/retrieval
+    "tfidf_top_terms", "bm25_topk", "bm25_proximity_rerank",
+    "term_cooccurrence", "dedup_containment", "doc_cosine_topk",
+    "vocab_diff", "vocab_overlap", "fuzzy_word_pairs", "documents_profile",
+    "decontaminate",
 ]
 
 
