@@ -574,6 +574,21 @@ def ab_state_readout(spark: SparkSession, table) -> DataFrame:
     return ab_test_from_users(table.read(spark).select("user_id", "conv"))
 
 
+def ab_state_sequential_readout(spark: SparkSession, table) -> DataFrame:
+    """One-row mSPRT (always-valid p) readout over the SAME persisted
+    (user_id, conv) state :func:`ab_state_readout` consumes — the
+    peeking-safe monitoring rung served from the streaming state, so a
+    daily-peeked dashboard reads a statistic that is valid at every look
+    without any extra state machinery (shared-kernel property:
+    plans/events.ab_sequential_from_users runs unchanged on the state
+    frame). Byte-equality with the batch events_ab_sequential readout is
+    pinned by tests/test_streaming.py::
+    test_streaming_ab_sequential_readout_matches_batch."""
+    from ..plans.events import ab_sequential_from_users
+
+    return ab_sequential_from_users(table.read(spark).select("user_id", "conv"))
+
+
 def streaming_theta_merge(
     spark: SparkSession,
     source_dir: str,

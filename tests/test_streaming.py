@@ -1200,6 +1200,57 @@ def test_streaming_ab_state_matches_batch(spark, tmp_path):
     assert ab_state_readout(spark, t).collect()[0].asDict() == want
 
 
+def test_streaming_ab_sequential_readout_matches_batch(spark, tmp_path):
+    """ST6 extension (VERDICT r9 item 5): the mSPRT always-valid readout
+    over the STREAMED per-user conversion state must equal the batch
+    events_ab_sequential readout byte-for-byte on the same events — the
+    events_cuped_stratified/ST19 pattern: one state frame, every
+    experimentation rung (z, CUPED, sequential) served from it."""
+    import os
+    import time as _t
+
+    from maap_data_pipelines_spark.plans.events import (
+        ab_sequential_from_users,
+        ab_user_conversions,
+    )
+    from maap_data_pipelines_spark.streaming.rollup import (
+        ab_state_sequential_readout,
+        streaming_ab_state,
+    )
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    src = tmp_path / "abseq_in"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-02-01T{i // 60:02d}:{i % 60:02d}:00",
+         "user_id": i % 11,
+         "event_type": "purchase" if i % 4 == 0 else "view",
+         "value": 450.0 if i % 8 == 0 and i % 11 < 6 else 15.0,
+         "props": "{}"}
+        for i in range(120)
+    ]
+    base = _t.time() - 600
+    for i, chunk in enumerate((rows[80:], rows[:40], rows[40:80])):
+        p = src / f"{i:02d}.json"
+        _write_events(p, chunk)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    t = VersionedTable(str(tmp_path / "abseq_state"))
+    streaming_ab_state(spark, str(src), t, str(tmp_path / "abseq_ckpt")).awaitTermination(120)
+
+    got = ab_state_sequential_readout(spark, t).collect()[0].asDict()
+    ev = spark.read.schema(
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).json(str(src))
+    want = ab_sequential_from_users(ab_user_conversions(ev)).collect()[0].asDict()
+    assert got == want
+    # non-degenerate: both arms populated and the statistic is defined
+    assert want["n_a"] > 0 and want["n_b"] > 0
+    assert want["ln_lambda_milli"] is not None
+    assert want["always_valid_p_ppm"] is not None
+
+
 def test_streaming_theta_merge_matches_batch_and_replays_idempotent(spark, tmp_path):
     """KMV sketches must MERGE across micro-batches to the exact sketch a
     one-shot batch build produces (K smallest of the union is
