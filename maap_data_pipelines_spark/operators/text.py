@@ -1988,3 +1988,119 @@ FROM tot
 """
 
 QUERY_SQL["doc_length_anova"] = DOC_LENGTH_ANOVA_SQL
+
+
+KS_BASELINE_SRC = "src0"
+
+
+def documents_ks_drift(docs: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test: does the BASELINE
+    source's document-length distribution differ from the rest of the
+    corpus? — the distribution-shape rung of the drift tier
+    (source_lang_drift watches categorical mix, doc_length_anova
+    variance structure; KS catches ANY CDF divergence — truncation,
+    padding, a template change — without distributional assumptions).
+
+    The statistic is exact INTEGER end-to-end: per distinct n_chars
+    value count both sides, cumulative-sum both step functions over the
+    value grid (one window over value-grain rows — sized by the length
+    domain, never the corpus; the dsir_auc discipline), and maximize
+    |cum_base·n_rest − cum_rest·n_base| — the CDF gap scaled by
+    n_base·n_rest so no division ever happens before the argmax.
+    d_ppm divides by the QUANTIZED denominator (the lorenz discipline:
+    d_num·1e6 overflows int64 once n_base·n_rest > 9e12); the classic
+    KS lambda = D·sqrt(n1·n2/(n1+n2)) is one identical double tree,
+    floor-quantized milli (lambda > ~1358 rejects at 5%). The argmax
+    location ties break to the smallest n_chars (deterministic in both
+    engines). int64 headroom: cum·n ≤ n_base·n_rest — safe to ~3e9
+    docs a side.
+
+    Scale shape: one map-side-combined groupBy(n_chars), two running
+    windows over value-grain rows, a 1-row totals broadcast, one
+    TakeOrderedAndProject(1). No corpus-sized sort, no join on data.
+    """
+    from pyspark.sql.window import Window
+
+    is_base = (F.col("source") == KS_BASELINE_SRC).cast("long")
+    vals = docs.groupBy("n_chars").agg(
+        F.sum(is_base).alias("c1"),
+        F.sum(1 - is_base).alias("c2"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cums = vals.select(
+        "n_chars",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = vals.agg(
+        F.sum("c1").alias("n_base"), F.sum("c2").alias("n_rest")
+    )
+    gaps = cums.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        "n_base",
+        "n_rest",
+        F.abs(
+            F.col("cum1") * F.col("n_rest") - F.col("cum2") * F.col("n_base")
+        ).alias("d_num"),
+    )
+    lam = (
+        "(CAST(d_num AS DOUBLE) / NULLIF(CAST(n_base AS DOUBLE) * n_rest, 0.0)"
+        " * sqrt(CAST(n_base AS DOUBLE) * n_rest / (n_base + n_rest)))"
+    )
+    return (
+        gaps.orderBy(F.desc("d_num"), "n_chars")
+        .limit(1)
+        .select(
+            "n_base",
+            "n_rest",
+            "d_num",
+            F.expr(
+                "d_num div GREATEST((n_base * n_rest) div 1000000, 1)"
+            ).alias("d_ppm"),
+            F.expr(f"CAST(FLOOR({lam} * 1000) AS BIGINT)").alias(
+                "ks_lambda_milli"
+            ),
+            F.col("n_chars").alias("at_n_chars"),
+        )
+    )
+
+
+DOCUMENTS_KS_DRIFT_SQL = f"""
+WITH vals AS (
+  SELECT n_chars,
+         CAST(SUM(CASE WHEN source = '{KS_BASELINE_SRC}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN source = '{KS_BASELINE_SRC}' THEN 0 ELSE 1 END)
+              AS BIGINT) AS c2
+  FROM documents GROUP BY 1
+),
+cums AS (
+  SELECT n_chars,
+         CAST(SUM(c1) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+  FROM vals
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n_base, CAST(SUM(c2) AS BIGINT) AS n_rest
+  FROM vals
+),
+gaps AS (
+  SELECT n_chars, n_base, n_rest,
+         ABS(cum1 * n_rest - cum2 * n_base) AS d_num
+  FROM cums CROSS JOIN tot
+)
+SELECT n_base, n_rest, d_num,
+       d_num // GREATEST((n_base * n_rest) // 1000000, 1) AS d_ppm,
+       CAST(FLOOR((CAST(d_num AS DOUBLE)
+             / NULLIF(CAST(n_base AS DOUBLE) * n_rest, 0.0)
+             * sqrt(CAST(n_base AS DOUBLE) * n_rest / (n_base + n_rest)))
+            * 1000) AS BIGINT) AS ks_lambda_milli,
+       n_chars AS at_n_chars
+FROM gaps
+ORDER BY d_num DESC, n_chars
+LIMIT 1
+"""
+
+QUERY_SQL["documents_ks_drift"] = DOCUMENTS_KS_DRIFT_SQL

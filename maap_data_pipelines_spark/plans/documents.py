@@ -85,6 +85,7 @@ QUERIES = {
     "quality_isotonic_calibration": _wrap(curation.quality_isotonic_calibration),
     "quality_platt_scaling": _wrap(curation.quality_platt_scaling),
     "doc_length_anova": _wrap(text.doc_length_anova),
+    "documents_ks_drift": _wrap(text.documents_ks_drift),
 }
 
 ORACLES = dict(text.QUERY_SQL)

@@ -3666,6 +3666,144 @@ FROM s
 """
 
 
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout over pre/post purchase revenue
+    — the observational-causal rung of the experimentation ladder.
+
+    events_cuped REGRESSES OUT pre-period behavior to shrink variance
+    under randomization; DiD is the sibling estimator for when the
+    parallel-trends assumption replaces randomization (staged rollouts,
+    holdout markets): effect = (post_b − pre_b)/n_b − (post_a − pre_a)/
+    n_a, i.e. the between-arm difference of per-user pre→post revenue
+    DELTAS. Consumes the identical ``cuped_user_stats`` frame — the
+    shared-kernel property again: the ST19 streaming CUPED state feeds
+    this readout unchanged, and z/CUPED/stratified/sequential/DiD are
+    all served from two state frames.
+
+    Exactness: per-arm sufficient statistics (n, Σd, Σd²) are exact
+    int64 on per-user deltas d = post_cents − pre_cents; the point
+    estimate is an exact integer milli-cent value (two int64 floor
+    divisions); the Welch-style standard error and z run through ONE
+    identical double expression tree in both engines (sample variances
+    from n·Σd² − (Σd)², the ab_power pattern), floor-quantized micro/
+    milli; NULLIF guards the n ≤ 1 and zero-variance degeneracies (NULL
+    statistics, not errors — the mSPRT lesson). int64 headroom: Σd² ~
+    users · (per-user cents)² ~ 4e13 at sf0.1, linear in users.
+
+    Scale shape: one corpus scan → map-side-combined per-user agg →
+    1-row conditional global agg. No joins, no windows.
+    """
+    return did_readout(cuped_user_stats(read_events(spark, sf_dir)))
+
+
+def _did_exprs() -> tuple[str, str]:
+    var_a = (
+        "((CAST(n_a AS DOUBLE) * CAST(sdd_a AS DOUBLE)"
+        " - CAST(sd_a AS DOUBLE) * CAST(sd_a AS DOUBLE))"
+        " / NULLIF(CAST(n_a AS DOUBLE) * (n_a - 1.0), 0.0))"
+    )
+    var_b = (
+        "((CAST(n_b AS DOUBLE) * CAST(sdd_b AS DOUBLE)"
+        " - CAST(sd_b AS DOUBLE) * CAST(sd_b AS DOUBLE))"
+        " / NULLIF(CAST(n_b AS DOUBLE) * (n_b - 1.0), 0.0))"
+    )
+    se = f"sqrt({var_a} / n_a + {var_b} / n_b)"
+    z = (
+        f"((CAST(sd_b AS DOUBLE) / n_b - CAST(sd_a AS DOUBLE) / n_a)"
+        f" / NULLIF({se}, 0.0))"
+    )
+    return se, z
+
+
+def did_readout(per_user: DataFrame) -> DataFrame:
+    """One-row DiD readout from a (user_id, pre_cents, post_cents)
+    frame (batch or the ST19 streaming state — the shared kernel)."""
+    armed = per_user.select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT) % 2"
+        ).alias("arm"),
+        (F.col("post_cents") - F.col("pre_cents")).alias("d"),
+        "pre_cents",
+        "post_cents",
+    )
+    s = armed.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre_cents")).otherwise(0)).alias("pre_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre_cents")).otherwise(0)).alias("pre_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post_cents")).otherwise(0)).alias("post_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post_cents")).otherwise(0)).alias("post_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("d")).otherwise(0)).alias("sd_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0)).alias("sd_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("d") * F.col("d")).otherwise(0)).alias("sdd_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("d") * F.col("d")).otherwise(0)).alias("sdd_b"),
+    )
+    se, z = _did_exprs()
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr("(pre_a * 1000) div n_a").alias("pre_mean_a_milli"),
+        F.expr("(pre_b * 1000) div n_b").alias("pre_mean_b_milli"),
+        F.expr("(post_a * 1000) div n_a").alias("post_mean_a_milli"),
+        F.expr("(post_b * 1000) div n_b").alias("post_mean_b_milli"),
+        F.expr("(sd_b * 1000) div n_b - (sd_a * 1000) div n_a").alias(
+            "did_milli"
+        ),
+        F.expr(f"CAST(FLOOR({se} * 1000000) AS BIGINT)").alias("se_micro"),
+        F.expr(f"CAST(FLOOR({z} * 1000) AS BIGINT)").alias("z_milli"),
+    )
+
+
+def _did_sql() -> str:
+    se, z = _did_exprs()
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND epoch_us(ts) < {CUPED_SPLIT_US}
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre_cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND epoch_us(ts) >= {CUPED_SPLIT_US}
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post_cents
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+           AS arm,
+         post_cents - pre_cents AS d, pre_cents, post_cents
+  FROM per_user
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN pre_cents ELSE 0 END) AS BIGINT) AS pre_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN pre_cents ELSE 0 END) AS BIGINT) AS pre_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN post_cents ELSE 0 END) AS BIGINT) AS post_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN post_cents ELSE 0 END) AS BIGINT) AS post_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS sd_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS sd_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN d * d ELSE 0 END) AS BIGINT) AS sdd_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN d * d ELSE 0 END) AS BIGINT) AS sdd_b
+  FROM armed
+)
+SELECT n_a, n_b,
+       (pre_a * 1000) // n_a AS pre_mean_a_milli,
+       (pre_b * 1000) // n_b AS pre_mean_b_milli,
+       (post_a * 1000) // n_a AS post_mean_a_milli,
+       (post_b * 1000) // n_b AS post_mean_b_milli,
+       (sd_b * 1000) // n_b - (sd_a * 1000) // n_a AS did_milli,
+       CAST(FLOOR({se} * 1000000) AS BIGINT) AS se_micro,
+       CAST(FLOOR({z} * 1000) AS BIGINT) AS z_milli
+FROM s
+"""
+
+
+DIFF_IN_DIFF_SQL = _did_sql()
+
+
 QUERIES = {
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
@@ -3711,6 +3849,7 @@ QUERIES = {
     "events_mde_curve": events_mde_curve,
     "events_cuped": events_cuped,
     "events_cuped_stratified": events_cuped_stratified,
+    "events_diff_in_diff": events_diff_in_diff,
     "events_ab_sequential": events_ab_sequential,
     "events_holt_winters": events_holt_winters,
 }
@@ -3765,6 +3904,7 @@ ORACLES = {
     "events_mde_curve": MDE_CURVE_SQL,
     "events_cuped": CUPED_SQL,
     "events_cuped_stratified": CUPED_STRATIFIED_SQL,
+    "events_diff_in_diff": DIFF_IN_DIFF_SQL,
     "events_ab_sequential": AB_SEQUENTIAL_SQL,
     "events_holt_winters": HOLT_WINTERS_SQL,
 }

@@ -1774,7 +1774,214 @@ FROM cand WHERE rnk <= {DUAL_SOURCE_TOPK}
 """
 
 
+def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test per market segment: do URGENT-class
+    orders (priority 1-URGENT / 2-HIGH) carry a different price
+    distribution than the rest? — the nonparametric rung of the stats
+    tier (doc_length_anova's F assumes variance structure; MW ranks are
+    distribution-free, the right test for heavy-tailed money columns).
+
+    Ranks stay INTEGER by the dsir_auc doubled-rank idiom generalized
+    to the full test readout: aggregate per DISTINCT price cent value
+    first (map-side combined), then one cumulative window over the
+    grouped frame — sized by the value range, never the order count. A
+    tie group at cumulative offset B with c members and u urgent
+    contributes u·(2B + c + 1) doubled-rank units, so
+    2·R1 = Σ u·(2B+c+1) and 2·U1 = 2·R1 − n1·(n1+1), both exact int64.
+    The normal approximation uses the tie-corrected variance
+    σ² = n1·n2/12 · ((n+1) − Σ(c³−c)/(n(n−1))); z = (U1 − n1·n2/2)/σ
+    runs through one identical double tree in both engines,
+    floor-quantized milli; NULLIF keeps one-arm-empty segments NULL.
+    int64 headroom: Σc³ ~ segments · ties³ — linear while tie groups
+    stay bounded (price cents are near-unique; the 10×/100× gates
+    watch it).
+
+    Scale shape: one broadcast dim join (customer segment), one
+    map-side-combined groupBy (segment, cents), a per-segment window
+    over value-grain rows, then a segments-row agg. Never sorts orders
+    globally; never serializes a corpus through one partition.
+    """
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.substring("o_orderpriority", 1, 1).isin("1", "2").cast("long").alias("urgent"),
+    )
+    vals = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("urgent").alias("u"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = vals.select(
+        "c_mktsegment",
+        "c",
+        "u",
+        (
+            F.col("u")
+            * (2 * F.coalesce(F.sum("c").over(w_cum), F.lit(0)) + F.col("c") + 1)
+        ).alias("r1x2_g"),
+        (F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_g"),
+    )
+    s = contrib.groupBy("c_mktsegment").agg(
+        F.sum("u").alias("n1"),
+        F.sum(F.col("c") - F.col("u")).alias("n2"),
+        F.sum("r1x2_g").alias("r1x2"),
+        F.sum("tie_g").alias("tie_term"),
+    )
+    sigma = (
+        "sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0"
+        " * ((n1 + n2 + 1.0)"
+        "    - CAST(tie_term AS DOUBLE)"
+        "      / NULLIF(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1.0), 0.0)))"
+    )
+    z = (
+        f"((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)"
+        f" / (2.0 * NULLIF({sigma}, 0.0)))"
+    )
+    return s.select(
+        "c_mktsegment",
+        F.col("n1").alias("n_urgent"),
+        F.col("n2").alias("n_rest"),
+        F.expr("r1x2 - n1 * (n1 + 1)").alias("u1_x2"),
+        "tie_term",
+        F.expr(f"CAST(FLOOR({z} * 1000) AS BIGINT)").alias("z_milli"),
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH vals AS (
+  SELECT c_mktsegment, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS u
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+contrib AS (
+  SELECT c_mktsegment, c, u,
+         u * (2 * COALESCE(SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1) AS r1x2_g,
+         c * c * c - c AS tie_g
+  FROM vals
+),
+s AS (
+  SELECT c_mktsegment,
+         CAST(SUM(u) AS BIGINT) AS n1,
+         CAST(SUM(c - u) AS BIGINT) AS n2,
+         CAST(SUM(r1x2_g) AS BIGINT) AS r1x2,
+         CAST(SUM(tie_g) AS BIGINT) AS tie_term
+  FROM contrib GROUP BY 1
+)
+SELECT c_mktsegment, n1 AS n_urgent, n2 AS n_rest,
+       r1x2 - n1 * (n1 + 1) AS u1_x2, tie_term,
+       CAST(FLOOR(((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+            / (2.0 * NULLIF(sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+               * ((n1 + n2 + 1.0)
+                  - CAST(tie_term AS DOUBLE)
+                    / NULLIF(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1.0), 0.0))), 0.0)))
+            * 1000) AS BIGINT) AS z_milli
+FROM s
+"""
+
+
+def supplier_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of supplier revenue within each nation —
+    the scalar customer_revenue_lorenz's curve integrates to, computed
+    EXACTLY at supplier grain (the inequality read procurement compares
+    across regions: a nation whose spend concentrates on one supplier
+    is a supply-chain fragility).
+
+    With x sorted ascending (revenue cents, suppkey as deterministic
+    tie-break) and i = 1..n the within-nation rank,
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx): the numerator is exact int64
+    (rank·cents products summed per nation), and the ppm quantization
+    divides by the QUANTIZED denominator ((n·S) div 1e6 — the lorenz
+    discipline: numerator·1e6 would overflow int64 at ~$92T·n). Output
+    per nation: supplier count, exact total cents, gini_ppm, and the
+    top supplier's milli share (max commutes into the agg).
+
+    Scale shape: one lineitem⇒supplier equi-join aggregated to
+    (nation, supplier) grain, a per-nation rank window over
+    supplier-grain rows (bounded per nation), one nations-row agg.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(_revenue_cents()).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("rev", "l_suppkey")
+    ranked = cells.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev").alias("total_cents"),
+            F.sum(F.col("i") * F.col("rev")).alias("irx"),
+            F.max("rev").alias("top_rev"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            "total_cents",
+            F.expr(
+                "(2 * irx - (n_suppliers + 1) * total_cents)"
+                " div GREATEST((n_suppliers * total_cents) div 1000000, 1)"
+            ).alias("gini_ppm"),
+            F.expr("top_rev div GREATEST(total_cents div 1000, 1)").alias(
+                "top_share_milli"
+            ),
+        )
+    )
+
+
+SUPPLIER_GINI_SQL = """
+WITH cells AS (
+  SELECT n_name, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT n_name, rev,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev, l_suppkey)
+              AS BIGINT) AS i
+  FROM cells
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       (2 * CAST(SUM(i * rev) AS BIGINT)
+        - (COUNT(*) + 1) * CAST(SUM(rev) AS BIGINT))
+         // GREATEST((COUNT(*) * CAST(SUM(rev) AS BIGINT)) // 1000000, 1)
+         AS gini_ppm,
+       CAST(MAX(rev) AS BIGINT) // GREATEST(CAST(SUM(rev) AS BIGINT) // 1000, 1)
+         AS top_share_milli
+FROM ranked
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "orders_mann_whitney": orders_mann_whitney,
+    "supplier_gini_by_nation": supplier_gini_by_nation,
     "supplier_dual_sourcing": supplier_dual_sourcing,
     "lineitem_revenue_bridge": lineitem_revenue_bridge,
     "lineitem_single_source_risk": lineitem_single_source_risk,
@@ -1803,6 +2010,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_mann_whitney": MANN_WHITNEY_SQL,
+    "supplier_gini_by_nation": SUPPLIER_GINI_SQL,
     "supplier_dual_sourcing": DUAL_SOURCING_SQL,
     "lineitem_revenue_bridge": REVENUE_BRIDGE_SQL,
     "lineitem_single_source_risk": SINGLE_SOURCE_SQL,
