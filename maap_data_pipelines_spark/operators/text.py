@@ -2007,8 +2007,11 @@ def documents_ks_drift(docs: DataFrame) -> DataFrame:
     domain, never the corpus; the dsir_auc discipline), and maximize
     |cum_base·n_rest − cum_rest·n_base| — the CDF gap scaled by
     n_base·n_rest so no division ever happens before the argmax.
-    d_ppm divides by the QUANTIZED denominator (the lorenz discipline:
-    d_num·1e6 overflows int64 once n_base·n_rest > 9e12); the classic
+    d_ppm is exact (d_num·1e6 floor-divided) while the product fits
+    int64, switching to the quantized denominator (the lorenz
+    discipline, error ≤ 1 ppm) once n_base·n_rest > 1e12 — one CASE,
+    identical in both engines, so small corpora keep the exact ppm and
+    big ones never overflow; the classic
     KS lambda = D·sqrt(n1·n2/(n1+n2)) is one identical double tree,
     floor-quantized milli (lambda > ~1358 rejects at 5%). The argmax
     location ties break to the smallest n_chars (deterministic in both
@@ -2055,7 +2058,9 @@ def documents_ks_drift(docs: DataFrame) -> DataFrame:
             "n_rest",
             "d_num",
             F.expr(
-                "d_num div GREATEST((n_base * n_rest) div 1000000, 1)"
+                "CASE WHEN n_base * n_rest > 1000000000000"
+                " THEN d_num div ((n_base * n_rest) div 1000000)"
+                " ELSE (d_num * 1000000) div GREATEST(n_base * n_rest, 1) END"
             ).alias("d_ppm"),
             F.expr(f"CAST(FLOOR({lam} * 1000) AS BIGINT)").alias(
                 "ks_lambda_milli"
@@ -2092,7 +2097,9 @@ gaps AS (
   FROM cums CROSS JOIN tot
 )
 SELECT n_base, n_rest, d_num,
-       d_num // GREATEST((n_base * n_rest) // 1000000, 1) AS d_ppm,
+       CASE WHEN n_base * n_rest > 1000000000000
+            THEN d_num // ((n_base * n_rest) // 1000000)
+            ELSE (d_num * 1000000) // GREATEST(n_base * n_rest, 1) END AS d_ppm,
        CAST(FLOOR((CAST(d_num AS DOUBLE)
              / NULLIF(CAST(n_base AS DOUBLE) * n_rest, 0.0)
              * sqrt(CAST(n_base AS DOUBLE) * n_rest / (n_base + n_rest)))

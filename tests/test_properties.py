@@ -668,3 +668,237 @@ def test_ab_sequential_degenerate_corpus_parity(spark, tmp_path):
     assert got.ln_lambda_milli is None and want[5] is None
     assert got.always_valid_p_ppm == want[6] == 1_000_000
     assert got.reject_at_5pct == want[7] == 0
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=0, max_value=5000),
+        ),
+        min_size=6,
+        max_size=120,
+    )
+)
+def test_diff_in_diff_matches_numpy(spark, prepost):
+    """The DiD readout over arbitrary per-user (pre, post) frames == the
+    straight numpy difference-in-differences formulas at the documented
+    quantizations (tolerance 1 micro/milli at the sqrt ulp boundary);
+    the point estimate is an exact integer function of the data."""
+    import hashlib
+    import math
+
+    from maap_data_pipelines_spark.plans.events import did_readout
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(prepost)],
+        "user_id bigint, pre_cents bigint, post_cents bigint",
+    )
+    r = did_readout(df).collect()[0]
+
+    def arm(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    g = {0: [], 1: []}
+    for i, (a, b) in enumerate(prepost):
+        g[arm(i)].append(b - a)
+    n_a, n_b = len(g[0]), len(g[1])
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    if n_a == 0 or n_b == 0:
+        return
+    sd_a, sd_b = sum(g[0]), sum(g[1])
+
+    def idiv(a: int, b: int) -> int:  # Spark div / DuckDB // truncate to 0
+        return -((-a) // b) if (a < 0) != (b < 0) else a // b
+
+    # the point estimate is EXACT: two int64 truncating divisions
+    assert r.did_milli == idiv(sd_b * 1000, n_b) - idiv(sd_a * 1000, n_a)
+    if n_a < 2 or n_b < 2:
+        assert r.se_micro is None
+        return
+    sdd_a = sum(d * d for d in g[0])
+    sdd_b = sum(d * d for d in g[1])
+    var_a = (n_a * sdd_a - sd_a * sd_a) / (n_a * (n_a - 1))
+    var_b = (n_b * sdd_b - sd_b * sd_b) / (n_b * (n_b - 1))
+    se = math.sqrt(var_a / n_a + var_b / n_b)
+    if se == 0.0:
+        assert r.z_milli is None
+        return
+    assert abs(r.se_micro - math.floor(se * 1_000_000)) <= 1
+    z = (sd_b / n_b - sd_a / n_a) / se
+    assert abs(r.z_milli - math.floor(z * 1000)) <= 1
+
+
+def test_diff_in_diff_null_vs_planted_effect(spark):
+    """Statistical sanity: equal pre->post drift in both arms must read
+    ~zero DiD; an uplift planted ONLY in arm b's post period must be
+    detected with a decisive z."""
+    import hashlib
+
+    from maap_data_pipelines_spark.plans.events import did_readout
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+
+    # null: both arms drift +100 cents, with INDEPENDENT pre/post noise
+    null_rows = [(i, 1000 + i % 7, 1100 + (i * 13) % 23) for i in range(2000)]
+    rn = did_readout(
+        spark.createDataFrame(null_rows, "user_id bigint, pre_cents bigint, post_cents bigint")
+    ).collect()[0]
+    assert abs(rn.did_milli) < 10_000 and abs(rn.z_milli) < 1960
+    # planted: arm b gains an extra +500 cents post
+    eff_rows = [
+        (i, 1000 + i % 7, 1100 + (i * 13) % 23 + (500 if arm(i) == 1 else 0))
+        for i in range(2000)
+    ]
+    re_ = did_readout(
+        spark.createDataFrame(eff_rows, "user_id bigint, pre_cents bigint, post_cents bigint")
+    ).collect()[0]
+    assert 490_000 <= re_.did_milli <= 510_000
+    assert re_.z_milli > 10_000  # hugely significant
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # price value (forces ties)
+            st.booleans(),  # urgent flag
+        ),
+        min_size=6,
+        max_size=150,
+    )
+)
+def test_mann_whitney_kernel_matches_numpy(spark, rows):
+    """The doubled-rank Mann-Whitney aggregation == the textbook
+    average-rank computation (ranks, U, tie-corrected z) on arbitrary
+    tied data — pinned via a single-segment frame through the same
+    expression pipeline the registered query uses."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from maap_data_pipelines_spark.plans import tpch2
+
+    vals_rows = [("S", v, 1 if u else 0) for v, u in rows]
+    df = spark.createDataFrame(vals_rows, "c_mktsegment string, cents bigint, urgent bigint")
+    vals = df.groupBy("c_mktsegment", "cents").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("urgent").alias("u")
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = vals.select(
+        "c_mktsegment",
+        "c",
+        "u",
+        (
+            F.col("u")
+            * (2 * F.coalesce(F.sum("c").over(w_cum), F.lit(0)) + F.col("c") + 1)
+        ).alias("r1x2_g"),
+        (F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_g"),
+    )
+    s = contrib.groupBy("c_mktsegment").agg(
+        F.sum("u").alias("n1"),
+        F.sum(F.col("c") - F.col("u")).alias("n2"),
+        F.sum("r1x2_g").alias("r1x2"),
+        F.sum("tie_g").alias("tie_term"),
+    ).collect()[0]
+
+    # textbook replica: average ranks over the sorted sample
+    xs = sorted(rows)
+    n = len(xs)
+    ranks = {}
+    i = 0
+    vs = sorted({v for v, _ in rows})
+    seen = 0
+    tie_term = 0
+    for v in vs:
+        c = sum(1 for x, _ in rows if x == v)
+        ranks[v] = seen + (c + 1) / 2
+        tie_term += c**3 - c
+        seen += c
+    n1 = sum(1 for _, u in rows if u)
+    n2 = n - n1
+    r1 = sum(ranks[v] for v, u in rows if u)
+    assert (s.n1, s.n2) == (n1, n2)
+    assert s.r1x2 == int(2 * r1)
+    assert s.tie_term == tie_term
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert s.r1x2 - n1 * (n1 + 1) == int(2 * u1)
+    if n1 == 0 or n2 == 0 or n < 2:
+        return
+    sigma2 = n1 * n2 / 12 * ((n + 1) - tie_term / (n * (n - 1)))
+    if sigma2 <= 0:
+        return
+    z = (u1 - n1 * n2 / 2) / math.sqrt(sigma2)
+    # re-evaluate the registered expression on the aggregated row
+    got_z = (
+        (s.r1x2 - n1 * (n1 + 1) - n1 * n2)
+        / (2.0 * math.sqrt(n1 * n2 / 12.0 * ((n + 1.0) - s.tie_term / (n * (n - 1.0)))))
+    )
+    assert abs(got_z - z) < 1e-9
+
+
+def test_documents_ks_drift_identity_and_disjoint(spark):
+    """KS edges: a baseline whose length distribution EQUALS the rest's
+    reads d_num = 0; disjoint supports read the maximum d_ppm = 1e6 (at
+    the boundary value, smallest-first tie-break)."""
+    from maap_data_pipelines_spark.operators.text import documents_ks_drift
+
+    same = [(i, "t", "en", "src0" if i % 2 == 0 else "src9", 100 + (i % 5))
+            for i in range(200)]
+    # i%2 and i%5 are independent mod 10: both sources see each length equally
+    r = documents_ks_drift(
+        spark.createDataFrame(same, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    ).collect()[0]
+    assert r.d_num == 0 and r.d_ppm == 0 and r.ks_lambda_milli == 0
+
+    disj = [(i, "t", "en", "src0", 10 + i % 3) for i in range(60)] + [
+        (1000 + i, "t", "en", "srcX", 500 + i % 4) for i in range(80)
+    ]
+    r2 = documents_ks_drift(
+        spark.createDataFrame(disj, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    ).collect()[0]
+    assert (r2.n_base, r2.n_rest) == (60, 80)
+    assert r2.d_num == 60 * 80 and r2.d_ppm == 1_000_000  # exact branch
+    assert r2.at_n_chars == 12  # the last baseline step, smallest argmax
+
+
+def test_supplier_gini_matches_numpy(spark, sf_dir):
+    """The per-nation Gini == the textbook sorted-rank formula computed
+    directly from the parquet with numpy (exact integers, so equality is
+    exact up to the documented denominator quantization)."""
+    import duckdb
+
+    from maap_data_pipelines_spark.plans.tpch2 import supplier_gini_by_nation
+
+    got = {
+        r.n_name: (r.n_suppliers, r.total_cents, r.gini_ppm)
+        for r in supplier_gini_by_nation(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT n_name, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM read_parquet('{sf_dir}/lineitem.parquet') li
+        JOIN read_parquet('{sf_dir}/supplier.parquet') s ON l_suppkey = s_suppkey
+        JOIN read_parquet('{sf_dir}/nation.parquet') n ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_nation: dict = {}
+    for n_name, suppkey, rev in rows:
+        by_nation.setdefault(n_name, []).append((rev, suppkey))
+    assert set(got) == set(by_nation)
+    for n_name, cells in by_nation.items():
+        xs = [rev for rev, _ in sorted(cells)]
+        n, total = len(xs), sum(xs)
+        num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * total
+        want_gini = num // max((n * total) // 1_000_000, 1)
+        assert got[n_name] == (n, total, want_gini), n_name
+        assert 0 <= got[n_name][2] <= 1_000_000

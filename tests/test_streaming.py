@@ -1595,3 +1595,13 @@ def test_streaming_cuped_state_matches_batch_readout(spark, tmp_path):
         tuple(r) for r in cuped_stratified_readout(cuped_user_stats(ev2)).collect()
     ]
     assert got_s == want_s and len(got_s) >= 2
+
+    # DiD (r10) is the same shared-kernel property once more: the state
+    # frame serves the difference-in-differences readout unchanged
+    from maap_data_pipelines_spark.plans.events import did_readout
+
+    got_d = did_readout(
+        t.read(spark).select("user_id", "pre_cents", "post_cents")
+    ).collect()
+    want_d = did_readout(cuped_user_stats(ev2)).collect()
+    assert [tuple(r) for r in got_d] == [tuple(r) for r in want_d] and len(got_d) == 1
