@@ -133,10 +133,65 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Stdlib BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER walk.
+
+    Supports uncompressed (BI_RGB) 24-bit BGR and 32-bit BGRA — the
+    profiles screenshots and uncompressed exports actually carry. Rows
+    are stored bottom-up (top-down when the height field is negative)
+    and padded to 4-byte boundaries; both are normalized away so the
+    return is the SAME 1-D top-down row-major sample contract as the
+    PNG/WAV paths (samples converted BGR(A) -> RGB(A) so identical
+    pixels decode to identical arrays regardless of container), keeping
+    every downstream histogram/hash/window operator codec-agnostic.
+    Palette, RLE, and 1/4/8/16-bit profiles raise NotImplementedError
+    (the honesty gate); corrupt containers raise ValueError/struct.error
+    and fall back to the byte-stub under ``allow_stub`` exactly like the
+    PNG path.
+    """
+    import struct
+
+    buf = bytes(payload)
+    if len(buf) < 54:
+        raise ValueError("BMP truncated before headers")
+    magic, _size, _res, offset = struct.unpack("<2sIII", buf[:14])
+    hsize, width, height, _planes, bpp, comp = struct.unpack(
+        "<IiiHHI", buf[14:34]
+    )
+    if hsize < 40:
+        raise NotImplementedError(f"unsupported BMP header size: {hsize}")
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"unsupported BMP profile: bpp={bpp} compression={comp}"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError("BMP degenerate dimensions")
+    top_down = height < 0
+    height = abs(height)
+    ch = bpp // 8
+    row_bytes = width * ch
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    if offset + stride * height > len(buf):
+        raise ValueError("BMP pixel array truncated")
+    out = np.zeros((height, row_bytes), dtype=np.int64)
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        row = np.frombuffer(
+            buf, dtype=np.uint8, count=row_bytes, offset=offset + src * stride
+        ).astype(np.int64)
+        px = row.reshape(width, ch)
+        px = px[:, [2, 1, 0] + ([3] if ch == 4 else [])]  # BGR(A) -> RGB(A)
+        out[r] = px.reshape(-1)
+    return out.reshape(-1)
+
+
+_BMP_SIG = b"BM"
+
+
 def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> np.ndarray:
     """Decode a media payload to a pixel/sample array.
 
-    TWO REAL CODEC PATHS, zero new dependencies:
+    THREE REAL CODEC PATHS (WAV, PNG, BMP), zero new dependencies:
 
     - ``audio/wav`` payloads that are actual RIFF/WAVE containers are
       parsed with the stdlib ``wave`` module — container header
@@ -146,6 +201,10 @@ def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> n
     - ``image/png`` payloads that carry the PNG signature are decoded
       via the stdlib ``zlib`` chunk walk in :func:`_decode_png`
       (8-bit gray/RGB/gray+alpha/RGBA, filters 0-4, non-interlaced).
+    - ``image/bmp`` payloads that carry the BM signature are decoded
+      via the stdlib ``struct`` header walk in :func:`_decode_bmp`
+      (uncompressed 24/32-bit, bottom-up or top-down, row padding
+      stripped, BGR(A) normalized to RGB(A)).
 
     tests/test_multimodal.py generates real WAV and real PNG bytes and
     drives them through the window/histogram/hash operators end-to-end.
@@ -190,6 +249,15 @@ def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> n
         try:
             return _decode_png(payload)
         except (NotImplementedError, ValueError, zlib.error, struct.error):
+            if not allow_stub:
+                raise
+            return np.frombuffer(payload, dtype=np.uint8)
+    if media_type == "image/bmp" and payload[: len(_BMP_SIG)] == _BMP_SIG:
+        import struct
+
+        try:
+            return _decode_bmp(payload)
+        except (NotImplementedError, ValueError, struct.error):
             if not allow_stub:
                 raise
             return np.frombuffer(payload, dtype=np.uint8)

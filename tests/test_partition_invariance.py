@@ -104,6 +104,16 @@ KEYS = [
     "quality_platt_scaling",
     "embedding_dedup_collapsed",
     "events_ab_sequential",
+    # r10 wave: the collapse-first fold inside the banded LISTING (clique
+    # expansion via per-group self-joins — id interleaving across
+    # partitions is exactly what could break the least/greatest ordering),
+    # the doubled-rank cumulative windows (MW + KS argmax tie-break), the
+    # per-nation rank·value fold, and the DiD double trees
+    "embedding_dedup_banded",
+    "orders_mann_whitney",
+    "documents_ks_drift",
+    "supplier_gini_by_nation",
+    "events_diff_in_diff",
 ]
 
 
