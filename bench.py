@@ -290,6 +290,11 @@ HEADLINE = [
     "quality_platt_scaling",
     "embedding_dedup_collapsed",
     "events_ab_sequential",
+    # r10 wave
+    "events_diff_in_diff",
+    "orders_mann_whitney",
+    "supplier_gini_by_nation",
+    "documents_ks_drift",
 ]
 
 
