@@ -594,8 +594,11 @@ def embedding_dedup_collapsed(emb: DataFrame) -> DataFrame:
     distinct survivors, and reports clone multiplicities instead of
     materializing the quadratic expansion: n_expanded_pairs =
     clones_a * clones_b is the exact count of underlying vector pairs
-    each rep pair stands for. At the 100x tier this runs in ~1 min where
-    the direct listing cannot finish.
+    each rep pair stands for. (r10: embedding_dedup_banded now uses this
+    same collapse internally and expands the listing back — 13.8 s /
+    18M rows at 100x vs the r9 crash — but THIS op stays the production
+    report: when clones are deep, nobody wants the expanded rows, only
+    the multiplicities.)
 
     Scale shape: one groupBy on the embedding bytes (map-side combined;
     clone cliques collapse before any join), the banded candidate join

@@ -2111,3 +2111,93 @@ LIMIT 1
 """
 
 QUERY_SQL["documents_ks_drift"] = DOCUMENTS_KS_DRIFT_SQL
+
+
+def documents_chi2_independence(docs: DataFrame) -> DataFrame:
+    """Chi-squared test of independence over the source × lang
+    contingency table — the categorical-association rung of the drift
+    tier (ANOVA: numeric-vs-k-way, KS: CDF shape, MW: two-group ranks;
+    this one asks whether the language MIX is uniform across sources —
+    a skew is a crawl-routing or lang-ID regression localized to a
+    source).
+
+    Exactness discipline: expected cells E_ij = r_i·c_j/n and the
+    per-cell (O−E)²/E are doubles, but each cell's contribution is
+    floor-quantized to integer MICRO first and only THEN integer-summed
+    — a cross-partition double sum is association-order dependent (the
+    exact hazard the invariance sweep exists to catch), an integer sum
+    is not, and the ≤1-micro-per-cell floor bias is identical in both
+    engines. Output one row: cells, rows, cols, dof, n, chi2_micro (the
+    dashboard compares against the chi²(dof) bar).
+
+    The statistic runs over the FULL R × C margin grid (a bounded
+    cross of the two total frames), so EMPTY cells contribute their
+    expectation — dropping them reads perfect association as half its
+    chi2 (pinned by the product-table / determined-column edges).
+
+    Scale shape: one map-side-combined groupBy(source, lang), a
+    bounded margin cross + one left join of observed cells, a 1-row
+    agg. No windows, no corpus-sized joins.
+    """
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows_t = cells.groupBy("source").agg(F.sum("o").alias("r"))
+    cols_t = cells.groupBy("lang").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    # the FULL R x C grid, not just observed cells: an empty cell still
+    # contributes E to the statistic (O = 0) — dropping it is the classic
+    # under-count that reads perfect association as half its chi2
+    grid = rows_t.crossJoin(F.broadcast(cols_t))
+    e = "(CAST(r AS DOUBLE) * c / n)"
+    contrib = (
+        grid.join(cells, ["source", "lang"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            F.expr(
+                f"CAST(FLOOR((o - {e}) * (o - {e}) / {e} * 1000000) AS BIGINT)"
+            ).alias("contrib_micro"),
+        )
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+        ).alias("dof"),
+        F.sum("contrib_micro").alias("chi2_micro"),
+    )
+
+
+DOCUMENTS_CHI2_SQL = """
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+),
+rows_t AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cols_t AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+grid AS (SELECT source, r, lang, c FROM rows_t CROSS JOIN cols_t),
+contrib AS (
+  SELECT grid.source, grid.lang,
+         CAST(FLOOR((COALESCE(o, 0) - (CAST(r AS DOUBLE) * c / n))
+              * (COALESCE(o, 0) - (CAST(r AS DOUBLE) * c / n))
+              / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT) AS contrib_micro
+  FROM grid
+  LEFT JOIN cells ON cells.source = grid.source AND cells.lang = grid.lang
+  CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST((COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS BIGINT)
+         AS dof,
+       CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+FROM contrib
+"""
+
+QUERY_SQL["documents_chi2_independence"] = DOCUMENTS_CHI2_SQL

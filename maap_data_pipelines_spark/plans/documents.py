@@ -86,6 +86,7 @@ QUERIES = {
     "quality_platt_scaling": _wrap(curation.quality_platt_scaling),
     "doc_length_anova": _wrap(text.doc_length_anova),
     "documents_ks_drift": _wrap(text.documents_ks_drift),
+    "documents_chi2_independence": _wrap(text.documents_chi2_independence),
 }
 
 ORACLES = dict(text.QUERY_SQL)

@@ -114,6 +114,11 @@ KEYS = [
     "documents_ks_drift",
     "supplier_gini_by_nation",
     "events_diff_in_diff",
+    # r10 second wave: grid left-join with coalesced empty cells feeding
+    # per-cell floor quantization, and the digit-string group + 1-row
+    # broadcast chi2 contributions
+    "documents_chi2_independence",
+    "orders_benford_dq",
 ]
 
 
