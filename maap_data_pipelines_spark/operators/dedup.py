@@ -785,18 +785,22 @@ _UND_SQL = f"""
 DEDUP_PAGERANK_SQL = _pagerank_sql(_UND_SQL)
 
 
-def dedup_clusters(docs: DataFrame, max_iter: int = 15) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, max_iter: int = 15, hashed: DataFrame | None = None
+) -> DataFrame:
     """Connected components over the MinHash candidate-pair graph.
 
     Edges come from :func:`dedup_minhash_lsh`; components are labeled by
     their minimum doc_id via :func:`connected_components` (pointer-jumping
     min-label propagation, O(log diameter) distributed rounds).
+    ``hashed`` — optional precomputed :func:`_shingle_hashes` frame (the
+    shared-pass lever for compositions).
 
     Output: (doc_id, cluster_id) for every doc in at least one candidate
     pair (singletons are their own implicit cluster and omitted, like a
     dedup survivor map).
     """
-    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    edges = dedup_minhash_lsh(docs, hashed=hashed).select("doc_a", "doc_b")
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -877,17 +881,35 @@ def dedup_rand_index(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     Scale shape: two candidate pipelines + two CCs (each bounded by
     near-dup mass), a full-outer join of two label frames, three
     aggregate-sized groupBys, then 1-row broadcast crosses to combine
-    scalars. Nothing corpus-quadratic.
+    scalars. Nothing corpus-quadratic. r10: the two pipelines share ONE
+    localCheckpointed md5 shingle-hash pass, and the two CC fixpoints
+    (driver-synced iterative rounds — the scheduling floor that
+    dominates at local scale) run on concurrent scheduler threads, the
+    dedup_strategy_comparison lever; measured ~8.3 s -> ~5.3 s at
+    sf0.1, values unchanged.
     """
-    m = dedup_clusters(docs, max_iter=max_iter).select(
-        "doc_id", F.col("cluster_id").alias("c1")
-    )
-    sp = dedup_simhash(docs).select("doc_a", "doc_b")
-    und = sp.union(
-        sp.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    s_labels, _ = connected_components(und, max_iter=max_iter)
-    s = s_labels.select("doc_id", F.col("cluster_id").alias("c2"))
+    from concurrent.futures import ThreadPoolExecutor
+
+    hashed = _shingle_hashes(docs).localCheckpoint()
+
+    def _chain_minhash():
+        return dedup_clusters(docs, max_iter=max_iter, hashed=hashed).select(
+            "doc_id", F.col("cluster_id").alias("c1")
+        )
+
+    def _chain_simhash():
+        sp = dedup_simhash(docs, hashed=hashed).select("doc_a", "doc_b")
+        und = sp.union(
+            sp.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).localCheckpoint()
+        s_labels, _ = connected_components(und, max_iter=max_iter)
+        return s_labels.select("doc_id", F.col("cluster_id").alias("c2"))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_m = ex.submit(_chain_minhash)
+        f_s = ex.submit(_chain_simhash)
+        m = f_m.result()
+        s = f_s.result()
     u = (
         m.join(s, "doc_id", "full_outer")
         .select(
