@@ -297,6 +297,7 @@ HEADLINE = [
     "documents_ks_drift",
     "orders_benford_dq",
     "documents_chi2_independence",
+    "vocab_entropy",
 ]
 
 

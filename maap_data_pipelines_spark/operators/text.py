@@ -2201,3 +2201,83 @@ FROM contrib
 """
 
 QUERY_SQL["documents_chi2_independence"] = DOCUMENTS_CHI2_SQL
+
+
+def vocab_entropy(docs: DataFrame) -> DataFrame:
+    """Shannon entropy of the corpus unigram distribution — the
+    information-theoretic rung beside the SHAPE monitors (Zipf fits the
+    rank-frequency slope, Heaps the growth curve; entropy is the single
+    scalar that moves when EITHER collapses): low H = template flood /
+    boilerplate (the signal repetition_stats sees per doc, corpus-wide),
+    H near ln(V) = near-uniform vocabulary (shredded text, random ids).
+
+    Identity used: H = ln(N) − (Σ c·ln c)/N over term counts c. Each
+    term's c·ln(c) is floor-quantized to integer MICRO and the micros
+    integer-summed (the chi2/user_entropy discipline — a cross-partition
+    double sum is association-order dependent; ≤1 micro floor bias per
+    term, identical both engines); H and the normalized/redundancy
+    ratios come from one identical double tree over the three exact
+    int64 scalars. Output: n_tokens, n_terms, s_clnc_micro (the exact
+    integer sufficient statistic), h_micro_nats, h_norm_ppm (H/ln V),
+    redundancy_ppm (1 − H/ln V).
+
+    Scale shape: explode → one map-side-combined hash-agg on term → a
+    1-row agg. int64 headroom: Σ c·ln(c)·1e6 ≤ N·ln(N)·1e6 ~ 2e16 at
+    1e9 tokens.
+    """
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    counts = docs.select(word).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = counts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(
+            F.expr("CAST(FLOOR(c * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)")
+        ).alias("s_clnc_micro"),
+    )
+    h = (
+        "(ln(CAST(n_tokens AS DOUBLE))"
+        " - CAST(s_clnc_micro AS DOUBLE) / 1000000.0 / n_tokens)"
+    )
+    hn = f"({h} / NULLIF(ln(CAST(n_terms AS DOUBLE)), 0.0))"
+    return s.select(
+        "n_tokens",
+        "n_terms",
+        "s_clnc_micro",
+        F.expr(f"CAST(FLOOR({h} * 1000000) AS BIGINT)").alias("h_micro_nats"),
+        F.expr(f"CAST(FLOOR({hn} * 1000000) AS BIGINT)").alias("h_norm_ppm"),
+        F.expr(f"CAST(FLOOR((1.0 - {hn}) * 1000000) AS BIGINT)").alias(
+            "redundancy_ppm"
+        ),
+    )
+
+
+VOCAB_ENTROPY_SQL = """
+WITH c AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM c GROUP BY 1),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(FLOOR(c * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+              AS BIGINT) AS s_clnc_micro
+  FROM counts
+)
+SELECT n_tokens, n_terms, s_clnc_micro,
+       CAST(FLOOR((ln(CAST(n_tokens AS DOUBLE))
+            - CAST(s_clnc_micro AS DOUBLE) / 1000000.0 / n_tokens) * 1000000)
+            AS BIGINT) AS h_micro_nats,
+       CAST(FLOOR(((ln(CAST(n_tokens AS DOUBLE))
+            - CAST(s_clnc_micro AS DOUBLE) / 1000000.0 / n_tokens)
+            / NULLIF(ln(CAST(n_terms AS DOUBLE)), 0.0)) * 1000000)
+            AS BIGINT) AS h_norm_ppm,
+       CAST(FLOOR((1.0 - ((ln(CAST(n_tokens AS DOUBLE))
+            - CAST(s_clnc_micro AS DOUBLE) / 1000000.0 / n_tokens)
+            / NULLIF(ln(CAST(n_terms AS DOUBLE)), 0.0))) * 1000000)
+            AS BIGINT) AS redundancy_ppm
+FROM s
+"""
+
+QUERY_SQL["vocab_entropy"] = VOCAB_ENTROPY_SQL

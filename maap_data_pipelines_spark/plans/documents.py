@@ -87,6 +87,7 @@ QUERIES = {
     "doc_length_anova": _wrap(text.doc_length_anova),
     "documents_ks_drift": _wrap(text.documents_ks_drift),
     "documents_chi2_independence": _wrap(text.documents_chi2_independence),
+    "vocab_entropy": _wrap(text.vocab_entropy),
 }
 
 ORACLES = dict(text.QUERY_SQL)

@@ -119,6 +119,7 @@ KEYS = [
     # broadcast chi2 contributions
     "documents_chi2_independence",
     "orders_benford_dq",
+    "vocab_entropy",
 ]
 
 

@@ -980,3 +980,45 @@ def test_chi2_independence_product_table_and_dependence(spark):
     assert r2.dof == 1
     # perfect association: chi2 == n exactly (phi = 1), i.e. 200e6 micro
     assert abs(r2.chi2_micro - 200_000_000) <= 4  # <=1 micro floor bias/cell
+
+
+def test_vocab_entropy_edges_and_numpy(spark):
+    """Entropy pins: an all-distinct vocabulary reads H = ln N
+    (redundancy 0); a single repeated token reads H = 0 (redundancy
+    1e6); a mixed corpus matches the direct numpy computation at the
+    documented micro quantization."""
+    import math
+
+    from maap_data_pipelines_spark.operators.text import vocab_entropy
+
+    def docs_of(texts):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+
+    uni = vocab_entropy(docs_of([f"w{i} w{i+100}" for i in range(0, 100, 2)])).collect()[0]
+    assert uni.n_tokens == uni.n_terms == 100
+    assert uni.s_clnc_micro == 0  # every c == 1 -> c ln c == 0
+    assert uni.h_micro_nats == math.floor(math.log(100) * 1_000_000)
+    assert uni.redundancy_ppm == 0
+
+    const = vocab_entropy(docs_of(["x x x x" for _ in range(25)])).collect()[0]
+    assert (const.n_tokens, const.n_terms) == (100, 1)
+    assert const.h_micro_nats in (0, -1)  # floor at the 1e-6 ulp boundary
+    # single-term vocabulary: ln(V) = 0, the normalized ratios are
+    # undefined — NULL by the guard, not an error (the mSPRT lesson)
+    assert const.h_norm_ppm is None and const.redundancy_ppm is None
+
+    import collections
+    import random
+
+    rng = random.Random(7)
+    words = [f"t{rng.randint(0, 30)}" for _ in range(500)]
+    mixed = vocab_entropy(docs_of([" ".join(words[i : i + 10]) for i in range(0, 500, 10)])).collect()[0]
+    c = collections.Counter(words)
+    n = sum(c.values())
+    s_micro = sum(math.floor(v * math.log(v) * 1_000_000) for v in c.values())
+    assert (mixed.n_tokens, mixed.n_terms, mixed.s_clnc_micro) == (n, len(c), s_micro)
+    h = math.log(n) - s_micro / 1_000_000 / n
+    assert abs(mixed.h_micro_nats - math.floor(h * 1_000_000)) <= 1
