@@ -295,7 +295,6 @@ HEADLINE = [
     "orders_mann_whitney",
     "supplier_gini_by_nation",
     "documents_ks_drift",
-    "orders_benford_dq",
     "documents_chi2_independence",
     "vocab_entropy",
 ]

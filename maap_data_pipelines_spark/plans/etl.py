@@ -3159,76 +3159,7 @@ FROM s CROSS JOIN tot
 """
 
 
-def orders_benford_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit of order totals — the fabricated-data
-    gate of the DQ tier (orders_dq_expectations checks contracts,
-    orders_shewhart_control drift; Benford catches INVENTED numbers:
-    naturally-grown money columns follow P(d) = log10(1+1/d), synthetic
-    or hand-keyed ones almost never do — the classic forensic
-    accounting screen, applied to pipeline inputs before training).
-
-    The first significant digit is taken from the exact cent value's
-    decimal rendering (substring of the int64 string — identical in
-    both engines, no float log tricks on the data side). Per digit:
-    exact count, observed share in ppm (int64-safe to ~9e12 orders),
-    the Benford expectation ppm via ONE shared ln double tree, and the
-    digit's chi-squared contribution (n_d − E_d)²/E_d floor-quantized
-    to milli PER ROW — quantize-then-report, never a cross-row double
-    sum (the partition-order hazard); a dashboard sums the 9 integer
-    milli contributions against the chi²(8) 5% bar of 15507 milli.
-
-    Scale shape: one map-side-combined 9-group agg + a 1-row total
-    broadcast. No joins on data, no windows.
-    """
-    orders = read_table(spark, sf_dir, "orders")
-    digits = orders.select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
-        )
-        .cast("long")
-        .alias("digit")
-    )
-    per = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_digit"))
-    tot = per.agg(F.sum("n_digit").alias("n"))
-    p = "(ln(1.0 + 1.0 / digit) / ln(10.0))"
-    e = f"(CAST(n AS DOUBLE) * {p})"
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            "n_digit",
-            F.expr("(n_digit * 1000000) div n").alias("share_ppm"),
-            F.expr(f"CAST(FLOOR({p} * 1000000) AS BIGINT)").alias("benford_ppm"),
-            F.expr(
-                f"CAST(FLOOR((n_digit - {e}) * (n_digit - {e}) / {e} * 1000)"
-                " AS BIGINT)"
-            ).alias("chi2_contrib_milli"),
-        )
-    )
-
-
-BENFORD_SQL = """
-WITH digits AS (
-  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
-              AS BIGINT) AS digit
-  FROM orders
-),
-per AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_digit FROM digits GROUP BY 1),
-tot AS (SELECT CAST(SUM(n_digit) AS BIGINT) AS n FROM per)
-SELECT digit, n_digit,
-       (n_digit * 1000000) // n AS share_ppm,
-       CAST(FLOOR((ln(1.0 + 1.0 / digit) / ln(10.0)) * 1000000) AS BIGINT)
-         AS benford_ppm,
-       CAST(FLOOR((n_digit - (CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0))))
-            * (n_digit - (CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0))))
-            / (CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / digit) / ln(10.0))) * 1000)
-            AS BIGINT) AS chi2_contrib_milli
-FROM per CROSS JOIN tot
-"""
-
-
 QUERIES = {
-    "orders_benford_dq": orders_benford_dq,
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
     "doc_weighted_sample_exact_k": doc_weighted_sample_exact_k,
@@ -3292,7 +3223,6 @@ ORACLES = {
     "orders_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "compaction_plan": COMPACTION_SQL,
     "orders_dq_expectations": DQ_SQL,
-    "orders_benford_dq": BENFORD_SQL,
     "orders_revenue_trend": TREND_SQL,
     "orders_monthly_gapfill": GAPFILL_SQL,
     "orders_price_quantiles": PRICE_QUANTILES_SQL,

@@ -115,10 +115,8 @@ KEYS = [
     "supplier_gini_by_nation",
     "events_diff_in_diff",
     # r10 second wave: grid left-join with coalesced empty cells feeding
-    # per-cell floor quantization, and the digit-string group + 1-row
-    # broadcast chi2 contributions
+    # per-cell floor quantization, and the per-term quantized entropy fold
     "documents_chi2_independence",
-    "orders_benford_dq",
     "vocab_entropy",
 ]
 

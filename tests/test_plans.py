@@ -78,6 +78,10 @@ _BNLJ_ALLOWED = {
     "q22_global_sales_opportunity",
     # 1-row as-of anchor + 1-row backlog-total broadcast crosses
     "orders_backlog_aging",
+    # r10: 1-row totals broadcast crosses — KS's (n_base, n_rest) onto the
+    # value-grain gap frame, chi2's corpus count onto the margin grid
+    "documents_ks_drift",
+    "documents_chi2_independence",
     # 16-row centroid broadcast cross (ivf_assign kernel) + 1-row
     # corpus-count broadcast
     "ann_centroid_balance",

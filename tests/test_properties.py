@@ -904,53 +904,6 @@ def test_supplier_gini_matches_numpy(spark, sf_dir):
         assert 0 <= got[n_name][2] <= 1_000_000
 
 
-def test_benford_expectations_and_detection(spark, tmp_path, sf_dir):
-    """Benford pins: (a) the emitted benford_ppm column IS
-    floor(log10(1+1/d)·1e6) for every digit; (b) shares sum to ~1e6 and
-    every digit 1-9 appears on the real corpus; (c) a planted
-    uniform-first-digit ledger (the fabricated-data signature) carries a
-    chi² contribution sum far past the chi²(8) 5% bar while a
-    Benford-exact ledger reads ~0."""
-    import math
-
-    import pandas as pd
-
-    from maap_data_pipelines_spark.plans.etl import orders_benford_dq
-
-    rows = {r.digit: r for r in orders_benford_dq(spark, sf_dir).collect()}
-    assert set(rows) == set(range(1, 10))
-    for d, r in rows.items():
-        assert r.benford_ppm == math.floor(math.log10(1 + 1 / d) * 1_000_000)
-    assert 999_990 <= sum(r.share_ppm for r in rows.values()) <= 1_000_000
-
-    def write_orders(dirname, cents_list):
-        pd.DataFrame(
-            {"o_orderkey": range(len(cents_list)),
-             "o_custkey": [1] * len(cents_list),
-             "o_totalprice": [c / 100 for c in cents_list]}
-        ).to_parquet(dirname / "orders.parquet")
-
-    # Benford-exact ledger: counts proportional to log10(1+1/d) out of 1e4
-    import itertools
-    bexact = tmp_path / "benford"
-    bexact.mkdir()
-    cents = list(
-        itertools.chain.from_iterable(
-            [d * 1000] * round(math.log10(1 + 1 / d) * 10_000)
-            for d in range(1, 10)
-        )
-    )
-    write_orders(bexact, cents)
-    good = orders_benford_dq(spark, str(bexact)).collect()
-    assert sum(r.chi2_contrib_milli for r in good) < 15_507  # chi2(8) 5%
-
-    uni = tmp_path / "uniform"
-    uni.mkdir()
-    write_orders(uni, [d * 1000 for d in range(1, 10) for _ in range(1111)])
-    bad = orders_benford_dq(spark, str(uni)).collect()
-    assert sum(r.chi2_contrib_milli for r in bad) > 100_000  # decisively flagged
-
-
 def test_chi2_independence_product_table_and_dependence(spark):
     """Chi² edges: a contingency table that is EXACTLY a product
     distribution reads chi2_micro == 0 (O == E cell-for-cell, floor of
