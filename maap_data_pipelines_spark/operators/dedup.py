@@ -207,17 +207,24 @@ def dedup_minhash_lsh(
     """MinHash (64 perms) + LSH banding (16x4) candidate pairs.
 
     Output: (doc_a, doc_b, est_jaccard) — distinct pairs sharing >= 1 band,
-    est_jaccard = fraction of the 64 permutation minima that agree. The
-    signature array rides along the band rows, so the pair join yields
-    both signatures directly — no extra signature re-joins.
+    est_jaccard = fraction of the 64 permutation minima that agree.
 
-    The signature table is localCheckpoint-ed: without it the band
-    SELF-join recomputes the whole explode+64-min pipeline once per side
-    (AQE's broadcast choice defeats ReusedExchange here). Honest
-    accounting: build+single-action cost is ~unchanged (the checkpoint
-    pays the pass the join no longer repeats), but every FURTHER action
-    on the same DataFrame — the deployment norm, and what dedup_clusters
-    does with the edges — runs 2.5x faster (0.55 s vs 1.37 s at sf0.1).
+    r10 300x fix (the dedup_prefix_filter class, found by the new
+    .scale300 tier): the signature array used to RIDE the band rows so
+    the pair join yielded both signatures directly — but that shuffles
+    the 64-long array 16x (once per band row), and at 300x AQE's
+    compressed-size estimate first mis-broadcast a >1 GiB side (driver
+    maxResultSize abort) and then, shuffle_hash-pinned, the wide rows
+    blew the per-partition hash map. The scale-correct shape is the
+    _banded_pairs one: the band self-join runs over SLIM
+    (doc_id, band_id, band_key) rows pinned shuffle_hash, distinct
+    collapses multi-band hits at (doc_a, doc_b) grain, and the two
+    signatures are re-fetched from the checkpointed signature table by
+    doc_id hash joins (also shuffle_hash — corpus-sized sides must
+    never broadcast). 16x less shuffle volume, bounded hash maps.
+
+    The signature table is localCheckpoint-ed: it feeds the band
+    explode AND both re-fetch sides, so the 64-min pipeline runs once.
     Unlike cacheManager persist (which leaks — see _minhash_sig),
     checkpoint blocks are freed when the DataFrame is garbage-collected.
     """
@@ -228,9 +235,8 @@ def dedup_minhash_lsh(
             for b in range(BANDS)
         ]
     )
-    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bk")).select(
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id",
-        "sig",
         F.col("bk.band_id").alias("band_id"),
         F.col("bk.band_key").alias("band_key"),
     )
@@ -238,7 +244,7 @@ def dedup_minhash_lsh(
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -246,17 +252,20 @@ def dedup_minhash_lsh(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
         )
         .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    paired = pairs.join(sa.hint("shuffle_hash"), "doc_a").join(
+        sb.hint("shuffle_hash"), "doc_b"
     )
     matches = F.size(
         F.filter(
             F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y), lambda m: m
         )
     )
-    return pairs.select(
+    return paired.select(
         "doc_a",
         "doc_b",
         F.round(matches / F.lit(float(NUM_PERM)), 6).alias("est_jaccard"),
