@@ -297,6 +297,9 @@ HEADLINE = [
     "documents_ks_drift",
     "documents_chi2_independence",
     "vocab_entropy",
+    "orders_spearman_corr",
+    "supplier_theil_decomposition",
+    "doc_length_kruskal",
 ]
 
 

@@ -1990,6 +1990,137 @@ FROM tot
 QUERY_SQL["doc_length_anova"] = DOC_LENGTH_ANOVA_SQL
 
 
+def doc_length_kruskal(docs: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H across sources on document length — the k-group
+    nonparametric rung of the stats tier (doc_length_anova's F assumes
+    the within-group variance structure; KW ranks are distribution-free,
+    the ANOVA analogue for skewed length distributions, and the k-group
+    generalization of orders_mann_whitney's two-sample U).
+
+    Ranks stay INTEGER by the doubled-average-rank idiom over the VALUE
+    grid: per distinct n_chars value the tie group at cumulative offset
+    B with c members has doubled rank r2 = 2B + c + 1, so each source's
+    doubled rank sum R2_j = Σ c_jv·r2_v is exact int64 (≤ 2N² — safe to
+    ~2e9 docs). The between-rank term Q = Σ_j floor(R2_j²/n_j) is formed
+    in decimal(38,0)/HUGEINT (the ANOVA sbq pattern — floor bias < 1 per
+    source, identical both engines), giving
+    H = 3Q/(N(N+1)) − 3(N+1) and the tie correction
+    C = 1 − Σ(c³−c)/(N³−N) as one identical double tree in both
+    engines: h_milli = floor(H/C·1000). ε² = (H/C − k + 1)/(N − k) is
+    the matching effect size (eps2_ppm). All-tied corpora give NULL via
+    NULLIF (C = 0), never an error.
+
+    Scale shape: one map-side-combined groupBy(n_chars) for the value
+    grid (sized by the LENGTH DOMAIN, never the corpus — the
+    documents_ks_drift discipline), one running window over the grid,
+    one groupBy(source, n_chars) joined to the grid (both value-grain),
+    then two 1-row aggregates crossed (the allowlisted aggregate-sized
+    class). No corpus-sized sort, no join on data rows.
+    """
+    from pyspark.sql.window import Window
+
+    g = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    r2 = g.select(
+        "n_chars",
+        (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
+            "r2v"
+        ),
+    )
+    sj = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cj"))
+    per = (
+        sj.join(r2, "n_chars")
+        .groupBy("source")
+        .agg(
+            F.sum("cj").alias("n_j"),
+            F.sum(F.col("cj") * F.col("r2v")).alias("r2_j"),
+        )
+    )
+    agg1 = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(CAST(r2_j AS DECIMAL(38,0)) * r2_j / n_j)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("q_dec"),
+    )
+    ties = g.agg(
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).alias("tie_dec")
+    )
+    s = agg1.crossJoin(F.broadcast(ties))
+    h = (
+        "(3.0 * CAST(q_dec AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1.0))"
+        " - 3.0 * (n + 1.0))"
+    )
+    corr = (
+        "((CAST(n AS DOUBLE) * n * n - n)"
+        " / NULLIF((CAST(n AS DOUBLE) * n * n - n) - CAST(tie_dec AS DOUBLE),"
+        " 0.0))"
+    )
+    hc = f"({h} * {corr})"
+    eps2 = f"(({hc} - k + 1.0) / NULLIF(CAST(n - k AS DOUBLE), 0.0))"
+    return s.select(
+        "k",
+        "n",
+        F.expr("CAST(tie_dec AS BIGINT)").alias("tie_term"),
+        F.expr(f"CAST(FLOOR({hc} * 1000) AS BIGINT)").alias("h_milli"),
+        F.expr(f"CAST(FLOOR({eps2} * 1000000) AS BIGINT)").alias("eps2_ppm"),
+    )
+
+
+DOC_LENGTH_KRUSKAL_SQL = """
+WITH g AS (
+  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1
+),
+r2 AS (
+  SELECT n_chars,
+         2 * COALESCE(SUM(c) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2v
+  FROM g
+),
+sj AS (
+  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cj
+  FROM documents GROUP BY 1, 2
+),
+per AS (
+  SELECT source, CAST(SUM(cj) AS BIGINT) AS n_j,
+         CAST(SUM(cj * r2v) AS BIGINT) AS r2_j
+  FROM sj JOIN r2 USING (n_chars)
+  GROUP BY 1
+),
+agg1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_j) AS BIGINT) AS n,
+         SUM(CAST(r2_j AS HUGEINT) * r2_j // n_j) AS q_dec
+  FROM per
+),
+ties AS (
+  SELECT SUM(CAST(c AS HUGEINT) * c * c - c) AS tie_dec FROM g
+)
+SELECT k, n, CAST(tie_dec AS BIGINT) AS tie_term,
+       CAST(FLOOR((3.0 * CAST(q_dec AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1.0))
+             - 3.0 * (n + 1.0))
+            * ((CAST(n AS DOUBLE) * n * n - n)
+               / NULLIF((CAST(n AS DOUBLE) * n * n - n)
+                        - CAST(tie_dec AS DOUBLE), 0.0))
+            * 1000) AS BIGINT) AS h_milli,
+       CAST(FLOOR((((3.0 * CAST(q_dec AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1.0))
+             - 3.0 * (n + 1.0))
+            * ((CAST(n AS DOUBLE) * n * n - n)
+               / NULLIF((CAST(n AS DOUBLE) * n * n - n)
+                        - CAST(tie_dec AS DOUBLE), 0.0)))
+            - k + 1.0)
+            / NULLIF(CAST(n - k AS DOUBLE), 0.0) * 1000000) AS BIGINT)
+         AS eps2_ppm
+FROM agg1 CROSS JOIN ties
+"""
+
+QUERY_SQL["doc_length_kruskal"] = DOC_LENGTH_KRUSKAL_SQL
+
+
 KS_BASELINE_SRC = "src0"
 
 

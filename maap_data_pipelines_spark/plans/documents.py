@@ -85,6 +85,7 @@ QUERIES = {
     "quality_isotonic_calibration": _wrap(curation.quality_isotonic_calibration),
     "quality_platt_scaling": _wrap(curation.quality_platt_scaling),
     "doc_length_anova": _wrap(text.doc_length_anova),
+    "doc_length_kruskal": _wrap(text.doc_length_kruskal),
     "documents_ks_drift": _wrap(text.documents_ks_drift),
     "documents_chi2_independence": _wrap(text.documents_chi2_independence),
     "vocab_entropy": _wrap(text.vocab_entropy),

@@ -1979,7 +1979,263 @@ GROUP BY 1
 """
 
 
+def orders_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between order value and
+    the customer's account balance, per market segment — the monotone-
+    association rung of the stats tier (lineitem_corr_matrix's Pearson
+    reads linear association; Spearman is outlier-robust and catches ANY
+    monotone link, the right default for heavy-tailed money columns).
+
+    Ranks stay INTEGER via doubled average ranks computed in ONE window
+    pair per variable: rank() gives the tie group's min rank B+1 and a
+    RANGE-framed running count gives its max rank B+c, so
+    rx2 = 2B + c + 1 = 2·avg_rank exactly — no join back to a value-
+    grain frame, no floats. Spearman = Pearson over the doubled ranks
+    (shift/scale invariant), with the five sufficient statistics exact:
+    n, Σrx, Σry int64 (Σrank2 = n(n+1) ≤ 2n²) and the three product
+    sums in decimal(38,0)/HUGEINT (Σ rx2·ry2 ≤ 4n³ — headroom to
+    ~1e11 rows per segment). rho and the t statistic
+    t = rho·sqrt((n−2)/(1−rho²)) run through one identical double tree
+    in both engines, floor-quantized ppm/milli; NULLIF keeps
+    zero-variance segments (constant column) NULL, n ≤ 2 gives NULL t.
+
+    Scale shape: one broadcast dim join (customer), ONE exchange on
+    segment reused by both sort-windows (rank + running count share
+    each sort), then a segments-row aggregate. The per-segment window
+    is the accepted orders_mann_whitney shape: |segments| partitions
+    each sorting its own slice; never a global sort, never a join at
+    corpus grain.
+    """
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        _cents(F.col("c_acctbal")).alias("py"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents(F.col("o_totalprice")).alias("px")
+    )
+    rows = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("c_mktsegment", "px", "py")
+    wx = Window.partitionBy("c_mktsegment").orderBy("px")
+    wxr = wx.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    wy = Window.partitionBy("c_mktsegment").orderBy("py")
+    wyr = wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = rows.select(
+        "c_mktsegment",
+        (F.rank().over(wx).cast("long") + F.count(F.lit(1)).over(wxr)).alias(
+            "rx2"
+        ),
+        (F.rank().over(wy).cast("long") + F.count(F.lit(1)).over(wyr)).alias(
+            "ry2"
+        ),
+    )
+    s = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.expr("CAST(rx2 AS DECIMAL(19,0)) * rx2")).alias("sxx"),
+        F.sum(F.expr("CAST(ry2 AS DECIMAL(19,0)) * ry2")).alias("syy"),
+        F.sum(F.expr("CAST(rx2 AS DECIMAL(19,0)) * ry2")).alias("sxy"),
+    )
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    den = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    rho = f"({num} / NULLIF({den}, 0.0))"
+    t = f"({rho} * sqrt((n - 2.0) / NULLIF(1.0 - {rho} * {rho}, 0.0)))"
+    return s.select(
+        "c_mktsegment",
+        F.col("n").alias("n_orders"),
+        F.expr(f"CAST(FLOOR({rho} * 1000000) AS BIGINT)").alias("rho_ppm"),
+        F.expr(
+            f"CASE WHEN n > 2 THEN CAST(FLOOR({t} * 1000) AS BIGINT) END"
+        ).alias("t_milli"),
+    )
+
+
+SPEARMAN_SQL = """
+WITH rows_ AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS px,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS py
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+ranked AS (
+  SELECT c_mktsegment,
+         CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY px) AS BIGINT)
+           + COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY px
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx2,
+         CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY py) AS BIGINT)
+           + COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY py
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ry2
+  FROM rows_
+),
+s AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx,
+         CAST(SUM(ry2) AS BIGINT) AS sy,
+         SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+         SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, n AS n_orders,
+       CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0))
+            * 1000000) AS BIGINT) AS rho_ppm,
+       CASE WHEN n > 2 THEN CAST(FLOOR(
+         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0))
+         * sqrt((n - 2.0) / NULLIF(1.0 -
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0))
+           * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)), 0.0))
+         * 1000) AS BIGINT) END AS t_milli
+FROM s
+"""
+
+
+def supplier_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of supplier revenue, decomposed
+    between/within nations — the additive-decomposition rung beside
+    supplier_gini_by_nation (Gini ranks inequality but does not
+    decompose; Theil's T = T_between + Σ_j (S_j/S)·T_j splits global
+    concentration into cross-nation imbalance and within-nation
+    concentration, the read procurement uses to target intervention).
+
+    Per-nation within term T_j = Σ_{i∈j} (x_i/S_j)·ln(x_i·n_j/S_j)
+    (the 1/n_j of the textbook form folded into the log argument); the
+    between term b_j = (S_j/S)·ln(S_j·N/(S·n_j)). Every per-supplier /
+    per-nation double is floor-quantized to integer NANO before any
+    cross-partition sum (the vocab_entropy ln-quantization discipline
+    at 1e9 — per-term |t_i| ≤ ln n_j so nano keeps ~9 significant
+    digits; ≤1 nano floor bias per supplier, identical both engines).
+    x_i > 0 is structural (inner join to lineitem, positive cents).
+
+    Scale shape: one lineitem⇒supplier broadcast-dim join aggregated to
+    (nation, supplier) grain, a 25-row nation-totals broadcast joined
+    back for the per-supplier terms, one 1-row grand-totals broadcast
+    cross (the allowlisted aggregate-sized class), then a nations-row
+    aggregate. No window, no corpus-sized sort.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(_revenue_cents()).alias("rev"))
+    )
+    nat = cells.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_j"), F.sum("rev").alias("s_j")
+    )
+    term = (
+        "(CAST(rev AS DOUBLE) / s_j"
+        " * ln(CAST(rev AS DOUBLE) * n_j / s_j))"
+    )
+    within = (
+        cells.join(F.broadcast(nat), "n_name")
+        .select(
+            "n_name",
+            F.expr(f"CAST(FLOOR({term} * 1000000000) AS BIGINT)").alias(
+                "t_nano"
+            ),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("t_nano").alias("theil_within_nano"))
+    )
+    tot = nat.agg(F.sum("n_j").alias("n_tot"), F.sum("s_j").alias("s_tot"))
+    between = (
+        "(CAST(s_j AS DOUBLE) / s_tot"
+        " * ln(CAST(s_j AS DOUBLE) * n_tot / (CAST(s_tot AS DOUBLE) * n_j)))"
+    )
+    return (
+        nat.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("n_j").alias("n_suppliers"),
+            F.col("s_j").alias("total_cents"),
+            F.expr(f"CAST(FLOOR({between} * 1000000000) AS BIGINT)").alias(
+                "between_nano"
+            ),
+        )
+        .join(F.broadcast(within), "n_name")
+        .select(
+            "n_name",
+            "n_suppliers",
+            "total_cents",
+            "theil_within_nano",
+            "between_nano",
+        )
+    )
+
+
+SUPPLIER_THEIL_SQL = """
+WITH cells AS (
+  SELECT n_name, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+nat AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_j,
+         CAST(SUM(rev) AS BIGINT) AS s_j
+  FROM cells GROUP BY 1
+),
+win AS (
+  SELECT c.n_name,
+         CAST(SUM(CAST(FLOOR(CAST(rev AS DOUBLE) / s_j
+              * ln(CAST(rev AS DOUBLE) * n_j / s_j) * 1000000000) AS BIGINT))
+              AS BIGINT) AS theil_within_nano
+  FROM cells c JOIN nat USING (n_name)
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_j) AS BIGINT) AS n_tot, CAST(SUM(s_j) AS BIGINT) AS s_tot
+  FROM nat
+)
+SELECT n_name, n_j AS n_suppliers, s_j AS total_cents,
+       theil_within_nano,
+       CAST(FLOOR(CAST(s_j AS DOUBLE) / s_tot
+            * ln(CAST(s_j AS DOUBLE) * n_tot / (CAST(s_tot AS DOUBLE) * n_j))
+            * 1000000000) AS BIGINT) AS between_nano
+FROM nat CROSS JOIN tot
+JOIN win USING (n_name)
+"""
+
+
 QUERIES = {
+    "orders_spearman_corr": orders_spearman_corr,
+    "supplier_theil_decomposition": supplier_theil_decomposition,
     "orders_mann_whitney": orders_mann_whitney,
     "supplier_gini_by_nation": supplier_gini_by_nation,
     "supplier_dual_sourcing": supplier_dual_sourcing,
@@ -2010,6 +2266,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_spearman_corr": SPEARMAN_SQL,
+    "supplier_theil_decomposition": SUPPLIER_THEIL_SQL,
     "orders_mann_whitney": MANN_WHITNEY_SQL,
     "supplier_gini_by_nation": SUPPLIER_GINI_SQL,
     "supplier_dual_sourcing": DUAL_SOURCING_SQL,

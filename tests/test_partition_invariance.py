@@ -118,6 +118,12 @@ KEYS = [
     # per-cell floor quantization, and the per-term quantized entropy fold
     "documents_chi2_independence",
     "vocab_entropy",
+    # r10 third wave: the shared-sort rank windows (Spearman), the
+    # per-supplier nano-quantized ln fold (Theil), and the value-grid
+    # doubled ranks crossed through two 1-row aggregates (KW)
+    "orders_spearman_corr",
+    "supplier_theil_decomposition",
+    "doc_length_kruskal",
 ]
 
 

@@ -82,6 +82,10 @@ _BNLJ_ALLOWED = {
     # value-grain gap frame, chi2's corpus count onto the margin grid
     "documents_ks_drift",
     "documents_chi2_independence",
+    # r10: 1-row grand-totals cross onto the 25-row nation frame (Theil
+    # between term) / the two 1-row KW aggregates crossed to one row
+    "supplier_theil_decomposition",
+    "doc_length_kruskal",
     # 16-row centroid broadcast cross (ivf_assign kernel) + 1-row
     # corpus-count broadcast
     "ann_centroid_balance",

@@ -975,3 +975,271 @@ def test_vocab_entropy_edges_and_numpy(spark):
     assert (mixed.n_tokens, mixed.n_terms, mixed.s_clnc_micro) == (n, len(c), s_micro)
     h = math.log(n) - s_micro / 1_000_000 / n
     assert abs(mixed.h_micro_nats - math.floor(h * 1_000_000)) <= 1
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # px values (forces ties)
+            st.integers(min_value=-10, max_value=10),  # py values
+        ),
+        min_size=4,
+        max_size=120,
+    )
+)
+def test_spearman_kernel_matches_numpy(spark, rows):
+    """The doubled-rank Spearman aggregation == the textbook
+    average-rank Pearson on arbitrary tied data (rho to 1e-9, the
+    registered ppm output exact vs the mirrored expression tree)."""
+    import math
+
+    from maap_data_pipelines_spark.plans.tpch2 import orders_spearman_corr  # noqa: F401
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [("S", x, y) for x, y in rows], "c_mktsegment string, px long, py long"
+    )
+    wx = Window.partitionBy("c_mktsegment").orderBy("px")
+    wxr = wx.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    wy = Window.partitionBy("c_mktsegment").orderBy("py")
+    wyr = wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = df.select(
+        (F.rank().over(wx).cast("long") + F.count(F.lit(1)).over(wxr)).alias("rx2"),
+        (F.rank().over(wy).cast("long") + F.count(F.lit(1)).over(wyr)).alias("ry2"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.expr("CAST(rx2 AS DECIMAL(19,0)) * rx2")).alias("sxx"),
+        F.sum(F.expr("CAST(ry2 AS DECIMAL(19,0)) * ry2")).alias("syy"),
+        F.sum(F.expr("CAST(rx2 AS DECIMAL(19,0)) * ry2")).alias("sxy"),
+    ).collect()[0]
+
+    # textbook average ranks
+    def avg_ranks(vals):
+        order = sorted(set(vals))
+        seen, r = 0, {}
+        for v in order:
+            c = vals.count(v)
+            r[v] = seen + (c + 1) / 2
+            seen += c
+        return [r[v] for v in vals]
+
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    rx = avg_ranks(xs)
+    ry = avg_ranks(ys)
+    n = len(rows)
+    assert s.n == n
+    assert int(s.sx) == int(sum(2 * r for r in rx)) == n * (n + 1)
+    assert int(s.sxy) == int(sum(round(2 * a) * round(2 * b) for a, b in zip(rx, ry)))
+    # doubled-rank Pearson == rank Pearson (shift/scale invariant)
+    mean_rx = sum(rx) / n
+    mean_ry = sum(ry) / n
+    num = sum((a - mean_rx) * (b - mean_ry) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mean_rx) ** 2 for a in rx) * sum((b - mean_ry) ** 2 for b in ry)
+    )
+    # the registered expression tree, mirrored exactly
+    nf, sxf, syf = float(s.n), float(s.sx), float(s.sy)
+    sxxf, syyf, sxyf = float(s.sxx), float(s.syy), float(s.sxy)
+    denf = math.sqrt((nf * sxxf - sxf * sxf) * (nf * syyf - syf * syf))
+    if den == 0.0:
+        assert denf == 0.0
+        return
+    rho_tree = (nf * sxyf - sxf * syf) / denf
+    assert abs(rho_tree - num / den) < 1e-9
+    assert -1.0 - 1e-12 <= rho_tree <= 1.0 + 1e-12
+
+
+def test_spearman_edges(spark, tmp_path):
+    """Registered-query edges on a synthetic star: a perfectly monotone
+    balance->price link reads rho_ppm = 1e6 with NULL t (1 - rho^2 = 0);
+    a perfectly anti-monotone link reads -1e6; a constant price column
+    reads NULL rho (zero variance)."""
+    import pandas as pd
+
+    from maap_data_pipelines_spark.plans.tpch2 import orders_spearman_corr
+
+    def star(prices, bals):
+        d = tmp_path / f"star{len(list(tmp_path.iterdir()))}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "c_custkey": range(len(bals)),
+                "c_mktsegment": ["SEG"] * len(bals),
+                "c_acctbal": bals,
+            }
+        ).to_parquet(d / "customer.parquet")
+        pd.DataFrame(
+            {
+                "o_orderkey": range(len(prices)),
+                "o_custkey": range(len(prices)),
+                "o_totalprice": prices,
+            }
+        ).to_parquet(d / "orders.parquet")
+        return str(d)
+
+    mono = orders_spearman_corr(
+        spark, star([10.0 + i for i in range(20)], [5.0 + 2 * i for i in range(20)])
+    ).collect()[0]
+    assert mono.n_orders == 20 and mono.rho_ppm == 1_000_000
+    assert mono.t_milli is None  # 1 - rho^2 == 0 -> NULLIF -> NULL
+
+    anti = orders_spearman_corr(
+        spark, star([10.0 + i for i in range(20)], [5.0 - 2 * i for i in range(20)])
+    ).collect()[0]
+    assert anti.rho_ppm == -1_000_000
+
+    const = orders_spearman_corr(
+        spark, star([7.0] * 15, [5.0 + i for i in range(15)])
+    ).collect()[0]
+    assert const.rho_ppm is None and const.t_milli is None
+
+
+def test_supplier_theil_matches_numpy(spark, sf_dir):
+    """The per-nation Theil decomposition == the direct numpy
+    computation from the parquet (exact on the quantized integers — the
+    mirrored expression tree is IEEE-deterministic), and the
+    decomposition identity Sum_j (S_j/S) T_j + T_between ~= T_global
+    holds to the quantization tolerance."""
+    import duckdb
+    import math
+
+    from maap_data_pipelines_spark.plans.tpch2 import supplier_theil_decomposition
+
+    got = {
+        r.n_name: (r.n_suppliers, r.total_cents, r.theil_within_nano, r.between_nano)
+        for r in supplier_theil_decomposition(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT n_name, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM read_parquet('{sf_dir}/lineitem.parquet') li
+        JOIN read_parquet('{sf_dir}/supplier.parquet') s ON l_suppkey = s_suppkey
+        JOIN read_parquet('{sf_dir}/nation.parquet') n ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_nation: dict = {}
+    for n_name, _suppkey, rev in rows:
+        by_nation.setdefault(n_name, []).append(rev)
+    assert set(got) == set(by_nation)
+    n_tot = sum(len(v) for v in by_nation.values())
+    s_tot = sum(sum(v) for v in by_nation.values())
+    for n_name, revs in by_nation.items():
+        n_j, s_j = len(revs), sum(revs)
+        within = sum(
+            math.floor(float(r) / s_j * math.log(float(r) * n_j / s_j) * 1e9)
+            for r in revs
+        )
+        between = math.floor(
+            float(s_j) / s_tot * math.log(float(s_j) * n_tot / (float(s_tot) * n_j)) * 1e9
+        )
+        assert got[n_name] == (n_j, s_j, within, between), n_name
+    # decomposition identity (quantization-tolerant)
+    t_global = sum(
+        float(r) / s_tot * math.log(float(r) * n_tot / s_tot)
+        for revs in by_nation.values()
+        for r in revs
+    )
+    t_recomposed = sum(
+        (sum(revs) / s_tot) * (got[n][2] / 1e9) for n, revs in by_nation.items()
+    ) + sum(got[n][3] / 1e9 for n in by_nation)
+    assert abs(t_global - t_recomposed) < 1e-5
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # n_chars value (forces ties)
+            st.integers(min_value=0, max_value=3),  # source index
+        ),
+        min_size=5,
+        max_size=120,
+    )
+)
+def test_kruskal_matches_numpy(spark, rows):
+    """doc_length_kruskal == the textbook tie-corrected Kruskal-Wallis H
+    on arbitrary data (exact vs the mirrored floor-quantized tree;
+    ~1e-3-tolerant vs the unfloored textbook statistic)."""
+    import math
+
+    from maap_data_pipelines_spark.operators.text import doc_length_kruskal
+
+    df = spark.createDataFrame(
+        [(i, "t", "en", f"src{s}", v) for i, (v, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = doc_length_kruskal(df).collect()[0]
+
+    # textbook: average ranks over the pooled sample
+    vals = [v for v, _ in rows]
+    order = sorted(set(vals))
+    seen, rank = 0, {}
+    tie = 0
+    for v in order:
+        c = vals.count(v)
+        rank[v] = seen + (c + 1) / 2
+        tie += c**3 - c
+        seen += c
+    groups: dict = {}
+    for v, s in rows:
+        groups.setdefault(s, []).append(rank[v])
+    n = len(rows)
+    k = len(groups)
+    assert (r.k, r.n, r.tie_term) == (k, n, tie)
+    # mirrored engine tree (exact)
+    q = sum(
+        (sum(round(2 * x) for x in g) ** 2) // len(g) for g in groups.values()
+    )
+    h = 3.0 * float(q) / (float(n) * (n + 1.0)) - 3.0 * (n + 1.0)
+    denom = (float(n) * n * n - n) - float(tie)
+    if denom == 0.0:
+        assert r.h_milli is None
+        return
+    hc = h * ((float(n) * n * n - n) / denom)
+    assert r.h_milli == math.floor(hc * 1000)
+    # textbook H (unfloored)
+    h_text = (12.0 / (n * (n + 1))) * sum(
+        sum(g) ** 2 / len(g) for g in groups.values()
+    ) - 3 * (n + 1)
+    c_corr = 1 - tie / (n**3 - n)
+    assert abs(hc - h_text / c_corr) < 3 * k / (n * (n + 1)) / max(c_corr, 1e-9) + 1e-9
+
+
+def test_kruskal_null_vs_planted_shift(spark):
+    """Statistical sanity: identical length distributions across sources
+    read H ~ 0; a planted +100-char shift in one source is decisively
+    detected (H >> the chi2_{k-1} 5% critical value)."""
+    from maap_data_pipelines_spark.operators.text import doc_length_kruskal
+
+    null_rows = [
+        (i, "t", "en", f"src{i % 3}", 100 + (i // 3) % 20) for i in range(600)
+    ]
+    rn = doc_length_kruskal(
+        spark.createDataFrame(
+            null_rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    ).collect()[0]
+    assert (rn.k, rn.n) == (3, 600)
+    assert rn.h_milli < 5_991  # chi2_2 5% critical value, in milli
+
+    shift_rows = [
+        (i, "t", "en", f"src{i % 3}", 100 + (i // 3) % 20 + (100 if i % 3 == 0 else 0))
+        for i in range(600)
+    ]
+    rs = doc_length_kruskal(
+        spark.createDataFrame(
+            shift_rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    ).collect()[0]
+    assert rs.h_milli > 100_000  # decisive
+    assert rs.eps2_ppm > 100_000  # large effect size
