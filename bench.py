@@ -300,6 +300,9 @@ HEADLINE = [
     "orders_spearman_corr",
     "supplier_theil_decomposition",
     "doc_length_kruskal",
+    "orders_durbin_watson",
+    "dedup_clustering_coefficient",
+    "quality_cohen_kappa",
 ]
 
 

@@ -1801,6 +1801,96 @@ QUALITY_NB_SQL = _nb_sql()
 QUERY_SQL["quality_nb_classifier"] = QUALITY_NB_SQL
 
 
+def quality_cohen_kappa(docs: DataFrame) -> DataFrame:
+    """Cohen's kappa between the rule-based quality gate and the NB
+    classifier's prediction — the chance-corrected agreement rung of
+    the quality tier: raw accuracy (quality_nb_classifier's `correct`)
+    flatters any classifier on an imbalanced corpus; kappa subtracts
+    the agreement two INDEPENDENT raters with these marginals would
+    reach by luck, the number a labeling-pipeline audit actually wants
+    (dedup_rand_index plays the same role for clusterings).
+
+    Exact integer end-to-end from the 2x2 confusion counts:
+    pe_num = (n11+n10)(n11+n01) + (n01+n00)(n10+n00), and
+    kappa = (n·(n11+n00) − pe_num)/(n² − pe_num) quantized ppm with
+    the documents_ks_drift hybrid — exact (num·1e6) div den while
+    n ≤ 3e6 (n²·1e6 inside int64), switching to the quantized
+    denominator above (error ≤ 1 ppm); a degenerate pe = 1 corpus
+    reads NULL via NULLIF, never an error. Negative kappa (worse than
+    chance) truncates toward zero identically in both engines.
+
+    Scale shape: inherits the classifier's one scoring pass
+    (bucket-sized broadcast tables + 1-row prior cross, allowlisted),
+    then ONE map-side-combined 1-row aggregate. Plan constant after
+    the scoring projection.
+    """
+    nb = quality_nb_classifier(docs).select(
+        F.col("label_keep").cast("long").alias("y"),
+        F.col("pred_keep").cast("long").alias("p"),
+    )
+    s = nb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("y * p")).alias("n11"),
+        F.sum(F.expr("y * (1 - p)")).alias("n10"),
+        F.sum(F.expr("(1 - y) * p")).alias("n01"),
+        F.sum(F.expr("(1 - y) * (1 - p)")).alias("n00"),
+    )
+    pe_num = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    num = f"(n * (n11 + n00) - {pe_num})"
+    den = f"(n * n - {pe_num})"
+    return s.select(
+        F.col("n").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("((n11 + n00) * 1000000) div n").alias("agree_ppm"),
+        F.expr(
+            f"CASE WHEN n > 3000000"
+            f" THEN {pe_num} div NULLIF((n * n) div 1000000, 0)"
+            f" ELSE ({pe_num} * 1000000) div NULLIF(n * n, 0) END"
+        ).alias("pe_ppm"),
+        F.expr(
+            f"CASE WHEN n > 3000000"
+            f" THEN {num} div NULLIF({den} div 1000000, 0)"
+            f" ELSE ({num} * 1000000) div NULLIF({den}, 0) END"
+        ).alias("kappa_ppm"),
+    )
+
+
+_KAPPA_PE = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+_KAPPA_NUM = f"(n * (n11 + n00) - {_KAPPA_PE})"
+_KAPPA_DEN = f"(n * n - {_KAPPA_PE})"
+
+QUALITY_KAPPA_SQL = f"""
+WITH nb AS ({QUALITY_NB_SQL}),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN label_keep AND pred_keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN label_keep AND NOT pred_keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN NOT label_keep AND pred_keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN NOT label_keep AND NOT pred_keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00
+  FROM nb
+)
+SELECT n AS n_docs, n11, n10, n01, n00,
+       ((n11 + n00) * 1000000) // n AS agree_ppm,
+       CASE WHEN n > 3000000
+            THEN {_KAPPA_PE} // NULLIF((n * n) // 1000000, 0)
+            ELSE ({_KAPPA_PE} * 1000000) // NULLIF(n * n, 0) END AS pe_ppm,
+       CASE WHEN n > 3000000
+            THEN {_KAPPA_NUM} // NULLIF({_KAPPA_DEN} // 1000000, 0)
+            ELSE ({_KAPPA_NUM} * 1000000) // NULLIF({_KAPPA_DEN}, 0) END
+         AS kappa_ppm
+FROM s
+"""
+
+QUERY_SQL["quality_cohen_kappa"] = QUALITY_KAPPA_SQL
+
+
 def _nb_calibration_sql() -> str:
     from .text import QUALITY_FILTER_SQL
 

@@ -1267,6 +1267,111 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles FROM stats CROSS JOIN tri
 """
 
 
+def dedup_clustering_coefficient(docs: DataFrame) -> DataFrame:
+    """Local clustering-coefficient histogram of the MinHash candidate
+    graph — the per-node refinement of dedup_triangles' global census:
+    c_v = 2·t_v/(d_v·(d_v−1)) says whether node v's candidates form a
+    closed clique (c → 1: transitive copy families, safe to collapse)
+    or an open hub (c → 0: a boilerplate shingle chaining unrelated
+    docs — the false-positive signature a banding threshold audit
+    needs at node grain, where the global transitivity ratio averages
+    it away).
+
+    Per-node triangle counts credit each ordered triangle {a<b<c} to
+    all three vertices (the dedup_triangles join pair widened from a
+    semi-join to an inner probe so the vertex list survives, then
+    exploded); degrees come from the symmetrized edge list. Every
+    number is EXACT INTEGER end-to-end — c_v in ppm via
+    (2·t·1e6) div (d(d−1)) — so no float ever crosses a partition
+    boundary. Output: one row per coefficient decile (bucket
+    0-9, 10 = exactly 1.0, −1 = degree-<2 nodes where c is
+    undefined) with node count, mean coefficient ppm, mean degree
+    milli.
+
+    Scale shape: two equi-joins over the ordered candidate edge list
+    (df-bounded by construction — never corpus²), two node-grain
+    aggregates, one ≤12-row histogram aggregate.
+    """
+    e = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint()
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tnodes = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    tcnt = tnodes.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    und = e.select(F.col("doc_a").alias("v")).unionAll(
+        e.select(F.col("doc_b").alias("v"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    per = deg.join(tcnt, "v", "left").select(
+        "d", F.coalesce("t", F.lit(0)).alias("t")
+    )
+    coeff = per.select(
+        "d",
+        F.expr(
+            "CASE WHEN d >= 2 THEN (2 * t * 1000000) div (d * (d - 1)) END"
+        ).alias("coeff_ppm"),
+    )
+    return (
+        coeff.groupBy(
+            F.expr(
+                "CASE WHEN coeff_ppm IS NULL THEN -1"
+                " ELSE coeff_ppm div 100000 END"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr(
+                "SUM(coeff_ppm) div NULLIF(COUNT(coeff_ppm), 0)"
+            ).alias("mean_coeff_ppm"),
+            F.expr("(SUM(d) * 1000) div COUNT(*)").alias("mean_degree_milli"),
+        )
+        .select("bucket", "n_nodes", "mean_coeff_ppm", "mean_degree_milli")
+    )
+
+
+DEDUP_CLUSTERING_COEFF_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})
+),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tcnt AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e
+  ) GROUP BY 1
+),
+per AS (
+  SELECT d, COALESCE(t, 0) AS t FROM deg LEFT JOIN tcnt USING (v)
+),
+coeff AS (
+  SELECT d, CASE WHEN d >= 2 THEN (2 * t * 1000000) // (d * (d - 1)) END
+           AS coeff_ppm
+  FROM per
+)
+SELECT CASE WHEN coeff_ppm IS NULL THEN -1 ELSE coeff_ppm // 100000 END
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(coeff_ppm) // NULLIF(COUNT(coeff_ppm), 0) AS BIGINT)
+         AS mean_coeff_ppm,
+       CAST((SUM(d) * 1000) // COUNT(*) AS BIGINT) AS mean_degree_milli
+FROM coeff GROUP BY 1
+"""
+
+
 QUERY_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
@@ -1281,6 +1386,7 @@ QUERY_SQL = {
     "dedup_rand_index": DEDUP_RAND_INDEX_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "dedup_triangles": DEDUP_TRIANGLES_SQL,
+    "dedup_clustering_coefficient": DEDUP_CLUSTERING_COEFF_SQL,
 }
 
 

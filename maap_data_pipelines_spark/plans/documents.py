@@ -84,6 +84,7 @@ QUERIES = {
     "quality_nb_calibration": _wrap(curation.quality_nb_calibration),
     "quality_isotonic_calibration": _wrap(curation.quality_isotonic_calibration),
     "quality_platt_scaling": _wrap(curation.quality_platt_scaling),
+    "quality_cohen_kappa": _wrap(curation.quality_cohen_kappa),
     "doc_length_anova": _wrap(text.doc_length_anova),
     "doc_length_kruskal": _wrap(text.doc_length_kruskal),
     "documents_ks_drift": _wrap(text.documents_ks_drift),

@@ -1854,6 +1854,90 @@ LIMIT {SHEWHART_TOPK}
 """
 
 
+def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation test on daily revenue — the
+    autocorrelation rung of the DQ tier (shewhart flags level breaches,
+    changepoint mean shifts; DW asks whether SUCCESSIVE days co-move,
+    the signature of batch-loading artifacts, double-posted feeds, or
+    weekly seasonality leaking into a supposedly independent series).
+
+    DW = Σ_{t≥2}(x_t − x_{t−1})² / Σ(x_t − x̄)² about the series mean.
+    Both sums are exact: the numerator's per-day squared first
+    difference and the denominator via the algebraic identity
+    Σ(x−x̄)² = (n·Σx² − S²)/n², formed in decimal(38,0)/HUGEINT (daily
+    cents ~1e11 at 100×, diff² ~1e22 — past int64, inside decimal38 to
+    ~sf10000). DW and the lag-1 autocorrelation read rho ≈ 1 − DW/2 run
+    through one identical double tree in both engines (floor milli /
+    ppm); a constant series gives NULL via NULLIF, never an error.
+    DW ≈ 2 = independent; → 0 positive serial correlation; → 4
+    negative (alternation — the double-posting signature).
+
+    Scale shape: one map-side-combined day rollup (bounded by calendar
+    days, never orders), one lag window over the day-grain frame, one
+    1-row aggregate. No fact-sized shuffle beyond the day rollup.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("o_day")).agg(
+        F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("x")
+    )
+    w = Window.orderBy("o_day")
+    lagged = daily.select(
+        "x", (F.col("x") - F.lag("x", 1).over(w)).alias("diff")
+    )
+    s = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).alias("s2"),
+        F.sum(F.expr("CAST(diff AS DECIMAL(19,0)) * diff")).alias("d2"),
+    )
+    denom = (
+        "((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))"
+    )
+    dw = f"(CAST(d2 AS DOUBLE) / NULLIF({denom}, 0.0))"
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("s1").alias("total_cents"),
+        F.expr(f"CAST(FLOOR({dw} * 1000) AS BIGINT)").alias("dw_milli"),
+        F.expr(
+            f"CAST(FLOOR((1.0 - {dw} / 2.0) * 1000000) AS BIGINT)"
+        ).alias("rho1_ppm"),
+    )
+
+
+DURBIN_WATSON_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS o_day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT x, x - LAG(x, 1) OVER (ORDER BY o_day) AS diff FROM daily
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         SUM(CAST(x AS HUGEINT) * x) AS s2,
+         SUM(CAST(diff AS HUGEINT) * diff) AS d2
+  FROM lagged
+)
+SELECT n AS n_days, s1 AS total_cents,
+       CAST(FLOOR(CAST(d2 AS DOUBLE)
+            / NULLIF((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / CAST(n AS DOUBLE), 0.0)
+            * 1000) AS BIGINT) AS dw_milli,
+       CAST(FLOOR((1.0 - CAST(d2 AS DOUBLE)
+            / NULLIF((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / CAST(n AS DOUBLE), 0.0) / 2.0)
+            * 1000000) AS BIGINT) AS rho1_ppm
+FROM s
+"""
+
+
 BACKLOG_BUCKET_DAYS = 30
 BACKLOG_MAX_BUCKET = 12
 
@@ -3176,6 +3260,7 @@ QUERIES = {
     "orders_seasonal_decompose": orders_seasonal_decompose,
     "orders_theilsen_trend": orders_theilsen_trend,
     "orders_shewhart_control": orders_shewhart_control,
+    "orders_durbin_watson": orders_durbin_watson,
     "orders_backlog_aging": orders_backlog_aging,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
@@ -3250,6 +3335,7 @@ ORACLES = {
     "orders_seasonal_decompose": SEASONAL_SQL,
     "orders_theilsen_trend": THEILSEN_SQL,
     "orders_shewhart_control": SHEWHART_SQL,
+    "orders_durbin_watson": DURBIN_WATSON_SQL,
     "orders_backlog_aging": BACKLOG_AGING_SQL,
     "gdpr_erasure_plan": GDPR_ERASURE_SQL,
     "customer_rfm_segments": RFM_SEGMENTS_SQL,

@@ -431,6 +431,7 @@ QUERIES = {
     "dedup_token_savings": _doc_plan(dedup.dedup_token_savings),
     "dedup_rand_index": _doc_plan(dedup.dedup_rand_index),
     "dedup_triangles": _doc_plan(dedup.dedup_triangles),
+    "dedup_clustering_coefficient": _doc_plan(dedup.dedup_clustering_coefficient),
     "minhash_calibration": _doc_plan(dedup.minhash_calibration),
     "ann_cosine_topk": _emb_plan(ann.ann_cosine_topk),
     "ann_lsh_buckets": _emb_plan(ann.ann_lsh_buckets),

@@ -124,6 +124,11 @@ KEYS = [
     "orders_spearman_corr",
     "supplier_theil_decomposition",
     "doc_length_kruskal",
+    # the lag-window day series (DW), the per-node triangle credit joins
+    # (clustering coefficient), and the confusion-count kappa fold
+    "orders_durbin_watson",
+    "dedup_clustering_coefficient",
+    "quality_cohen_kappa",
 ]
 
 

@@ -86,6 +86,8 @@ _BNLJ_ALLOWED = {
     # between term) / the two 1-row KW aggregates crossed to one row
     "supplier_theil_decomposition",
     "doc_length_kruskal",
+    # inherits quality_nb_classifier's 1-row class-prior broadcast cross
+    "quality_cohen_kappa",
     # 16-row centroid broadcast cross (ivf_assign kernel) + 1-row
     # corpus-count broadcast
     "ann_centroid_balance",

@@ -1243,3 +1243,197 @@ def test_kruskal_null_vs_planted_shift(spark):
     ).collect()[0]
     assert rs.h_milli > 100_000  # decisive
     assert rs.eps2_ppm > 100_000  # large effect size
+
+
+def test_durbin_watson_matches_numpy(spark, sf_dir):
+    """The DW readout == the textbook statistic computed directly from
+    the parquet daily series (exact integers through the mirrored IEEE
+    tree), and the fixture series is plausibly independent (1 < DW < 3)."""
+    import duckdb
+    import math
+
+    from maap_data_pipelines_spark.plans.etl import orders_durbin_watson
+
+    r = orders_durbin_watson(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    xs = [
+        row[0]
+        for row in con.execute(
+            f"""
+            SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            GROUP BY CAST(o_orderdate AS DATE) ORDER BY 1 ASC
+            """
+        ).fetchall()
+    ]
+    # order of GROUP BY rows doesn't matter for n/s1/s2; re-fetch ordered by day for d2
+    xs = [
+        row[1]
+        for row in con.execute(
+            f"""
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchall()
+    ]
+    n, s1 = len(xs), sum(xs)
+    s2 = sum(x * x for x in xs)
+    d2 = sum((b - a) ** 2 for a, b in zip(xs, xs[1:]))
+    assert (r.n_days, r.total_cents) == (n, s1)
+    denom = (float(n) * float(s2) - float(s1) * float(s1)) / float(n)
+    dw = float(d2) / denom
+    assert r.dw_milli == math.floor(dw * 1000)
+    assert r.rho1_ppm == math.floor((1.0 - dw / 2.0) * 1_000_000)
+    assert 1000 < r.dw_milli < 3000  # fixture: no strong serial correlation
+
+
+def test_durbin_watson_alternation_and_trend(spark, tmp_path):
+    """Behavioral pins: a perfectly alternating daily series reads
+    DW -> 4 (negative lag-1 correlation); a slow smooth trend reads
+    DW -> 0 (positive). One order per day makes the daily series the
+    order series itself."""
+    import pandas as pd
+
+    from maap_data_pipelines_spark.plans.etl import orders_durbin_watson
+
+    def star(prices):
+        d = tmp_path / f"dw{len(list(tmp_path.iterdir()))}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "o_orderkey": range(len(prices)),
+                "o_custkey": range(len(prices)),
+                "o_totalprice": prices,
+                "o_orderdate": [
+                    str(d.date())
+                    for d in pd.date_range("2020-01-01", periods=len(prices))
+                ],
+            }
+        ).to_parquet(d / "orders.parquet")
+        return str(d)
+
+    alt = orders_durbin_watson(
+        spark, star([100.0 if i % 2 == 0 else 200.0 for i in range(400)])
+    ).collect()[0]
+    assert alt.dw_milli > 3900 and alt.rho1_ppm < -940_000
+
+    trend = orders_durbin_watson(
+        spark, star([100.0 + i for i in range(400)])
+    ).collect()[0]
+    assert trend.dw_milli < 100 and trend.rho1_ppm > 950_000
+
+    const = orders_durbin_watson(spark, star([100.0] * 50)).collect()[0]
+    assert const.dw_milli is None and const.rho1_ppm is None  # zero variance
+
+
+def test_clustering_coefficient_matches_python(spark, sf_dir):
+    """The per-node clustering-coefficient histogram == a pure-Python
+    triangle/degree count over the SAME candidate edge list (fetched via
+    the oracle's MinHash SQL), and credits Sum_v t_v = 3*n_triangles
+    against the dedup_triangles census."""
+    import duckdb
+    from collections import defaultdict
+
+    from maap_data_pipelines_spark.operators.dedup import (
+        DEDUP_MINHASH_SQL,
+        dedup_clustering_coefficient,
+        dedup_triangles,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {
+        r.bucket: (r.n_nodes, r.mean_coeff_ppm, r.mean_degree_milli)
+        for r in dedup_clustering_coefficient(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    edges = con.execute(
+        f"SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})"
+    ).fetchall()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # per-node triangles: for each node, count neighbor pairs that are edges
+    tri = defaultdict(int)
+    eset = {(min(a, b), max(a, b)) for a, b in edges}
+    for v, nbrs in adj.items():
+        ns = sorted(nbrs)
+        t = sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if (ns[i], ns[j]) in eset
+        )
+        tri[v] = t
+    n_tri = sum(tri.values()) // 3
+    census = dedup_triangles(docs).collect()[0]
+    assert census.n_triangles == n_tri
+    hist = defaultdict(lambda: [0, 0, 0])  # n, sum_coeff, sum_deg
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        if d >= 2:
+            cp = (2 * tri[v] * 1_000_000) // (d * (d - 1))
+            b = cp // 100_000
+        else:
+            cp, b = None, -1
+        hist[b][0] += 1
+        if cp is not None:
+            hist[b][1] += cp
+        hist[b][2] += d
+    want = {
+        b: (
+            n,
+            (sc // n if b != -1 else None),
+            (sd * 1000) // n,
+        )
+        for b, (n, sc, sd) in hist.items()
+    }
+    assert got == want
+
+
+def test_cohen_kappa_matches_python_and_degenerate(spark, sf_dir):
+    """kappa == the exact chance-corrected formula over the classifier's
+    own confusion counts; an all-identical corpus (pe = 1) reads NULL
+    kappa, never an error."""
+    from maap_data_pipelines_spark.operators.curation import (
+        quality_cohen_kappa,
+        quality_nb_classifier,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = quality_nb_classifier(docs).collect()
+    n11 = sum(1 for r in rows if r.label_keep and r.pred_keep)
+    n10 = sum(1 for r in rows if r.label_keep and not r.pred_keep)
+    n01 = sum(1 for r in rows if not r.label_keep and r.pred_keep)
+    n00 = sum(1 for r in rows if not r.label_keep and not r.pred_keep)
+    n = len(rows)
+    got = quality_cohen_kappa(docs).collect()[0]
+    assert (got.n_docs, got.n11, got.n10, got.n01, got.n00) == (
+        n, n11, n10, n01, n00,
+    )
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    num = n * (n11 + n00) - pe_num
+    den = n * n - pe_num
+
+    def idiv(a, b):  # Spark div / DuckDB // truncate toward zero
+        return -((-a) // b) if (a < 0) != (b < 0) else a // b
+
+    assert got.agree_ppm == ((n11 + n00) * 1_000_000) // n
+    assert got.pe_ppm == idiv(pe_num * 1_000_000, n * n)
+    assert got.kappa_ppm == (idiv(num * 1_000_000, den) if den else None)
+    assert 0 < got.kappa_ppm <= 1_000_000  # fixture: strong real agreement
+
+    same = spark.createDataFrame(
+        [(i, "the same plain text here", "en", "s", 24) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    deg = quality_cohen_kappa(same).collect()[0]
+    assert deg.n_docs == 40 and deg.agree_ppm == 1_000_000
+    assert deg.pe_ppm == 1_000_000 and deg.kappa_ppm is None
