@@ -303,6 +303,10 @@ HEADLINE = [
     "orders_durbin_watson",
     "dedup_clustering_coefficient",
     "quality_cohen_kappa",
+    "doc_burstiness",
+    "customer_rfm_transition",
+    "source_js_matrix",
+    "orders_hill_tail_index",
 ]
 
 

@@ -269,6 +269,171 @@ def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> n
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def probe_media(payload: bytes) -> dict:
+    """Header-only container probe — the ffprobe analogue, stdlib-only.
+
+    Parses just enough of the container to report (container, width,
+    height, channels, bits) WITHOUT decoding pixel/sample data — the
+    cheap first pass a 100 TB media pipeline runs on every blob to
+    route it (decode tier, resize target, corrupt-quarantine) before
+    any expensive codec touches it. Five real header walks:
+
+    - PNG: IHDR chunk (width/height/depth/color type).
+    - BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (bpp, signed height).
+    - WAV: RIFF/WAVE fmt chunk walk (channels, bits per sample).
+    - JPEG: marker walk to the first SOF segment (precision, height,
+      width, component count) — header-only where a full stdlib decode
+      is infeasible (DCT + Huffman), exactly the honesty-gate contract:
+      REAL metadata, stubbed pixels.
+    - GIF: GIF87a/GIF89a logical screen descriptor (little-endian
+      width/height, color resolution bits from the packed field).
+
+    Unrecognized or truncated payloads return ok=False with NULL
+    fields — a probe never raises (it exists to FIND the corrupt
+    blobs), pinned by the corruption tests beside the decode gates.
+    """
+    import struct
+
+    buf = bytes(payload)
+    out = {
+        "container": None,
+        "width": None,
+        "height": None,
+        "channels": None,
+        "bits": None,
+        "ok": False,
+    }
+    try:
+        if buf[: len(_PNG_SIG)] == _PNG_SIG and len(buf) >= 33:
+            length, ctype = struct.unpack(">I4s", buf[8:16])
+            if ctype == b"IHDR" and length >= 13:
+                w, h, depth, color = struct.unpack(">IIBB", buf[16:26])
+                out.update(
+                    container="png",
+                    width=w,
+                    height=h,
+                    channels=_PNG_CHANNELS.get(color),
+                    bits=depth,
+                    ok=True,
+                )
+        elif buf[:2] == _BMP_SIG and len(buf) >= 34:
+            _hsize, w, h, _planes, bpp, _comp = struct.unpack(
+                "<IiiHHI", buf[14:34]
+            )
+            if w > 0 and h != 0:
+                out.update(
+                    container="bmp",
+                    width=w,
+                    height=abs(h),
+                    channels=bpp // 8 if bpp >= 8 else 1,
+                    bits=bpp,
+                    ok=True,
+                )
+        elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+            pos = 12
+            while pos + 8 <= len(buf):
+                cid, clen = struct.unpack("<4sI", buf[pos : pos + 8])
+                if cid == b"fmt " and pos + 8 + 16 <= len(buf):
+                    _fmt, ch, _rate = struct.unpack(
+                        "<HHI", buf[pos + 8 : pos + 16]
+                    )
+                    bits = struct.unpack("<H", buf[pos + 22 : pos + 24])[0]
+                    out.update(
+                        container="wav", channels=ch, bits=bits, ok=True
+                    )
+                    break
+                pos += 8 + clen + (clen & 1)  # chunks pad to even offsets
+        elif buf[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(buf):
+                if buf[pos] != 0xFF:
+                    break
+                marker = buf[pos + 1]
+                if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF seen
+                    break
+                seglen = struct.unpack(">H", buf[pos + 2 : pos + 4])[0]
+                if marker in _JPEG_SOF_MARKERS and pos + 4 + 6 <= len(buf):
+                    prec, h, w, ncomp = struct.unpack(
+                        ">BHHB", buf[pos + 4 : pos + 10]
+                    )
+                    out.update(
+                        container="jpeg",
+                        width=w,
+                        height=h,
+                        channels=ncomp,
+                        bits=prec,
+                        ok=True,
+                    )
+                    break
+                pos += 2 + seglen
+        elif buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 11:
+            w, h, packed = struct.unpack("<HHB", buf[6:11])
+            out.update(
+                container="gif",
+                width=w,
+                height=h,
+                channels=1,  # palette-indexed
+                bits=((packed >> 4) & 0x7) + 1,  # color resolution
+                ok=True,
+            )
+    except (struct.error, IndexError):
+        pass  # truncated mid-walk: report ok=False, never raise
+    return out
+
+
+def media_container_probe(media: DataFrame) -> DataFrame:
+    """Route-before-decode probe table via Arrow-batched mapInPandas.
+
+    Per payload: the header-only probe fields plus a mismatch flag
+    against the TYPED metadata columns (a container whose parsed
+    dimensions disagree with the catalog's width/height is the classic
+    silent-corruption signature a DQ gate quarantines). Tests drive
+    real PNG/BMP/WAV/JPEG/GIF bytes and truncations through it; on the
+    synthetic text-byte corpus every payload probes ok=False by design
+    (no signature), which is itself the pinned behavior.
+    """
+    import pandas as pd
+
+    schema = (
+        "doc_id long, media_type string, container string, probe_width int, "
+        "probe_height int, channels int, bits int, parse_ok boolean, "
+        "dims_match boolean"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                p = probe_media(r["payload"])
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "media_type": r["media_type"],
+                        "container": p["container"],
+                        "probe_width": p["width"],
+                        "probe_height": p["height"],
+                        "channels": p["channels"],
+                        "bits": p["bits"],
+                        "parse_ok": p["ok"],
+                        "dims_match": (
+                            p["ok"]
+                            and p["width"] == r["width"]
+                            and p["height"] == r["height"]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select(
+        "doc_id", "media_type", "width", "height", "payload"
+    ).mapInPandas(_batches, schema)
+
+
 def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
     """Per-payload feature vector via Arrow-batched mapInPandas.
 

@@ -2121,6 +2121,221 @@ FROM agg1 CROSS JOIN ties
 QUERY_SQL["doc_length_kruskal"] = DOC_LENGTH_KRUSKAL_SQL
 
 
+BURSTY_TOPK = 20
+
+
+def doc_burstiness(docs: DataFrame) -> DataFrame:
+    """Term burstiness (Church & Gale's variance-to-mean ratio / Fano
+    factor) for the corpus' top terms — the DISPERSION rung beside the
+    frequency monitors (Zipf reads the rank-frequency slope, entropy
+    the global mix; burstiness reads HOW a term's mass arrives: VMR ≈ 1
+    is Poisson scatter — function words — while VMR ≫ 1 is bursty
+    clumping — content words, and, pathologically, a template flooding
+    a few documents, exactly what a dedup threshold audit wants
+    surfaced per term).
+
+    Over ALL N docs (zeros included, algebraically — never material-
+    ized): with T = Σc and S2 = Σc² per term over docs containing it,
+    var/mean = (N·S2 − T²)/(N·T), nonnegative by Cauchy-Schwarz, exact
+    in decimal(38,0)/HUGEINT and floor-quantized milli (positive ⇒
+    floor == truncate in both engines). Top BURSTY_TOPK terms by total
+    count, term tie-break.
+
+    Scale shape: explode → one map-side-combined (doc, term) hash-agg →
+    term-grain agg → 1-row corpus-count broadcast cross (allowlisted) →
+    TakeOrderedAndProject(K). No corpus-sized sort, no join on data.
+    """
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    cdt = (
+        docs.select("doc_id", word)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_term = cdt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    vmr = (
+        "CAST(FLOOR((CAST(n_docs AS DECIMAL(38,0)) * s2"
+        " - CAST(t AS DECIMAL(19,0)) * t) * 1000"
+        " / (CAST(n_docs AS DECIMAL(19,0)) * t)) AS BIGINT)"
+    )
+    return (
+        per_term.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            F.col("t").alias("total_count"),
+            F.expr("(t * 1000000) div n_docs").alias("mean_count_micro"),
+            F.expr(vmr).alias("vmr_milli"),
+        )
+        .orderBy(F.desc("total_count"), "term")
+        .limit(BURSTY_TOPK)
+    )
+
+
+DOC_BURSTINESS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+cdt AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM words GROUP BY 1, 2
+),
+per_term AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS t,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM cdt GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT term, df, t AS total_count,
+       (t * 1000000) // n_docs AS mean_count_micro,
+       CAST((CAST(n_docs AS HUGEINT) * s2 - CAST(t AS HUGEINT) * t) * 1000
+            // (CAST(n_docs AS HUGEINT) * t) AS BIGINT) AS vmr_milli
+FROM per_term CROSS JOIN n
+ORDER BY total_count DESC, term
+LIMIT {BURSTY_TOPK}
+"""
+
+QUERY_SQL["doc_burstiness"] = DOC_BURSTINESS_SQL
+
+
+_LNM = "CAST(FLOOR(1000 * ln({})) AS BIGINT)"
+_LN2_MILLI = 693  # floor(1000·ln 2) — the exclusive-term JS contribution
+
+
+def source_js_matrix(docs: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence matrix between every source
+    pair's unigram distribution — doc_split_js_divergence widened from
+    the fixed train/val pair to the full source×source drift atlas (the
+    table a mixture rebalance reads to find which sources are
+    near-duplicates of each other and which are distributional
+    outliers).
+
+    Same integer discipline as the split JS: per SHARED term the log
+    ratio reduces to ln(2aB) − ln(aB + bA) over floor-quantized milli
+    logs (one transcendental per integer — the zipf discipline), and
+    terms EXCLUSIVE to one side contribute exactly (mass)·ln2, folded
+    algebraically via the per-source totals minus the shared sums — so
+    the vocabulary-grain self-join only materializes SHARED (term,
+    pair) rows, never the exclusive fan-out. Bounded [0, 693 milli].
+
+    Scale shape: one exploded-token groupBy(source, term) — map-side
+    combined, vocabulary-bounded — one term-grain self-join with
+    fan-out ≤ |sources|² (source cardinality is metadata-bounded, not
+    corpus-bounded), a |sources|-row totals broadcast, a pairs-row
+    reduce. No corpus-grain join.
+    """
+    word = F.explode(words_col(F.lower(F.col("text")))).alias("t")
+    counts = (
+        docs.select("source", word)
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("tc"))
+    a = counts.select(
+        F.col("source").alias("src_a"), "t", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("source").alias("src_b"), "t", F.col("c").alias("cb")
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("tc").alias("ta"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("tc").alias("tb"))
+    shared = (
+        a.join(b, "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.sum("ca").alias("sa"),
+            F.sum("cb").alias("sb"),
+            F.sum(
+                F.expr(
+                    f"ca * ({_LNM.format('2 * ca * tb')}"
+                    f" - {_LNM.format('ca * tb + cb * ta')})"
+                )
+            ).alias("skp"),
+            F.sum(
+                F.expr(
+                    f"cb * ({_LNM.format('2 * cb * ta')}"
+                    f" - {_LNM.format('ca * tb + cb * ta')})"
+                )
+            ).alias("skq"),
+        )
+    )
+    # pair spine from the bounded source-totals frame so fully-DISJOINT
+    # pairs (the MOST divergent — exactly ln2) still emit a row instead
+    # of silently vanishing from the inner-join matrix
+    pairs = (
+        ta.crossJoin(F.broadcast(tb))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    return (
+        pairs.join(F.broadcast(shared), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared_terms", F.lit(0)).alias("n_shared_terms"),
+            F.col("ta").alias("tokens_a"),
+            F.col("tb").alias("tokens_b"),
+            F.expr(
+                f"((COALESCE(skp, 0) + (ta - COALESCE(sa, 0)) * {_LN2_MILLI})"
+                f" div ta"
+                f" + (COALESCE(skq, 0) + (tb - COALESCE(sb, 0))"
+                f"    * {_LN2_MILLI}) div tb) div 2"
+            ).alias("js_milli"),
+        )
+    )
+
+
+SOURCE_JS_MATRIX_SQL = f"""
+WITH counts AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tc FROM counts GROUP BY 1),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         CAST(SUM(a.c) AS BIGINT) AS sa,
+         CAST(SUM(b.c) AS BIGINT) AS sb,
+         CAST(SUM(a.c * ({_LNM.format("2 * a.c * tb.tc")}
+                  - {_LNM.format("a.c * tb.tc + b.c * ta.tc")})) AS BIGINT)
+           AS skp,
+         CAST(SUM(b.c * ({_LNM.format("2 * b.c * ta.tc")}
+                  - {_LNM.format("a.c * tb.tc + b.c * ta.tc")})) AS BIGINT)
+           AS skq
+  FROM counts a
+  JOIN counts b ON a.t = b.t AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ta.source AS src_a, tb.source AS src_b,
+         CAST(ta.tc AS BIGINT) AS ta, CAST(tb.tc AS BIGINT) AS tb
+  FROM tot ta CROSS JOIN tot tb WHERE ta.source < tb.source
+)
+SELECT src_a, src_b,
+       COALESCE(n_shared_terms, 0) AS n_shared_terms,
+       ta AS tokens_a, tb AS tokens_b,
+       ((COALESCE(skp, 0) + (ta - COALESCE(sa, 0)) * {_LN2_MILLI}) // ta
+        + (COALESCE(skq, 0) + (tb - COALESCE(sb, 0)) * {_LN2_MILLI}) // tb)
+         // 2 AS js_milli
+FROM pairs LEFT JOIN shared USING (src_a, src_b)
+"""
+
+QUERY_SQL["source_js_matrix"] = SOURCE_JS_MATRIX_SQL
+
+
 KS_BASELINE_SRC = "src0"
 
 

@@ -87,6 +87,8 @@ QUERIES = {
     "quality_cohen_kappa": _wrap(curation.quality_cohen_kappa),
     "doc_length_anova": _wrap(text.doc_length_anova),
     "doc_length_kruskal": _wrap(text.doc_length_kruskal),
+    "doc_burstiness": _wrap(text.doc_burstiness),
+    "source_js_matrix": _wrap(text.source_js_matrix),
     "documents_ks_drift": _wrap(text.documents_ks_drift),
     "documents_chi2_independence": _wrap(text.documents_chi2_independence),
     "vocab_entropy": _wrap(text.vocab_entropy),

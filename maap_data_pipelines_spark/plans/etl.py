@@ -1938,6 +1938,98 @@ FROM s
 """
 
 
+HILL_TOPK = 200
+
+
+def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index — the
+    heavy-tailedness rung of the stats tier (lorenz/gini read overall
+    inequality, deciles the bulk shape; the Hill alpha reads the TAIL
+    LAW: alpha ≤ 2 means infinite variance, where mean-based monitors
+    like shewhart stop being meaningful and a pipeline must switch to
+    quantile control — the single number that says WHICH regime the
+    money column is in).
+
+    alpha = k / Σ_{i=1..k} (ln x_(i) − ln x_(k+1)) over the top k+1
+    order statistics (cents, orderkey tie-break — fully deterministic).
+    Each ln is floor-quantized to integer MICRO (the vocab_entropy
+    discipline), so the sum is an exact int64 and alpha one identical
+    double tree, floor-quantized milli. A degenerate tail (all top
+    values equal ⇒ zero log spread) reads NULL via NULLIF, never an
+    error.
+
+    Scale shape: one TakeOrderedAndProject(k+1) — the only corpus-size
+    operator, and it's the top-k pattern that needs no global sort —
+    then a (k+1)-row rank window and a 1-row aggregate. Plan constant
+    past the top-k.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    top = orders.orderBy(F.desc("cents"), "o_orderkey").limit(HILL_TOPK + 1)
+    w = Window.orderBy(F.desc("cents"), "o_orderkey")
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.expr(
+            "CAST(FLOOR(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("lnc_micro"),
+    )
+    s = ranked.agg(
+        F.sum(
+            F.when(F.col("rn") <= HILL_TOPK, F.col("lnc_micro")).otherwise(0)
+        ).alias("s_micro"),
+        F.max(
+            F.when(F.col("rn") == HILL_TOPK + 1, F.col("lnc_micro"))
+        ).alias("ref_micro"),
+        F.count(F.lit(1)).alias("n_top"),
+    )
+    alpha = (
+        f"({HILL_TOPK} * 1000000.0"
+        f" / NULLIF(CAST(s_micro - {HILL_TOPK} * ref_micro AS DOUBLE), 0.0))"
+    )
+    return s.select(
+        F.col("n_top"),
+        "s_micro",
+        "ref_micro",
+        F.expr(
+            f"CASE WHEN n_top = {HILL_TOPK + 1}"
+            f" THEN CAST(FLOOR({alpha} * 1000) AS BIGINT) END"
+        ).alias("alpha_milli"),
+    )
+
+
+HILL_SQL = f"""
+WITH top AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders ORDER BY cents DESC, o_orderkey LIMIT {HILL_TOPK + 1}
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS BIGINT)
+           AS rn,
+         CAST(FLOOR(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lnc_micro
+  FROM top
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN rn <= {HILL_TOPK} THEN lnc_micro ELSE 0 END)
+              AS BIGINT) AS s_micro,
+         CAST(MAX(CASE WHEN rn = {HILL_TOPK + 1} THEN lnc_micro END)
+              AS BIGINT) AS ref_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_top
+  FROM ranked
+)
+SELECT n_top, s_micro, ref_micro,
+       CASE WHEN n_top = {HILL_TOPK + 1}
+            THEN CAST(FLOOR({HILL_TOPK} * 1000000.0
+                 / NULLIF(CAST(s_micro - {HILL_TOPK} * ref_micro AS DOUBLE),
+                          0.0) * 1000) AS BIGINT) END AS alpha_milli
+FROM s
+"""
+
+
 BACKLOG_BUCKET_DAYS = 30
 BACKLOG_MAX_BUCKET = 12
 
@@ -2902,6 +2994,120 @@ def _rfm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_TRANSITION_SPLIT = "1995-06-30"
+
+
+def customer_rfm_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-segment migration matrix between the dataset's two halves —
+    the temporal-drift read the static segmentations can't give
+    (orders_rfm scores customers once, customer_rfm_segments clusters
+    them once; a CRM acts on MOVEMENT: which champions are decaying,
+    which dormants reactivated). Customers are labeled per half by
+    frequency tercile x monetary tercile (NTILE(3) with the fully
+    deterministic (value, other-value, custkey) tie-break — ANSI NTILE
+    semantics are identical in Spark and DuckDB), and the output is the
+    (seg_h1, seg_h2) contingency matrix with per-origin row shares in
+    exact ppm; customers active in only one half land in the 'NONE'
+    margin (full outer join), so churn and acquisition are rows of the
+    same matrix, never silently dropped.
+
+    Scale shape: one map-side-combined (customer, half) rollup, two
+    NTILE windows per half over customer-grain rows (the accepted
+    segment-partitioned sort class at 1/|orders-per-customer| of fact
+    grain), one customer-grain full outer self-join, then a ≤16×16
+    matrix aggregate + a matrix-grain share window. No fact-sized
+    shuffle past the rollup.
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            f"CASE WHEN to_date(o_orderdate) <= DATE'{RFM_TRANSITION_SPLIT}'"
+            " THEN 1 ELSE 2 END"
+        ).alias("half"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    per = orders.groupBy("o_custkey", "half").agg(
+        F.count(F.lit(1)).alias("f"), F.sum("cents").alias("m")
+    )
+    w_f = W.partitionBy("half").orderBy("f", "m", "o_custkey")
+    w_m = W.partitionBy("half").orderBy("m", "f", "o_custkey")
+    scored = per.select(
+        "o_custkey",
+        "half",
+        F.concat(
+            F.lit("F"),
+            F.ntile(3).over(w_f).cast("string"),
+            F.lit("M"),
+            F.ntile(3).over(w_m).cast("string"),
+        ).alias("seg"),
+    )
+    h1 = scored.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_h1")
+    )
+    h2 = scored.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("seg").alias("seg_h2")
+    )
+    matrix = (
+        h1.join(h2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("seg_h1", F.lit("NONE")).alias("seg_h1"),
+            F.coalesce("seg_h2", F.lit("NONE")).alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    w_row = W.partitionBy("seg_h1")
+    return matrix.select(
+        "seg_h1",
+        "seg_h2",
+        "n_customers",
+        F.expr("n_customers * 1000000")
+        .cast("long")
+        .alias("_num"),
+        F.sum("n_customers").over(w_row).alias("_den"),
+    ).select(
+        "seg_h1",
+        "seg_h2",
+        "n_customers",
+        F.expr("_num div _den").alias("row_share_ppm"),
+    )
+
+
+RFM_TRANSITION_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(o_orderdate AS DATE) <= DATE '{RFM_TRANSITION_SPLIT}'
+              THEN 1 ELSE 2 END AS half,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+  FROM orders GROUP BY 1, 2
+),
+scored AS (
+  SELECT o_custkey, half,
+         'F' || CAST(NTILE(3) OVER (PARTITION BY half ORDER BY f, m, o_custkey)
+                     AS VARCHAR)
+         || 'M' || CAST(NTILE(3) OVER (PARTITION BY half ORDER BY m, f, o_custkey)
+                        AS VARCHAR) AS seg
+  FROM per
+),
+matrix AS (
+  SELECT COALESCE(h1.seg, 'NONE') AS seg_h1, COALESCE(h2.seg, 'NONE') AS seg_h2,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM (SELECT o_custkey, seg FROM scored WHERE half = 1) h1
+  FULL OUTER JOIN (SELECT o_custkey, seg FROM scored WHERE half = 2) h2
+    USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT seg_h1, seg_h2, n_customers,
+       CAST((n_customers * 1000000)
+            // SUM(n_customers) OVER (PARTITION BY seg_h1) AS BIGINT)
+         AS row_share_ppm
+FROM matrix
+"""
+
+
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer segmentation: integer k-means over scaled RFM triples.
 
@@ -3261,6 +3467,8 @@ QUERIES = {
     "orders_theilsen_trend": orders_theilsen_trend,
     "orders_shewhart_control": orders_shewhart_control,
     "orders_durbin_watson": orders_durbin_watson,
+    "customer_rfm_transition": customer_rfm_transition,
+    "orders_hill_tail_index": orders_hill_tail_index,
     "orders_backlog_aging": orders_backlog_aging,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
@@ -3336,6 +3544,8 @@ ORACLES = {
     "orders_theilsen_trend": THEILSEN_SQL,
     "orders_shewhart_control": SHEWHART_SQL,
     "orders_durbin_watson": DURBIN_WATSON_SQL,
+    "customer_rfm_transition": RFM_TRANSITION_SQL,
+    "orders_hill_tail_index": HILL_SQL,
     "orders_backlog_aging": BACKLOG_AGING_SQL,
     "gdpr_erasure_plan": GDPR_ERASURE_SQL,
     "customer_rfm_segments": RFM_SEGMENTS_SQL,

@@ -575,3 +575,112 @@ def test_real_bmp_through_feature_operators(spark):
         want[int(v) % multimodal.FEATURE_DIM] = want.get(int(v) % multimodal.FEATURE_DIM, 0) + 1
     assert by_doc[1] == want
     assert by_doc[2] == want  # same pixels, different container, same features
+
+
+def _make_jpeg_header(w: int, h: int, ncomp: int = 3, progressive: bool = False) -> bytes:
+    """Real JPEG header bytes (SOI + APP0/JFIF + DQT stub + SOF) — the
+    marker stream a probe must walk; no entropy-coded body needed."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)  # table id + 64 quant entries
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comps = b"".join(
+        bytes([i + 1, 0x11, 0]) for i in range(ncomp)
+    )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + comps
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+        + sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    )
+
+
+def _make_gif_header(w: int, h: int, color_res_bits: int = 8) -> bytes:
+    import struct
+
+    packed = ((color_res_bits - 1) & 0x7) << 4
+    return b"GIF89a" + struct.pack("<HHB", w, h, packed) + b"\x00\x00"
+
+
+def test_probe_media_all_five_containers():
+    """The header-only probe reads correct (container, dims, channels,
+    bits) from real PNG/BMP/WAV bytes and handcrafted JPEG/GIF headers
+    (baseline AND progressive SOF; multi-chunk RIFF walk)."""
+    rng = np.random.RandomState(11)
+    png = _make_png(rng.randint(0, 256, size=(4, 6 * 3), dtype=np.uint8), 2)
+    p = multimodal.probe_media(png)
+    assert p == {
+        "container": "png", "width": 6, "height": 4,
+        "channels": 3, "bits": 8, "ok": True,
+    }
+
+    bmp = _make_bmp(rng.randint(0, 256, size=(3, 5 * 3), dtype=np.uint8), 3)
+    p = multimodal.probe_media(bmp)
+    assert (p["container"], p["width"], p["height"], p["bits"], p["ok"]) == (
+        "bmp", 5, 3, 24, True,
+    )
+    # top-down BMPs report positive height
+    bmp_td = _make_bmp(
+        rng.randint(0, 256, size=(3, 5 * 3), dtype=np.uint8), 3, top_down=True
+    )
+    assert multimodal.probe_media(bmp_td)["height"] == 3
+
+    wav = _make_wav(list(range(40)), 2)
+    p = multimodal.probe_media(wav)
+    assert (p["container"], p["channels"], p["bits"], p["ok"]) == (
+        "wav", 1, 16, True,
+    )
+
+    for prog in (False, True):
+        p = multimodal.probe_media(_make_jpeg_header(640, 480, 3, prog))
+        assert p == {
+            "container": "jpeg", "width": 640, "height": 480,
+            "channels": 3, "bits": 8, "ok": True,
+        }, prog
+    # grayscale JPEG: 1 component
+    assert multimodal.probe_media(_make_jpeg_header(10, 20, 1))["channels"] == 1
+
+    p = multimodal.probe_media(_make_gif_header(320, 200, 8))
+    assert (p["container"], p["width"], p["height"], p["bits"], p["ok"]) == (
+        "gif", 320, 200, 8, True,
+    )
+
+
+def test_probe_media_never_raises_on_garbage():
+    """Truncations mid-walk, text bytes, and empty payloads all report
+    ok=False with NULL fields — a probe exists to FIND corrupt blobs."""
+    rng = np.random.RandomState(13)
+    png = _make_png(rng.randint(0, 256, size=(4, 6 * 3), dtype=np.uint8), 2)
+    jpeg = _make_jpeg_header(640, 480)
+    for payload in (
+        b"", b"plain text bytes", png[:12], jpeg[:3], jpeg[:11],
+        b"RIFF1234WAVE", b"GIF89a\x01",
+        b"\xff\xd8\xff\xd9",  # SOI + EOI, no SOF
+    ):
+        p = multimodal.probe_media(payload)
+        assert p["ok"] is False
+        assert p["width"] is None and p["height"] is None
+
+
+def test_media_container_probe_frame(spark):
+    """The mapInPandas probe table: real containers parse with
+    dims_match against the typed metadata; text-byte payloads (the
+    synthetic corpus) probe ok=False by design."""
+    rng = np.random.RandomState(17)
+    png = _make_png(rng.randint(0, 256, size=(4, 6 * 3), dtype=np.uint8), 2)
+    jpeg = _make_jpeg_header(64, 32)
+    rows = [
+        (1, "image/png", 6, 4, bytearray(png)),
+        (2, "image/jpeg", 99, 99, bytearray(jpeg)),  # catalog dims WRONG
+        (3, "text/plain", 0, 0, bytearray(b"just some text")),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, width int, height int, payload binary"
+    )
+    got = {r.doc_id: r for r in multimodal.media_container_probe(media).collect()}
+    assert got[1].parse_ok and got[1].container == "png" and got[1].dims_match
+    assert got[2].parse_ok and got[2].container == "jpeg"
+    assert got[2].probe_width == 64 and not got[2].dims_match  # the DQ signal
+    assert not got[3].parse_ok and got[3].container is None

@@ -129,6 +129,13 @@ KEYS = [
     "orders_durbin_watson",
     "dedup_clustering_coefficient",
     "quality_cohen_kappa",
+    # the (doc,term) dispersion fold and the ntile migration matrix
+    "doc_burstiness",
+    "customer_rfm_transition",
+    # the shared+exclusive JS identity over the pair spine, and the
+    # top-k boundary rank (Hill): both tie-break-sensitive
+    "source_js_matrix",
+    "orders_hill_tail_index",
 ]
 
 

@@ -88,6 +88,11 @@ _BNLJ_ALLOWED = {
     "doc_length_kruskal",
     # inherits quality_nb_classifier's 1-row class-prior broadcast cross
     "quality_cohen_kappa",
+    # 1-row corpus-count broadcast cross onto the term frame
+    "doc_burstiness",
+    # bounded |sources|x|sources| pair-spine cross (both sides are the
+    # source-totals aggregate — the month-spine class)
+    "source_js_matrix",
     # 16-row centroid broadcast cross (ivf_assign kernel) + 1-row
     # corpus-count broadcast
     "ann_centroid_balance",

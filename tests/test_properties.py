@@ -1437,3 +1437,260 @@ def test_cohen_kappa_matches_python_and_degenerate(spark, sf_dir):
     deg = quality_cohen_kappa(same).collect()[0]
     assert deg.n_docs == 40 and deg.agree_ppm == 1_000_000
     assert deg.pe_ppm == 1_000_000 and deg.kappa_ppm is None
+
+
+def test_burstiness_matches_python_and_behavior(spark):
+    """doc_burstiness == the exact (N·S2 − T²)/(N·T) Fano factor from a
+    Counter replica; a term clumped in one doc reads VMR ~ T while a
+    term spread one-per-doc reads VMR < 1."""
+    from collections import Counter
+
+    from maap_data_pipelines_spark.operators.text import doc_burstiness
+
+    # 30 docs: 'u' once in every doc (Poisson-flat), 'b' 30 times in doc 0
+    # (maximally bursty), filler terms to pad the top-k
+    texts = []
+    for i in range(30):
+        t = ["u"]
+        if i == 0:
+            t += ["b"] * 30
+        t += [f"w{i % 5}"] * 3
+        texts.append(" ".join(t))
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.term: r for r in doc_burstiness(df).collect()}
+    n = 30
+    per_doc = [Counter(t.split()) for t in texts]
+    for term in got:
+        cs = [c[term] for c in per_doc if term in c]
+        t_tot, s2, dfreq = sum(cs), sum(c * c for c in cs), len(cs)
+        r = got[term]
+        assert (r.df, r.total_count) == (dfreq, t_tot), term
+        assert r.mean_count_micro == (t_tot * 1_000_000) // n
+        assert r.vmr_milli == ((n * s2 - t_tot * t_tot) * 1000) // (n * t_tot)
+    assert got["u"].vmr_milli == 0  # exactly one per doc: zero variance
+    assert got["b"].vmr_milli > 25_000  # ~T·(N−1)/N = 29 -> 29000 milli
+    assert got["b"].vmr_milli == ((30 * 900 - 900) * 1000) // (30 * 30)
+
+
+def test_rfm_transition_matches_python(spark, sf_dir):
+    """The migration matrix == a pure-Python NTILE replica over the
+    parquet (ANSI bucket sizing: ceil sizes to the first N%k buckets,
+    deterministic (value, other, custkey) tie-break), with exact ppm
+    row shares and the NONE churn/acquisition margins."""
+    import duckdb
+    from collections import Counter
+
+    from maap_data_pipelines_spark.plans.etl import (
+        RFM_TRANSITION_SPLIT,
+        customer_rfm_transition,
+    )
+
+    got = {
+        (r.seg_h1, r.seg_h2): (r.n_customers, r.row_share_ppm)
+        for r in customer_rfm_transition(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_custkey,
+               CASE WHEN CAST(o_orderdate AS DATE) <= DATE '{RFM_TRANSITION_SPLIT}'
+                    THEN 1 ELSE 2 END AS half,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1, 2
+        """
+    ).fetchall()
+
+    def ntile(ordered_keys, k=3):
+        n = len(ordered_keys)
+        out, start = {}, 0
+        for b in range(1, k + 1):
+            size = n // k + (1 if b <= n % k else 0)
+            for key in ordered_keys[start : start + size]:
+                out[key] = b
+            start += size
+        return out
+
+    seg = {1: {}, 2: {}}
+    for half in (1, 2):
+        hs = [(c, f, m) for c, h, f, m in rows if h == half]
+        f_t = ntile([c for c, f, m in sorted(hs, key=lambda x: (x[1], x[2], x[0]))])
+        m_t = ntile([c for c, f, m in sorted(hs, key=lambda x: (x[2], x[1], x[0]))])
+        for c, f, m in hs:
+            seg[half][c] = f"F{f_t[c]}M{m_t[c]}"
+    matrix = Counter(
+        (seg[1].get(c, "NONE"), seg[2].get(c, "NONE"))
+        for c in set(seg[1]) | set(seg[2])
+    )
+    rowsum = Counter()
+    for (s1, _s2), cnt in matrix.items():
+        rowsum[s1] += cnt
+    want = {
+        k: (cnt, (cnt * 1_000_000) // rowsum[k[0]]) for k, cnt in matrix.items()
+    }
+    assert got == want
+
+
+def test_rfm_transition_none_margins(spark, tmp_path):
+    """Customers active in only one half land in the NONE churn /
+    acquisition margins with exact row shares (synthetic star: 3
+    customers only-H1, 3 only-H2, 3 in both)."""
+    import pandas as pd
+
+    from maap_data_pipelines_spark.plans.etl import customer_rfm_transition
+
+    rows = []
+    k = 0
+    for c in range(3):  # only H1
+        rows.append((k, 100 + c, 10.0 + c, "1994-01-01")); k += 1
+    for c in range(3):  # only H2
+        rows.append((k, 200 + c, 10.0 + c, "1997-01-01")); k += 1
+    for c in range(3):  # both halves
+        rows.append((k, 300 + c, 10.0 + c, "1994-06-01")); k += 1
+        rows.append((k, 300 + c, 20.0 + c, "1996-06-01")); k += 1
+    d = tmp_path / "rfmt"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ).to_parquet(d / "orders.parquet")
+    got = customer_rfm_transition(spark, str(d)).collect()
+    churn = sum(r.n_customers for r in got if r.seg_h2 == "NONE")
+    acq = sum(r.n_customers for r in got if r.seg_h1 == "NONE")
+    assert churn == 3 and acq == 3
+    # per-origin shares sum to ~1e6 (floor residue < rows per origin)
+    from collections import Counter
+
+    share = Counter()
+    for r in got:
+        share[r.seg_h1] += r.row_share_ppm
+    for s1, tot in share.items():
+        assert 1_000_000 - 16 <= tot <= 1_000_000, s1
+
+
+def test_hill_tail_index_matches_python(spark, sf_dir, tmp_path):
+    """Hill alpha == the mirrored floor-quantized replica over the true
+    top-(k+1) order statistics; a constant tail reads NULL; a planted
+    Pareto(alpha=2) sample recovers alpha ~ 2."""
+    import duckdb
+    import math
+
+    import pandas as pd
+
+    from maap_data_pipelines_spark.plans.etl import (
+        HILL_TOPK,
+        orders_hill_tail_index,
+    )
+
+    r = orders_hill_tail_index(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    cents = [
+        c
+        for (c,) in con.execute(
+            f"""
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            ORDER BY cents DESC LIMIT {HILL_TOPK + 1}
+            """
+        ).fetchall()
+    ]
+    lnc = [math.floor(math.log(float(c)) * 1_000_000) for c in cents]
+    s_micro = sum(lnc[:HILL_TOPK])
+    ref = lnc[HILL_TOPK]
+    assert (r.n_top, r.s_micro, r.ref_micro) == (HILL_TOPK + 1, s_micro, ref)
+    alpha = HILL_TOPK * 1_000_000.0 / float(s_micro - HILL_TOPK * ref)
+    assert r.alpha_milli == math.floor(alpha * 1000)
+
+    def star(prices):
+        d = tmp_path / f"hill{len(list(tmp_path.iterdir()))}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "o_orderkey": range(len(prices)),
+                "o_custkey": range(len(prices)),
+                "o_totalprice": prices,
+            }
+        ).to_parquet(d / "orders.parquet")
+        return str(d)
+
+    const = orders_hill_tail_index(spark, star([55.0] * 300)).collect()[0]
+    assert const.alpha_milli is None  # zero log spread -> NULLIF -> NULL
+
+    # planted Pareto(alpha=2): x = 100 / sqrt(u), deterministic grid u
+    pareto = [100.0 / math.sqrt((i + 0.5) / 4000.0) for i in range(4000)]
+    rp = orders_hill_tail_index(spark, star(pareto)).collect()[0]
+    assert 1600 <= rp.alpha_milli <= 2400  # ~2.0 within estimator noise
+
+
+def test_source_js_matrix_edges_and_python(spark, sf_dir):
+    """JS-matrix edges: two sources with the IDENTICAL term distribution
+    read ~0; disjoint vocabularies read exactly ln2 = 693 milli; the
+    parquet matrix matches a pure-Python replica of the shared+exclusive
+    identity pair-for-pair."""
+    import duckdb
+    import math
+    from collections import Counter
+
+    from maap_data_pipelines_spark.operators.text import source_js_matrix
+
+    def docs_of(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    same = docs_of([("a", "x y z x"), ("b", "x y z x")] * 10)
+    r = source_js_matrix(same).collect()
+    assert len(r) == 1 and abs(r[0].js_milli) <= 2
+
+    disj = docs_of([("a", "p q r"), ("b", "u v w")] * 5)
+    r2 = source_js_matrix(disj).collect()[0]
+    # disjoint vocabularies: the pair spine still emits the row, with
+    # zero shared terms and EXACTLY ln2 = 693 milli
+    assert (r2.n_shared_terms, r2.js_milli) == (0, 693)
+    mixed = docs_of(
+        [("a", "common p p p"), ("b", "common u u u"), ("c", "common p u")] * 4
+    )
+    got = {
+        (r.src_a, r.src_b): r for r in source_js_matrix(mixed).collect()
+    }
+
+    def lnm(v):
+        return math.floor(1000 * math.log(v))
+
+    texts = {
+        "a": "common p p p " * 4,
+        "b": "common u u u " * 4,
+        "c": "common p u " * 4,
+    }
+    cnt = {s: Counter(t.split()) for s, t in texts.items()}
+    tot = {s: sum(c.values()) for s, c in cnt.items()}
+    for sa, sb in (("a", "b"), ("a", "c"), ("b", "c")):
+        ca, cb, ta, tb = cnt[sa], cnt[sb], tot[sa], tot[sb]
+        shared = set(ca) & set(cb)
+        skp = sum(
+            ca[t] * (lnm(2 * ca[t] * tb) - lnm(ca[t] * tb + cb[t] * ta))
+            for t in shared
+        )
+        skq = sum(
+            cb[t] * (lnm(2 * cb[t] * ta) - lnm(ca[t] * tb + cb[t] * ta))
+            for t in shared
+        )
+        sa_, sb_ = sum(ca[t] for t in shared), sum(cb[t] for t in shared)
+
+        def idiv(x, y):
+            return -((-x) // y) if (x < 0) != (y < 0) else x // y
+
+        want = idiv(
+            idiv(skp + (ta - sa_) * 693, ta) + idiv(skq + (tb - sb_) * 693, tb),
+            2,
+        )
+        r = got[(sa, sb)]
+        assert (r.n_shared_terms, r.tokens_a, r.tokens_b) == (
+            len(shared), ta, tb,
+        )
+        assert r.js_milli == want, (sa, sb)
+    # a vs b share ONLY 'common': mostly-disjoint mass reads near ln2
+    assert got[("a", "b")].js_milli > 500
