@@ -307,6 +307,8 @@ HEADLINE = [
     "customer_rfm_transition",
     "source_js_matrix",
     "orders_hill_tail_index",
+    "orders_runs_test",
+    "events_interarrival_exponentiality",
 ]
 
 

@@ -1938,6 +1938,129 @@ FROM s
 """
 
 
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue about its own median —
+    the RANDOMNESS rung of the DQ tier (durbin_watson reads lag-1
+    co-movement magnitude; the runs test reads the SIGN pattern, so it
+    catches regime stickiness and alternation even when magnitudes
+    cancel — the classic nonparametric 'is this series actually random'
+    gate).
+
+    The median is the exact lower median of the bounded day frame
+    (rank (n+1) div 2 over (revenue, day) — fully deterministic);
+    equal-to-median days are dropped per the classic dichotomization.
+    R = 1 + Σ[sign_t ≠ sign_{t−1}] over date order, and the normal
+    readout z = (R − μ)/σ with μ = 2n1n2/n + 1 and
+    σ² = 2n1n2(2n1n2 − n)/(n²(n−1)) runs through one identical double
+    tree from exact int64 counts (floor milli); a one-sided series
+    (n1·n2 = 0) reads NULL via NULLIF. z ≪ 0 = too few runs (sticky
+    regimes / batch artifacts), z ≫ 0 = alternation (the double-posting
+    signature durbin_watson reads as DW → 4).
+
+    Scale shape: one map-side-combined day rollup (bounded by calendar
+    days), one rank window + a 1-row median broadcast cross (the
+    allowlisted Q11 class), one lag window over day-grain rows, one
+    1-row aggregate. No fact-sized shuffle past the rollup.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("o_day")).agg(
+        F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("x")
+    )
+    w_rank = Window.orderBy("x", "o_day")
+    ranked = daily.withColumn(
+        "rnk", F.row_number().over(w_rank).cast("long")
+    )
+    med = (
+        ranked.crossJoin(
+            F.broadcast(daily.agg(F.count(F.lit(1)).alias("n_days")))
+        )
+        .filter(F.col("rnk") == F.expr("(n_days + 1) div 2"))
+        .select(F.col("x").alias("med"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("med"))
+        .select("o_day", (F.col("x") > F.col("med")).cast("long").alias("s"))
+    )
+    w_day = Window.orderBy("o_day")
+    flips = signs.select(
+        "s",
+        F.when(
+            F.lag("s", 1).over(w_day).isNull()
+            | (F.lag("s", 1).over(w_day) == F.col("s")),
+            0,
+        )
+        .otherwise(1)
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+        (F.sum("flip") + 1).alias("r_runs"),
+    )
+    mu = "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+    sig = (
+        "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+        " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1.0)))"
+    )
+    z = f"((CAST(r_runs AS DOUBLE) - {mu}) / NULLIF({sig}, 0.0))"
+    return agg.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "r_runs",
+        F.expr(
+            f"CASE WHEN n1 > 0 AND n2 > 0"
+            f" THEN CAST(FLOOR({z} * 1000) AS BIGINT) END"
+        ).alias("z_milli"),
+    )
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS o_day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_day) AS BIGINT) AS rnk
+  FROM daily
+),
+med AS (
+  SELECT x AS med FROM ranked CROSS JOIN (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+  ) WHERE rnk = (n_days + 1) // 2
+),
+signs AS (
+  SELECT o_day, CAST(x > med AS BIGINT) AS s
+  FROM daily CROSS JOIN med WHERE x <> med
+),
+flips AS (
+  SELECT s,
+         CASE WHEN LAG(s, 1) OVER (ORDER BY o_day) IS NULL
+                OR LAG(s, 1) OVER (ORDER BY o_day) = s THEN 0
+              ELSE 1 END AS flip
+  FROM signs
+),
+agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n2,
+         CAST(SUM(flip) + 1 AS BIGINT) AS r_runs
+  FROM flips
+)
+SELECT n1 AS n_above, n2 AS n_below, r_runs,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN
+         CAST(FLOOR((CAST(r_runs AS DOUBLE)
+              - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+              / NULLIF(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                   / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1.0))),
+                 0.0)
+              * 1000) AS BIGINT) END AS z_milli
+FROM agg
+"""
+
+
 HILL_TOPK = 200
 
 
@@ -3469,6 +3592,7 @@ QUERIES = {
     "orders_durbin_watson": orders_durbin_watson,
     "customer_rfm_transition": customer_rfm_transition,
     "orders_hill_tail_index": orders_hill_tail_index,
+    "orders_runs_test": orders_runs_test,
     "orders_backlog_aging": orders_backlog_aging,
     "orders_lineitem_reconcile": orders_lineitem_reconcile,
     "orders_bootstrap_ci": orders_bootstrap_ci,
@@ -3546,6 +3670,7 @@ ORACLES = {
     "orders_durbin_watson": DURBIN_WATSON_SQL,
     "customer_rfm_transition": RFM_TRANSITION_SQL,
     "orders_hill_tail_index": HILL_SQL,
+    "orders_runs_test": RUNS_TEST_SQL,
     "orders_backlog_aging": BACKLOG_AGING_SQL,
     "gdpr_erasure_plan": GDPR_ERASURE_SQL,
     "customer_rfm_segments": RFM_SEGMENTS_SQL,

@@ -3804,7 +3804,122 @@ FROM s
 DIFF_IN_DIFF_SQL = _did_sql()
 
 
+def events_interarrival_exponentiality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KS goodness-of-fit of per-user inter-arrival gaps against the
+    exponential law fitted by its own mean — the PROCESS-MODEL rung of
+    the events DQ tier (periodicity reads cyclic structure, burst
+    detection local spikes; this asks the prior question: is the event
+    stream even Poisson? Replay artifacts, batched client flushes, and
+    bot schedulers all break exponentiality before they break anything
+    else).
+
+    Gaps are per-user consecutive deltas (the sessionize lag shape)
+    bucketed to whole MINUTES, so the value grid is bounded by the
+    time-range in minutes — never the event count (the ks_drift
+    discipline). λ is fitted as 1/mean from the exact integer gap sum;
+    per distinct gap value the deviation |F_emp − F_exp| is computed as
+    one integer micro difference (F_emp = cum·1e6 div n exact; F_exp =
+    floor((1 − exp(−g·n/Σg))·1e6), one identical double tree both
+    engines — both step functions evaluated AT the bucket value, the
+    documented convention), maximized with smallest-gap tie-break.
+    ks_lambda_milli = D·sqrt(n) quantized; an all-zero-gap corpus
+    (Σg = 0) reads NULL via NULLIF, never an error.
+
+    Scale shape: one per-user lag window (the accepted sessionize
+    class), one map-side-combined groupBy(gap), one running window over
+    minute-grain rows, a 1-row totals broadcast cross (allowlisted),
+    one TakeOrderedAndProject(1).
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.select(
+            (
+                (F.col("ts_us") - F.lag("ts_us", 1).over(w_u))
+                / F.lit(1)
+            ).cast("long").alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(F.expr("gap_us div 60000000").alias("g"))
+    )
+    vals = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    cums = vals.select(
+        "g", F.sum("c").over(w_cum).alias("cum")
+    )
+    tot = vals.agg(
+        F.sum("c").alias("n"), F.sum(F.col("g") * F.col("c")).alias("sg")
+    )
+    f_exp = (
+        "CAST(FLOOR((1.0 - exp(-(CAST(g AS DOUBLE) * n)"
+        " / NULLIF(CAST(sg AS DOUBLE), 0.0))) * 1000000) AS BIGINT)"
+    )
+    scored = cums.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n",
+        "sg",
+        F.expr(f"abs((cum * 1000000) div n - {f_exp})").alias("d_micro"),
+    )
+    lam = "(CAST(d_micro AS DOUBLE) / 1000000.0 * sqrt(CAST(n AS DOUBLE)))"
+    return (
+        scored.orderBy(F.desc("d_micro"), "g")
+        .limit(1)
+        .select(
+            F.col("n").alias("n_gaps"),
+            F.col("sg").alias("sum_gap_min"),
+            "d_micro",
+            F.col("g").alias("at_gap_min"),
+            F.expr(f"CAST(FLOOR({lam} * 1000) AS BIGINT)").alias(
+                "ks_lambda_milli"
+            ),
+        )
+    )
+
+
+INTERARRIVAL_EXP_SQL = """
+WITH gaps AS (
+  SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         // 60000000 AS g
+  FROM events
+),
+vals AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM gaps WHERE g IS NOT NULL
+  GROUP BY 1
+),
+cums AS (
+  SELECT g, CAST(SUM(c) OVER (ORDER BY g
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM vals
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(g * c) AS BIGINT) AS sg
+  FROM vals
+),
+scored AS (
+  SELECT g, n, sg,
+         abs((cum * 1000000) // n
+             - CAST(FLOOR((1.0 - exp(-(CAST(g AS DOUBLE) * n)
+                   / NULLIF(CAST(sg AS DOUBLE), 0.0))) * 1000000) AS BIGINT))
+           AS d_micro
+  FROM cums CROSS JOIN tot
+)
+SELECT n AS n_gaps, sg AS sum_gap_min, d_micro, g AS at_gap_min,
+       CAST(FLOOR(CAST(d_micro AS DOUBLE) / 1000000.0
+            * sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS ks_lambda_milli
+FROM scored
+ORDER BY d_micro DESC, g
+LIMIT 1
+"""
+
+
 QUERIES = {
+    "events_interarrival_exponentiality": events_interarrival_exponentiality,
     "events_attribution_latency": events_attribution_latency,
     "sessions_campaign_overlap": sessions_campaign_overlap,
     "events_transition_matrix": events_transition_matrix,
@@ -3855,6 +3970,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_interarrival_exponentiality": INTERARRIVAL_EXP_SQL,
     "events_attribution_latency": ATTRIBUTION_LATENCY_SQL,
     "sessions_campaign_overlap": SESSIONS_CAMPAIGN_OVERLAP_SQL,
     "events_transition_matrix": TRANSITION_MATRIX_SQL,

@@ -136,6 +136,10 @@ KEYS = [
     # top-k boundary rank (Hill): both tie-break-sensitive
     "source_js_matrix",
     "orders_hill_tail_index",
+    # the median-pick + sign-flip lag fold, and the per-user gap
+    # histogram with the exp-CDF argmax tie-break
+    "orders_runs_test",
+    "events_interarrival_exponentiality",
 ]
 
 

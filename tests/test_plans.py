@@ -93,6 +93,10 @@ _BNLJ_ALLOWED = {
     # bounded |sources|x|sources| pair-spine cross (both sides are the
     # source-totals aggregate — the month-spine class)
     "source_js_matrix",
+    # 1-row day-count + 1-row median broadcast crosses (Q11 class), and
+    # the 1-row gap-totals cross onto the minute grid (ks class)
+    "orders_runs_test",
+    "events_interarrival_exponentiality",
     # 16-row centroid broadcast cross (ivf_assign kernel) + 1-row
     # corpus-count broadcast
     "ann_centroid_balance",

@@ -1694,3 +1694,137 @@ def test_source_js_matrix_edges_and_python(spark, sf_dir):
         assert r.js_milli == want, (sa, sb)
     # a vs b share ONLY 'common': mostly-disjoint mass reads near ln2
     assert got[("a", "b")].js_milli > 500
+
+
+def test_runs_test_matches_python_and_behavior(spark, sf_dir, tmp_path):
+    """Runs test == the exact Wald-Wolfowitz replica over the parquet
+    daily series; perfect alternation reads z >> 0, sticky halves read
+    z << 0, a one-sided series reads NULL."""
+    import duckdb
+    import math
+
+    import pandas as pd
+
+    from maap_data_pipelines_spark.plans.etl import orders_runs_test
+
+    r = orders_runs_test(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    days = con.execute(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    xs = [x for _, x in days]
+    med = sorted(zip(xs, [d for d, _ in days]))[(len(xs) + 1) // 2 - 1][0]
+    signs = [1 if x > med else 0 for x in xs if x != med]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert (r.n_above, r.n_below, r.r_runs) == (n1, n2, runs)
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1.0
+    sig = math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (float(n) * n * (n - 1.0)))
+    assert r.z_milli == math.floor((runs - mu) / sig * 1000)
+
+    def star(prices):
+        d = tmp_path / f"rt{len(list(tmp_path.iterdir()))}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "o_orderkey": range(len(prices)),
+                "o_custkey": range(len(prices)),
+                "o_totalprice": prices,
+                "o_orderdate": [
+                    str(dd.date())
+                    for dd in pd.date_range("2020-01-01", periods=len(prices))
+                ],
+            }
+        ).to_parquet(d / "orders.parquet")
+        return str(d)
+
+    alt = orders_runs_test(
+        spark,
+        star([
+            (100.0 if i % 2 == 0 else 300.0) + i * 0.01 for i in range(200)
+        ]),
+    ).collect()[0]
+    assert alt.z_milli > 9000  # maximal runs
+
+    sticky = orders_runs_test(
+        spark, star([100.0 + (i % 7) * 0.01 for i in range(100)]
+                    + [300.0 + (i % 7) * 0.01 for i in range(100)])
+    ).collect()[0]
+    assert sticky.r_runs == 2 and sticky.z_milli < -9000
+
+    oneside = orders_runs_test(
+        spark, star([100.0, 100.0, 100.0, 200.0, 200.0])
+    ).collect()[0]
+    # median 100 -> equals dropped, only 'above' side remains
+    assert oneside.n_below == 0 and oneside.z_milli is None
+
+
+def test_interarrival_exponentiality_replica_and_planted(spark, sf_dir, tmp_path):
+    """The KS-vs-exponential readout == a pure-Python replica over the
+    same minute-bucketed per-user gaps; a planted CONSTANT-gap stream
+    (deterministic scheduler, the bot signature) reads a near-maximal
+    D; the fixture's organic stream reads a small D."""
+    import duckdb
+    import math
+
+    import pandas as pd
+
+    from maap_data_pipelines_spark.plans.events import (
+        events_interarrival_exponentiality,
+    )
+
+    r = events_interarrival_exponentiality(spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    gaps = [
+        g
+        for (g,) in con.execute(
+            f"""
+            SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+                   // 60000000 AS g
+            FROM read_parquet('{sf_dir}/events.parquet')
+            """
+        ).fetchall()
+        if g is not None
+    ]
+    from collections import Counter
+
+    c = Counter(gaps)
+    n, sg = len(gaps), sum(gaps)
+    best = None
+    cum = 0
+    for g in sorted(c):
+        cum += c[g]
+        fexp = math.floor((1.0 - math.exp(-(float(g) * n) / float(sg))) * 1_000_000)
+        d = abs((cum * 1_000_000) // n - fexp)
+        if best is None or d > best[0]:
+            best = (d, g)
+    assert (r.n_gaps, r.sum_gap_min) == (n, sg)
+    assert (r.d_micro, r.at_gap_min) == best
+    assert r.ks_lambda_milli == math.floor(best[0] / 1e6 * math.sqrt(n) * 1000)
+
+    # planted deterministic scheduler: every gap exactly 10 minutes
+    rows = []
+    for u in range(5):
+        for i in range(200):
+            rows.append((u * 1000 + i, u, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=10 * i)))
+    d = tmp_path / "expo"
+    d.mkdir()
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["event_type"] = "view"
+    pdf["value"] = 0.0
+    pdf["props"] = "{}"
+    pdf.to_parquet(d / "events.parquet")
+    rp = events_interarrival_exponentiality(spark, str(d)).collect()[0]
+    # all mass at g=10, F_exp(10) = 1 - e^-1 ~ 0.632 -> D ~ 0.368
+    assert rp.n_gaps == 5 * 199 and rp.at_gap_min == 10
+    assert 360_000 <= rp.d_micro <= 375_000
+    assert rp.ks_lambda_milli > 11_000  # decisive rejection
+    assert r.d_micro < 50_000  # the organic fixture is near-Poisson
