@@ -3847,6 +3847,14 @@ def events_interarrival_exponentiality(
         .select(F.expr("gap_us div 60000000").alias("g"))
     )
     vals = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return exponentiality_from_vals(vals)
+
+
+def exponentiality_from_vals(vals: DataFrame) -> DataFrame:
+    """The KS-vs-exponential readout over a (g, c) minute-grain gap
+    histogram — shared verbatim by the registered batch query and the
+    ST20 streaming gap-histogram state so the two readouts are
+    byte-identical by construction (the ST19 pattern)."""
     w_cum = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
     cums = vals.select(
         "g", F.sum("c").over(w_cum).alias("cum")

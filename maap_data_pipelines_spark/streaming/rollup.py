@@ -495,6 +495,138 @@ def streaming_gap_stats(
     )
 
 
+def streaming_gap_histogram(
+    spark: SparkSession,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+):
+    """ST20: the minute-grain inter-arrival gap HISTOGRAM maintained
+    across micro-batches — the streaming state behind
+    plans/events.events_interarrival_exponentiality (the KS-vs-
+    exponential process-model gate), the ST18/ST19 pattern applied to
+    the goodness-of-fit tier.
+
+    One VersionedTable carries BOTH state kinds under a composite
+    string key so the batch guard, the histogram increments and the
+    per-user cursor commit in ONE transaction:
+
+      - ``hist:<g>`` rows: additive counts per whole-minute gap value
+        (the value grid is bounded by the time range, never events);
+      - ``last:<user>`` rows: the per-user last ts_us cursor that
+        bridges the gap CROSSING a batch boundary.
+
+    Each batch computes its internal per-user gaps with one lag pass,
+    adds the boundary gaps against the persisted cursors, folds both
+    into minute counts, joins the prior histogram rows for exactly the
+    touched g values and merge_upserts count-sums + advanced cursors.
+    With in-ts-order delivery the state histogram equals the batch
+    lag computation's histogram exactly, so the shared
+    ``exponentiality_from_vals`` readout is byte-identical to the
+    registered batch query (pinned). Exactly-once via the namespaced
+    applied-batch-id guard riding the same commit.
+    """
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("gaphist_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        ev = batch_df.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        lagged = ev.withColumn(
+            "gap_us",
+            F.expr(
+                "ts_us - lag(ts_us) OVER"
+                " (PARTITION BY user_id ORDER BY ts_us, event_id)"
+            ),
+        )
+        per_user = lagged.groupBy("user_id").agg(
+            F.min("ts_us").alias("first_ts"),
+            F.max("ts_us").alias("last_ts_b"),
+        )
+        if table.latest_version() is not None:
+            prior = table.read(spark)
+            cursors = prior.filter(F.col("kind") == "last").select(
+                F.col("user_id").alias("u_p"), F.col("last_ts_us").alias("last_p")
+            )
+            hist_prior = prior.filter(F.col("kind") == "hist").select(
+                F.col("g").alias("g_p"), F.col("cnt").alias("c_p")
+            )
+        else:
+            cursors = spark.createDataFrame([], "u_p long, last_p long")
+            hist_prior = spark.createDataFrame([], "g_p long, c_p long")
+        boundary = (
+            per_user.join(cursors, per_user.user_id == cursors.u_p)
+            .select((F.col("first_ts") - F.col("last_p")).alias("gap_us"))
+        )
+        gaps = (
+            lagged.filter(F.col("gap_us").isNotNull())
+            .select("gap_us")
+            .unionByName(boundary)
+            .select(F.expr("gap_us div 60000000").alias("g"))
+        )
+        batch_counts = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("c_b"))
+        hist_rows = (
+            batch_counts.join(
+                hist_prior, batch_counts.g == hist_prior.g_p, "left"
+            )
+            .select(
+                F.concat(F.lit("hist:"), F.col("g")).alias("key"),
+                F.lit("hist").alias("kind"),
+                "g",
+                (
+                    F.col("c_b") + F.coalesce("c_p", F.lit(0).cast("long"))
+                ).alias("cnt"),
+                F.lit(None).cast("long").alias("user_id"),
+                F.lit(None).cast("long").alias("last_ts_us"),
+            )
+        )
+        cursor_rows = per_user.select(
+            F.concat(F.lit("last:"), F.col("user_id")).alias("key"),
+            F.lit("last").alias("kind"),
+            F.lit(None).cast("long").alias("g"),
+            F.lit(None).cast("long").alias("cnt"),
+            "user_id",
+            F.col("last_ts_b").alias("last_ts_us"),
+        )
+        table.merge_upsert(
+            hist_rows.unionByName(cursor_rows),
+            key="key",
+            meta={"gaphist_batch_id": batch_id},
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("json")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def gap_histogram_readout(spark: SparkSession, table) -> DataFrame:
+    """The exponentiality readout over the ST20 state — the batch
+    query's shared kernel applied UNCHANGED to the state histogram."""
+    from ..plans.events import exponentiality_from_vals
+
+    vals = (
+        table.read(spark)
+        .filter(F.col("kind") == "hist")
+        .select("g", F.col("cnt").alias("c"))
+    )
+    return exponentiality_from_vals(vals)
+
+
 def streaming_ab_state(
     spark: SparkSession,
     source_dir: str,

@@ -1605,3 +1605,61 @@ def test_streaming_cuped_state_matches_batch_readout(spark, tmp_path):
     ).collect()
     want_d = did_readout(cuped_user_stats(ev2)).collect()
     assert [tuple(r) for r in got_d] == [tuple(r) for r in want_d] and len(got_d) == 1
+
+
+def test_streaming_gap_histogram_matches_batch_readout(spark, tmp_path):
+    """ST20: the minute-grain gap histogram folded across micro-batches
+    (boundary gaps bridged via per-user cursors, all state kinds in ONE
+    transactional table) must yield an exponentiality readout
+    byte-identical to the registered batch query over the same events
+    written as parquet; a replayed batch id is a no-op."""
+    import os
+    import shutil
+    import time as _t
+
+    import pandas as pd
+
+    from maap_data_pipelines_spark.plans.events import (
+        events_interarrival_exponentiality,
+    )
+    from maap_data_pipelines_spark.streaming.rollup import (
+        gap_histogram_readout,
+        streaming_gap_histogram,
+    )
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    rows = [
+        {"event_id": i,
+         "ts": f"2024-01-01T{(i * 7) // 60 % 24:02d}:{(i * 7) % 60:02d}:00",
+         "user_id": i % 4, "event_type": "view", "value": 1.0, "props": "{}"}
+        for i in range(120)
+    ]
+    rows.sort(key=lambda r: r["ts"])  # in-ts-order delivery precondition
+    src = tmp_path / "gh_in"
+    src.mkdir()
+    base = _t.time() - 600
+    for i, chunk in enumerate((rows[:40], rows[40:80], rows[80:])):
+        p = src / f"{i:02d}.json"
+        _write_events(p, chunk)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    t = VersionedTable(str(tmp_path / "gh_state"))
+    ckpt = str(tmp_path / "gh_ckpt")
+    streaming_gap_histogram(spark, str(src), t, ckpt).awaitTermination(120)
+    got = gap_histogram_readout(spark, t).collect()
+
+    # the identical events as the batch parquet table
+    d = tmp_path / "gh_batch"
+    d.mkdir()
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+    want = events_interarrival_exponentiality(spark, str(d)).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0].n_gaps == 120 - 4  # one gap lost per user's first event
+
+    # full replay: every already-applied batch id skipped, state unchanged
+    shutil.rmtree(ckpt)
+    streaming_gap_histogram(spark, str(src), t, ckpt).awaitTermination(120)
+    got2 = gap_histogram_readout(spark, t).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want]
