@@ -155,3 +155,108 @@ def read_xml_metadata(
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+ARCHIVE_MEMBER_SCHEMA = (
+    "archive string, member string, n_bytes long, ok boolean, err string, "
+    "text string"
+)
+
+
+def read_tar_corpus(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_member_bytes: int = 16 * 1024 * 1024,
+) -> DataFrame:
+    """Distributed tar/tar.gz corpus ingestion — the academic-corpus and
+    crawl-dump shape (thousands of small text files shipped as archive
+    blobs) that object stores hand a training-data pipeline.
+
+    Each archive is ONE binaryFile row, so Spark's split planning
+    parallelizes at archive grain (the natural unit — tar has no
+    internal split points; a 100 TB corpus is many archives, not one);
+    member extraction runs in an Arrow-batched ``mapInPandas`` with the
+    stdlib ``tarfile`` module (gzip handled transparently via mode
+    ``r:*``). Per member: (archive, member, n_bytes, ok, err, text) —
+    oversized members are SKIPPED with ok=false and a reason (a single
+    pathological member must not OOM an executor), non-UTF8 payloads
+    decode with replacement (lossy flagged in err), and a CORRUPT
+    archive yields one ok=false row carrying the exception instead of
+    failing the task — the quarantine contract of
+    read_json_quarantined applied to archives.
+
+    Directory entries and non-regular members are skipped silently
+    (they carry no corpus text). Deterministic: member order is the
+    archive's own, and every field is a pure function of the bytes.
+    """
+    import io
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    blobs = reader.load(path).select("path", "content")
+
+    def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                arch = r["path"]
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(r["content"])), mode="r:*"
+                    ) as tf:
+                        for m in tf:
+                            if not m.isreg():
+                                continue
+                            if m.size > max_member_bytes:
+                                rows.append(
+                                    {
+                                        "archive": arch,
+                                        "member": m.name,
+                                        "n_bytes": int(m.size),
+                                        "ok": False,
+                                        "err": "member exceeds max_member_bytes",
+                                        "text": None,
+                                    }
+                                )
+                                continue
+                            raw = tf.extractfile(m).read()
+                            try:
+                                text, err = raw.decode("utf-8"), None
+                            except UnicodeDecodeError:
+                                text = raw.decode("utf-8", errors="replace")
+                                err = "lossy utf-8 decode"
+                            rows.append(
+                                {
+                                    "archive": arch,
+                                    "member": m.name,
+                                    "n_bytes": int(m.size),
+                                    "ok": True,
+                                    "err": err,
+                                    "text": text,
+                                }
+                            )
+                except (tarfile.TarError, EOFError, OSError) as e:
+                    rows.append(
+                        {
+                            "archive": arch,
+                            "member": None,
+                            "n_bytes": None,
+                            "ok": False,
+                            "err": f"{type(e).__name__}: {e}"[:200],
+                            "text": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "archive", "member", "n_bytes", "ok", "err", "text",
+                ],
+            )
+
+    return blobs.mapInPandas(_extract, ARCHIVE_MEMBER_SCHEMA)

@@ -211,3 +211,57 @@ def test_read_xml_metadata(spark, tmp_path):
     assert rows == {7: ("n7", 12.5, "ok"), 8: ("n8", 93.0, "bad")}
     # projection/filter push into the scan like any other source
     assert df.filter("cloud < 50").count() == 1
+
+
+def test_read_tar_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    """Archive ingestion: plain tar AND tar.gz members round-trip with
+    exact names/sizes/text; directories skipped; an oversized member is
+    size-gated (ok=false, text NULL) without failing its archive; a
+    corrupt blob yields one quarantine row instead of a task failure;
+    non-UTF8 decodes lossily with the err flag."""
+    import io
+    import tarfile
+
+    from maap_data_pipelines_spark.sources.formats import read_tar_corpus
+
+    def make_tar(path, members, gz=False):
+        mode = "w:gz" if gz else "w"
+        with tarfile.open(path, mode) as tf:
+            dirinfo = tarfile.TarInfo("docs/")  # dir entry: skipped
+            dirinfo.type = tarfile.DIRTYPE
+            tf.addfile(dirinfo)
+            for name, payload in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+
+    d = tmp_path / "archives"
+    d.mkdir()
+    make_tar(d / "a.tar", [
+        ("docs/one.txt", b"hello world"),
+        ("docs/two.txt", b"second file"),
+        ("docs/big.bin", b"x" * 4096),
+        ("docs/latin.txt", b"caf\xe9"),  # invalid utf-8
+    ])
+    make_tar(d / "b.tar.gz", [("z.txt", b"gzipped member")], gz=True)
+    (d / "corrupt.tar").write_bytes(b"definitely not a tar archive")
+
+    rows = read_tar_corpus(
+        spark, str(d), max_member_bytes=1024
+    ).collect()
+    by = {(r.archive.rsplit("/", 1)[-1], r.member): r for r in rows}
+
+    one = by[("a.tar", "docs/one.txt")]
+    assert one.ok and one.text == "hello world" and one.n_bytes == 11
+    assert by[("a.tar", "docs/two.txt")].text == "second file"
+    big = by[("a.tar", "docs/big.bin")]
+    assert not big.ok and big.text is None and "max_member_bytes" in big.err
+    latin = by[("a.tar", "docs/latin.txt")]
+    assert latin.ok and latin.err == "lossy utf-8 decode" and "caf" in latin.text
+    gz = by[("b.tar.gz", "z.txt")]
+    assert gz.ok and gz.text == "gzipped member"
+    quar = by[("corrupt.tar", None)]
+    assert not quar.ok and quar.err
+    # the dir entry produced no row
+    assert ("a.tar", "docs/") not in by
+    assert len(rows) == 6
