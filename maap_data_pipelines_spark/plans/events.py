@@ -2242,9 +2242,20 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     organic exactly conserves purchase revenue minus per-cell floor dust.
     Output: one row per touch type — bounded by the type vocabulary.
     """
-    ev = read_events(spark, sf_dir)
+    return multitouch_from_seq(journey_seq(read_events(spark, sf_dir)))
+
+
+def journey_seq(ev: DataFrame) -> DataFrame:
+    """The shared journey segmentation: every attribution operator keys
+    credit to seg = count of STRICTLY EARLIER purchases per user (each
+    purchase ends its own journey), computed in ONE window pass. The
+    linear, Markov-removal and first/last readouts are all pure
+    functions of this frame, so events_attribution_comparison
+    localCheckpoints it once instead of re-deriving it per method."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    seg = ev.select(
+    return ev.select(
         "user_id",
         "event_type",
         "ts_us",
@@ -2257,6 +2268,11 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             - F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("seg"),
     )
+
+
+def multitouch_from_seq(seg: DataFrame) -> DataFrame:
+    """events_multitouch_attribution's credit assignment over a
+    caller-supplied journey frame (the journey_seq contract)."""
     touches = (
         seg.filter(F.col("event_type") != "purchase")
         .groupBy("user_id", "seg", "event_type")
@@ -3256,28 +3272,16 @@ def events_markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataF
     variant evaluations ride one tagged frame (variant column) through
     the same six bounded joins — adding a channel adds rows, not stages.
     """
+    return markov_removal_from_seq(spark, journey_seq(read_events(spark, sf_dir)))
+
+
+def markov_removal_from_seq(spark: SparkSession, seq: DataFrame) -> DataFrame:
+    """events_markov_attribution_removal's chain build + variant
+    evaluation over a caller-supplied journey frame (the journey_seq
+    contract: ``seg`` is the journey id)."""
     from pyspark.sql.window import Window
 
-    ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wj = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seq = ev.select(
-        "user_id",
-        "event_type",
-        "ts_us",
-        "event_id",
-        F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
-                wj
-            ),
-            F.lit(0),
-        ).alias("journey"),
-    )
-    wg = Window.partitionBy("user_id", "journey").orderBy("ts_us", "event_id")
+    wg = Window.partitionBy("user_id", "seg").orderBy("ts_us", "event_id")
     tr_mid = (
         seq.withColumn("nxt", F.lead("event_type").over(wg))
         .select(
@@ -3476,27 +3480,14 @@ def events_attribution_comparison(spark: SparkSession, sf_dir: str) -> DataFrame
     the oracled removal operator; this table is their composition plus
     two bounded window passes.
     """
-    from pyspark.sql.window import Window
-
-    ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wseg = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seq = ev.select(
-        "user_id",
-        "event_type",
-        "ts_us",
-        "event_id",
-        F.coalesce(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).over(wseg),
-            F.lit(0),
-        ).alias("seg"),
-    ).localCheckpoint()
+    # NOT checkpointed: the journey frame is corpus-wide, and measured
+    # at sf0.1 the eager materialization (write + 3 re-reads) costs MORE
+    # than letting each branch re-run the one cheap window pass over the
+    # pruned scan (6.5 s vs 8.0 s standalone) — the strategy_comparison
+    # lever pays off only for SMALL shared frames (2-col shingle hashes),
+    # not corpus-wide ones. The kernels still guarantee the three
+    # methods read the IDENTICAL journey definition.
+    seq = journey_seq(read_events(spark, sf_dir))
     touches = seq.filter(F.col("event_type") != "purchase").select(
         "user_id", "seg", "event_type", "ts_us", "event_id"
     )
@@ -3518,11 +3509,11 @@ def events_attribution_comparison(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_last")
     )
     linear = (
-        events_multitouch_attribution(spark, sf_dir)
+        multitouch_from_seq(seq)
         .filter(F.col("event_type") != "(organic)")
         .select(F.col("event_type").alias("channel"), "credit_milli")
     )
-    markov = events_markov_attribution_removal(spark, sf_dir).select(
+    markov = markov_removal_from_seq(spark, seq).select(
         F.col("channel"), F.col("attribution_ppm").alias("markov_ppm")
     )
     base = (
