@@ -309,6 +309,7 @@ HEADLINE = [
     "orders_hill_tail_index",
     "orders_runs_test",
     "events_interarrival_exponentiality",
+    "retrieval_ndcg",
 ]
 
 

@@ -884,6 +884,131 @@ FROM ranked WHERE rnk <= {BM25_TOPK}
 """
 
 
+def retrieval_ndcg(docs: DataFrame) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against a graded lexical-relevance
+    truth — the RANKING-QUALITY rung of the retrieval tier (bm25 recall
+    monitors ask "did the right docs surface"; NDCG asks "in the right
+    ORDER, weighted by grade" — the metric retrieval regressions are
+    actually gated on).
+
+    Relevance grade rel(q, d) = number of the query's DISTINCT terms
+    present in d (0..|terms| — deterministic, oracle-able, and graded
+    rather than binary). DCG = Σ (2^rel − 1)/log2(r+1) over the BM25
+    top-10, each rank row floor-quantized to integer MICRO before the
+    sum (one identical pow/log2 double tree per row — the zipf
+    one-transcendental-per-integer discipline); IDCG re-ranks the
+    query's relevant docs by (rel desc, doc_id) through the SAME gain
+    tree. ndcg_ppm = dcg·1e6 div idcg, NULL when a query has no
+    relevant doc at all.
+
+    Scale shape: composes bm25_topk (inherits its allowlisted 1-row
+    corpus-stats broadcast); the relevance frame is the query-term
+    postings semi-join (bounded by the query vocabulary, never the
+    corpus), the ideal ranking a per-query top-10 WindowGroupLimit.
+    """
+    from pyspark.sql.window import Window
+
+    ranked = bm25_topk(docs)
+    words = docs.select(
+        "doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    q = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id BIGINT, term STRING",
+    )
+    rel = (
+        words.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("rel"))
+    )
+    gain = (
+        "CAST(FLOOR((pow(2.0, CAST({rel} AS DOUBLE)) - 1.0) * 1000000"
+        " / log2(CAST({rnk} AS DOUBLE) + 1.0)) AS BIGINT)"
+    )
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            F.expr(
+                gain.format(rel="COALESCE(rel, 0)", rnk="rnk")
+            ).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").alias("dcg_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        rel.withColumn("irnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("irnk") <= BM25_TOPK)
+        .select(
+            "query_id",
+            F.expr(gain.format(rel="rel", rnk="irnk")).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("g").alias("idcg_micro"),
+            F.count(F.lit(1)).alias("n_ideal"),
+        )
+    )
+    return (
+        dcg.join(ideal, "query_id", "full_outer")
+        .select(
+            "query_id",
+            F.coalesce("dcg_micro", F.lit(0)).alias("dcg_micro"),
+            F.coalesce("idcg_micro", F.lit(0)).alias("idcg_micro"),
+            F.coalesce("n_ideal", F.lit(0)).alias("n_ideal"),
+            F.expr(
+                "(COALESCE(dcg_micro, 0) * 1000000)"
+                " div NULLIF(COALESCE(idcg_micro, 0), 0)"
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
+RETRIEVAL_NDCG_SQL = f"""
+WITH {{BM25_CTES}},
+topk AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {BM25_TOPK}),
+dwords AS (SELECT DISTINCT doc_id, term FROM words),
+rel AS (
+  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+  FROM dwords JOIN q USING (term)
+  GROUP BY 1, 2
+),
+dcg AS (
+  SELECT t.query_id,
+         CAST(SUM(CAST(FLOOR((pow(2.0, CAST(COALESCE(rel, 0) AS DOUBLE)) - 1.0)
+              * 1000000 / log2(CAST(rnk AS DOUBLE) + 1.0)) AS BIGINT))
+              AS BIGINT) AS dcg_micro
+  FROM topk t LEFT JOIN rel
+    ON rel.query_id = t.query_id AND rel.doc_id = t.doc_id
+  GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         CAST(SUM(CAST(FLOOR((pow(2.0, CAST(rel AS DOUBLE)) - 1.0) * 1000000
+              / log2(CAST(irnk AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT)
+           AS idcg_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_ideal
+  FROM (
+    SELECT query_id, rel,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, doc_id) AS BIGINT) AS irnk
+    FROM rel
+  ) WHERE irnk <= {BM25_TOPK}
+  GROUP BY 1
+)
+SELECT query_id,
+       COALESCE(dcg_micro, 0) AS dcg_micro,
+       COALESCE(idcg_micro, 0) AS idcg_micro,
+       COALESCE(n_ideal, 0) AS n_ideal,
+       (COALESCE(dcg_micro, 0) * 1000000)
+         // NULLIF(COALESCE(idcg_micro, 0), 0) AS ndcg_ppm
+FROM dcg FULL OUTER JOIN ideal USING (query_id)
+"""
+
+RETRIEVAL_NDCG_SQL = RETRIEVAL_NDCG_SQL.format(BM25_CTES=_BM25_CTES)
+
+
 _PROX_FAR = 1_000_000_000  # rank-last sentinel for single-term candidates
 
 
@@ -2119,6 +2244,7 @@ FROM agg1 CROSS JOIN ties
 """
 
 QUERY_SQL["doc_length_kruskal"] = DOC_LENGTH_KRUSKAL_SQL
+QUERY_SQL["retrieval_ndcg"] = RETRIEVAL_NDCG_SQL
 
 
 BURSTY_TOPK = 20

@@ -73,6 +73,7 @@ QUERIES = {
     "doc_curriculum": _wrap(text.doc_curriculum),
     "retrieval_rrf_fusion": _wrap(text.retrieval_rrf_fusion),
     "retrieval_mmr_topk": _wrap(text.retrieval_mmr_topk),
+    "retrieval_ndcg": _wrap(text.retrieval_ndcg),
     "dsir_importance": _wrap(curation.dsir_importance),
     "dsir_auc": _wrap(curation.dsir_auc),
     "doc_ngram_novelty": _wrap(curation.doc_ngram_novelty),

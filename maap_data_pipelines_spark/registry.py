@@ -184,8 +184,8 @@ _RECONFIRM = [
     # r3-era records the r9 wave displaced, then the 46 oldest r4-era
     # records. New r10 operators take the window's lead slots
     # automatically (unconfirmed sorts first), displacing the tail to r11.
-    # With the 18 r10 operators leading, the window is 18 new + the first
-    # 32 entries below; the remaining 18 r4-era tail entries rotate to r11
+    # With the 19 r10 operators leading, the window is 19 new + the first
+    # 31 entries below; the remaining 19 r4-era tail entries rotate to r11
     # (rehearsed 0/50 in tools/rehearsal_r10.log).
     "ann_pq_rerank", "ann_pq_rerank_recall",
     "sql_revenue_by_nation", "sql_priority_share",

@@ -140,6 +140,8 @@ KEYS = [
     # histogram with the exp-CDF argmax tie-break
     "orders_runs_test",
     "events_interarrival_exponentiality",
+    # the per-rank quantized gain folds over BOTH ranking windows
+    "retrieval_ndcg",
 ]
 
 

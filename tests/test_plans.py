@@ -133,6 +133,7 @@ _BNLJ_ALLOWED = {
     "bm25_topk",
     # composes bm25_topk, inheriting its single-row stats broadcast
     "bm25_proximity_rerank",
+    "retrieval_ndcg",
     # single-row total-token broadcast feeding the lift denominator
     "term_cooccurrence",
     # 1-row OLS coefficient frame broadcast onto the corpus for residuals

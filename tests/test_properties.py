@@ -1828,3 +1828,64 @@ def test_interarrival_exponentiality_replica_and_planted(spark, sf_dir, tmp_path
     assert 360_000 <= rp.d_micro <= 375_000
     assert rp.ks_lambda_milli > 11_000  # decisive rejection
     assert r.d_micro < 50_000  # the organic fixture is near-Poisson
+
+
+def test_retrieval_ndcg_replica_and_misordering(spark, sf_dir):
+    """NDCG == a pure-Python replica of the quantized gain sums over the
+    engine's own BM25 ranking; on the organic fixture BM25 orders
+    perfectly (ndcg = 1e6 for every query); on a planted tf-spam corpus
+    a rel-1 doc with massive term repetition outranks rel-2 docs and
+    NDCG correctly drops below 1."""
+    import math
+
+    from maap_data_pipelines_spark.operators.text import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        bm25_topk,
+        retrieval_ndcg,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {r.query_id: r for r in retrieval_ndcg(docs).collect()}
+    ranked = bm25_topk(docs).collect()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    terms = {qid: set(ts) for qid, ts in BM25_QUERIES}
+
+    def rel(qid, did):
+        words = set(texts[did].lower().split())
+        return len(terms[qid] & words)
+
+    def gain(r, rank):
+        return math.floor((2.0 ** r - 1.0) * 1_000_000 / math.log2(rank + 1.0))
+
+    for qid in terms:
+        dcg = sum(gain(rel(qid, r.doc_id), r.rnk) for r in ranked if r.query_id == qid)
+        rels = sorted(
+            (
+                (rel(qid, did), did)
+                for did in texts
+                if rel(qid, did) > 0
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:BM25_TOPK]
+        idcg = sum(gain(r, i + 1) for i, (r, _) in enumerate(rels))
+        assert (got[qid].dcg_micro, got[qid].idcg_micro) == (dcg, idcg), qid
+        assert got[qid].ndcg_ppm == (dcg * 1_000_000) // idcg
+        assert got[qid].ndcg_ppm == 1_000_000  # fixture: perfect ordering
+
+    # planted misordering for query 0 ('hash','join'): the rel-2 doc is
+    # LONG (length-normalization penalty) and 'join' is near-stopword
+    # common (idf ~ floor), while a SHORT rel-1 doc carries saturated
+    # 'hash' tf — BM25 ranks the rel-1 doc first, NDCG must notice
+    long_tail = " ".join(f"pad{i}" for i in range(50))
+    rows = [(0, "hash join " + long_tail, "en", "s", 400),
+            (2, "hash hash hash hash", "en", "s", 19)]
+    rows += [(10 + i, f"join w{i} w{i+1} w{i+2}", "en", "s", 20) for i in range(40)]
+    spam = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r0 = {r.query_id: r for r in retrieval_ndcg(spam).collect()}[0]
+    top0 = [r.doc_id for r in bm25_topk(spam).collect() if r.query_id == 0]
+    assert top0[0] == 2  # the spam doc really does win rank 1
+    assert r0.ndcg_ppm < 1_000_000  # and NDCG flags the misordering
