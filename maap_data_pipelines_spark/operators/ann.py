@@ -1576,3 +1576,131 @@ FROM pre p JOIN post n USING (query_id)
 """
 
 QUERY_SQL["ann_filtered_topk"] = ANN_FILTERED_TOPK_SQL
+
+
+def embedding_hubness(emb: DataFrame) -> DataFrame:
+    """Hubness diagnostic of the LSH-bucketed kNN graph: the
+    k-occurrence (in-degree) histogram plus its skewness — the
+    intrinsic-dimensionality pathology monitor for the ANN tier
+    (Radovanovic et al., JMLR'10: in high intrinsic dimension a few
+    "hub" vectors appear in MOST top-k lists while antihubs appear in
+    none; retrieval quality collapses while recall metrics still look
+    fine, and the k-occurrence skew is the canonical early signal).
+
+    Graph: within each hyperplane bucket (the embedding_dedup_lsh scale
+    path — equi-join on the 16-bit code, fan-out bounded by bucket
+    occupancy), each vector's top-10 bucket-mates by (cosine desc,
+    vec_id); in-degree = how many such lists a vector appears in,
+    including the ZERO row for never-retrieved vectors (a left
+    anti-ish join back to the full corpus — the antihub mass IS the
+    signal). Skewness comes from exact int64 moments (S1, S2, S3 of the
+    in-degree distribution; d <= n so S3 <= n^4 — headroom to ~1e4
+    buckets x 1e5 occupancy) through one identical double tree,
+    repeated per histogram row via a 1-row broadcast cross.
+
+    Output: (k_occurrences, n_vecs) histogram rows + n_total /
+    mean_milli / skew_milli scalars.
+    """
+    from pyspark.sql.window import Window
+
+    withb = emb.select(
+        "vec_id", "embedding", bucket_col("embedding").alias("bucket")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"), "bucket"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    edges = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", F.round(cosine_cols("ea", "eb"), 6).alias("cosine")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+    )
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        emb.select("vec_id")
+        .join(indeg, emb.vec_id == indeg.dst, "left")
+        .select(F.coalesce("d", F.lit(0).cast("long")).alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_vecs"))
+    mom = hist.agg(
+        F.sum("n_vecs").alias("n_total"),
+        F.sum(F.expr("d * n_vecs")).alias("s1"),
+        F.sum(F.expr("d * d * n_vecs")).alias("s2"),
+        F.sum(F.expr("d * d * d * n_vecs")).alias("s3"),
+    )
+    m = "(CAST(s1 AS DOUBLE) / n_total)"
+    var = f"(CAST(s2 AS DOUBLE) / n_total - {m} * {m})"
+    skew = (
+        f"((CAST(s3 AS DOUBLE) / n_total - 3.0 * {m} * CAST(s2 AS DOUBLE)"
+        f" / n_total + 2.0 * {m} * {m} * {m})"
+        f" / NULLIF(sqrt({var}) * {var}, 0.0))"
+    )
+    return (
+        hist.select(F.col("d").alias("k_occurrences"), "n_vecs")
+        .crossJoin(F.broadcast(mom))
+        .select(
+            "k_occurrences",
+            "n_vecs",
+            "n_total",
+            F.expr(f"CAST(FLOOR({m} * 1000) AS BIGINT)").alias("mean_milli"),
+            F.expr(f"CAST(FLOOR({skew} * 1000) AS BIGINT)").alias(
+                "skew_milli"
+            ),
+        )
+    )
+
+
+EMBEDDING_HUBNESS_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_sql('embedding')}) AS bucket FROM embeddings
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b2.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY ROUND({cosine_sql('a.embedding', 'b2.embedding')}, 6)
+                 DESC, b2.vec_id) AS rnk
+    FROM b a JOIN b b2
+      ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+  ) WHERE rnk <= {TOPK}
+),
+indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+deg AS (
+  SELECT COALESCE(i.d, 0) AS d
+  FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.dst
+),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM deg GROUP BY 1),
+mom AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+         CAST(SUM(d * n_vecs) AS BIGINT) AS s1,
+         CAST(SUM(d * d * n_vecs) AS BIGINT) AS s2,
+         CAST(SUM(d * d * d * n_vecs) AS BIGINT) AS s3
+  FROM hist
+)
+SELECT d AS k_occurrences, n_vecs, n_total,
+       CAST(FLOOR((CAST(s1 AS DOUBLE) / n_total) * 1000) AS BIGINT)
+         AS mean_milli,
+       CAST(FLOOR(((CAST(s3 AS DOUBLE) / n_total
+              - 3.0 * (CAST(s1 AS DOUBLE) / n_total) * CAST(s2 AS DOUBLE)
+                / n_total
+              + 2.0 * (CAST(s1 AS DOUBLE) / n_total)
+                * (CAST(s1 AS DOUBLE) / n_total)
+                * (CAST(s1 AS DOUBLE) / n_total))
+             / NULLIF(sqrt(CAST(s2 AS DOUBLE) / n_total
+                   - (CAST(s1 AS DOUBLE) / n_total)
+                     * (CAST(s1 AS DOUBLE) / n_total))
+                 * (CAST(s2 AS DOUBLE) / n_total
+                    - (CAST(s1 AS DOUBLE) / n_total)
+                      * (CAST(s1 AS DOUBLE) / n_total)), 0.0))
+            * 1000) AS BIGINT) AS skew_milli
+FROM hist CROSS JOIN mom
+"""
+
+QUERY_SQL["embedding_hubness"] = EMBEDDING_HUBNESS_SQL

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_31, md5_long_sql, minhash_coeffs
+from ..functions.joins import corpus_join_hint as _corpus_join_hint
 
 NUM_PERM = 64
 BANDS = 16
@@ -75,6 +76,13 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
         docs.withColumn("w", F.split(F.col("text"), " "))
         .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
     )
+
+
+# Concurrent eager-materialization chains (two CC fixpoints on scheduler
+# threads) compete for the one unified execution-memory pool; the r10
+# 300x sweep measured the crossover (clean at 500k docs, OOM at 1.5M).
+# Above this, run fixpoints sequentially — each gets the whole pool.
+_CONCURRENT_FIXPOINT_MAX_DOCS = 600_000
 
 
 # --- exact dedup ----------------------------------------------------------
@@ -895,11 +903,24 @@ def dedup_rand_index(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     (driver-synced iterative rounds — the scheduling floor that
     dominates at local scale) run on concurrent scheduler threads, the
     dedup_strategy_comparison lever; measured ~8.3 s -> ~5.3 s at
-    sf0.1, values unchanged.
+    sf0.1, values unchanged. r11: the concurrency is gated on corpus
+    size — the r10 300x sweep showed the two chains' concurrent eager
+    localCheckpoint materializations exceeding the unified execution
+    memory pool (UNABLE_TO_ACQUIRE_MEMORY at 1.5M docs; clean at 500k),
+    so past :data:`_CONCURRENT_FIXPOINT_MAX_DOCS` the chains run
+    sequentially — the scheduling-floor overlap is a LOCAL-scale win
+    only; at scale each fixpoint deserves the whole memory pool — and
+    the shared shingle-hash pass stays LAZY (codegen recompute per
+    consumer): the r11 300x re-run showed the corpus-sized occurrence
+    frame (78M rows at 1.5M docs) itself OOMs the checkpoint store;
+    recompute is linear, a memory pin is not.
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    hashed = _shingle_hashes(docs).localCheckpoint()
+    small = docs.count() <= _CONCURRENT_FIXPOINT_MAX_DOCS
+    hashed = _shingle_hashes(docs)
+    if small:
+        hashed = hashed.localCheckpoint()
 
     def _chain_minhash():
         return dedup_clusters(docs, max_iter=max_iter, hashed=hashed).select(
@@ -914,11 +935,15 @@ def dedup_rand_index(docs: DataFrame, max_iter: int = 15) -> DataFrame:
         s_labels, _ = connected_components(und, max_iter=max_iter)
         return s_labels.select("doc_id", F.col("cluster_id").alias("c2"))
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_m = ex.submit(_chain_minhash)
-        f_s = ex.submit(_chain_simhash)
-        m = f_m.result()
-        s = f_s.result()
+    if small:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_m = ex.submit(_chain_minhash)
+            f_s = ex.submit(_chain_simhash)
+            m = f_m.result()
+            s = f_s.result()
+    else:
+        m = _chain_minhash()
+        s = _chain_simhash()
     u = (
         m.join(s, "doc_id", "full_outer")
         .select(
@@ -1947,15 +1972,25 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
     The third candidate-generation strategy in the dedup family, next to
     MinHash-LSH (probabilistic) and the df-bounded inverted index
     (``ngram_jaccard``): order every document's distinct 3-gram shingle
-    set by GLOBAL RARITY (document frequency ascending, shingle string as
-    the deterministic tie-break) and index only each document's PREFIX —
-    the first ``n - ceil(t*n) + 1`` shingles. The AllPairs theorem
-    (Bayardo et al., WWW'07): two sets with Jaccard >= t must share at
-    least one shingle inside both prefixes under any consistent global
-    order, so the prefix index loses no true pair; rare-first ordering
-    makes the indexed shingles precisely the LOW-df ones, so the
-    candidate equi-join has bounded fan-out without dropping any shingle
-    (the df <= NGRAM_MAX_DF cut ngram_jaccard needs). A length filter
+    set by GLOBAL RARITY (document frequency ascending, the shingle's
+    120-bit md5 as the deterministic tie-break) and index only each
+    document's PREFIX — the first ``n - ceil(t*n) + 1`` shingles. The
+    AllPairs theorem (Bayardo et al., WWW'07): two sets with Jaccard
+    >= t must share at least one shingle inside both prefixes under ANY
+    consistent global order, so the prefix index loses no true pair
+    regardless of the tie-break; rare-first ordering makes the indexed
+    shingles precisely the LOW-df ones, so the candidate equi-join has
+    bounded fan-out without dropping any shingle (the df <=
+    NGRAM_MAX_DF cut ngram_jaccard needs).
+
+    Every internal join/sort key is the shingle's md5 SPLIT INTO TWO
+    int64 columns (120 bits), never the ~60-byte string: the r11 300x
+    re-run showed the string-keyed sort-merge joins spilling the disk
+    dry (78M occurrence rows x string keys, sorted four times); the
+    fixed-width int pair sorts ~4x denser and shuffles ~4x less. 120
+    bits over ~1e8 distinct shingles has a birthday collision
+    probability ~1e-21 per corpus — quantified here, and verified exact
+    against the brute-force STRING oracle at every test scale. A length filter
     (t*|a| <= |b| <= |a|/t, exact in int64 for t=1/2) prunes candidates
     before verification; verification counts true intersections by
     joining the candidate pairs back to the FULL postings — work
@@ -1964,13 +1999,18 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
     Scale shape: df is a map-side-combined shingle count; per-doc rank is
     a doc_id-partitioned window (doc-sized partitions); candidates come
     from an equi-join on shingle over the prefix index only; verification
-    is two hash joins keyed (doc_a) then (doc_b, s). Zero nested loops.
+    is two equi-joins keyed (doc_a) then (doc_b, s). Zero nested loops.
     Every join in this operator has CORPUS-SIZED sides (postings, prefix
-    index, candidate pairs), so each is pinned shuffle_hash: AQE's
-    compressed-shuffle size estimate sits under the broadcast threshold
-    long after the in-memory hash relation stops fitting (the 100x sweep
-    caught exactly this — a broadcast-build OOM at 500k docs), and a
-    broadcast of a corpus-sized side is wrong at any threshold.
+    index, candidate pairs), so each is pinned to a SIZE-AWARE
+    non-broadcast strategy via :func:`_corpus_join_hint`: shuffle_hash
+    under the per-task build-memory ceiling (AQE's compressed-shuffle
+    size estimate sits under the broadcast threshold long after the
+    in-memory hash relation stops fitting — the 100x sweep caught
+    exactly that mis-broadcast OOM at 500k docs), sort-merge above it
+    (the r10 300x sweep showed the unconditional shuffle_hash pin itself
+    OOMs building the hash map at 1.5M docs; merge spills and scales
+    unboundedly). A broadcast of a corpus-sized side is wrong at any
+    threshold.
 
     Output: (doc_a, doc_b, n_common, size_a, size_b, jaccard) for exact
     Jaccard >= 0.5, decided by the integer predicate
@@ -1978,29 +2018,60 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
     """
     from pyspark.sql.window import Window
 
-    # three consumers (df counts, ranked prefix, verification postings):
-    # materialize the distinct-shingle index once (callers passing a
-    # shared ``shd`` own its materialization)
-    if shd is None:
-        shd = _shingles_df(docs).distinct().localCheckpoint()
-    dfreq = shd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # Four consumers (df counts, ranked prefix, two verification posting
+    # sides) of the distinct-shingle index. The index contains a SHUFFLE
+    # (distinct), so it must materialize ONCE — a lazy plan re-shuffles
+    # the full occurrence frame per consumer and the accumulated shuffle
+    # files filled the disk at 300x. Below the size gate: localCheckpoint
+    # (in-memory, fastest). Above it: the checkpoint store cannot pin a
+    # corpus-sized frame (r11 300x OOM), so persist DISK_ONLY — compact
+    # serialized blocks, zero execution-memory pressure, read four
+    # times. Fixed-width 120-bit keys: the materialized index carries
+    # two int64s per shingle, never the ~60-byte string.
+    n_corpus = docs.count()
+    h_cols = [
+        F.expr(
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h1"),
+        F.expr(
+            "CAST(conv(substring(md5(s), 16, 15), 16, 10) AS BIGINT)"
+        ).alias("h2"),
+    ]
+    if shd is not None:
+        # caller-materialized string index: derive hashes lazily (one
+        # codegen projection over already-distinct rows)
+        shh = shd.select("doc_id", *h_cols)
+    else:
+        shh = _shingles_df(docs).select("doc_id", *h_cols).distinct()
+        if n_corpus <= _CONCURRENT_FIXPOINT_MAX_DOCS:
+            shh = shh.localCheckpoint()
+        else:
+            from pyspark import StorageLevel
+
+            shh = shh.persist(StorageLevel.DISK_ONLY)
+    jh = _corpus_join_hint(n_corpus)
+    dfreq = shh.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        shd.join(dfreq.hint("shuffle_hash"), "s")
+        shh.join(dfreq.hint(jh), ["h1", "h2"])
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn(
             "pos",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "h1", "h2")
+            ),
         )
     )
     # prefix length for t=1/2: n - ceil(n/2) + 1, all-int64 in both engines
     prefix = ranked.filter(F.expr("pos <= n - ((n + 1) div 2) + 1")).select(
-        "doc_id", "s", "n"
+        "doc_id", "h1", "h2", "n"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            b.hint(jh),
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(
             (F.col("a.n") <= 2 * F.col("b.n")) & (F.col("b.n") <= 2 * F.col("a.n"))
@@ -2013,12 +2084,14 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
         )
         .distinct()
     )
-    pa, pb = shd.alias("pa"), shd.alias("pb")
+    pa, pb = shh.alias("pa"), shh.alias("pb")
     common = (
-        cand.hint("shuffle_hash").join(pa, F.col("pa.doc_id") == F.col("doc_a"))
+        cand.hint(jh).join(pa, F.col("pa.doc_id") == F.col("doc_a"))
         .join(
-            pb.hint("shuffle_hash"),
-            (F.col("pb.doc_id") == F.col("doc_b")) & (F.col("pb.s") == F.col("pa.s")),
+            pb.hint(jh),
+            (F.col("pb.doc_id") == F.col("doc_b"))
+            & (F.col("pb.h1") == F.col("pa.h1"))
+            & (F.col("pb.h2") == F.col("pa.h2")),
         )
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -2392,13 +2465,35 @@ def dedup_strategy_comparison(docs: DataFrame) -> DataFrame:
     # (shared + overlapped).
     from concurrent.futures import ThreadPoolExecutor
 
+    # same corpus-size gate as dedup_rand_index: overlapped eager
+    # materializations are a local-scale scheduling-floor win; at scale
+    # they compete for the one unified memory pool and each fixpoint
+    # deserves all of it — and the shared occurrence-grain frames
+    # (shingle hashes, distinct shingle strings) stay LAZY above the
+    # gate: corpus-sized checkpoint stores are themselves the r11 300x
+    # OOM; codegen recompute per consumer is linear.
+    small = docs.count() <= _CONCURRENT_FIXPOINT_MAX_DOCS
+
     def _chain_hash():
-        hashed = _shingle_hashes(docs).localCheckpoint()
+        hashed = _shingle_hashes(docs)
+        if small:
+            hashed = hashed.localCheckpoint()
         # building the LSH frame eagerly checkpoints the signature table
         return dedup_minhash_lsh(docs, hashed=hashed), hashed
 
     def _chain_truth():
-        shd = _shingles_df(docs).distinct().localCheckpoint()
+        shd = _shingles_df(docs).distinct()
+        if small:
+            shd = shd.localCheckpoint()
+        else:
+            # the distinct contains a shuffle: a lazy plan re-shuffles
+            # per consumer (ngram + prefix-filter postings x2) and the
+            # accumulated shuffle files filled the disk at 300x; the
+            # checkpoint store cannot pin it either (heap OOM) — disk
+            # persist is the scale materialization
+            from pyspark import StorageLevel
+
+            shd = shd.persist(StorageLevel.DISK_ONLY)
         truth = (
             dedup_prefix_filter(docs, shd=shd)
             .select("doc_a", "doc_b")
@@ -2407,11 +2502,15 @@ def dedup_strategy_comparison(docs: DataFrame) -> DataFrame:
         )
         return truth, shd
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        f_hash = ex.submit(_chain_hash)
-        f_truth = ex.submit(_chain_truth)
-        minhash_pairs, hashed = f_hash.result()
-        truth, shd = f_truth.result()
+    if small:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_hash = ex.submit(_chain_hash)
+            f_truth = ex.submit(_chain_truth)
+            minhash_pairs, hashed = f_hash.result()
+            truth, shd = f_truth.result()
+    else:
+        minhash_pairs, hashed = _chain_hash()
+        truth, shd = _chain_truth()
     nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
 
     def score(name: str, pairs: DataFrame) -> DataFrame:

@@ -1035,24 +1035,30 @@ def cluster_topics(emb: DataFrame, docs: DataFrame) -> DataFrame:
     Scale shape: assignment is the Lloyd map pass; the term stage is one
     (cid, term) hash-agg (map-side combined, vocabulary-bounded shuffle,
     never corpus-bounded) + a K-row totals broadcast; top-k is a window
-    over (cid, term) rows with WindowGroupLimit pushdown.
+    over (cid, term) rows with WindowGroupLimit pushdown. The
+    assignment frame (corpus-sized) and the per-term cdf frame
+    (vocabulary-sized) are scale_pin'd: at 300x AQE tried to BROADCAST
+    one of them ("Not enough memory to build and broadcast the table",
+    r11 sweep) — above the gate both joins pin sort-merge.
     """
     from pyspark.sql.window import Window
 
+    from ..functions.joins import scale_pin
     from .text import words_col
 
+    n_vecs = emb.count()
     af = _final_assignment(emb).select("vec_id", "cid")
     terms = docs.select(
         F.col("doc_id").alias("vec_id"),
         F.explode(words_col(F.lower(F.col("text")))).alias("term"),
-    ).join(af, "vec_id")
+    ).join(scale_pin(af, n_vecs), "vec_id")
     ctf = terms.groupBy("cid", "term").agg(F.count(F.lit(1)).alias("ctf"))
     totals = ctf.groupBy("cid").agg(F.sum("ctf").alias("cluster_tokens"))
     cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
     n_clusters = totals.groupBy().agg(F.count(F.lit(1)).alias("k"))
     scored = (
         ctf.join(F.broadcast(totals), "cid")
-        .join(cdf, "term")
+        .join(scale_pin(cdf, n_vecs), "term")
         .crossJoin(F.broadcast(n_clusters))
         .withColumn(
             "score",

@@ -188,10 +188,159 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 _BMP_SIG = b"BM"
 
 
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decompression (spec appendix F): LSB-first bit
+    packing, clear/end control codes, dictionary growing 2^mcs+2 ->
+    4096, code width bumping when the table fills its width. Pure
+    stdlib; the per-code Python loop is fine at Arrow-batch test scale
+    (same stance as the PNG unfilter loop)."""
+    clear = 1 << mcs
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = mcs + 1
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    out: list[bytes] = []
+    total = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return b"".join(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt GIF LZW stream (first code)")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream (code gap)")
+            out.append(entry)
+            total += len(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            if total >= n_pixels:
+                return b"".join(out)
+    return b"".join(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Stdlib GIF decode: header walk -> LZW inflate -> palette lookup.
+
+    GIF87a and GIF89a, global or local color table, interlaced or
+    sequential row order; decodes the FIRST image descriptor (for
+    animations that is frame 1 — full multi-frame compositing with
+    disposal methods stays honestly out of scope). Extension blocks
+    (GCE/comment/application) are walked and skipped; transparency is
+    ignored (output is opaque RGB). Returns the same flat int64
+    top-down row-major RGB sample contract as the PNG/BMP paths, so
+    identical pixels decode identically regardless of container and
+    every downstream histogram/hash/window operator stays
+    codec-agnostic. Corrupt containers raise ValueError/struct.error
+    and fall back to the byte-stub under ``allow_stub`` exactly like
+    the PNG/BMP paths.
+    """
+    import struct
+
+    buf = bytes(payload)
+    if buf[:6] not in (b"GIF87a", b"GIF89a") or len(buf) < 13:
+        raise ValueError("not a GIF")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x7)
+        if pos + 3 * n > len(buf):
+            raise ValueError("GIF global color table truncated")
+        gct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(buf) and buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        if pos + 10 > len(buf):
+            raise ValueError("GIF image descriptor truncated")
+        _ix, _iy, iw, ih, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x7)
+            if pos + 3 * n > len(buf):
+                raise ValueError("GIF local color table truncated")
+            ct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        if iw <= 0 or ih <= 0:
+            raise ValueError("GIF degenerate dimensions")
+        if pos >= len(buf):
+            raise ValueError("GIF pixel data truncated")
+        mcs = buf[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"bad GIF LZW minimum code size: {mcs}")
+        data = bytearray()
+        while True:
+            if pos >= len(buf):
+                raise ValueError("GIF pixel data truncated")
+            ln = buf[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += buf[pos : pos + ln]
+            pos += ln
+        indices = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+        if len(indices) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        idx = np.frombuffer(indices[: iw * ih], np.uint8).astype(np.int64)
+        if idx.max() >= len(ct):
+            raise ValueError("GIF palette index out of range")
+        idx = idx.reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: 4-pass row order -> sequential
+            seq = np.zeros_like(idx)
+            row = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for r in range(start, ih, step):
+                    seq[r] = idx[row]
+                    row += 1
+            idx = seq
+        return ct[idx].astype(np.int64).reshape(-1)
+    raise ValueError("GIF contains no image data")
+
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
 def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> np.ndarray:
     """Decode a media payload to a pixel/sample array.
 
-    THREE REAL CODEC PATHS (WAV, PNG, BMP), zero new dependencies:
+    FOUR REAL CODEC PATHS (WAV, PNG, BMP, GIF), zero new dependencies:
 
     - ``audio/wav`` payloads that are actual RIFF/WAVE containers are
       parsed with the stdlib ``wave`` module — container header
@@ -205,6 +354,10 @@ def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> n
       via the stdlib ``struct`` header walk in :func:`_decode_bmp`
       (uncompressed 24/32-bit, bottom-up or top-down, row padding
       stripped, BGR(A) normalized to RGB(A)).
+    - ``image/gif`` payloads that carry a GIF87a/GIF89a signature are
+      decoded via the stdlib LZW walk in :func:`_decode_gif` (global or
+      local palette, interlaced or sequential, first frame of
+      animations, palette-expanded to the same RGB contract).
 
     tests/test_multimodal.py generates real WAV and real PNG bytes and
     drives them through the window/histogram/hash operators end-to-end.
@@ -257,6 +410,15 @@ def decode_media(payload: bytes, media_type: str, allow_stub: bool = False) -> n
 
         try:
             return _decode_bmp(payload)
+        except (NotImplementedError, ValueError, struct.error):
+            if not allow_stub:
+                raise
+            return np.frombuffer(payload, dtype=np.uint8)
+    if media_type == "image/gif" and payload[:6] in _GIF_SIGS:
+        import struct
+
+        try:
+            return _decode_gif(payload)
         except (NotImplementedError, ValueError, struct.error):
             if not allow_stub:
                 raise
@@ -350,16 +512,27 @@ def probe_media(payload: bytes) -> dict:
                 pos += 8 + clen + (clen & 1)  # chunks pad to even offsets
         elif buf[:2] == b"\xff\xd8":
             pos = 2
-            while pos + 4 <= len(buf):
+            while pos + 2 <= len(buf):
                 if buf[pos] != 0xFF:
                     break
-                marker = buf[pos + 1]
-                if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF seen
+                # spec-legal 0xFF fill/padding runs may precede any
+                # marker (B.1.1.2); consume the run, then the marker id
+                while pos < len(buf) and buf[pos] == 0xFF:
+                    pos += 1
+                if pos >= len(buf):
                     break
-                seglen = struct.unpack(">H", buf[pos + 2 : pos + 4])[0]
-                if marker in _JPEG_SOF_MARKERS and pos + 4 + 6 <= len(buf):
+                marker = buf[pos]
+                pos += 1
+                if marker == 0xD9 or marker == 0xDA or marker == 0x00:
+                    break  # EOI / SOS / stuffed byte: no SOF seen
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    continue  # TEM / RSTn: standalone, no length field
+                if pos + 2 > len(buf):
+                    break
+                seglen = struct.unpack(">H", buf[pos : pos + 2])[0]
+                if marker in _JPEG_SOF_MARKERS and pos + 2 + 6 <= len(buf):
                     prec, h, w, ncomp = struct.unpack(
-                        ">BHHB", buf[pos + 4 : pos + 10]
+                        ">BHHB", buf[pos + 2 : pos + 8]
                     )
                     out.update(
                         container="jpeg",
@@ -370,7 +543,7 @@ def probe_media(payload: bytes) -> dict:
                         ok=True,
                     )
                     break
-                pos += 2 + seglen
+                pos += seglen
         elif buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 11:
             w, h, packed = struct.unpack("<HHB", buf[6:11])
             out.update(

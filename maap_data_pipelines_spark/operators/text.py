@@ -1009,6 +1009,135 @@ FROM dcg FULL OUTER JOIN ideal USING (query_id)
 RETRIEVAL_NDCG_SQL = RETRIEVAL_NDCG_SQL.format(BM25_CTES=_BM25_CTES)
 
 
+MAP_REL_MIN_TERMS = 2  # binary relevance: doc carries >= 2 distinct query terms
+
+
+def retrieval_map(docs: DataFrame) -> DataFrame:
+    """Average precision@10 of the BM25 ranking per query, plus the
+    corpus MAP — the PRECISION-MASS rung of the retrieval tier beside
+    retrieval_ndcg's graded-order rung: NDCG rewards putting HIGH-grade
+    docs early, AP rewards putting ALL relevant docs early (a ranker
+    can win one and lose the other; regression gates watch both).
+
+    Binary relevance: rel(q, d) = the doc contains >= 2 of the query's
+    DISTINCT terms (>= 1 would be degenerate — BM25 only ever ranks
+    docs containing a query term, so every ranked doc would be relevant
+    and precision identically 1). AP@10 = Σ_{hit ranks i} P@i over
+    min(R, 10), with P@i = hits_i·1e6 div i floor-quantized per rank
+    row (exact int64 — no float crosses the oracle boundary anywhere in
+    this operator); MAP = Σ ap_micro div n_queries, repeated per row
+    via a queries-row broadcast cross.
+
+    Scale shape: composes bm25_topk (inherits its allowlisted 1-row
+    corpus-stats broadcast); the relevance frame is the query-term
+    postings semi-join (query-vocabulary-bounded); the running hit
+    count is a window over top-10 rows per query (bounded grain).
+    """
+    from pyspark.sql.window import Window
+
+    ranked = bm25_topk(docs)
+    words = docs.select(
+        "doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    q = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id BIGINT, term STRING",
+    )
+    rel = (
+        words.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("grade"))
+        .filter(F.col("grade") >= MAP_REL_MIN_TERMS)
+        .select("query_id", "doc_id", F.lit(1).cast("long").alias("is_rel"))
+    )
+    n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel_total"))
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = (
+        ranked.join(rel, ["query_id", "doc_id"], "left")
+        .withColumn("b", F.coalesce("is_rel", F.lit(0).cast("long")))
+        .withColumn("hits_i", F.sum("b").over(w))
+        .withColumn(
+            "p_micro",
+            F.expr("CASE WHEN b = 1 THEN (hits_i * 1000000) div rnk END"),
+        )
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum("b").alias("n_rel_topk"),
+        F.coalesce(F.sum("p_micro"), F.lit(0).cast("long")).alias("sum_p_micro"),
+    )
+    scored = (
+        per_q.join(n_rel, "query_id", "full_outer")
+        .select(
+            "query_id",
+            F.coalesce("n_rel_total", F.lit(0)).alias("n_rel_total"),
+            F.coalesce("n_rel_topk", F.lit(0)).alias("n_rel_topk"),
+            F.coalesce("sum_p_micro", F.lit(0)).alias("sum_p_micro"),
+            F.expr(
+                "COALESCE(sum_p_micro, 0)"
+                f" div NULLIF(LEAST(COALESCE(n_rel_total, 0), {BM25_TOPK}), 0)"
+            ).alias("ap_micro"),
+        )
+    )
+    mean = scored.agg(
+        F.expr("SUM(COALESCE(ap_micro, 0)) div COUNT(*)").alias("map_micro")
+    )
+    return scored.crossJoin(F.broadcast(mean))
+
+
+RETRIEVAL_MAP_SQL = f"""
+WITH {{BM25_CTES}},
+topk AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {BM25_TOPK}),
+dwords AS (SELECT DISTINCT doc_id, term FROM words),
+rel AS (
+  SELECT query_id, doc_id, CAST(1 AS BIGINT) AS is_rel
+  FROM dwords JOIN q USING (term)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MAP_REL_MIN_TERMS}
+),
+n_rel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_total FROM rel GROUP BY 1
+),
+hits AS (
+  SELECT t.query_id, t.rnk,
+         COALESCE(r.is_rel, 0) AS b,
+         CAST(SUM(COALESCE(r.is_rel, 0)) OVER (PARTITION BY t.query_id
+              ORDER BY t.rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS hits_i
+  FROM topk t LEFT JOIN rel r
+    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+per_q AS (
+  SELECT query_id,
+         CAST(SUM(b) AS BIGINT) AS n_rel_topk,
+         CAST(COALESCE(SUM(CASE WHEN b = 1
+              THEN (hits_i * 1000000) // rnk END), 0) AS BIGINT)
+           AS sum_p_micro
+  FROM hits GROUP BY 1
+),
+scored_ap AS (
+  SELECT query_id,
+         COALESCE(n_rel_total, 0) AS n_rel_total,
+         COALESCE(n_rel_topk, 0) AS n_rel_topk,
+         COALESCE(sum_p_micro, 0) AS sum_p_micro,
+         COALESCE(sum_p_micro, 0)
+           // NULLIF(LEAST(COALESCE(n_rel_total, 0), {BM25_TOPK}), 0)
+           AS ap_micro
+  FROM per_q FULL OUTER JOIN n_rel USING (query_id)
+)
+SELECT s.*, m.map_micro
+FROM scored_ap s CROSS JOIN (
+  SELECT CAST(SUM(COALESCE(ap_micro, 0)) // COUNT(*) AS BIGINT) AS map_micro
+  FROM scored_ap
+) m
+"""
+
+RETRIEVAL_MAP_SQL = RETRIEVAL_MAP_SQL.format(BM25_CTES=_BM25_CTES)
+
+
 _PROX_FAR = 1_000_000_000  # rank-last sentinel for single-term candidates
 
 
@@ -2161,12 +2290,21 @@ def doc_length_kruskal(docs: DataFrame) -> DataFrame:
             F.sum(F.col("cj") * F.col("r2v")).alias("r2_j"),
         )
     )
+    # Q term = floor(r2_j^2 / n_j) EXACTLY: Spark decimal division
+    # rounds HALF_UP at the reduced result scale before FLOOR, so for
+    # n_j past ~2e6 a quotient fraction within half an ulp can round up
+    # and floor to +1 vs DuckDB's integer // (ADVICE r10). Subtracting
+    # the exact decimal remainder first makes the division exact (zero
+    # fraction -> representable -> no rounding), and the result stays
+    # DECIMAL — Spark's integral `div` returns BIGINT, which the
+    # quotient outgrows near 1e18 at 300x scale.
     agg1 = per.agg(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_j").alias("n"),
         F.sum(
             F.expr(
-                "CAST(FLOOR(CAST(r2_j AS DECIMAL(38,0)) * r2_j / n_j)"
+                "CAST((CAST(r2_j AS DECIMAL(38,0)) * r2_j"
+                " - CAST(r2_j AS DECIMAL(38,0)) * r2_j % n_j) / n_j"
                 " AS DECIMAL(38,0))"
             )
         ).alias("q_dec"),
@@ -2245,6 +2383,7 @@ FROM agg1 CROSS JOIN ties
 
 QUERY_SQL["doc_length_kruskal"] = DOC_LENGTH_KRUSKAL_SQL
 QUERY_SQL["retrieval_ndcg"] = RETRIEVAL_NDCG_SQL
+QUERY_SQL["retrieval_map"] = RETRIEVAL_MAP_SQL
 
 
 BURSTY_TOPK = 20
@@ -2381,16 +2520,23 @@ def source_js_matrix(docs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_shared_terms"),
             F.sum("ca").alias("sa"),
             F.sum("cb").alias("sb"),
+            # ln args multiply in DOUBLE: ca*tb is a count×TOTAL product
+            # that wraps int64 near per-source totals of 1e12 × common
+            # terms of 1e7 — Spark non-ANSI would wrap silently (ln of a
+            # negative -> NaN rows) while DuckDB raises; the double
+            # product is IEEE-identical in both engines and ln is
+            # evaluated in double anyway, so the quantized-milli floor
+            # is unchanged (ADVICE r10).
             F.sum(
                 F.expr(
-                    f"ca * ({_LNM.format('2 * ca * tb')}"
-                    f" - {_LNM.format('ca * tb + cb * ta')})"
+                    f"ca * ({_LNM.format('2 * CAST(ca AS DOUBLE) * tb')}"
+                    f" - {_LNM.format('CAST(ca AS DOUBLE) * tb + CAST(cb AS DOUBLE) * ta')})"
                 )
             ).alias("skp"),
             F.sum(
                 F.expr(
-                    f"cb * ({_LNM.format('2 * cb * ta')}"
-                    f" - {_LNM.format('ca * tb + cb * ta')})"
+                    f"cb * ({_LNM.format('2 * CAST(cb AS DOUBLE) * ta')}"
+                    f" - {_LNM.format('CAST(ca AS DOUBLE) * tb + CAST(cb AS DOUBLE) * ta')})"
                 )
             ).alias("skq"),
         )
@@ -2433,11 +2579,15 @@ shared AS (
          CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
          CAST(SUM(a.c) AS BIGINT) AS sa,
          CAST(SUM(b.c) AS BIGINT) AS sb,
-         CAST(SUM(a.c * ({_LNM.format("2 * a.c * tb.tc")}
-                  - {_LNM.format("a.c * tb.tc + b.c * ta.tc")})) AS BIGINT)
+         CAST(SUM(a.c * ({_LNM.format("2 * CAST(a.c AS DOUBLE) * tb.tc")}
+                  - {_LNM.format(
+                      "CAST(a.c AS DOUBLE) * tb.tc + CAST(b.c AS DOUBLE) * ta.tc"
+                  )})) AS BIGINT)
            AS skp,
-         CAST(SUM(b.c * ({_LNM.format("2 * b.c * ta.tc")}
-                  - {_LNM.format("a.c * tb.tc + b.c * ta.tc")})) AS BIGINT)
+         CAST(SUM(b.c * ({_LNM.format("2 * CAST(b.c AS DOUBLE) * ta.tc")}
+                  - {_LNM.format(
+                      "CAST(a.c AS DOUBLE) * tb.tc + CAST(b.c AS DOUBLE) * ta.tc"
+                  )})) AS BIGINT)
            AS skq
   FROM counts a
   JOIN counts b ON a.t = b.t AND a.source < b.source
@@ -2753,3 +2903,134 @@ FROM s
 """
 
 QUERY_SQL["vocab_entropy"] = VOCAB_ENTROPY_SQL
+
+
+def corpus_bigram_entropy(docs: DataFrame) -> DataFrame:
+    """Conditional bigram entropy H(W2|W1) and word-level mutual
+    information of the corpus — the SEQUENCE rung of the entropy tier
+    (vocab_entropy measures the unigram distribution; this measures how
+    predictable the NEXT word is given the previous one, the statistic
+    that actually moves when template/boilerplate mass floods a corpus:
+    unigram entropy can stay flat while H(W2|W1) collapses because the
+    same word transitions repeat).
+
+    Identities used (all over exact int64 bigram counts):
+      H(W2|W1) = (Σ_ctx c1·ln c1 − Σ_big c12·ln c12) / N
+      H(W2)    = ln N − (Σ_w2 c2·ln c2) / N
+      MI(W1;W2) = H(W2) − H(W2|W1)
+    Each c·ln c is floor-quantized to integer MICRO per row before the
+    cross-partition sum (the vocab_entropy discipline), so the three
+    sufficient statistics are exact int64 and H(W2|W1) reduces to ONE
+    integer division — (s_ctx − s_big) div N — with no float crossing
+    the oracle boundary at all; H(W2) and the derived perplexity use
+    one identical double tree over the integer scalars. Output: one row
+    with n_bigrams, n_contexts, n_distinct_bigrams, the three micro
+    sufficient statistics, h_cond_micro_nats, h_w2_micro_nats,
+    mi_micro_nats, ppl_bigram_milli (e^H, the effective branching
+    factor).
+
+    Scale shape: one arrays_zip bigram explode → two map-side-combined
+    hash-aggs (bigram- and context-grain, vocabulary²-bounded, never
+    corpus-bounded) → 1-row aggregates crossed. int64 headroom:
+    Σ c·ln c·1e6 ≤ N·ln(N)·1e6 ~ 2e16 at 1e9 tokens.
+    """
+    words = words_col(F.lower(F.col("text")))
+    toks = docs.select(words.alias("ws"))
+    n = F.size(F.col("ws"))
+    z = F.arrays_zip(
+        F.slice(F.col("ws"), 1, n - 1).alias("w1"),
+        F.slice(F.col("ws"), 2, n - 1).alias("w2"),
+    )
+    pairs = toks.select(F.explode(z).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    clnc = "CAST(FLOOR({c} * ln(CAST({c} AS DOUBLE)) * 1000000) AS BIGINT)"
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bs = big.agg(
+        F.sum("c12").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.sum(F.expr(clnc.format(c="c12"))).alias("s_big_micro"),
+    )
+    cs = (
+        big.groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+        .agg(
+            F.count(F.lit(1)).alias("n_contexts"),
+            F.sum(F.expr(clnc.format(c="c1"))).alias("s_ctx_micro"),
+        )
+    )
+    w2s = (
+        big.groupBy("w2")
+        .agg(F.sum("c12").alias("c2"))
+        .agg(F.sum(F.expr(clnc.format(c="c2"))).alias("s_w2_micro"))
+    )
+    s = bs.crossJoin(F.broadcast(cs)).crossJoin(F.broadcast(w2s))
+    h_w2 = (
+        "(ln(CAST(n_bigrams AS DOUBLE))"
+        " - CAST(s_w2_micro AS DOUBLE) / 1000000.0 / n_bigrams)"
+    )
+    h_cond = "(CAST((s_ctx_micro - s_big_micro) div n_bigrams AS DOUBLE) / 1000000.0)"
+    return s.select(
+        "n_bigrams",
+        "n_contexts",
+        "n_distinct_bigrams",
+        "s_ctx_micro",
+        "s_big_micro",
+        "s_w2_micro",
+        F.expr("(s_ctx_micro - s_big_micro) div n_bigrams").alias(
+            "h_cond_micro_nats"
+        ),
+        F.expr(f"CAST(FLOOR({h_w2} * 1000000) AS BIGINT)").alias(
+            "h_w2_micro_nats"
+        ),
+        F.expr(
+            f"CAST(FLOOR({h_w2} * 1000000) AS BIGINT)"
+            " - (s_ctx_micro - s_big_micro) div n_bigrams"
+        ).alias("mi_micro_nats"),
+        F.expr(f"CAST(FLOOR(exp({h_cond}) * 1000) AS BIGINT)").alias(
+            "ppl_bigram_milli"
+        ),
+    )
+
+
+CORPUS_BIGRAM_ENTROPY_SQL = """
+WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM w
+),
+big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2),
+bs AS (
+  SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(SUM(CAST(FLOOR(c12 * ln(CAST(c12 AS DOUBLE)) * 1000000)
+              AS BIGINT)) AS BIGINT) AS s_big_micro
+  FROM big
+),
+cs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_contexts,
+         CAST(SUM(CAST(FLOOR(c1 * ln(CAST(c1 AS DOUBLE)) * 1000000)
+              AS BIGINT)) AS BIGINT) AS s_ctx_micro
+  FROM (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1)
+),
+w2s AS (
+  SELECT CAST(SUM(CAST(FLOOR(c2 * ln(CAST(c2 AS DOUBLE)) * 1000000)
+              AS BIGINT)) AS BIGINT) AS s_w2_micro
+  FROM (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM big GROUP BY 1)
+)
+SELECT n_bigrams, n_contexts, n_distinct_bigrams,
+       s_ctx_micro, s_big_micro, s_w2_micro,
+       (s_ctx_micro - s_big_micro) // n_bigrams AS h_cond_micro_nats,
+       CAST(FLOOR((ln(CAST(n_bigrams AS DOUBLE))
+            - CAST(s_w2_micro AS DOUBLE) / 1000000.0 / n_bigrams) * 1000000)
+            AS BIGINT) AS h_w2_micro_nats,
+       CAST(FLOOR((ln(CAST(n_bigrams AS DOUBLE))
+            - CAST(s_w2_micro AS DOUBLE) / 1000000.0 / n_bigrams) * 1000000)
+            AS BIGINT)
+         - (s_ctx_micro - s_big_micro) // n_bigrams AS mi_micro_nats,
+       CAST(FLOOR(exp(CAST((s_ctx_micro - s_big_micro) // n_bigrams
+            AS DOUBLE) / 1000000.0) * 1000) AS BIGINT) AS ppl_bigram_milli
+FROM bs CROSS JOIN cs CROSS JOIN w2s
+"""
+QUERY_SQL["corpus_bigram_entropy"] = CORPUS_BIGRAM_ENTROPY_SQL

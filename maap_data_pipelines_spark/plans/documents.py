@@ -93,6 +93,8 @@ QUERIES = {
     "documents_ks_drift": _wrap(text.documents_ks_drift),
     "documents_chi2_independence": _wrap(text.documents_chi2_independence),
     "vocab_entropy": _wrap(text.vocab_entropy),
+    "corpus_bigram_entropy": _wrap(text.corpus_bigram_entropy),
+    "retrieval_map": _wrap(text.retrieval_map),
 }
 
 ORACLES = dict(text.QUERY_SQL)

@@ -3572,7 +3572,147 @@ FROM s CROSS JOIN tot
 """
 
 
+def lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-returnflag price-outlier gate: median ± 3·MAD, EXACT.
+
+    The production DQ rung mean/stddev gates get wrong on heavy-tailed
+    money columns (orders_shewhart_control's 3-sigma band is itself
+    dragged by the outliers it hunts): median and MAD are 50%-breakdown
+    robust, so the fence holds even when the contamination is large.
+
+    Exactness without a global sort: BOTH medians come from the
+    count-distribution trick (orders_price_quantiles) — aggregate to
+    (mode, value) counts, window-cumulate the distinct-value
+    distribution, pick the rank-straddling values — and the even-n
+    half-step is kept integer by DOUBLING: med2 = x_ceil(n/2) +
+    x_(n/2+1) (2x the median), per-row deviation d2 = |2x − med2|
+    (2x), mad4 = doubled median of d2 (4x MAD). The fence
+    |x − med| > 3·MAD is then the EXACT integer predicate
+    2·d2 > 3·mad4 — no float anywhere in the operator.
+
+    Scale shape: two value-grain count-distribution passes (windows
+    over DISTINCT cents per mode, never row-grain sorts), one
+    7-row median broadcast join back onto the value-grain frame, one
+    final 7-row aggregate.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    counts = li.groupBy("returnflag", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("returnflag").orderBy("cents")
+    w_all = Window.partitionBy("returnflag")
+    cum = counts.select(
+        "returnflag",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = (
+        cum.groupBy("returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.expr("CASE WHEN cum >= (n + 1) div 2 THEN cents END")
+            ).alias("m_lo"),
+            F.min(
+                F.expr("CASE WHEN cum >= n div 2 + 1 THEN cents END")
+            ).alias("m_hi"),
+        )
+        .select(
+            "returnflag", "n", (F.col("m_lo") + F.col("m_hi")).alias("med2")
+        )
+    )
+    dev = (
+        counts.join(F.broadcast(med), "returnflag")
+        .groupBy("returnflag", "n", "med2", F.expr("abs(2 * cents - med2)").alias("d2"))
+        .agg(F.sum("c").alias("c"))
+    )
+    w_dcum = Window.partitionBy("returnflag").orderBy("d2")
+    dcum = dev.select(
+        "returnflag", "n", "med2", "d2", "c", F.sum("c").over(w_dcum).alias("cum")
+    )
+    mad = (
+        dcum.groupBy("returnflag")
+        .agg(
+            F.min(
+                F.expr("CASE WHEN cum >= (n + 1) div 2 THEN d2 END")
+            ).alias("mad_lo"),
+            F.min(
+                F.expr("CASE WHEN cum >= n div 2 + 1 THEN d2 END")
+            ).alias("mad_hi"),
+        )
+        .select("returnflag", (F.col("mad_lo") + F.col("mad_hi")).alias("mad4"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "returnflag")
+        .groupBy("returnflag")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.max("med2").alias("med2_cents"),
+            F.max("mad4").alias("mad4_cents"),
+            F.sum(
+                F.expr("CASE WHEN 2 * d2 > 3 * mad4 THEN c ELSE 0 END")
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_ppm", F.expr("(n_outliers * 1000000) div n_rows")
+        )
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH counts AS (
+  SELECT l_returnflag AS returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT returnflag, cents, c,
+         SUM(c) OVER (PARTITION BY returnflag ORDER BY cents) AS cum,
+         SUM(c) OVER (PARTITION BY returnflag) AS n
+  FROM counts
+),
+med AS (
+  SELECT returnflag, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+           + MIN(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS med2
+  FROM cum GROUP BY 1
+),
+dev AS (
+  SELECT c.returnflag, m.n, m.med2, abs(2 * c.cents - m.med2) AS d2,
+         CAST(SUM(c.c) AS BIGINT) AS c
+  FROM counts c JOIN med m USING (returnflag)
+  GROUP BY 1, 2, 3, 4
+),
+dcum AS (
+  SELECT returnflag, n, med2, d2, c,
+         SUM(c) OVER (PARTITION BY returnflag ORDER BY d2) AS cum
+  FROM dev
+),
+mad AS (
+  SELECT returnflag,
+         MIN(CASE WHEN cum >= (n + 1) // 2 THEN d2 END)
+           + MIN(CASE WHEN cum >= n // 2 + 1 THEN d2 END) AS mad4
+  FROM dcum GROUP BY 1
+)
+SELECT d.returnflag,
+       CAST(MAX(d.n) AS BIGINT) AS n_rows,
+       CAST(MAX(d.med2) AS BIGINT) AS med2_cents,
+       CAST(MAX(m.mad4) AS BIGINT) AS mad4_cents,
+       CAST(SUM(CASE WHEN 2 * d.d2 > 3 * m.mad4 THEN d.c ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST((SUM(CASE WHEN 2 * d.d2 > 3 * m.mad4 THEN d.c ELSE 0 END)
+            * 1000000) // MAX(d.n) AS BIGINT) AS outlier_ppm
+FROM dev d JOIN mad m USING (returnflag)
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "lineitem_mad_outliers": lineitem_mad_outliers,
     "orders_cohort_ltv": orders_cohort_ltv,
     "customer_k_anonymity": customer_k_anonymity,
     "doc_weighted_sample_exact_k": doc_weighted_sample_exact_k,
@@ -3626,6 +3766,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lineitem_mad_outliers": MAD_OUTLIERS_SQL,
     "customer_entity_resolution": ER_SQL,
     "doc_surrogate_keys": SURROGATE_KEYS_SQL,
     "lineitem_corr_matrix": CORR_MATRIX_SQL,

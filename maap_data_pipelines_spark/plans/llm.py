@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.joins import scale_pin as _scale_pin
 from ..operators import ann, dedup, kmeans, pq, quant, text
 from ..sources.catalog import read_table
 
@@ -34,6 +35,17 @@ def _emb_plan(op):
 
 
 CURATION_NEAR_DUP_JACCARD = 0.5
+
+# The curation cascade's assembly joins all have CORPUS-SCALED sides
+# (per-doc quality flags, exact-dup survivors, dup-mass-bounded reject
+# lists, per-doc token counts). At local scale AQE broadcasts the small
+# ones — fastest, keep it. Past the functions/joins.py gate a broadcast
+# of any of them is a driver-sized build of a corpus-scale relation:
+# the r10 300x sweep killed curation_yield_report exactly there ("Not
+# enough memory to build and broadcast the table" on a 1.5M-doc
+# cascade). Above the gate every cascade join side is pinned sort-merge
+# (functions/joins.scale_pin) — spills, never driver-routed, scales
+# unboundedly.
 
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,11 +82,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("near_dup").isNotNull(), "near_dup")
         .otherwise("ok")
     )
+    n_docs = docs.count()
     return (
         docs.select("doc_id")
-        .join(quality, "doc_id")
-        .join(exact_survivor, "doc_id", "left")
-        .join(near_rejects, "doc_id", "left")
+        .join(_scale_pin(quality, n_docs), "doc_id")
+        .join(_scale_pin(exact_survivor, n_docs), "doc_id", "left")
+        .join(_scale_pin(near_rejects, n_docs), "doc_id", "left")
         .select("doc_id", reason.alias("reason"))
         .withColumn("keep", F.col("reason") == "ok")
     )
@@ -257,13 +270,14 @@ def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("is_stale").isNotNull(), "stale")
         .otherwise("ok")
     )
+    n_docs = docs.count()
     return (
         docs.select("doc_id")
-        .join(quality, "doc_id")
-        .join(exact_survivor, "doc_id", "left")
-        .join(near_rejects, "doc_id", "left")
-        .join(contained, "doc_id", "left")
-        .join(stale, "doc_id", "left")
+        .join(_scale_pin(quality, n_docs), "doc_id")
+        .join(_scale_pin(exact_survivor, n_docs), "doc_id", "left")
+        .join(_scale_pin(near_rejects, n_docs), "doc_id", "left")
+        .join(_scale_pin(contained, n_docs), "doc_id", "left")
+        .join(_scale_pin(stale, n_docs), "doc_id", "left")
         .select("doc_id", reason.alias("reason"))
         .withColumn("keep", F.col("reason") == "ok")
     )
@@ -307,7 +321,7 @@ def yield_report_from_verdicts(verdicts: DataFrame, docs: DataFrame) -> DataFram
         (F.size(F.split(F.lower(F.col("text")), " "))).cast("long").alias("n_tokens"),
     )
     per = (
-        verdicts.join(toks, "doc_id")
+        verdicts.join(_scale_pin(toks, docs.count()), "doc_id")
         .groupBy("reason")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -441,6 +455,7 @@ QUERIES = {
     "semantic_decontaminate": _emb_plan(ann.semantic_decontaminate),
     "embedding_dedup": _emb_plan(ann.embedding_dedup),
     "embedding_dedup_lsh": _emb_plan(ann.embedding_dedup_lsh),
+    "embedding_hubness": _emb_plan(ann.embedding_hubness),
     "embedding_dedup_mp": _emb_plan(ann.embedding_dedup_mp),
     "embedding_dedup_banded": _emb_plan(ann.embedding_dedup_banded),
     "embedding_dedup_collapsed": _emb_plan(ann.embedding_dedup_collapsed),

@@ -2233,7 +2233,153 @@ JOIN win USING (n_name)
 """
 
 
+KENDALL_BAND_CENTS = 5_000_000  # $50k price bands, capped at band 9
+KENDALL_BAND_CAP = 9
+
+
+def orders_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kendall tau-b between order PRIORITY (the 1-5
+    leading digit of o_orderpriority — an ordinal scale) and order value
+    band ($50k bands, capped at 10) — the ORDINAL-association rung of
+    the stats tier (Spearman ranks continuous variables; Kendall's
+    pair-concordance is the right statistic when BOTH variables are
+    coarse ordinal scales with massive tie mass, and its contingency
+    form computes EXACTLY without ever enumerating pairs).
+
+    Pair counting over the <=50-cell contingency table: concordant /
+    discordant mass is a dominance sum over strictly-ordered cell pairs
+    (n_ab * n_cd for x_c > x_a and y_d >< y_b), and the tie terms come
+    from the marginals. The halving in C(n,2) is avoided entirely by
+    DOUBLED pair counts (n0_2 = n(n-1), tx_2 = sum nx(nx-1)):
+    tau_b = 2(C-D)/sqrt((n0_2-tx_2)(n0_2-ty_2)) — every sufficient
+    statistic an exact integer in decimal(38,0)/HUGEINT (products of
+    two cell masses overflow int64 past ~3e9 rows), the final ratio and
+    the normal-approximation z = 3(C-D)/sqrt(n(n-1)(2n+5)/2) one
+    identical double tree per engine, floor-quantized ppm/milli.
+
+    Scale shape: one map-side-combined groupBy to the bounded 5x10
+    grid, a broadcast self-join over <=50 cell rows (bounded
+    nested-loop, allowlisted), marginal sums over <=10-row frames,
+    1-row scalar crosses. Corpus-grain work is exactly one scan+agg.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").alias("x"),
+        F.expr(
+            f"LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            f" div {KENDALL_BAND_CENTS}, {KENDALL_BAND_CAP})"
+        ).alias("y"),
+    )
+    cells = orders.groupBy("x", "y").agg(F.count(F.lit(1)).alias("m"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(F.broadcast(b), F.col("b.x") > F.col("a.x"))
+        .select(
+            F.expr(
+                "CASE WHEN b.y > a.y THEN CAST(a.m AS DECIMAL(38,0)) * b.m"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            ).alias("c"),
+            F.expr(
+                "CASE WHEN b.y < a.y THEN CAST(a.m AS DECIMAL(38,0)) * b.m"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            ).alias("d"),
+        )
+        .agg(
+            F.expr("CAST(COALESCE(SUM(c), 0) AS DECIMAL(38,0))").alias("c_dec"),
+            F.expr("CAST(COALESCE(SUM(d), 0) AS DECIMAL(38,0))").alias("d_dec"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * (m - 1)")).alias("txy2"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("m").alias("nx"))
+        .agg(F.sum(F.expr("CAST(nx AS DECIMAL(38,0)) * (nx - 1)")).alias("tx2"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("m").alias("ny"))
+        .agg(F.sum(F.expr("CAST(ny AS DECIMAL(38,0)) * (ny - 1)")).alias("ty2"))
+    )
+    s = (
+        tot.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    tau = (
+        "(2.0 * (CAST(c_dec AS DOUBLE) - CAST(d_dec AS DOUBLE))"
+        " / NULLIF(sqrt((CAST(n AS DOUBLE) * (n - 1.0) - CAST(tx2 AS DOUBLE))"
+        "               * (CAST(n AS DOUBLE) * (n - 1.0)"
+        "                  - CAST(ty2 AS DOUBLE))), 0.0))"
+    )
+    z = (
+        "(3.0 * (CAST(c_dec AS DOUBLE) - CAST(d_dec AS DOUBLE))"
+        " / NULLIF(sqrt(CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)"
+        "               / 2.0), 0.0))"
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.expr("CAST(c_dec AS BIGINT)").alias("concordant"),
+        F.expr("CAST(d_dec AS BIGINT)").alias("discordant"),
+        F.expr("CAST(tx2 AS BIGINT)").alias("tie_x2"),
+        F.expr("CAST(ty2 AS BIGINT)").alias("tie_y2"),
+        F.expr("CAST(txy2 AS BIGINT)").alias("tie_xy2"),
+        F.expr(f"CAST(FLOOR({tau} * 1000000) AS BIGINT)").alias("tau_b_ppm"),
+        F.expr(f"CAST(FLOOR({z} * 1000) AS BIGINT)").alias("z_milli"),
+    )
+
+
+KENDALL_SQL = f"""
+WITH cells AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS x,
+         LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               // {KENDALL_BAND_CENTS}, {KENDALL_BAND_CAP}) AS y,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM orders GROUP BY 1, 2
+),
+cd AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y
+               THEN CAST(a.m AS HUGEINT) * b.m END), 0) AS HUGEINT) AS c_dec,
+         CAST(COALESCE(SUM(CASE WHEN b.y < a.y
+               THEN CAST(a.m AS HUGEINT) * b.m END), 0) AS HUGEINT) AS d_dec
+  FROM cells a JOIN cells b ON b.x > a.x
+),
+tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n,
+         SUM(CAST(m AS HUGEINT) * (m - 1)) AS txy2
+  FROM cells
+),
+tx AS (
+  SELECT SUM(CAST(nx AS HUGEINT) * (nx - 1)) AS tx2
+  FROM (SELECT x, CAST(SUM(m) AS BIGINT) AS nx FROM cells GROUP BY 1)
+),
+ty AS (
+  SELECT SUM(CAST(ny AS HUGEINT) * (ny - 1)) AS ty2
+  FROM (SELECT y, CAST(SUM(m) AS BIGINT) AS ny FROM cells GROUP BY 1)
+)
+SELECT n AS n_orders,
+       CAST(c_dec AS BIGINT) AS concordant,
+       CAST(d_dec AS BIGINT) AS discordant,
+       CAST(tx2 AS BIGINT) AS tie_x2,
+       CAST(ty2 AS BIGINT) AS tie_y2,
+       CAST(txy2 AS BIGINT) AS tie_xy2,
+       CAST(FLOOR((2.0 * (CAST(c_dec AS DOUBLE) - CAST(d_dec AS DOUBLE))
+            / NULLIF(sqrt((CAST(n AS DOUBLE) * (n - 1.0)
+                           - CAST(tx2 AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * (n - 1.0)
+                             - CAST(ty2 AS DOUBLE))), 0.0))
+            * 1000000) AS BIGINT) AS tau_b_ppm,
+       CAST(FLOOR((3.0 * (CAST(c_dec AS DOUBLE) - CAST(d_dec AS DOUBLE))
+            / NULLIF(sqrt(CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+                          / 2.0), 0.0))
+            * 1000) AS BIGINT) AS z_milli
+FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty
+"""
+
+
 QUERIES = {
+    "orders_kendall_tau": orders_kendall_tau,
     "orders_spearman_corr": orders_spearman_corr,
     "supplier_theil_decomposition": supplier_theil_decomposition,
     "orders_mann_whitney": orders_mann_whitney,
@@ -2266,6 +2412,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_kendall_tau": KENDALL_SQL,
     "orders_spearman_corr": SPEARMAN_SQL,
     "supplier_theil_decomposition": SUPPLIER_THEIL_SQL,
     "orders_mann_whitney": MANN_WHITNEY_SQL,

@@ -161,6 +161,18 @@ _CONFIRMED = {
     # (the other 46 slots re-confirmed r3-era records already listed above).
     "events_cuped_stratified", "events_ab_sequential", "quality_platt_scaling",
     "embedding_dedup_collapsed",
+    # r10 window: CORRECTNESS_r10.json, 50/50 green — the 19 r10 operators
+    # plus 31 rotation slots (4 r3-era + 27 r4-era re-confirmations; the
+    # r4-era keys re-confirmed were already listed above, repeated here
+    # only where new).
+    "orders_durbin_watson", "customer_rfm_transition",
+    "orders_hill_tail_index", "orders_runs_test",
+    "events_interarrival_exponentiality", "events_diff_in_diff",
+    "retrieval_ndcg", "quality_cohen_kappa", "doc_length_kruskal",
+    "doc_burstiness", "source_js_matrix", "documents_ks_drift",
+    "documents_chi2_independence", "vocab_entropy", "orders_spearman_corr",
+    "supplier_theil_decomposition", "orders_mann_whitney",
+    "supplier_gini_by_nation", "dedup_clustering_coefficient",
 }
 
 # Every full-oracle key is officially confirmed (cumulative r02-r08
@@ -180,36 +192,32 @@ _CONFIRMED = {
 # sql_revenue_by_nation, sql_priority_share) to the r10 rotation
 # alongside the r4-era records.
 _RECONFIRM = [
-    # r10 staleness rotation (tools/rotation.py after the r9 fold): the 4
-    # r3-era records the r9 wave displaced, then the 46 oldest r4-era
-    # records. New r10 operators take the window's lead slots
-    # automatically (unconfirmed sorts first), displacing the tail to r11.
-    # With the 19 r10 operators leading, the window is 19 new + the first
-    # 31 entries below; the remaining 19 r4-era tail entries rotate to r11
-    # (rehearsed 0/50 in tools/rehearsal_r10.log).
-    "ann_pq_rerank", "ann_pq_rerank_recall",
-    "sql_revenue_by_nation", "sql_priority_share",
-    # r4-era warehouse/ETL head
-    "customer_entity_resolution", "doc_surrogate_keys",
-    "lineitem_corr_matrix", "orders_scd2", "lineitem_salted_part_revenue",
-    "orders_zorder_layout", "orders_rfm", "doc_split_assign",
-    "doc_stratified_sample", "doc_sample_exact_k", "documents_checksum",
-    "orders_snapshot_diff", "compaction_plan", "orders_dq_expectations",
-    "orders_revenue_trend", "orders_monthly_gapfill", "orders_price_quantiles",
-    "lineitem_manifest_pruning", "bloom_customer_filter", "doc_weighted_sample",
-    "lineitem_scd2_lookup", "orders_profile",
-    # r4-era multimodal
-    "media_metadata", "media_phash_dedup", "media_frame_sample",
-    "media_resize", "media_audio_windows",
-    # r4-era events
+    # r11 staleness rotation (tools/rotation.py after the r10 fold): the
+    # 23 r4-era records the r10 window's 19 new-op leads displaced, then
+    # the 27 oldest r5-era records. New r11 operators take the window's
+    # lead slots automatically (unconfirmed sorts first), displacing the
+    # tail (oldest-first preserved) to r12.
+    # r4-era events tail
     "events_attribution_latency", "sessions_campaign_overlap",
     "events_transition_matrix", "events_user_paths", "events_salted_rollup",
     "events_sliding_trend", "orders_trailing_year", "orders_value_deciles",
-    # r4-era text/retrieval
+    # r4-era text/retrieval tail
     "tfidf_top_terms", "bm25_topk", "bm25_proximity_rerank",
     "term_cooccurrence", "dedup_containment", "doc_cosine_topk",
     "vocab_diff", "vocab_overlap", "fuzzy_word_pairs", "documents_profile",
-    "decontaminate",
+    "decontaminate", "repetition_stats", "pii_scan", "domain_mixture",
+    "dup_ngram_mass",
+    # oldest r5-era records
+    "orders_cohort_ltv", "orders_lineitem_reconcile", "orders_bootstrap_ci",
+    "orders_revenue_ewma", "media_dedup_exact", "events_windowed_funnel",
+    "events_key_skew_report", "events_burst_detection",
+    "events_distinct_sketch", "events_segment_lattice",
+    "events_quantile_sketch", "doc_pack_assign", "doc_length_histogram",
+    "domain_rebalance", "doc_chunks", "text_normalize", "heavy_hitters",
+    "source_lang_drift", "doc_perplexity", "split_leakage",
+    "dup_span_removal", "doc_length_outliers", "doc_curriculum",
+    "retrieval_rrf_fusion", "dsir_importance", "dsir_auc",
+    "doc_ngram_novelty",
 ]
 
 

@@ -192,6 +192,7 @@ def read_tar_corpus(
     """
     import io
     import tarfile
+    import zlib
     from collections.abc import Iterator
 
     import pandas as pd
@@ -241,7 +242,12 @@ def read_tar_corpus(
                                     "text": text,
                                 }
                             )
-                except (tarfile.TarError, EOFError, OSError) as e:
+                # zlib.error: gzip members with a corrupt (non-truncated)
+                # DEFLATE stream raise it directly from the decompressor,
+                # not wrapped in TarError/OSError — without it here one
+                # bad .tar.gz fails the whole executor task instead of
+                # quarantining (ADVICE r10).
+                except (tarfile.TarError, EOFError, OSError, zlib.error) as e:
                     rows.append(
                         {
                             "archive": arch,

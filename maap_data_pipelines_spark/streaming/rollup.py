@@ -525,6 +525,16 @@ def streaming_gap_histogram(
     ``exponentiality_from_vals`` readout is byte-identical to the
     registered batch query (pinned). Exactly-once via the namespaced
     applied-batch-id guard riding the same commit.
+
+    Late-delivery guard (ADVICE r10): a batch arriving BEHIND a user's
+    persisted cursor would produce a negative boundary gap (bucketed to
+    negative minutes) and a regressed cursor — silent histogram
+    corruption. Negative boundary gaps are therefore QUARANTINED into
+    one additive ``late:count`` state row (kind ``late`` — the readout
+    filters kind ``hist`` and never sees it; monitors alert on it), and
+    the cursor advances with GREATEST(batch last, persisted last) so it
+    never regresses. Gaps INSIDE a late batch still enter via the lag
+    pass — only the cross-batch boundary is order-sensitive.
     """
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -557,13 +567,25 @@ def streaming_gap_histogram(
             hist_prior = prior.filter(F.col("kind") == "hist").select(
                 F.col("g").alias("g_p"), F.col("cnt").alias("c_p")
             )
+            late_prior = prior.filter(F.col("kind") == "late").select(
+                F.col("cnt").alias("l_p")
+            )
         else:
             cursors = spark.createDataFrame([], "u_p long, last_p long")
             hist_prior = spark.createDataFrame([], "g_p long, c_p long")
-        boundary = (
+            late_prior = spark.createDataFrame([], "l_p long")
+        # A late batch (events older than a user's persisted cursor)
+        # makes the boundary gap NEGATIVE; folded in it would bucket to
+        # negative minutes and silently corrupt the histogram the
+        # exponentiality readout fits (ADVICE r10). Quarantine: late
+        # boundary gaps are COUNTED under their own state kind (the
+        # readout filters kind == 'hist', so the fit never sees them)
+        # and the cursor only ever advances (greatest below).
+        boundary_all = (
             per_user.join(cursors, per_user.user_id == cursors.u_p)
             .select((F.col("first_ts") - F.col("last_p")).alias("gap_us"))
         )
+        boundary = boundary_all.filter(F.col("gap_us") >= 0)
         gaps = (
             lagged.filter(F.col("gap_us").isNotNull())
             .select("gap_us")
@@ -586,16 +608,45 @@ def streaming_gap_histogram(
                 F.lit(None).cast("long").alias("last_ts_us"),
             )
         )
-        cursor_rows = per_user.select(
-            F.concat(F.lit("last:"), F.col("user_id")).alias("key"),
-            F.lit("last").alias("kind"),
-            F.lit(None).cast("long").alias("g"),
-            F.lit(None).cast("long").alias("cnt"),
-            "user_id",
-            F.col("last_ts_b").alias("last_ts_us"),
+        # the quarantine counter rides the SAME commit: one additive
+        # 'late' row (batch negatives + prior count), emitted only when
+        # non-zero so replay-guarded exactly-once still holds
+        late_rows = (
+            boundary_all.filter(F.col("gap_us") < 0)
+            .agg(F.count(F.lit(1)).alias("l_b"))
+            .crossJoin(
+                F.broadcast(late_prior.agg(F.sum("l_p").alias("l_p_sum")))
+            )
+            .select(
+                F.lit("late:count").alias("key"),
+                F.lit("late").alias("kind"),
+                F.lit(None).cast("long").alias("g"),
+                (
+                    F.col("l_b") + F.coalesce("l_p_sum", F.lit(0).cast("long"))
+                ).alias("cnt"),
+                F.lit(None).cast("long").alias("user_id"),
+                F.lit(None).cast("long").alias("last_ts_us"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        # cursors only ADVANCE: a late batch must not regress a user's
+        # persisted last-ts (the other half of the same corruption)
+        cursor_rows = (
+            per_user.join(cursors, per_user.user_id == cursors.u_p, "left")
+            .select(
+                F.concat(F.lit("last:"), F.col("user_id")).alias("key"),
+                F.lit("last").alias("kind"),
+                F.lit(None).cast("long").alias("g"),
+                F.lit(None).cast("long").alias("cnt"),
+                "user_id",
+                F.greatest(
+                    F.col("last_ts_b"),
+                    F.coalesce("last_p", F.col("last_ts_b")),
+                ).alias("last_ts_us"),
+            )
         )
         table.merge_upsert(
-            hist_rows.unionByName(cursor_rows),
+            hist_rows.unionByName(cursor_rows).unionByName(late_rows),
             key="key",
             meta={"gaphist_batch_id": batch_id},
         )

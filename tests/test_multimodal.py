@@ -508,6 +508,171 @@ def _make_bmp(
     return header + info + bytes(body)
 
 
+def _lzw_literal_stream(indices, mcs: int) -> bytes:
+    """GIF LZW stream of pure LITERAL codes, tracking the decoder's
+    dictionary growth so the code-width bumps line up exactly (the
+    'uncompressed GIF' encoder technique)."""
+    clear = 1 << mcs
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, cs):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = mcs + 1
+    dict_len = clear + 2
+    emit(clear, code_size)
+    first = True
+    for px in indices:
+        emit(int(px), code_size)
+        if first:
+            first = False
+        else:
+            dict_len += 1
+            if dict_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    interlaced: bool = False,
+    version: bytes = b"GIF89a",
+    local_ct: bool = False,
+    with_gce: bool = False,
+) -> bytes:
+    """Encode an (h, w) palette-index grid + (n, 3) RGB palette as a
+    real GIF (literal-code LZW, optional interlace / local color table /
+    graphic-control extension)."""
+    import struct
+
+    h, w = idx.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    ct = bytes(
+        int(v)
+        for row in list(palette) + [(0, 0, 0)] * (size - n)
+        for v in row[:3]
+    )
+    mcs = max(2, bits)
+    out = bytearray(version)
+    gct_flag = 0 if local_ct else 0x80
+    out += struct.pack("<HHBBB", w, h, gct_flag | (bits - 1), 0, 0)
+    if not local_ct:
+        out += ct
+    if with_gce:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE + terminator
+    ipacked = (0x80 | (bits - 1) if local_ct else 0) | (0x40 if interlaced else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if local_ct:
+        out += ct
+    rows = []
+    if interlaced:
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            rows.extend(range(start, h, step))
+    else:
+        rows = list(range(h))
+    flat = np.concatenate([idx[r] for r in rows]).astype(np.int64)
+    stream = _lzw_literal_stream(flat, mcs)
+    out.append(mcs)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_media_real_gif_roundtrip():
+    """The FOURTH real codec path: stdlib-encoded GIF bytes decode back
+    to the exact palette-expanded RGB pixels — sequential AND interlaced
+    row order, global AND local color tables, GIF87a AND GIF89a, with an
+    extension block in the stream (walked and skipped)."""
+    rng = np.random.RandomState(37)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(9, 7), dtype=np.uint8)
+    want = palette[idx].astype(np.int64).reshape(-1).tolist()
+    for kwargs in (
+        {},
+        {"interlaced": True},
+        {"version": b"GIF87a"},
+        {"local_ct": True},
+        {"with_gce": True},
+        {"interlaced": True, "local_ct": True, "with_gce": True},
+    ):
+        arr = multimodal.decode_media(
+            _make_gif(idx, palette, **kwargs), "image/gif"
+        )
+        assert arr.dtype == np.int64
+        assert arr.tolist() == want, kwargs
+    # a 2-color palette exercises the minimum code size floor (mcs=2)
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx2 = rng.randint(0, 2, size=(5, 11), dtype=np.uint8)
+    arr = multimodal.decode_media(_make_gif(idx2, pal2), "image/gif")
+    assert arr.tolist() == pal2[idx2].astype(np.int64).reshape(-1).tolist()
+
+
+def test_decode_media_gif_gates_and_corruption():
+    """GIF honesty edges: truncated pixel sub-blocks, a bogus block
+    byte, and a truncated color table refuse without allow_stub and
+    byte-passthrough with it."""
+    rng = np.random.RandomState(41)
+    palette = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(6, 6), dtype=np.uint8)
+    good = _make_gif(idx, palette)
+    trunc_px = good[:-12]
+    bad_block = good[:13] + bytes(12) + b"\x99" + good[13 + 12 + 1 :]
+    trunc_ct = good[:16]
+    for bad in (trunc_px, bad_block, trunc_ct):
+        with pytest.raises(Exception):
+            multimodal.decode_media(bad, "image/gif", allow_stub=False)
+        stub = multimodal.decode_media(bad, "image/gif", allow_stub=True)
+        assert stub.tolist() == list(bad)
+
+
+def test_real_gif_through_feature_operators(spark):
+    """End-to-end on REAL GIF bytes through the Arrow-batched feature
+    extractor with allow_stub=False; a PNG of the SAME palette-expanded
+    pixels lands the identical histogram (codec-agnostic contract)."""
+    rng = np.random.RandomState(43)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(4, 5), dtype=np.uint8)
+    rgb = palette[idx].reshape(4, 5 * 3)
+    rows = [
+        (1, "image/gif", 0, 0, 0, bytearray(_make_gif(idx, palette))),
+        (2, "image/png", 0, 0, 0, bytearray(_make_png(rgb, color_type=2))),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, width int, height int, "
+        "n_bytes long, payload binary",
+    )
+    hist = multimodal.extract_feature_histogram(media, allow_stub=False).collect()
+    by_doc = {}
+    for r in hist:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.n_bucket_bytes
+    want = {}
+    for v in rgb.reshape(-1):
+        want[int(v) % multimodal.FEATURE_DIM] = (
+            want.get(int(v) % multimodal.FEATURE_DIM, 0) + 1
+        )
+    assert by_doc[1] == want
+    assert by_doc[2] == want
+
+
 def test_decode_media_real_bmp_roundtrip():
     """The THIRD real codec path: stdlib-encoded BMP bytes decode back to
     the exact RGB(A) pixels for 24- and 32-bit profiles, bottom-up AND
@@ -641,6 +806,19 @@ def test_probe_media_all_five_containers():
         }, prog
     # grayscale JPEG: 1 component
     assert multimodal.probe_media(_make_jpeg_header(10, 20, 1))["channels"] == 1
+
+    # spec-legal marker-stream noise before SOF (ADVICE r10): 0xFF fill
+    # runs between segments and standalone length-less markers (TEM,
+    # RSTn) must be walked over, not misread as segment headers
+    plain = _make_jpeg_header(640, 480, 3)
+    noisy = plain[:2] + b"\xff\xff\xff" + plain[2:]  # fill run after SOI
+    p = multimodal.probe_media(noisy)
+    assert (p["width"], p["height"], p["ok"]) == (640, 480, True)
+    # TEM (FF01) and RST3 (FFD3) standalone markers injected mid-stream
+    app0_end = 2 + 2 + 2 + 14  # SOI + APP0 marker + len + payload
+    noisy2 = plain[:app0_end] + b"\xff\x01" + b"\xff\xd3" + plain[app0_end:]
+    p = multimodal.probe_media(noisy2)
+    assert (p["width"], p["height"], p["channels"], p["ok"]) == (640, 480, 3, True)
 
     p = multimodal.probe_media(_make_gif_header(320, 200, 8))
     assert (p["container"], p["width"], p["height"], p["bits"], p["ok"]) == (

@@ -68,6 +68,9 @@ _BNLJ_ALLOWED = {
     # 1-row scalar combine: n_docs x sum_both x sum_minhash x sum_simhash
     # (four aggregate rows crossed to one summary row)
     "dedup_rand_index",
+    # <=50-cell contingency dominance self-join (strict inequality on the
+    # 5x10 grid) + 1-row scalar crosses — bounded grain by construction
+    "orders_kendall_tau",
     # single-row scalar-subquery broadcasts (TPC-H Q11/Q15/Q22 shape):
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",

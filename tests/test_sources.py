@@ -245,6 +245,19 @@ def test_read_tar_corpus_roundtrip_and_quarantine(spark, tmp_path):
     ])
     make_tar(d / "b.tar.gz", [("z.txt", b"gzipped member")], gz=True)
     (d / "corrupt.tar").write_bytes(b"definitely not a tar archive")
+    # corrupt DEFLATE body under a valid gzip header: tarfile's gzip
+    # reader raises zlib.error (not TarError/OSError) mid-read — must
+    # quarantine, not fail the task (ADVICE r10)
+    good_gz = io.BytesIO()
+    with tarfile.open(fileobj=good_gz, mode="w:gz") as tf:
+        info = tarfile.TarInfo("deep.txt")
+        payload = b"y" * 2048
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    gz_bytes = bytearray(good_gz.getvalue())
+    for i in range(20, len(gz_bytes) - 8):
+        gz_bytes[i] ^= 0xFF  # scramble the deflate stream, keep the header
+    (d / "baddeflate.tar.gz").write_bytes(bytes(gz_bytes))
 
     rows = read_tar_corpus(
         spark, str(d), max_member_bytes=1024
@@ -262,6 +275,8 @@ def test_read_tar_corpus_roundtrip_and_quarantine(spark, tmp_path):
     assert gz.ok and gz.text == "gzipped member"
     quar = by[("corrupt.tar", None)]
     assert not quar.ok and quar.err
+    bad_deflate = by[("baddeflate.tar.gz", None)]
+    assert not bad_deflate.ok and bad_deflate.err
     # the dir entry produced no row
     assert ("a.tar", "docs/") not in by
-    assert len(rows) == 6
+    assert len(rows) == 7

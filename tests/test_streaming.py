@@ -1663,3 +1663,56 @@ def test_streaming_gap_histogram_matches_batch_readout(spark, tmp_path):
     streaming_gap_histogram(spark, str(src), t, ckpt).awaitTermination(120)
     got2 = gap_histogram_readout(spark, t).collect()
     assert [tuple(r) for r in got2] == [tuple(r) for r in want]
+
+
+def test_streaming_gap_histogram_late_batch_quarantine(spark, tmp_path):
+    """ST20 late-delivery guard (ADVICE r10): a batch older than a
+    user's persisted cursor must NOT bucket a negative boundary gap
+    into the histogram nor regress the cursor — the negative gap is
+    counted under the quarantine kind 'late' (invisible to the
+    readout) and the cursor folds with GREATEST."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.streaming.rollup import (
+        streaming_gap_histogram,
+    )
+    from maap_data_pipelines_spark.table import VersionedTable
+
+    def ev(i, hh, mm):
+        return {"event_id": i, "ts": f"2024-01-01T{hh:02d}:{mm:02d}:00",
+                "user_id": 1, "event_type": "view", "value": 1.0,
+                "props": "{}"}
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    base = _t.time() - 600
+    # batch 0: 10:00, 10:07 -> one 7-minute gap, cursor at 10:07
+    _write_events(src / "00.json", [ev(1, 10, 0), ev(2, 10, 7)])
+    os.utime(src / "00.json", (base, base))
+    # batch 1 (LATE): 09:00, 09:03 -> internal 3-minute gap enters;
+    # boundary gap 09:00 - 10:07 is negative -> quarantined
+    _write_events(src / "01.json", [ev(3, 9, 0), ev(4, 9, 3)])
+    os.utime(src / "01.json", (base + 10, base + 10))
+
+    t = VersionedTable(str(tmp_path / "late_state"))
+    ckpt = str(tmp_path / "late_ckpt")
+    streaming_gap_histogram(spark, str(src), t, ckpt).awaitTermination(120)
+
+    state = t.read(spark)
+    hist = {r.g: r.cnt for r in state.filter(F.col("kind") == "hist").collect()}
+    assert hist == {7: 1, 3: 1}  # no negative bucket
+    late = state.filter(F.col("kind") == "late").collect()
+    assert len(late) == 1 and late[0].cnt == 1 and late[0].key == "late:count"
+    cur = state.filter(F.col("kind") == "last").collect()
+    assert len(cur) == 1
+    # cursor did NOT regress to the late batch's 09:03
+    import datetime as _dt
+
+    want_us = int(
+        _dt.datetime(2024, 1, 1, 10, 7, tzinfo=_dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    assert cur[0].last_ts_us == want_us
