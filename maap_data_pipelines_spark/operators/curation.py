@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
+from ..functions.joins import scale_pin
 
 # ---------------------------------------------------------------------------
 # Decontamination: n-gram overlap against a held-out benchmark slice.
@@ -453,8 +454,10 @@ def dup_ngram_mass(docs: DataFrame) -> DataFrame:
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("ddf"))
     )
+    # df_ is shingle-grain — same mis-broadcast hazard as
+    # doc_ngram_novelty's pioneer join (r11): merge-pin past the gate
     return (
-        occ.join(df_, "g")
+        occ.join(scale_pin(df_, docs.count()), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -535,7 +538,9 @@ def dup_span_removal(docs: DataFrame) -> DataFrame:
         .filter(F.col("ddf") >= 2)
     )
     rem = (
-        occ.join(keep, "g")
+        # keep is dup-shingle-grain (corpus-scaled): merge-pin past the
+        # gate, same rationale as doc_ngram_novelty (r11)
+        occ.join(scale_pin(keep, docs.count()), "g")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", "start", (F.col("start") + n - 1).alias("end"))
     )
@@ -1257,8 +1262,13 @@ def doc_ngram_novelty(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     pioneer = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # pioneer is SHINGLE-grain (scales with the corpus, not a dim): the
+    # static planner's size estimate under explode+distinct+agg sits
+    # under the broadcast threshold long after the driver-side build
+    # stops fitting (the r11 300x curation_yield_report OOM traced to
+    # exactly this join) — merge-pin it past the size gate
     return (
-        sh.join(pioneer, "g")
+        sh.join(scale_pin(pioneer, docs.count()), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

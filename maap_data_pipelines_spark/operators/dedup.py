@@ -1993,8 +1993,13 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
     against the brute-force STRING oracle at every test scale. A length filter
     (t*|a| <= |b| <= |a|/t, exact in int64 for t=1/2) prunes candidates
     before verification; verification counts true intersections by
-    joining the candidate pairs back to the FULL postings — work
-    proportional to candidates * doc size, never all-pairs.
+    joining each candidate pair to the two docs' COMPACT hash-set
+    arrays (doc-grain rows, one per doc) and intersecting JVM-side —
+    work proportional to candidates * doc size inside the intersect
+    kernel, but the SHUFFLED intermediate is candidate-grain, never
+    posting-grain (the r11 300x runs showed the posting-grain
+    alternative — pairs x postings, ~5e9 rows — writing ~190 GB of
+    shuffle and filling the disk; the array form shuffles ~93M rows).
 
     Scale shape: df is a map-side-combined shingle count; per-doc rank is
     a doc_id-partitioned window (doc-sized partitions); candidates come
@@ -2084,17 +2089,35 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
         )
         .distinct()
     )
-    pa, pb = shh.alias("pa"), shh.alias("pb")
+    # verification sets: one sorted h1 array per doc (~52 int64s; h1
+    # alone is 60 bits — a within-pair collision needs two distinct
+    # shingles of the SAME pair to share h1, ~5e3/2^61 per pair, ~2e-7
+    # across 1e8 candidates — negligible and verified exact against the
+    # string-keyed brute oracle at every test scale)
+    sets = shh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h1")).alias("hs")
+    )
+    sa = sets.select(F.col("doc_id").alias("da2"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col("doc_id").alias("db2"), F.col("hs").alias("hs_b"))
+    # the sets joins stay shuffle_hash at EVERY scale: the build side is
+    # the doc-grain sets frame (per-partition build ~n_docs/partitions
+    # rows — 20 MB/task at 1.5M docs/32 partitions), while sort-merge
+    # would external-sort the array-carrying candidate stream (~40 GB at
+    # 300x — the r11 SPILL_OOM); a doc-grain build side is exactly what
+    # shuffle_hash is for, unlike the posting-grain relation that
+    # motivated the size gate
     common = (
-        cand.hint(jh).join(pa, F.col("pa.doc_id") == F.col("doc_a"))
-        .join(
-            pb.hint(jh),
-            (F.col("pb.doc_id") == F.col("doc_b"))
-            & (F.col("pb.h1") == F.col("pa.h1"))
-            & (F.col("pb.h2") == F.col("pa.h2")),
+        cand.join(sa.hint("shuffle_hash"), F.col("da2") == F.col("doc_a"))
+        .join(sb.hint("shuffle_hash"), F.col("db2") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            .cast("long")
+            .alias("n_common"),
         )
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
         common.filter(F.expr("2 * n_common >= size_a + size_b - n_common"))

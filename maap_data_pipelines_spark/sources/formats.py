@@ -266,3 +266,104 @@ def read_tar_corpus(
             )
 
     return blobs.mapInPandas(_extract, ARCHIVE_MEMBER_SCHEMA)
+
+
+def read_zip_corpus(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_member_bytes: int = 16 * 1024 * 1024,
+) -> DataFrame:
+    """Distributed zip corpus ingestion — read_tar_corpus's contract for
+    the OTHER archive container crawl dumps and dataset mirrors ship.
+
+    Same schema, same quarantine semantics: one binaryFile row per
+    archive (zip's central directory makes members seekable, but the
+    parallel unit at corpus scale is still the ARCHIVE — a 100 TB
+    corpus is many zips), Arrow-batched ``mapInPandas`` extraction with
+    the stdlib ``zipfile`` module. Per member: oversized members skip
+    with ok=false (size gate reads the header's UNCOMPRESSED size, so a
+    zip bomb is refused before inflation), non-UTF8 decodes lossily
+    with the err flag, directories skip silently, and a corrupt archive
+    OR a member whose deflate stream is corrupt (zipfile raises
+    BadZipFile / zlib.error / OSError) yields one ok=false row instead
+    of failing the task. CRC mismatches surface as BadZipFile from
+    zipfile's read path and quarantine the same way.
+    """
+    import io
+    import zipfile
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    blobs = reader.load(path).select("path", "content")
+
+    def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                arch = r["path"]
+                try:
+                    with zipfile.ZipFile(
+                        io.BytesIO(bytes(r["content"]))
+                    ) as zf:
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            if info.file_size > max_member_bytes:
+                                rows.append(
+                                    {
+                                        "archive": arch,
+                                        "member": info.filename,
+                                        "n_bytes": int(info.file_size),
+                                        "ok": False,
+                                        "err": "member exceeds max_member_bytes",
+                                        "text": None,
+                                    }
+                                )
+                                continue
+                            raw = zf.read(info)
+                            try:
+                                text, err = raw.decode("utf-8"), None
+                            except UnicodeDecodeError:
+                                text = raw.decode("utf-8", errors="replace")
+                                err = "lossy utf-8 decode"
+                            rows.append(
+                                {
+                                    "archive": arch,
+                                    "member": info.filename,
+                                    "n_bytes": int(info.file_size),
+                                    "ok": True,
+                                    "err": err,
+                                    "text": text,
+                                }
+                            )
+                except (
+                    zipfile.BadZipFile,
+                    zipfile.LargeZipFile,
+                    EOFError,
+                    OSError,
+                    zlib.error,
+                ) as e:
+                    rows.append(
+                        {
+                            "archive": arch,
+                            "member": None,
+                            "n_bytes": None,
+                            "ok": False,
+                            "err": f"{type(e).__name__}: {e}"[:200],
+                            "text": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "archive", "member", "n_bytes", "ok", "err", "text",
+                ],
+            )
+
+    return blobs.mapInPandas(_extract, ARCHIVE_MEMBER_SCHEMA)

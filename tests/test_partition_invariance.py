@@ -142,6 +142,15 @@ KEYS = [
     "events_interarrival_exponentiality",
     # the per-rank quantized gain folds over BOTH ranking windows
     "retrieval_ndcg",
+    # r11 wave: running-hit precision folds over the ranking window, the
+    # bounded contingency dominance join, the doubled count-distribution
+    # median/MAD picks, vocab-grain c·ln c folds, and the bucketed top-k
+    # in-degree histogram (per-source rank tie-breaks)
+    "retrieval_map",
+    "orders_kendall_tau",
+    "lineitem_mad_outliers",
+    "corpus_bigram_entropy",
+    "embedding_hubness",
 ]
 
 

@@ -71,6 +71,11 @@ _BNLJ_ALLOWED = {
     # <=50-cell contingency dominance self-join (strict inequality on the
     # 5x10 grid) + 1-row scalar crosses — bounded grain by construction
     "orders_kendall_tau",
+    # 1-row aggregate-scalar crosses (sufficient-statistic combines),
+    # the dedup_rand_index class
+    "corpus_bigram_entropy",
+    "retrieval_map",
+    "embedding_hubness",
     # single-row scalar-subquery broadcasts (TPC-H Q11/Q15/Q22 shape):
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",

@@ -1889,3 +1889,235 @@ def test_retrieval_ndcg_replica_and_misordering(spark, sf_dir):
     top0 = [r.doc_id for r in bm25_topk(spam).collect() if r.query_id == 0]
     assert top0[0] == 2  # the spam doc really does win rank 1
     assert r0.ndcg_ppm < 1_000_000  # and NDCG flags the misordering
+
+
+def test_retrieval_map_replica_and_buried_relevant(spark, sf_dir):
+    """AP@10/MAP == a pure-Python replica of the quantized precision
+    sums over the engine's own BM25 ranking (binary rel = doc carries
+    >= 2 distinct query terms); a planted corpus where tf-spam buries
+    the second relevant doc below rank 10 drops AP below 1e6."""
+    from maap_data_pipelines_spark.operators.text import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        MAP_REL_MIN_TERMS,
+        bm25_topk,
+        retrieval_map,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {r.query_id: r for r in retrieval_map(docs).collect()}
+    ranked = bm25_topk(docs).collect()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    terms = {qid: set(ts) for qid, ts in BM25_QUERIES}
+
+    def is_rel(qid, did):
+        return len(terms[qid] & set(texts[did].lower().split())) >= MAP_REL_MIN_TERMS
+
+    aps = []
+    for qid in sorted(terms):
+        n_rel_total = sum(1 for did in texts if is_rel(qid, did))
+        hits = 0
+        sum_p = 0
+        for r in sorted(
+            (r for r in ranked if r.query_id == qid), key=lambda r: r.rnk
+        ):
+            if is_rel(qid, r.doc_id):
+                hits += 1
+                sum_p += (hits * 1_000_000) // r.rnk
+        denom = min(n_rel_total, BM25_TOPK)
+        ap = sum_p // denom if denom else None
+        g = got[qid]
+        assert (g.n_rel_total, g.n_rel_topk, g.sum_p_micro) == (
+            n_rel_total, hits, sum_p,
+        ), qid
+        assert g.ap_micro == ap, qid
+        aps.append(ap or 0)
+    assert got[0].map_micro == sum(aps) // len(aps)
+
+    # planted (the ndcg misordering corpus): the ONLY rel-2 doc for
+    # query 0 is length-penalized below a saturated-tf rel-1 spam doc,
+    # so its hit precision lands at rank >= 2 -> AP@10 < 1e6
+    long_tail = " ".join(f"pad{i}" for i in range(50))
+    rows = [(0, "hash join " + long_tail, "en", "s", 400),
+            (2, "hash hash hash hash", "en", "s", 19)]
+    rows += [(10 + i, f"join w{i} w{i+1} w{i+2}", "en", "s", 20) for i in range(40)]
+    spam = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r0 = {r.query_id: r for r in retrieval_map(spam).collect()}[0]
+    assert r0.n_rel_total == 1 and r0.n_rel_topk == 1
+    assert r0.ap_micro is not None and r0.ap_micro < 1_000_000
+
+
+def test_kendall_tau_replica_and_planted_monotone(spark, sf_dir, tmp_path):
+    """tau-b sufficient statistics == a pure-Python pair-count replica
+    over the same (priority digit, price band) grid; a planted
+    perfectly-monotone orders table reads tau_b_ppm ~ 1e6."""
+    from maap_data_pipelines_spark.plans.tpch2 import (
+        KENDALL_BAND_CAP,
+        KENDALL_BAND_CENTS,
+        orders_kendall_tau,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    got = orders_kendall_tau(spark, sf_dir).collect()[0]
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    from collections import Counter
+
+    cells = Counter()
+    for r in orders:
+        x = int(r.o_orderpriority[0])
+        y = min(round(r.o_totalprice * 100) // KENDALL_BAND_CENTS, KENDALL_BAND_CAP)
+        cells[(x, y)] += 1
+    C = D = 0
+    items = list(cells.items())
+    for (xa, ya), ma in items:
+        for (xb, yb), mb in items:
+            if xb > xa and yb > ya:
+                C += ma * mb
+            elif xb > xa and yb < ya:
+                D += ma * mb
+    n = sum(cells.values())
+    nx = Counter()
+    ny = Counter()
+    for (x, y), m in cells.items():
+        nx[x] += m
+        ny[y] += m
+    tx2 = sum(v * (v - 1) for v in nx.values())
+    ty2 = sum(v * (v - 1) for v in ny.values())
+    assert (got.n_orders, got.concordant, got.discordant) == (n, C, D)
+    assert (got.tie_x2, got.tie_y2) == (tx2, ty2)
+    import math
+
+    tau = 2.0 * (C - D) / math.sqrt(
+        (n * (n - 1.0) - tx2) * (n * (n - 1.0) - ty2)
+    )
+    assert got.tau_b_ppm == math.floor(tau * 1_000_000)
+
+    # planted monotone: priority digit and price rise together
+    import pandas as pd
+
+    d = tmp_path / "kt"
+    d.mkdir()
+    rows = []
+    for i in range(200):
+        p = i % 5 + 1
+        rows.append(
+            {"o_orderkey": i, "o_custkey": 1, "o_orderstatus": "F",
+             "o_totalprice": float(p * 60_000), "o_orderdate": "1996-01-01",
+             "o_orderpriority": f"{p}-X", "o_clerk": "c", "o_shippriority": 0,
+             "o_comment": ""}
+        )
+    pd.DataFrame(rows).to_parquet(d / "orders.parquet")
+    got2 = orders_kendall_tau(spark, str(d)).collect()[0]
+    assert got2.discordant == 0 and got2.tau_b_ppm >= 999_000
+
+
+def test_mad_outliers_replica(spark, sf_dir):
+    """Per-group doubled median / doubled MAD / fence counts == a numpy
+    replica over the same cents values."""
+    import numpy as np
+
+    from maap_data_pipelines_spark.plans.etl import lineitem_mad_outliers
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    got = {r.returnflag: r for r in lineitem_mad_outliers(spark, sf_dir).collect()}
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            int(round(r.l_extendedprice * 100))
+        )
+    for flag, vals in groups.items():
+        v = np.sort(np.array(vals, dtype=np.int64))
+        n = len(v)
+        med2 = int(v[(n + 1) // 2 - 1]) + int(v[n // 2])
+        d2 = np.sort(np.abs(2 * v - med2))
+        mad4 = int(d2[(n + 1) // 2 - 1]) + int(d2[n // 2])
+        n_out = int((2 * np.abs(2 * v - med2) > 3 * mad4).sum())
+        g = got[flag]
+        assert (g.n_rows, g.med2_cents, g.mad4_cents) == (n, med2, mad4), flag
+        assert g.n_outliers == n_out and g.outlier_ppm == n_out * 1_000_000 // n
+
+
+def test_bigram_entropy_replica_and_deterministic_chain(spark, sf_dir):
+    """The three integer sufficient statistics == a pure-Python replica;
+    a perfectly deterministic word chain reads H(W2|W1) = 0 and
+    bigram perplexity exactly 1."""
+    import math
+
+    from maap_data_pipelines_spark.operators.text import corpus_bigram_entropy
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = corpus_bigram_entropy(docs).collect()[0]
+    from collections import Counter
+
+    big = Counter()
+    for r in docs.select("text").collect():
+        ws = r.text.lower().split(" ")
+        for w1, w2 in zip(ws, ws[1:]):
+            big[(w1, w2)] += 1
+    ctx = Counter()
+    w2c = Counter()
+    for (w1, w2), c in big.items():
+        ctx[w1] += c
+        w2c[w2] += c
+
+    def s(counter):
+        return sum(
+            math.floor(c * math.log(c) * 1_000_000) for c in counter.values()
+        )
+
+    n = sum(big.values())
+    assert (got.n_bigrams, got.n_distinct_bigrams, got.n_contexts) == (
+        n, len(big), len(ctx),
+    )
+    assert (got.s_ctx_micro, got.s_big_micro, got.s_w2_micro) == (
+        s(ctx), s(big), s(w2c),
+    )
+    assert got.h_cond_micro_nats == (s(ctx) - s(big)) // n
+
+    chain = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b", "en", "s", 21),
+         (2, "a b c a b c", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    g = corpus_bigram_entropy(chain).collect()[0]
+    assert g.h_cond_micro_nats == 0 and g.ppl_bigram_milli == 1000
+    assert g.mi_micro_nats == g.h_w2_micro_nats
+
+
+def test_embedding_hubness_moments_and_invariants(spark, sf_dir):
+    """Histogram mass equals the corpus size, total in-degree equals the
+    emitted edge count (<= 10 per source), and the crossed scalars
+    (mean/skew) are exactly the quantized moments of the histogram the
+    operator itself emits."""
+    import math
+
+    from maap_data_pipelines_spark.operators.ann import embedding_hubness
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = embedding_hubness(emb).collect()
+    n_vecs = emb.count()
+    hist = {r.k_occurrences: r.n_vecs for r in rows}
+    assert sum(hist.values()) == n_vecs == rows[0].n_total
+    edges = sum(k * c for k, c in hist.items())
+    assert 0 < edges <= 10 * n_vecs
+    s1 = sum(k * c for k, c in hist.items())
+    s2 = sum(k * k * c for k, c in hist.items())
+    s3 = sum(k * k * k * c for k, c in hist.items())
+    m = s1 / n_vecs
+    var = s2 / n_vecs - m * m
+    skew = (s3 / n_vecs - 3.0 * m * s2 / n_vecs + 2.0 * m * m * m) / (
+        math.sqrt(var) * var
+    )
+    for r in rows:
+        assert r.mean_milli == math.floor(m * 1000)
+        assert r.skew_milli == math.floor(skew * 1000)

@@ -280,3 +280,47 @@ def test_read_tar_corpus_roundtrip_and_quarantine(spark, tmp_path):
     # the dir entry produced no row
     assert ("a.tar", "docs/") not in by
     assert len(rows) == 7
+
+
+def test_read_zip_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    """Zip ingestion under the tar reader's contract: members round-trip
+    with exact names/sizes/text; directories skipped; oversized members
+    size-gated from the HEADER (no inflation); corrupt archive AND
+    corrupt-deflate member quarantine as single ok=false rows; non-UTF8
+    decodes lossily with the err flag."""
+    import zipfile
+
+    from maap_data_pipelines_spark.sources.formats import read_zip_corpus
+
+    d = tmp_path / "zips"
+    d.mkdir()
+    with zipfile.ZipFile(d / "a.zip", "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("docs/", "")  # dir entry: skipped
+        zf.writestr("docs/one.txt", "hello world")
+        zf.writestr("docs/big.bin", "x" * 4096)
+        zf.writestr("docs/latin.txt", b"caf\xe9")
+    with zipfile.ZipFile(d / "b.zip", "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("z.txt", "stored member")
+    (d / "corrupt.zip").write_bytes(b"definitely not a zip archive")
+    # valid central directory, scrambled deflate body: zipfile raises
+    # BadZipFile (CRC) or zlib.error mid-read -> must quarantine
+    good = bytearray((d / "a.zip").read_bytes())
+    for i in range(60, 90):
+        good[i] ^= 0xFF
+    (d / "baddeflate.zip").write_bytes(bytes(good))
+
+    rows = read_zip_corpus(spark, str(d), max_member_bytes=1024).collect()
+    by = {(r.archive.rsplit("/", 1)[-1], r.member): r for r in rows}
+
+    one = by[("a.zip", "docs/one.txt")]
+    assert one.ok and one.text == "hello world" and one.n_bytes == 11
+    big = by[("a.zip", "docs/big.bin")]
+    assert not big.ok and big.text is None and "max_member_bytes" in big.err
+    latin = by[("a.zip", "docs/latin.txt")]
+    assert latin.ok and latin.err == "lossy utf-8 decode" and "caf" in latin.text
+    assert by[("b.zip", "z.txt")].text == "stored member"
+    quar = by[("corrupt.zip", None)]
+    assert not quar.ok and quar.err
+    bad = by[("baddeflate.zip", None)]
+    assert not bad.ok and bad.err
+    assert ("a.zip", "docs/") not in by

@@ -57,6 +57,18 @@ def main() -> int:
         if out:
             out.write(line + "\n")
             out.flush()
+        # Per-key isolation: localCheckpoint/persist blocks pin the
+        # unified pool for the SESSION lifetime, so in a one-JVM sweep
+        # every key would otherwise inherit its predecessors' shrunken
+        # pool (r11: curation_yield_report passed when run early in a
+        # sequence and heap-OOMed when run after checkpoint-heavy keys).
+        # Production runs one query per job; measure each key that way.
+        spark.catalog.clearCache()
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:  # noqa: BLE001 - cleanup is best-effort
+            pass
     print(f"# {failures} failures / {executed} keys executed")
     if out:
         out.close()
