@@ -31,16 +31,29 @@ def _to_date_fn(fmt: str):
 
 
 def extracted_dates(filename: Column) -> Column:
-    """Array<date> of all dates found by the first matching strategy."""
-    arrs = [
-        F.transform(F.regexp_extract_all(filename, F.lit(pat), 1), _to_date_fn(fmt))
-        for pat, fmt, _ in STRATEGIES
-    ]
-    out = F.array().cast("array<date>")
-    # fold in reverse so the FIRST strategy wins
-    for arr in reversed(arrs):
-        out = F.when(F.size(arr) > 0, arr).otherwise(out)
-    return out
+    """Array<date> of all dates found by the first matching strategy.
+
+    Cost shape (r11): this subtree is interpreted (higher-order functions
+    are CodegenFallback, so no codegen CSE applies) — every *reference* to
+    a strategy array re-runs its regex over the filename. The original
+    CASE fold (``when(size(a)>0, a)`` per strategy) referenced each array
+    twice and was itself pasted per consumer column. Packing the four
+    candidate arrays into ONE array<array<date>> and taking the first
+    non-empty element references each regex exactly once per instance;
+    consumers additionally alias the result in its own projection (see
+    ``plans/stac.py``) so the whole thing runs once per row, not once per
+    output column.
+    """
+    cands = F.array(
+        *[
+            F.transform(F.regexp_extract_all(filename, F.lit(pat), 1), _to_date_fn(fmt))
+            for pat, fmt, _ in STRATEGIES
+        ]
+    )
+    # try_element_at: NULL (not ANSI error) when no strategy matched
+    first = F.try_element_at(F.filter(cands, lambda a: F.size(a) > 0), F.lit(1))
+    # no strategy matched (or NULL filename) -> empty array, as before
+    return F.coalesce(first, F.array().cast("array<date>"))
 
 
 def extracted_dates_sql(filename_expr: str) -> str:

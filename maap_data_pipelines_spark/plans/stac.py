@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import extracted_dates, extracted_dates_sql
-from ..sources.catalog import read_table
+from ..sources.catalog import fan_out, read_table
 
 SOURCE_BUCKET = "source-store"
 TARGET_BUCKET = "target-store"
@@ -86,7 +86,10 @@ def asset_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``a<orderkey>`` (letter prefix so the digit run is never preceded by
     ``_``/``-`` and cannot shadow the date regex strategies).
     """
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # fan_out: the whole catalog (url assembly + downstream regex date
+    # extraction) is CPU-bound map work; a single-file scan would pin it
+    # to one core (r11; no-op when the scan already has >= cores splits).
+    o = fan_out(read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"))
     key = F.col("o_orderkey")
     d = F.to_date("o_orderdate")
     ext = (
@@ -297,9 +300,14 @@ def extract_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield NULLs instead of raising (documented in module docstring).
     """
     cat = asset_catalog(spark, sf_dir).filter(F.col("ext") != "hdr")
-    dates = extracted_dates(F.col("remote_fileurl"))
+    # Alias the (expensive, interpreted) date extraction in its OWN
+    # projection: CollapseProject keeps a non-cheap alias referenced more
+    # than once un-inlined, so the regex cascade runs once per row instead
+    # of once per consuming column (r11; see functions/dates.py).
+    d = cat.select("asset_id", extracted_dates(F.col("remote_fileurl")).alias("dates"))
+    dates = F.col("dates")
     many = F.size(dates) > 1
-    return cat.select(
+    return d.select(
         "asset_id",
         F.when(many, F.array_min(dates)).alias("start_date"),
         F.when(many, F.array_max(dates)).alias("end_date"),
@@ -331,7 +339,9 @@ def datetime_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass the single date through.
     """
     cat = asset_catalog(spark, sf_dir).filter(F.col("ext") != "hdr")
-    dates = extracted_dates(F.col("remote_fileurl"))
+    # dates aliased in its own projection — single evaluation per row (r11)
+    cat = cat.withColumn("dates", extracted_dates(F.col("remote_fileurl")))
+    dates = F.col("dates")
     single = F.when(F.size(dates) == 1, F.element_at(dates, 1))
     interval = F.when(
         F.col("collection").isin("coll-0", "coll-1"), F.lit("month")
@@ -529,7 +539,9 @@ def build_stac_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.py precedence; media type per extension.
     """
     cat = asset_catalog(spark, sf_dir).filter(F.col("ext") != "hdr")
-    dates = extracted_dates(F.col("remote_fileurl"))
+    # dates aliased in its own projection — single evaluation per row (r11)
+    cat = cat.withColumn("dates", extracted_dates(F.col("remote_fileurl")))
+    dates = F.col("dates")
     many = F.size(dates) > 1
     single = F.when(F.size(dates) == 1, F.element_at(dates, 1))
     fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
@@ -1203,6 +1215,14 @@ def coverage_gaps_from_items(items: DataFrame) -> DataFrame:
     """stac_coverage_gaps' gap scan over a caller-supplied items frame."""
     from pyspark.sql.window import Window
 
+    # No pre-distinct null filter (r11): `isnotnull(d)` was pushed below
+    # the projection and inlined the whole interpreted date-regex cascade
+    # into a per-row Filter (16 regexp_extract_all instances in the plan).
+    # Dropping it is output-identical: a NULL d sorts FIRST within its
+    # collection, so no non-null d ever has a NULL successor, and every
+    # row with d IS NULL dies at `gap_days > GAP_MIN_DAYS` (NULL datediff
+    # compares to NULL -> dropped). Only ~one (collection, NULL) row per
+    # collection transits the distinct/window — noise.
     days = (
         items.select(
             "collection",
@@ -1210,7 +1230,6 @@ def coverage_gaps_from_items(items: DataFrame) -> DataFrame:
                 F.coalesce(F.col("datetime"), F.col("start_datetime")).substr(1, 10)
             ).alias("d"),
         )
-        .filter(F.col("d").isNotNull())
         .distinct()
     )
     w = Window.partitionBy("collection").orderBy("d")

@@ -37,3 +37,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in names or TABLES}
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a low-parallelism scan so CPU-heavy per-row
+    work (regex cascades, shingle hashing, vector math) uses every core.
+
+    Scale-adaptive by construction (guide §2/§6): the gate reads the
+    partition count the scan planner actually produced. At production
+    scale a table is thousands of splits >= defaultParallelism and this
+    is a NO-OP — no Exchange is added, nothing extra ships. Only when the
+    planner yields fewer partitions than cores (small files, single
+    row-group parquet — exactly the local bench layout, but also any
+    small dimension feed on a real cluster) does the one cheap shuffle of
+    a tiny input buy a cluster-wide map stage. Round-robin repartition is
+    deterministic under retry (sortBeforeRepartition, SPARK-23207) and
+    every consumer of this helper is partition-count-invariant (grouped
+    aggregations / equi-joins; no rand()/partition-id dependence).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
