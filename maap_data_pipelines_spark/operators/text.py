@@ -14,8 +14,12 @@ side casts to long — the driver's value hash is Arrow-type-sensitive).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..functions.hashing import MERSENNE_31, md5_long, md5_long_sql
 
@@ -1803,6 +1807,63 @@ QUERY_SQL["retrieval_rrf_fusion"] = RETRIEVAL_RRF_FUSION_SQL
 MMR_K = 5  # diversified picks per query (greedy rounds, unrolled)
 
 
+def _mmr_greedy(cl, sl):
+    """Greedy MMR over one query's pool: list of pick dicts.
+
+    Exact replica of the unrolled-round semantics: pick r maximizes
+    (rel - max_{s in selected} sim, tie -> lowest doc_id); sims are
+    symmetric and default to 0 when no pair row exists (all sims >= 0,
+    so max-with-default-0 equals the old COALESCE(MAX(..), 0)).
+    """
+    rels = {int(c["doc_id"]): int(c["rel"]) for c in cl}
+    sm = {
+        (int(s["da"]), int(s["db"])): int(s["sim"])
+        for s in (sl if sl is not None else [])
+    }
+    selected: list[int] = []
+    rows = []
+    for r in range(1, MMR_K + 1):
+        best = None
+        for d, rv in rels.items():
+            if d in selected:
+                continue
+            ms = max((sm.get((d, s), 0) for s in selected), default=0)
+            key = (ms - rv, d)  # minimize (-mmr, doc_id)
+            if best is None or key < best[0]:
+                best = (key, d, rv, ms)
+        if best is None:
+            break
+        _, d, rv, ms = best
+        selected.append(d)
+        rows.append(
+            {"mmr_rank": r, "doc_id": d, "rel": rv, "max_sim": ms, "mmr": rv - ms}
+        )
+    return rows
+
+
+_MMR_PICK_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("mmr_rank", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("rel", LongType()),
+            StructField("max_sim", LongType()),
+            StructField("mmr", LongType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_MMR_PICK_TYPE)
+def _mmr_greedy_udf(cands: pd.Series, sims: pd.Series) -> pd.Series:
+    return pd.Series([_mmr_greedy(cl, sl) for cl, sl in zip(cands, sims)])
+
+
+# plan control, not semantics (kmeans.quantize_udf pattern): stop
+# Catalyst duplicating the Arrow call around the generate/projection
+_mmr_greedy_udf = _mmr_greedy_udf.asNondeterministic()
+
+
 def retrieval_mmr_topk(docs: DataFrame) -> DataFrame:
     """Maximal-marginal-relevance rerank of the BM25 pool: top-5 DIVERSE.
 
@@ -1822,14 +1883,18 @@ def retrieval_mmr_topk(docs: DataFrame) -> DataFrame:
 
     Scale shape: the corpus-wide stage is bm25_topk's inverted index;
     everything after restricts to the <= topk x queries pool (pairwise
-    sims are pool^2-bounded, the greedy rounds are MMR_K unrolled joins
-    over pool-sized frames). The sequential dependency is inherent to
-    greedy MMR; its cost is bounded by MMR_K, never by corpus size.
+    sims are pool^2-bounded). The greedy's sequential dependency exists
+    ONLY WITHIN a query's <= topk-candidate pool, so it runs as one
+    per-query array pass (collect the pool + its sims per query_id,
+    unroll the MMR_K picks vectorized per row) — queries stay the
+    parallel grain at any corpus size. r11: this replaced MMR_K unrolled
+    rounds of pool-frame joins/windows (63 AQE stage-jobs at sf0.1, all
+    driver-sequential) with two tiny aggregates + one Arrow batch.
     Output: (query_id, mmr_rank, doc_id, rel, max_sim, mmr).
     """
-    from pyspark.sql.window import Window
-
-    pool = bm25_topk(docs).localCheckpoint()  # pool + sims: two consumers
+    # eager=False (r11): the barriers only truncate lineage — no blocking
+    # per-barrier driver job; everything computes in the final action.
+    pool = bm25_topk(docs).localCheckpoint(eager=False)  # pool + sims: two consumers
     pmax = pool.groupBy("query_id").agg(F.max("score").alias("smax"))
     rel = (
         pool.join(F.broadcast(pmax), "query_id")
@@ -1838,7 +1903,6 @@ def retrieval_mmr_topk(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.expr("(score * 1000000) div smax").alias("rel"),
         )
-        .localCheckpoint()
     )
     word = F.explode(words_col(F.lower(F.col("text")))).alias("term")
     tf = (
@@ -1847,7 +1911,7 @@ def retrieval_mmr_topk(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     pool_docs = pool.select("doc_id").distinct()
-    ptf = tf.join(F.broadcast(pool_docs), "doc_id", "left_semi").localCheckpoint()
+    ptf = tf.join(F.broadcast(pool_docs), "doc_id", "left_semi").localCheckpoint(eager=False)
     norms = ptf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("ssq")
     )
@@ -1873,60 +1937,28 @@ def retrieval_mmr_topk(docs: DataFrame) -> DataFrame:
         .join(qd.select(F.col("query_id").alias("qb"), F.col("doc_id").alias("db")), "db")
         .filter(F.col("query_id") == F.col("qb"))
         .select("query_id", "da", "db", "sim")
-        .localCheckpoint()
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("mmr"), "doc_id")
-    selected = (
-        rel.withColumn("max_sim", F.lit(0).cast("long"))
-        .withColumn("mmr", F.col("rel"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    cands = rel.groupBy("query_id").agg(
+        F.collect_list(F.struct("doc_id", "rel")).alias("cands")
+    )
+    simsg = simq.groupBy("query_id").agg(
+        F.collect_list(F.struct("da", "db", "sim")).alias("sims")
+    )
+    picked = (
+        cands.join(simsg, "query_id", "left")
         .select(
             "query_id",
-            F.lit(1).cast("long").alias("mmr_rank"),
-            "doc_id",
-            "rel",
-            "max_sim",
-            "mmr",
+            F.explode(_mmr_greedy_udf(F.col("cands"), F.col("sims"))).alias("p"),
         )
     )
-    for r in range(2, MMR_K + 1):
-        ms = (
-            simq.join(
-                selected.select("query_id", F.col("doc_id").alias("db")),
-                ["query_id", "db"],
-                "left_semi",
-            )
-            .groupBy("query_id", F.col("da").alias("doc_id"))
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        pick = (
-            rel.join(
-                selected.select("query_id", "doc_id"),
-                ["query_id", "doc_id"],
-                "left_anti",
-            )
-            .join(ms, ["query_id", "doc_id"], "left")
-            .select(
-                "query_id",
-                "doc_id",
-                "rel",
-                F.coalesce("max_sim", F.lit(0).cast("long")).alias("max_sim"),
-            )
-            .withColumn("mmr", F.col("rel") - F.col("max_sim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(r).cast("long").alias("mmr_rank"),
-                "doc_id",
-                "rel",
-                "max_sim",
-                "mmr",
-            )
-        )
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected
+    return picked.select(
+        "query_id",
+        F.col("p.mmr_rank").alias("mmr_rank"),
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.rel").alias("rel"),
+        F.col("p.max_sim").alias("max_sim"),
+        F.col("p.mmr").alias("mmr"),
+    )
 
 
 def _mmr_round_sql(r: int) -> str:

@@ -13,21 +13,32 @@ from pyspark.sql import functions as F
 
 from ..functions.joins import scale_pin as _scale_pin
 from ..operators import ann, dedup, kmeans, pq, quant, text
-from ..sources.catalog import read_table
+from ..sources.catalog import fan_out, read_table
 
 
-def _doc_plan(op):
+# fan= per-key choice, A/B-measured at sf0.1 (tools/ab_fanout.py, r11):
+# fan_out pays only when the op does heavy per-row map work BEFORE its
+# first shuffle (shingling over raw text, pairwise vector math); after
+# the first exchange AQE coalesces these small frames to 1 partition
+# anyway, and for tiny inputs (embeddings: 2k rows at sf0.1) the extra
+# round-robin exchange plus 32-way pandas-UDF task overhead LOSES —
+# worst on the driver-synced iterative ops (Lloyd loops). At production
+# scale fan_out is a no-op either way (partition-count gate), so fan=
+# only tunes small-input behavior.
+def _doc_plan(op, fan: bool = True):
     def plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return op(read_table(spark, sf_dir, "documents"))
+        docs = read_table(spark, sf_dir, "documents")
+        return op(fan_out(docs) if fan else docs)
 
     plan.__name__ = op.__name__
     plan.__doc__ = op.__doc__
     return plan
 
 
-def _emb_plan(op):
+def _emb_plan(op, fan: bool = False):
     def plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return op(read_table(spark, sf_dir, "embeddings"))
+        emb = read_table(spark, sf_dir, "embeddings")
+        return op(fan_out(emb) if fan else emb)
 
     plan.__name__ = op.__name__
     plan.__doc__ = op.__doc__
@@ -62,7 +73,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes three existing operators via two hash-key joins; every
     building block keeps its own oracle, and the composition has one.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     quality = text.quality_filter(docs).select(
         "doc_id", F.col("keep").alias("q_ok")
     )
@@ -145,8 +156,8 @@ def doc_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    emb = read_table(spark, sf_dir, "embeddings")
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select("doc_id", "source")
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
     q = emb.select(
         F.col("vec_id").alias("doc_id"),
         kmeans.quantize_udf(F.col("embedding")).alias("qv"),
@@ -236,7 +247,7 @@ def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import curation
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     quality = text.quality_filter(docs).select(
         "doc_id", F.col("keep").alias("q_ok")
     )
@@ -359,7 +370,7 @@ def curation_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return yield_report_from_verdicts(
         corpus_curation_extended(spark, sf_dir),
-        read_table(spark, sf_dir, "documents"),
+        fan_out(read_table(spark, sf_dir, "documents")),
     )
 
 
@@ -432,8 +443,8 @@ LEFT JOIN stale st USING (doc_id)
 
 QUERIES = {
     "corpus_curation": corpus_curation,
-    "dedup_exact": _doc_plan(dedup.dedup_exact),
-    "dedup_incremental": _doc_plan(dedup.dedup_incremental),
+    "dedup_exact": _doc_plan(dedup.dedup_exact, fan=False),
+    "dedup_incremental": _doc_plan(dedup.dedup_incremental, fan=False),
     "dedup_minhash_lsh": _doc_plan(dedup.dedup_minhash_lsh),
     "dedup_simhash": _doc_plan(dedup.dedup_simhash),
     "ngram_jaccard": _doc_plan(dedup.ngram_jaccard),
@@ -483,9 +494,9 @@ QUERIES = {
     "ann_ivfpq_recall": _emb_plan(pq.ann_ivfpq_recall),
     "dedup_minhash_incremental": _doc_plan(dedup.dedup_minhash_incremental),
     "dedup_kcore": _doc_plan(dedup.dedup_kcore),
-    "embedding_knn_accuracy": _emb_plan(kmeans.embedding_knn_accuracy),
-    "embedding_fisher_ratio": _emb_plan(kmeans.embedding_fisher_ratio),
-    "embedding_triplets": _emb_plan(kmeans.embedding_triplets),
+    "embedding_knn_accuracy": _emb_plan(kmeans.embedding_knn_accuracy, fan=True),
+    "embedding_fisher_ratio": _emb_plan(kmeans.embedding_fisher_ratio, fan=True),
+    "embedding_triplets": _emb_plan(kmeans.embedding_triplets, fan=True),
     "embedding_pca_top": _emb_plan(kmeans.embedding_pca_top),
     "doc_embedding_outliers": doc_embedding_outliers,
     "corpus_curation_extended": corpus_curation_extended,
@@ -497,12 +508,12 @@ QUERIES = {
     "ann_bq_rerank_recall": _emb_plan(quant.ann_bq_rerank_recall),
     "cluster_topics": lambda spark, sf_dir: kmeans.cluster_topics(
         read_table(spark, sf_dir, "embeddings"),
-        read_table(spark, sf_dir, "documents"),
+        fan_out(read_table(spark, sf_dir, "documents")),
     ),
     "curation_yield_report": curation_yield_report,
     "dedup_pair_diffstats": _doc_plan(dedup.dedup_pair_diffstats),
     "ann_ivf_nprobe_curve": _emb_plan(ann.ann_ivf_nprobe_curve),
-    "embedding_intrinsic_dim": _emb_plan(kmeans.embedding_intrinsic_dim),
+    "embedding_intrinsic_dim": _emb_plan(kmeans.embedding_intrinsic_dim, fan=True),
     "embedding_silhouette": _emb_plan(kmeans.embedding_silhouette),
     "dedup_threshold_curve": _doc_plan(dedup.dedup_threshold_curve),
     "dedup_prefix_filter": _doc_plan(dedup.dedup_prefix_filter),
