@@ -236,7 +236,9 @@ def dedup_minhash_lsh(
     Unlike cacheManager persist (which leaks — see _minhash_sig),
     checkpoint blocks are freed when the DataFrame is garbage-collected.
     """
-    sig = _minhash_sig(docs, hashed).localCheckpoint()
+    # eager=False (r11): lineage truncation + shared-consumer cache only;
+    # no blocking pre-job — the one consuming action materializes it
+    sig = _minhash_sig(docs, hashed).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
@@ -601,16 +603,23 @@ def connected_components(
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
+
+    def _step(lbls: DataFrame) -> DataFrame:
+        """One propagate + pointer-jump step.
+
+        ``lbls`` is (doc_id, cluster_id[, chg]); the output carries
+        chg = (this step changed anything) OR'd with any incoming chg,
+        so steps chain without a re-join.
+        """
+        carry = "chg" in lbls.columns
         nbr_min = (
-            und.join(labels, und.doc_b == labels.doc_id)
+            und.join(lbls, und.doc_b == lbls.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
-        propagated = labels.join(nbr_min, "doc_id", "left").select(
+        propagated = lbls.join(nbr_min, "doc_id", "left").select(
             "doc_id",
+            *([F.col("chg").alias("chg_in")] if carry else []),
             F.col("cluster_id").alias("old_label"),
             F.least(
                 F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
@@ -624,18 +633,27 @@ def connected_components(
         parent = propagated.select(
             F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
         )
-        new_labels = (
-            propagated.join(parent, propagated.cluster_id == parent.p_id, "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("p_label"), F.col("cluster_id")).alias("cluster_id"),
-                (
-                    F.coalesce(F.col("p_label"), F.col("cluster_id"))
-                    != F.col("old_label")
-                ).alias("chg"),
-            )
-            .localCheckpoint()
+        stepped = (
+            F.coalesce(F.col("p_label"), F.col("cluster_id")) != F.col("old_label")
         )
+        return propagated.join(
+            parent, propagated.cluster_id == parent.p_id, "left"
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("p_label"), F.col("cluster_id")).alias("cluster_id"),
+            ((stepped | F.col("chg_in")) if carry else stepped).alias("chg"),
+        )
+
+    # r11: eager=False — the convergence count materializes the round
+    # barrier in the SAME job (was: blocking checkpoint + count = 2 jobs
+    # per step). A 2-steps-per-count unroll was ALSO measured (extra
+    # post-fixpoint steps are no-ops, labels provably identical) and ran
+    # SLOWER at sf0.1 (5.7 vs 4.8 s: the doubled per-job plan outweighs
+    # the saved driver sync) — documented negative result, not kept.
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        new_labels = _step(labels).localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("chg")).count()
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
@@ -722,7 +740,7 @@ def pagerank_int(und: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg")), "doc_a"
         )
         .select("doc_a", "doc_b", "deg")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
@@ -788,7 +806,7 @@ def dedup_pagerank(docs: DataFrame) -> DataFrame:
     # pipeline runs once, not once per join side
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return pagerank_int(und)
 
 
@@ -820,7 +838,7 @@ def dedup_clusters(
     edges = dedup_minhash_lsh(docs, hashed=hashed).select("doc_a", "doc_b")
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels, _ = connected_components(und, max_iter=max_iter)
     return labels
 
@@ -1243,7 +1261,7 @@ def dedup_triangles(docs: DataFrame) -> DataFrame:
     full value-hash oracle. Cost is bounded by the candidate graph
     (already df-bounded), never the corpus.
     """
-    e = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint()
+    e = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -1317,7 +1335,7 @@ def dedup_clustering_coefficient(docs: DataFrame) -> DataFrame:
     (df-bounded by construction — never corpus²), two node-grain
     aggregates, one ≤12-row histogram aggregate.
     """
-    e = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint()
+    e = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -1440,7 +1458,7 @@ def dedup_minhash_incremental(docs: DataFrame) -> DataFrame:
     n_candidates = 0 and max_est_jaccard = 0.0.
     """
     is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
-    sig = _minhash_sig(docs).localCheckpoint()
+    sig = _minhash_sig(docs).localCheckpoint(eager=False)
     srcs = docs.select("doc_id", "source")
     bands = _explode_bands(sig.join(srcs, "doc_id"), extra_cols=("source",))
     probe = bands.filter(is_batch).select(
@@ -1619,14 +1637,14 @@ def dedup_kcore(docs: DataFrame) -> DataFrame:
     edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(KCORE_ROUNDS):
         deg = und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= KCORE_K).select("doc_a")
         und = (
             und.join(keep, "doc_a")
             .join(keep.select(F.col("doc_a").alias("doc_b")), "doc_b")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     core = und.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("degree")
@@ -1744,7 +1762,7 @@ def dedup_source_modularity(docs: DataFrame) -> DataFrame:
     pipeline is checkpointed so it runs once, and m is a 1-row
     broadcast cross.
     """
-    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint()
+    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
     src = docs.select("doc_id", "source")
     lab = (
         edges.join(
@@ -1854,7 +1872,7 @@ def dedup_threshold_curve(docs: DataFrame) -> DataFrame:
     never corpus²); distinct-doc counting explodes each pair to its two
     endpoints first (2×pairs rows, still candidate-bounded).
     """
-    sig = _minhash_sig(docs).localCheckpoint()
+    sig = _minhash_sig(docs).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
@@ -2193,7 +2211,7 @@ def dedup_label_propagation(docs: DataFrame) -> DataFrame:
         edges.union(
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return label_propagation(und)
 
@@ -2633,7 +2651,7 @@ def pagerank_int_weighted(wedges: DataFrame, iters: int = PR_ITERS) -> DataFrame
     deg = wedges.groupBy("doc_a").agg(F.sum("w").alias("deg"))
     edges = wedges.join(deg, "doc_a").select(
         "doc_a", "doc_b", "w", "deg"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
     base = 15 * PR_SCALE // 100
@@ -2715,7 +2733,7 @@ def dedup_local_bridges(docs: DataFrame) -> DataFrame:
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # common-neighbor pairs: a -> n and b -> n with a < b
     x, y = und.alias("x"), und.alias("y")

@@ -1047,7 +1047,7 @@ def media_phash_dedup(media: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(F.sum("bit").alias("phash"))
-        .localCheckpoint()  # consumed by both sides of the piece self-join
+        .localCheckpoint(eager=False)  # consumed by both sides of the piece self-join
     )
     pieces = bits.select(
         "doc_id",
@@ -1165,7 +1165,7 @@ def media_phash_clusters(media: DataFrame, max_iter: int = 15) -> DataFrame:
     edges = media_phash_dedup(media).select("doc_a", "doc_b")
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels, _ = connected_components(und, max_iter=max_iter)
     return labels
 
