@@ -188,7 +188,7 @@ def train_bpe(docs: DataFrame, n_merges: int = TRAIN_MERGES) -> DataFrame:
         # drop it or it becomes a phantom symbol in every word
         .withColumn("syms", F.array_remove(F.split(F.col("w"), "(?!^)"), ""))
         .select("n", "syms")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     learned = []
     for rank in range(n_merges):
@@ -212,7 +212,7 @@ def train_bpe(docs: DataFrame, n_merges: int = TRAIN_MERGES) -> DataFrame:
         learned.append((rank, a, b, c))
         vocab = vocab.select(
             "n", _merge_pair_udf(a, b)(F.col("syms")).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     spark = docs.sparkSession
     return spark.createDataFrame(
         learned, "merge_rank long, left string, right string, pair_count long"

@@ -963,7 +963,7 @@ def _dsir_feats_scores(docs: DataFrame):
             "doc_id", "source", (md5_long(F.col("tok")) % DSIR_BUCKETS).alias("g")
         )
     )
-    feats = uni.unionAll(bi).localCheckpoint()
+    feats = uni.unionAll(bi).localCheckpoint(eager=False)
     is_t = F.col("source") == DSIR_TARGET_SRC
     tc = feats.filter(is_t).groupBy("g").agg(F.count(F.lit(1)).alias("ct"))
     rc = feats.filter(~is_t).groupBy("g").agg(F.count(F.lit(1)).alias("cr"))
@@ -1547,7 +1547,7 @@ def _nb_scored(docs: DataFrame):
             F.floor(F.col("mean_wlen")).cast("long"),
             F.lit(NB_B_WLEN - 1).cast("long"),
         ).alias("b_wlen"),
-    ).localCheckpoint()  # one label pass feeds priors + 3 tables + scoring
+    ).localCheckpoint(eager=False)  # one label pass feeds priors + 3 tables + scoring
 
     priors = feats.agg(
         F.sum("y").alias("n_pos"),

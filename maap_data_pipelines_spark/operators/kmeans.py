@@ -141,7 +141,7 @@ def _lloyd_centroids(
     """Run Lloyd's rounds; return (checkpointed quantized corpus, centroids)."""
     q = emb.select(
         "vec_id", quantize_udf(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cents = sorted(
         (r.cid, list(r.cv))
         for r in q.filter(F.col("vec_id") < k)
@@ -195,7 +195,7 @@ def semantic_dedup(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> Data
     af = (
         _final_assignment(emb, k=k, iters=iters)
         .select("vec_id", "cid")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     vecs = emb.select("vec_id", "embedding")
     a = af.join(vecs, "vec_id").select(
@@ -577,7 +577,7 @@ def embedding_knn_accuracy(emb: DataFrame) -> DataFrame:
 
     q = emb.select(
         "vec_id", "label", quantize_udf(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ev = q.filter(F.col("vec_id") < KNN_EVAL_N).select(
         F.col("vec_id").alias("eval_id"),
         F.col("label").alias("true_label"),
@@ -665,7 +665,7 @@ def embedding_fisher_ratio(emb: DataFrame) -> DataFrame:
     """
     q = emb.select(
         "label", quantize_udf(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sums = q.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(EMBED_DIM)],
@@ -787,7 +787,7 @@ def embedding_triplets(emb: DataFrame) -> DataFrame:
 
     q = emb.select(
         "vec_id", "label", quantize_udf(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     anchors = q.filter(F.col("vec_id") < TRIPLET_EVAL_N).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
@@ -922,7 +922,7 @@ def embedding_pca_top(emb: DataFrame) -> DataFrame:
         a.join(b, "vec_id")
         .groupBy("d", "e")
         .agg(F.sum(F.col("xd") * F.col("xe")).alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # power iteration: the 64-vector state is a bounded driver round-trip
     # per round (the MLlib iteration shape, like the k-means centroids)
@@ -950,7 +950,7 @@ def embedding_pca_top(emb: DataFrame) -> DataFrame:
 def _micro_with_id(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id", quantize_udf(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
 
 def _pca_sql() -> str:
@@ -1131,7 +1131,7 @@ def embedding_intrinsic_dim(emb: DataFrame) -> DataFrame:
 
     from .pq import _l2_udf  # deferred: pq imports this module
 
-    q = emb.select("vec_id", quantize_udf(F.col("embedding")).alias("qv")).localCheckpoint()
+    q = emb.select("vec_id", quantize_udf(F.col("embedding")).alias("qv")).localCheckpoint(eager=False)
     ev = q.filter(F.col("vec_id") < KNN_EVAL_N).select(
         F.col("vec_id").alias("eval_id"), F.col("qv").alias("qq")
     )
@@ -1332,7 +1332,7 @@ def embedding_centroid_drift(emb: DataFrame) -> DataFrame:
     old = emb.filter(F.col("vec_id") % 2 == 0)
     q_old = old.select(
         "vec_id", quantize_udf(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     seeds = sorted(
         (r.vec_id, list(r.qv))
         for r in q_old.orderBy("vec_id").limit(DRIFT_K).collect()
@@ -1360,7 +1360,7 @@ def embedding_centroid_drift(emb: DataFrame) -> DataFrame:
             )
             for d in range(EMBED_DIM)
         ],
-    ).localCheckpoint()  # totals + displacement both read it
+    ).localCheckpoint(eager=False)  # totals + displacement both read it
     tot = sums.agg(
         F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
     )

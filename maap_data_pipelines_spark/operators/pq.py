@@ -132,7 +132,7 @@ def _encoded(emb: DataFrame):
     """(quantized corpus, trained codebooks, encoded frame vec_id+codes)."""
     q = emb.select(
         "vec_id", quantize_udf(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cb = _train_codebooks(q)
     enc = q.select("vec_id", "qv", _codes_udf(cb)(F.col("qv")).alias("codes"))
     return q, cb, enc
@@ -244,7 +244,7 @@ def ann_pq_rerank(emb: DataFrame) -> DataFrame:
     """
     q = emb.select(
         "vec_id", quantize_udf(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pool = ann_pq_topk(emb, topk=RERANK_POOL).select("query_id", "vec_id")
     qs = q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")

@@ -94,7 +94,7 @@ def ann_sq8_topk(emb: DataFrame, topk: int = IVF_TOPK) -> DataFrame:
     aggregate/sequence column expression per candidate, whole-stage
     codegen end-to-end.
     """
-    q = _micro(emb).localCheckpoint()
+    q = _micro(emb).localCheckpoint(eager=False)
     codes = _dim_codes(q, _SQ8_CODE)
     stats = (
         q.select("vec_id", F.posexplode(F.col("qv")).alias("dim", "x"))
@@ -226,7 +226,7 @@ def ann_bq_rerank(emb: DataFrame, pool: int = BQ_POOL) -> DataFrame:
     family: (query_id, vec_id, dist, rnk).
     """
     cand = ann_bq_topk(emb, topk=pool).select("query_id", "vec_id")
-    q = _micro(emb).localCheckpoint()
+    q = _micro(emb).localCheckpoint(eager=False)
     qs = q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
     )

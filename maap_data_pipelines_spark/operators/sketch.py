@@ -85,7 +85,7 @@ def heavy_hitters(docs: DataFrame) -> DataFrame:
     )
     mg = terms.mapInPandas(
         _mg_partition, schema="term string, np long"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cands = mg.filter(F.col("np").isNull()).select("term").distinct()
     total = mg.groupBy().agg(F.sum("np").alias("total"))
     counts = (
@@ -425,7 +425,7 @@ def theta_overlap(events: DataFrame) -> DataFrame:
             .cast("long")
             .alias("h"),
         )
-        .localCheckpoint()  # three consumers: sketches, exact counts, pairs
+        .localCheckpoint(eager=False)  # three consumers: sketches, exact counts, pairs
     )
     sk = members.withColumn(
         "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))

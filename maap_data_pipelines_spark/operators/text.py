@@ -652,7 +652,7 @@ def doc_cosine_topk(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= DOC_COS_MAX_DF)
         .select("term")
     )
-    tfk = tf.join(kept, "term").localCheckpoint()
+    tfk = tf.join(kept, "term").localCheckpoint(eager=False)
     norms = tfk.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ssq"))
     a = tfk.select("term", F.col("doc_id").alias("da"), F.col("tf").alias("ta"))
     b = tfk.select("term", F.col("doc_id").alias("db"), F.col("tf").alias("tb"))

@@ -3392,7 +3392,7 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
-    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
     classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("c").alias("k")
     )

@@ -3001,7 +3001,7 @@ def events_next_event_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_type",
             (F.col("next_ts") < NEXT_SPLIT_US).alias("is_train"),
         )
-        .localCheckpoint()  # two consumers: model fit + holdout scoring
+        .localCheckpoint(eager=False)  # two consumers: model fit + holdout scoring
     )
     cnt = (
         tr.filter("is_train")

@@ -162,7 +162,7 @@ def doc_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         kmeans.quantize_udf(F.col("embedding")).alias("qv"),
     )
-    j = docs.join(q, "doc_id").localCheckpoint()
+    j = docs.join(q, "doc_id").localCheckpoint(eager=False)
     cents = j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[F.sum(F.col("qv")[d]).alias(f"s{d}") for d in range(kmeans.EMBED_DIM)],
