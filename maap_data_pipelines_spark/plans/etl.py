@@ -26,7 +26,7 @@ from ..functions.hashing import md5_long, md5_long_sql
 from ..operators.entity import ER_SQL, er_dirty_records, resolve_entities
 from ..functions.zorder import zorder_key, zorder_key_sql
 from ..operators.profile import profile_columns, profile_sql
-from ..sources.catalog import read_table
+from ..sources.catalog import fan_out, read_table
 
 ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 
@@ -1217,7 +1217,10 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    orders = read_table(spark, sf_dir, "orders")
+    # fan_out (r11): the B-fold explode + per-replica md5 is ~B x |orders|
+    # string hashes of pure map work — a single small parquet split would
+    # pin all of it to one core (no-op at real scale, see fan_out)
+    orders = fan_out(read_table(spark, sf_dir, "orders"))
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     u = (
         md5_long(
