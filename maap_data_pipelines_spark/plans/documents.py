@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import bpe, curation, dedup, sketch, text
 from ..operators.profile import profile_columns, profile_sql
-from ..sources.catalog import read_table
+from ..sources.catalog import fan_out, read_table
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
@@ -21,9 +21,17 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(read_table(spark, sf_dir, "documents"), DOC_COLS)
 
 
-def _wrap(op):
+# fan= per-key, A/B-measured at sf0.1 (tools/ab_fanout_docs.py, r11):
+# ON only where heavy pre-shuffle map work won the A/B (shingle/regex
+# explosion: containment 4.5->3.9s, dup_span_removal 3.3->2.6,
+# dup_ngram_mass 3.0->2.0, pii_scan 0.5->0.4); every other measured key
+# was neutral or LOST to the extra exchange (dsir_importance 1.2->3.7,
+# tfidf 0.9->1.5, rrf_fusion 2.4->3.9) and stays direct. No-op at real
+# scale either way (fan_out partition-count gate).
+def _wrap(op, fan: bool = False):
     def plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return op(read_table(spark, sf_dir, "documents"))
+        docs = read_table(spark, sf_dir, "documents")
+        return op(fan_out(docs) if fan else docs)
 
     plan.__name__ = op.__name__
     plan.__doc__ = op.__doc__
@@ -43,7 +51,7 @@ QUERIES = {
     "bm25_proximity_rerank": _wrap(text.bm25_proximity_rerank),
     "term_cooccurrence": _wrap(text.term_cooccurrence),
     "doc_keyphrase_rake": _wrap(text.doc_keyphrase_rake),
-    "dedup_containment": _wrap(dedup.dedup_containment),
+    "dedup_containment": _wrap(dedup.dedup_containment, fan=True),
     "doc_cosine_topk": _wrap(text.doc_cosine_topk),
     "bpe_token_stats": _wrap(bpe.bpe_token_stats_gate),
     "bpe_train_merges": _wrap(bpe.bpe_train_gate),
@@ -53,9 +61,9 @@ QUERIES = {
     "documents_profile": documents_profile,
     "decontaminate": _wrap(curation.decontaminate),
     "repetition_stats": _wrap(curation.repetition_stats),
-    "pii_scan": _wrap(curation.pii_scan),
+    "pii_scan": _wrap(curation.pii_scan, fan=True),
     "domain_mixture": _wrap(curation.domain_mixture),
-    "dup_ngram_mass": _wrap(curation.dup_ngram_mass),
+    "dup_ngram_mass": _wrap(curation.dup_ngram_mass, fan=True),
     "doc_pack_assign": _wrap(curation.doc_pack_assign),
     "doc_length_histogram": _wrap(curation.doc_length_histogram),
     "domain_rebalance": _wrap(curation.domain_rebalance),
@@ -65,7 +73,7 @@ QUERIES = {
     "source_lang_drift": _wrap(curation.source_lang_drift),
     "doc_perplexity": _wrap(text.doc_perplexity),
     "split_leakage": _wrap(curation.split_leakage),
-    "dup_span_removal": _wrap(curation.dup_span_removal),
+    "dup_span_removal": _wrap(curation.dup_span_removal, fan=True),
     # r4 additions are APPENDED: documents keys ahead of these fill the
     # in-flight driver window (registry ordering), appended keys rotate in
     # next round
