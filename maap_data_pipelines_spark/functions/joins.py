@@ -38,6 +38,19 @@ def corpus_join_hint(n_rows: int) -> str:
     return "shuffle_hash" if n_rows <= SHUFFLE_HASH_MAX_ROWS else "merge"
 
 
+def corpus_rows(df: DataFrame) -> int:
+    """Exact row count for scale gates / join-strategy pins.
+
+    When ``df`` is a ``sources.catalog.fan_out`` frame, counts the
+    PRE-repartition scan it wraps (``_fanout_base``) — COUNT is
+    repartition-invariant, and the raw parquet count skips the gate
+    job's round-robin exchange + sortBeforeRepartition (guide §2.5:
+    every keyless repartition pays a local sort). Identical value,
+    strictly cheaper at every scale.
+    """
+    return getattr(df, "_fanout_base", df).count()
+
+
 def scale_pin(side: DataFrame, n_rows: int) -> DataFrame:
     """Identity below the gate (let AQE broadcast the genuinely small),
     merge-pinned above it (never a driver-routed corpus broadcast)."""

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
-from ..functions.joins import scale_pin
+from ..functions.joins import corpus_rows, scale_pin
 
 # ---------------------------------------------------------------------------
 # Decontamination: n-gram overlap against a held-out benchmark slice.
@@ -457,7 +457,7 @@ def dup_ngram_mass(docs: DataFrame) -> DataFrame:
     # df_ is shingle-grain — same mis-broadcast hazard as
     # doc_ngram_novelty's pioneer join (r11): merge-pin past the gate
     return (
-        occ.join(scale_pin(df_, docs.count()), "g")
+        occ.join(scale_pin(df_, corpus_rows(docs)), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -540,7 +540,7 @@ def dup_span_removal(docs: DataFrame) -> DataFrame:
     rem = (
         # keep is dup-shingle-grain (corpus-scaled): merge-pin past the
         # gate, same rationale as doc_ngram_novelty (r11)
-        occ.join(scale_pin(keep, docs.count()), "g")
+        occ.join(scale_pin(keep, corpus_rows(docs)), "g")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", "start", (F.col("start") + n - 1).alias("end"))
     )
@@ -1268,7 +1268,7 @@ def doc_ngram_novelty(docs: DataFrame) -> DataFrame:
     # stops fitting (the r11 300x curation_yield_report OOM traced to
     # exactly this join) — merge-pin it past the size gate
     return (
-        sh.join(scale_pin(pioneer, docs.count()), "g")
+        sh.join(scale_pin(pioneer, corpus_rows(docs)), "g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_31, md5_long_sql, minhash_coeffs
 from ..functions.joins import corpus_join_hint as _corpus_join_hint
+from ..functions.joins import corpus_rows as _corpus_rows
 
 NUM_PERM = 64
 BANDS = 16
@@ -935,7 +936,7 @@ def dedup_rand_index(docs: DataFrame, max_iter: int = 15) -> DataFrame:
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    small = docs.count() <= _CONCURRENT_FIXPOINT_MAX_DOCS
+    small = _corpus_rows(docs) <= _CONCURRENT_FIXPOINT_MAX_DOCS
     hashed = _shingle_hashes(docs)
     if small:
         hashed = hashed.localCheckpoint()
@@ -2051,7 +2052,7 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
     # serialized blocks, zero execution-memory pressure, read four
     # times. Fixed-width 120-bit keys: the materialized index carries
     # two int64s per shingle, never the ~60-byte string.
-    n_corpus = docs.count()
+    n_corpus = _corpus_rows(docs)
     h_cols = [
         F.expr(
             "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
@@ -2303,23 +2304,23 @@ def dedup_canonical_election(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("keep").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    ranked = j.withColumn("rnk", F.row_number().over(w))
-    survivors = ranked.filter(F.col("rnk") == 1).select(
-        F.col("cluster_id").alias("s_cluster"),
-        F.col("doc_id").alias("survivor_id"),
+    # r11 (guide §2.4): the survivor used to be extracted with a
+    # row_number window, filtered to rnk=1, and JOINED back onto a second
+    # evaluation of the same window — first_value over the identical
+    # ordered window with a full-partition frame attaches the rank-1
+    # doc_id to every member row in ONE window pass (one sort, no
+    # self-join, one fewer exchange). Same rows, same values: every
+    # cluster has exactly one rank-1 row and the join was 1:N on it.
+    survivor = F.first("doc_id").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return (
-        ranked.join(
-            survivors, ranked.cluster_id == survivors.s_cluster
-        )
-        .select(
-            "doc_id",
-            "cluster_id",
-            "survivor_id",
-            (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
-            F.col("keep").alias("passes_quality"),
-            "n_chars",
-        )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        survivor.alias("survivor_id"),
+        (F.col("doc_id") == survivor).alias("is_survivor"),
+        F.col("keep").alias("passes_quality"),
+        "n_chars",
     )
 
 
@@ -2513,7 +2514,7 @@ def dedup_strategy_comparison(docs: DataFrame) -> DataFrame:
     # (shingle hashes, distinct shingle strings) stay LAZY above the
     # gate: corpus-sized checkpoint stores are themselves the r11 300x
     # OOM; codegen recompute per consumer is linear.
-    small = docs.count() <= _CONCURRENT_FIXPOINT_MAX_DOCS
+    small = _corpus_rows(docs) <= _CONCURRENT_FIXPOINT_MAX_DOCS
 
     def _chain_hash():
         hashed = _shingle_hashes(docs)

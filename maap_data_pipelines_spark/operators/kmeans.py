@@ -135,6 +135,67 @@ def _update(assigned: DataFrame) -> DataFrame:
     return sums.select("cid", cv.alias("cv"))
 
 
+def _lloyd_round(
+    q: DataFrame, cents: list[tuple[int, list[int]]]
+) -> list[tuple[int, list[int]]]:
+    """One Lloyd iteration as ONE single-stage job (r11, guide §1.2/§4.2).
+
+    Value-identical to ``sorted(_update(_assign(q, cents)).collect())``
+    (pinned by tests/test_kmeans.py::test_lloyd_round_matches_unfused):
+    assignment uses the same int64 argmin (ties to lowest cid — centroid
+    rows are cid-sorted), the per-cluster (count, per-dim sum) partials
+    are exact int64 and associative, and the new centroid is the same
+    floor(double(sum) / double(count)) both the old plan and the DuckDB
+    oracle compute. What changes is the MACHINERY: instead of
+    ArrowEvalPython -> partial agg -> Exchange(K x 64 cells) -> final agg
+    -> collect (2+ AQE stage jobs per round), one mapInPandas emits <= K
+    partial rows per partition and the K-row merge runs on the driver —
+    the treeAggregate shape MLlib itself uses. Per-round sync stays K x
+    numPartitions tiny rows regardless of corpus size.
+    """
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    k = len(cids)
+
+    def _partials(batches):
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, EMBED_DIM), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            d = A[:, None, :] - C[None, :, :]
+            j = (d * d).sum(axis=2).argmin(axis=1)
+            counts += np.bincount(j, minlength=k)
+            np.add.at(sums, j, A)
+        nz = np.flatnonzero(counts)
+        if len(nz):
+            yield pd.DataFrame(
+                {"i": nz, "c": counts[nz], "s": [sums[i] for i in nz]}
+            )
+
+    parts = q.select("qv").mapInPandas(
+        _partials, "i long, c long, s array<long>"
+    ).collect()
+    counts = np.zeros(k, dtype=np.int64)
+    sums = np.zeros((k, EMBED_DIM), dtype=np.int64)
+    for r in parts:
+        counts[r.i] += r.c
+        sums[r.i] += np.asarray(r.s, dtype=np.int64)
+    return [
+        (
+            int(cids[i]),
+            [
+                int(x)
+                for x in np.floor(
+                    sums[i].astype(np.float64) / np.float64(counts[i])
+                ).astype(np.int64)
+            ],
+        )
+        for i in np.flatnonzero(counts)
+    ]
+
+
 def _lloyd_centroids(
     emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
@@ -149,9 +210,7 @@ def _lloyd_centroids(
         .collect()
     )
     for _ in range(iters):
-        cents = sorted(
-            (r.cid, list(r.cv)) for r in _update(_assign(q, cents)).collect()
-        )
+        cents = _lloyd_round(q, cents)
     return q, cents
 
 
@@ -922,24 +981,26 @@ def embedding_pca_top(emb: DataFrame) -> DataFrame:
         a.join(b, "vec_id")
         .groupBy("d", "e")
         .agg(F.sum(F.col("xd") * F.col("xe")).alias("c"))
-        .localCheckpoint(eager=False)
     )
-    # power iteration: the 64-vector state is a bounded driver round-trip
-    # per round (the MLlib iteration shape, like the k-means centroids)
-    v = [1] * EMBED_DIM
+    # power iteration (r11): the covariance is DIM x DIM = 4096 bounded
+    # cells, so ONE collect fetches it and the 3 matvec rounds run on the
+    # driver — was 3 driver-synced Spark jobs over the cached 4096-row
+    # frame (guide §1.2: don't pay per-round job machinery for K-row
+    # state). int64 numpy matvec keeps Spark's exact SUM(c * v[e])
+    # semantics within the documented no-overflow headroom; values are
+    # bit-identical (pinned by the oracle and the PCA tests).
+    C = np.zeros((EMBED_DIM, EMBED_DIM), dtype=np.int64)
+    for r in cov.collect():
+        C[r.d, r.e] = r.c
+    v = np.ones(EMBED_DIM, dtype=np.int64)
     for _ in range(PCA_ITERS):
-        vf = F.array(*[F.lit(int(x)).cast("long") for x in v])
-        w = (
-            cov.withColumn("vv", vf)
-            .groupBy("d")
-            .agg(F.sum(F.expr("c * vv[e]")).alias("w"))
-            .collect()
-        )
-        wd = {r.d: r.w for r in w}
-        wvec = [wd.get(d, 0) for d in range(EMBED_DIM)]
-        s = max(abs(x) for x in wvec) or 1
+        wvec = C @ v
+        s = int(np.abs(wvec).max()) or 1
         sv = max(1, s // PCA_VSCALE)
-        v = [x // sv if x >= 0 else -((-x) // sv) for x in wvec]
+        v = np.array(
+            [int(x) // sv if x >= 0 else -((-int(x)) // sv) for x in wvec],
+            dtype=np.int64,
+        )
     spark = emb.sparkSession
     return spark.createDataFrame(
         [(d + 1, int(v[d])) for d in range(EMBED_DIM)],
@@ -1339,9 +1400,7 @@ def embedding_centroid_drift(emb: DataFrame) -> DataFrame:
     )
     cents = [(int(c), v) for c, v in seeds]
     for _ in range(DRIFT_ITERS):
-        cents = sorted(
-            (r.cid, list(r.cv)) for r in _update(_assign(q_old, cents)).collect()
-        )
+        cents = _lloyd_round(q_old, cents)
     q_all = emb.select(
         "vec_id",
         (F.col("vec_id") % 2 == 1).alias("is_new"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.joins import corpus_rows as _corpus_rows
 from ..functions.joins import scale_pin as _scale_pin
 from ..operators import ann, dedup, kmeans, pq, quant, text
 from ..sources.catalog import fan_out, read_table
@@ -93,7 +94,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("near_dup").isNotNull(), "near_dup")
         .otherwise("ok")
     )
-    n_docs = docs.count()
+    n_docs = _corpus_rows(docs)
     return (
         docs.select("doc_id")
         .join(_scale_pin(quality, n_docs), "doc_id")
@@ -281,7 +282,7 @@ def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("is_stale").isNotNull(), "stale")
         .otherwise("ok")
     )
-    n_docs = docs.count()
+    n_docs = _corpus_rows(docs)
     return (
         docs.select("doc_id")
         .join(_scale_pin(quality, n_docs), "doc_id")
@@ -332,7 +333,7 @@ def yield_report_from_verdicts(verdicts: DataFrame, docs: DataFrame) -> DataFram
         (F.size(F.split(F.lower(F.col("text")), " "))).cast("long").alias("n_tokens"),
     )
     per = (
-        verdicts.join(_scale_pin(toks, docs.count()), "doc_id")
+        verdicts.join(_scale_pin(toks, _corpus_rows(docs)), "doc_id")
         .groupBy("reason")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -1259,21 +1259,36 @@ def part_recs_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "l_partkey")
         .distinct()
     )
-    n_eval = ev.count()
-    n_model = model_hits.count()
-    n_base = base_hits.count()
-    n_train_orders = train.select("o_orderkey").distinct().count()
-    return spark.createDataFrame(
-        [(n_train_orders, n_eval, n_model, n_base)],
-        "n_train_orders long, n_eval_rows long, n_model_hits long, n_baseline_hits long",
-    ).select(
-        "*",
-        F.expr("(n_model_hits * 1000000) div greatest(1, n_eval_rows)").alias(
-            "hit_ppm"
-        ),
-        F.expr(
-            "(n_baseline_hits * 1000000) div greatest(1, n_eval_rows)"
-        ).alias("baseline_ppm"),
+    # r11 (guide §1.2/§2.6): the four summary counts used to run as four
+    # SEQUENTIAL driver-blocking jobs (ev / model_hits / base_hits /
+    # train-orders) feeding createDataFrame. As 1-row aggregates
+    # crossJoined lazily they compute in ONE job whose independent
+    # subtrees the DAG scheduler overlaps — values identical (exact
+    # integer counts), output row identical.
+    n_tr = (
+        train.select("o_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_train_orders"))
+    )
+    n_eval = ev.agg(F.count(F.lit(1)).alias("n_eval_rows"))
+    n_model = model_hits.agg(F.count(F.lit(1)).alias("n_model_hits"))
+    n_base = base_hits.agg(F.count(F.lit(1)).alias("n_baseline_hits"))
+    return (
+        n_tr.crossJoin(F.broadcast(n_eval))
+        .crossJoin(F.broadcast(n_model))
+        .crossJoin(F.broadcast(n_base))
+        .select(
+            "n_train_orders",
+            "n_eval_rows",
+            "n_model_hits",
+            "n_baseline_hits",
+            F.expr("(n_model_hits * 1000000) div greatest(1, n_eval_rows)").alias(
+                "hit_ppm"
+            ),
+            F.expr(
+                "(n_baseline_hits * 1000000) div greatest(1, n_eval_rows)"
+            ).alias("baseline_ppm"),
+        )
     )
 
 

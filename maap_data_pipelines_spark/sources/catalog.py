@@ -58,4 +58,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target)
+    out = df.repartition(target)
+    # Row-count shortcut for scale gates (functions/joins.corpus_rows):
+    # COUNT is repartition-invariant, and counting the raw scan skips the
+    # round-robin exchange (+ its sortBeforeRepartition) the gate job
+    # would otherwise pay — measured 0.42 -> 0.22 s per gate at sf0.1.
+    out._fanout_base = df
+    return out

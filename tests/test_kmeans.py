@@ -155,3 +155,31 @@ def test_norm_health_bands_zero_and_scaled(spark):
     assert got.get(-1) == 1
     bands = sorted(b for b in got if b >= 0)
     assert len(bands) == 2 and bands[1] - bands[0] == 2
+
+
+def test_lloyd_round_matches_unfused(spark, sf_dir):
+    """r11 pin: the fused single-job Lloyd round (_lloyd_round: mapInPandas
+    partials + driver merge) is value-identical to the unfused plan it
+    replaced (_assign -> _update -> collect) — same argmin ties (lowest
+    cid), same exact int64 partials, same floor(double/double) centroid."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", kmeans.quantize_udf(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    cents = sorted(
+        (r.cid, list(r.cv))
+        for r in q.filter(F.col("vec_id") < kmeans.KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        .collect()
+    )
+    for _ in range(2):  # two rounds so round-2 inputs are themselves fused output
+        unfused = sorted(
+            (r.cid, list(r.cv))
+            for r in kmeans._update(kmeans._assign(q, cents)).collect()
+        )
+        cents = kmeans._lloyd_round(q, cents)
+        assert cents == unfused

@@ -76,6 +76,10 @@ _BNLJ_ALLOWED = {
     "corpus_bigram_entropy",
     "retrieval_map",
     "embedding_hubness",
+    # r11: the four summary counts (train-orders/eval/model/baseline)
+    # fused into one lazy job as 1-row aggregate crosses (was four
+    # sequential driver-blocking count() jobs + createDataFrame)
+    "part_recs_hitrate",
     # single-row scalar-subquery broadcasts (TPC-H Q11/Q15/Q22 shape):
     # the build side is one aggregated row, so the nested loop is O(n)
     "q11_important_stock",
