@@ -154,6 +154,21 @@ WHERE NOT EXISTS (
 # --- MinHash + LSH --------------------------------------------------------
 
 
+def _shingle_h12(sh: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2) — the fixed-width 120-bit shingle key (two int64
+    halves of md5(s)): the dedup_prefix_filter key discipline, reused by
+    the inverted-index ops so no shuffle carries the ~60-byte string."""
+    return sh.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h1"),
+        F.expr(
+            "CAST(conv(substring(md5(s), 16, 15), 16, 10) AS BIGINT)"
+        ).alias("h2"),
+    )
+
+
 def _shingle_hashes(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h) — one md5-int64 row per shingle OCCURRENCE.
 
@@ -463,24 +478,36 @@ def ngram_jaccard(docs: DataFrame, shd: DataFrame | None = None) -> DataFrame:
     from pyspark.sql.window import Window
 
     # No checkpoint here (measured neutral): the pair self-join shuffles
-    # both sides on `s`, so ReusedExchange already shares the index
+    # both sides on the key, so ReusedExchange already shares the index
     # subtree; a checkpoint would only trade that for materialization.
+    # r11 (guide §2.3 "shuffle fewer bytes"): every downstream exchange
+    # (distinct, df agg, semi join, doc_id window, pair self-join) used
+    # to carry the ~60-byte shingle STRING; hashing to the fixed-width
+    # 120-bit (h1, h2) key right after the explode ships two int64s
+    # instead — the dedup_prefix_filter key discipline, same
+    # collision-free-by-construction width.
     if shd is None:
-        shd = _shingles_df(docs).distinct()
+        shh = _shingle_h12(_shingles_df(docs)).distinct()
+    elif "h1" in shd.columns:
+        shh = shd  # caller-materialized hashed index (strategy_comparison)
+    else:
+        shh = _shingle_h12(shd)
     df_ok = (
-        shd.groupBy("s")
+        shh.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= NGRAM_MAX_DF)
-        .select("s")
+        .select("h1", "h2")
     )
-    shf = shd.join(df_ok, "s", "left_semi").withColumn(
+    shf = shh.join(df_ok, ["h1", "h2"], "left_semi").withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     a, b = shf.alias("a"), shf.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -1179,21 +1206,26 @@ def dedup_containment(docs: DataFrame) -> DataFrame:
         F.expr("substring(text, 1, CAST(n_chars div 2 AS INT))").alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(excerpts)
-    shd = _shingles_df(corpus).distinct()
+    # r11: 120-bit (h1, h2) keys from the explode onward — no exchange
+    # carries the shingle string (guide §2.3; the ngram_jaccard /
+    # dedup_prefix_filter key discipline)
+    shh = _shingle_h12(_shingles_df(corpus)).distinct()
     df_ok = (
-        shd.groupBy("s")
+        shh.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= NGRAM_MAX_DF)
-        .select("s")
+        .select("h1", "h2")
     )
-    shf = shd.join(df_ok, "s", "left_semi").withColumn(
+    shf = shh.join(df_ok, ["h1", "h2"], "left_semi").withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     a, b = shf.alias("a"), shf.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -2062,9 +2094,10 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
         ).alias("h2"),
     ]
     if shd is not None:
-        # caller-materialized string index: derive hashes lazily (one
+        # caller-materialized index: hashed (r11 — two int64 cols, the
+        # cheap-to-checkpoint form) or string (derive hashes lazily, one
         # codegen projection over already-distinct rows)
-        shh = shd.select("doc_id", *h_cols)
+        shh = shd if "h1" in shd.columns else shd.select("doc_id", *h_cols)
     else:
         shh = _shingles_df(docs).select("doc_id", *h_cols).distinct()
         if n_corpus <= _CONCURRENT_FIXPOINT_MAX_DOCS:
@@ -2524,7 +2557,13 @@ def dedup_strategy_comparison(docs: DataFrame) -> DataFrame:
         return dedup_minhash_lsh(docs, hashed=hashed), hashed
 
     def _chain_truth():
-        shd = _shingles_df(docs).distinct()
+        # r11: the shared index materializes in its HASHED (doc_id, h1,
+        # h2) form — both consumers (ngram_jaccard + dedup_prefix_filter)
+        # now take the 120-bit keys directly, and two int64 columns are
+        # the cheap-to-pin representation (the r10 finding that STRING
+        # shingle materialization costs more than codegen recompute is
+        # what deferred this sharing until the consumers went hashed)
+        shd = _shingle_h12(_shingles_df(docs)).distinct()
         if small:
             shd = shd.localCheckpoint()
         else:
