@@ -486,6 +486,8 @@ def ngram_jaccard(docs: DataFrame, shd: DataFrame | None = None) -> DataFrame:
     # 120-bit (h1, h2) key right after the explode ships two int64s
     # instead — the dedup_prefix_filter key discipline, same
     # collision-free-by-construction width.
+    from ..functions.joins import scale_pin
+
     if shd is None:
         shh = _shingle_h12(_shingles_df(docs)).distinct()
     elif "h1" in shd.columns:
@@ -498,13 +500,20 @@ def ngram_jaccard(docs: DataFrame, shd: DataFrame | None = None) -> DataFrame:
         .filter(F.col("df") <= NGRAM_MAX_DF)
         .select("h1", "h2")
     )
-    shf = shh.join(df_ok, ["h1", "h2"], "left_semi").withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
+    # df_ok and the self-join sides are SHINGLE-grain (corpus-scaled):
+    # the slimmer hashed rows drop AQE's size estimate under the
+    # broadcast threshold long after the build stops fitting (the r11
+    # 100x dedup_containment OOM — "Could not allocate memory to grow
+    # BytesToBytesMap" — caught exactly this), so merge-pin past the
+    # functions/joins gate like every other corpus-grain side.
+    n_corpus = _corpus_rows(docs)
+    shf = shh.join(
+        scale_pin(df_ok, n_corpus), ["h1", "h2"], "left_semi"
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a, b = shf.alias("a"), shf.alias("b")
     common = (
         a.join(
-            b,
+            scale_pin(b, n_corpus),
             (F.col("a.h1") == F.col("b.h1"))
             & (F.col("a.h2") == F.col("b.h2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1205,6 +1214,8 @@ def dedup_containment(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") + CONTAIN_EXCERPT_OFFSET).alias("doc_id"),
         F.expr("substring(text, 1, CAST(n_chars div 2 AS INT))").alias("text"),
     )
+    from ..functions.joins import scale_pin
+
     corpus = docs.select("doc_id", "text").unionByName(excerpts)
     # r11: 120-bit (h1, h2) keys from the explode onward — no exchange
     # carries the shingle string (guide §2.3; the ngram_jaccard /
@@ -1216,13 +1227,17 @@ def dedup_containment(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= NGRAM_MAX_DF)
         .select("h1", "h2")
     )
-    shf = shh.join(df_ok, ["h1", "h2"], "left_semi").withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
+    # shingle-grain sides merge-pinned past the gate: the hashed rows'
+    # smaller size estimate invited an AQE hash build of a corpus-scaled
+    # relation (r11 100x OOM caught on this op) — see ngram_jaccard
+    n_corpus = _corpus_rows(docs)
+    shf = shh.join(
+        scale_pin(df_ok, n_corpus), ["h1", "h2"], "left_semi"
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a, b = shf.alias("a"), shf.alias("b")
     common = (
         a.join(
-            b,
+            scale_pin(b, n_corpus),
             (F.col("a.h1") == F.col("b.h1"))
             & (F.col("a.h2") == F.col("b.h2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
