@@ -2,12 +2,19 @@
 
 Runs each headline query to completion via the noop sink (full plan
 executes, no driver-side result transfer) on local[$SPARK_GRAFT_CPUS] and
-prints ONE JSON line:
+prints the full-record JSON line:
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "queries": {"q1_pricing_summary": <sec>, ...},
      "spread": {"q1_pricing_summary": <max-min sec>, ...},
      "runs": 3, "sf": 0.1}
+
+followed by a SHORT totals-only summary JSON line (same "metric", plus
+"summary_line": true, no "queries") — external captures keep only a
+stdout tail and have twice truncated the full line mid-stream; the short
+final line guarantees the headline scalars survive. The complete record
+is also written to BENCH_LOCAL.json (and BENCH_r{N}.json when
+$SPARK_GRAFT_ROUND is set).
 
 Per-query numbers are MEDIANS of 3 runs: this host's totals swing up to
 1.7x with co-tenant contention, so a single run (or a min, which hides
@@ -409,24 +416,43 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, fname), "w") as f:
         f.write(line + "\n")
-    # Round-stamp the COMPLETE record: the external capture of stdout may
-    # keep only a tail window, so full-headline takes also land in
-    # BENCH_r{N}.json directly (N from SPARK_GRAFT_ROUND, else inferred
-    # as max existing round + 1 — the in-flight round). tools/bench_diff.py
-    # reads these files for cross-round per-query comparison.
+    # Round-stamp the COMPLETE record ONLY when the round is stated
+    # explicitly. r11's `max existing round + 1` inference mis-filed
+    # takes under future round numbers (BENCH_r12..r15 held r10/r11
+    # takes), poisoning cross-round comparison; an unstated round now
+    # lands in BENCH_LOCAL.json alone. tools/bench_diff.py reads the
+    # BENCH_r{N}.json files for per-query round-over-round comparison.
     if bench_set != "core":
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if rnd is None:
-            import glob
-
-            recorded = [
-                int("".join(c for c in os.path.basename(p) if c.isdigit()))
-                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-            ]
-            rnd = str(max(recorded, default=0) + 1)
-        with open(os.path.join(here, f"BENCH_r{int(rnd):02d}.json"), "w") as f:
-            f.write(line + "\n")
+        if rnd is not None:
+            with open(os.path.join(here, f"BENCH_r{int(rnd):02d}.json"), "w") as f:
+                f.write(line + "\n")
     print(line)
+    # The external capture keeps only a TAIL of stdout and has twice cut
+    # the full line mid-stream (BENCH_r10/BENCH_r11 records both parse
+    # null/partial), destroying the driver's round-over-round comparison.
+    # Emit a SHORT totals-only summary line LAST: it always fits the tail
+    # window, so the headline scalars survive any truncation. The full
+    # per-query record stays in the line above and in BENCH_LOCAL.json;
+    # timing methodology is unchanged — this only adds a second, smaller
+    # print of already-computed totals.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "summary_line": True,
+                "value": total,
+                "core_total": core_total,
+                "n_queries": len(timings),
+                "runs": n_runs,
+                "sf": sf,
+                "unit": "sec",
+                "bench_set": bench_set,
+                "load1_pre": pre_load,
+                "idle": bool(0 <= pre_load < 1.5),
+            }
+        )
+    )
     return 0
 
 

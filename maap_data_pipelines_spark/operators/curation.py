@@ -1239,8 +1239,20 @@ QUERY_SQL["dsir_auc"] = DSIR_AUC_SQL
 NOVELTY_NGRAM = 3
 
 
-def doc_ngram_novelty(docs: DataFrame) -> DataFrame:
+def doc_ngram_novelty(
+    docs: DataFrame,
+    shd_docs: DataFrame | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
     """Per-doc novelty: fraction of its distinct 3-grams it PIONEERED.
+
+    ``shd_docs`` — optional caller-materialized DISTINCT hashed shingle
+    index of ``docs`` (exact ``(doc_id, h1, h2)`` schema, the
+    dedup._shingle_h12 contract; shared by the curation cascade). Its
+    ``h1`` is definitionally :func:`md5_long` of the same 3-word
+    shingle string, so ``distinct (doc_id, h1)`` is set-identical to
+    this op's own ``distinct (doc_id, g)`` — the re-distinct collapses
+    (h1, h2) rows that collide on h1.
 
     Ingestion-order novelty (doc_id as arrival order): a 3-gram's
     pioneer is the minimum doc_id containing it, and a document's
@@ -1256,11 +1268,15 @@ def doc_ngram_novelty(docs: DataFrame) -> DataFrame:
     shingle (map-side-combined) -> one equi-join back on the 8-byte
     hash -> per-doc counts; every shuffle carries hashes, never text.
     """
-    sh = (
-        _shingle_rows(docs, NOVELTY_NGRAM)
-        .select("doc_id", md5_long(F.col("shingle")).alias("g"))
-        .distinct()
-    )
+    if shd_docs is not None:
+        assert set(shd_docs.columns) == {"doc_id", "h1", "h2"}, shd_docs.columns
+        sh = shd_docs.select("doc_id", F.col("h1").alias("g")).distinct()
+    else:
+        sh = (
+            _shingle_rows(docs, NOVELTY_NGRAM)
+            .select("doc_id", md5_long(F.col("shingle")).alias("g"))
+            .distinct()
+        )
     pioneer = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     # pioneer is SHINGLE-grain (scales with the corpus, not a dim): the
     # static planner's size estimate under explode+distinct+agg sits
@@ -1268,7 +1284,10 @@ def doc_ngram_novelty(docs: DataFrame) -> DataFrame:
     # stops fitting (the r11 300x curation_yield_report OOM traced to
     # exactly this join) — merge-pin it past the size gate
     return (
-        sh.join(scale_pin(pioneer, corpus_rows(docs)), "g")
+        sh.join(
+            scale_pin(pioneer, corpus_rows(docs) if n_docs is None else n_docs),
+            "g",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

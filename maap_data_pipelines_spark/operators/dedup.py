@@ -490,10 +490,14 @@ def ngram_jaccard(docs: DataFrame, shd: DataFrame | None = None) -> DataFrame:
 
     if shd is None:
         shh = _shingle_h12(_shingles_df(docs)).distinct()
-    elif "h1" in shd.columns:
+    elif set(shd.columns) == {"doc_id", "h1", "h2"}:
         shh = shd  # caller-materialized hashed index (strategy_comparison)
-    else:
+    elif set(shd.columns) == {"doc_id", "s"}:
         shh = _shingle_h12(shd)
+    else:
+        # ADVICE r11: never guess from a partial column match — a frame
+        # carrying an unrelated h1 would silently join on wrong keys
+        raise ValueError(f"unexpected shingle-index schema: {shd.columns}")
     df_ok = (
         shh.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1188,8 +1192,22 @@ CONTAIN_EXCERPT_MOD = 37
 CONTAIN_EXCERPT_OFFSET = 1_000_000
 
 
-def dedup_containment(docs: DataFrame) -> DataFrame:
+def dedup_containment(
+    docs: DataFrame,
+    shd_docs: DataFrame | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
     """Containment detection: the duplicate class Jaccard misses.
+
+    ``shd_docs`` — optional caller-materialized DISTINCT hashed shingle
+    index of ``docs`` alone (exact ``(doc_id, h1, h2)`` schema, the
+    :func:`_shingle_h12` contract). The excerpt twins' shingles are
+    always derived here and unioned in; the final ``distinct`` runs
+    over (already-distinct docs rows ∪ raw excerpt rows), which is
+    set-identical to the unshared ``distinct`` over the full corpus
+    explode at ANY scale — including doc_id collisions between real
+    docs and excerpt ids past 10⁶ docs, because the distinct still
+    sees both sides' rows together.
 
     An excerpt (a quote, a syndicated fragment, a doc embedded in a
     larger one) has containment |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard
@@ -1216,11 +1234,19 @@ def dedup_containment(docs: DataFrame) -> DataFrame:
     )
     from ..functions.joins import scale_pin
 
-    corpus = docs.select("doc_id", "text").unionByName(excerpts)
     # r11: 120-bit (h1, h2) keys from the explode onward — no exchange
     # carries the shingle string (guide §2.3; the ngram_jaccard /
-    # dedup_prefix_filter key discipline)
-    shh = _shingle_h12(_shingles_df(corpus)).distinct()
+    # dedup_prefix_filter key discipline). r12 (guide §2.4, VERDICT #1):
+    # when the caller already materialized the docs-side distinct index
+    # (the curation cascade shares it across minhash/containment/
+    # novelty), only the small excerpt side (1/37 of docs at half
+    # length) is exploded+hashed here.
+    if shd_docs is not None:
+        assert set(shd_docs.columns) == {"doc_id", "h1", "h2"}, shd_docs.columns
+        shh = shd_docs.unionByName(_shingle_h12(_shingles_df(excerpts))).distinct()
+    else:
+        corpus = docs.select("doc_id", "text").unionByName(excerpts)
+        shh = _shingle_h12(_shingles_df(corpus)).distinct()
     df_ok = (
         shh.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1229,8 +1255,13 @@ def dedup_containment(docs: DataFrame) -> DataFrame:
     )
     # shingle-grain sides merge-pinned past the gate: the hashed rows'
     # smaller size estimate invited an AQE hash build of a corpus-scaled
-    # relation (r11 100x OOM caught on this op) — see ngram_jaccard
-    n_corpus = _corpus_rows(docs)
+    # relation (r11 100x OOM caught on this op) — see ngram_jaccard.
+    # r12 (ADVICE r11 / VERDICT #8): the joined relation is docs UNION
+    # excerpt twins (one extra doc per CONTAIN_EXCERPT_MOD), so the gate
+    # reads the unioned doc count, not docs alone — the pin engages at
+    # the scale the corpus-grain side actually crosses the build ceiling.
+    n_corpus = _corpus_rows(docs) if n_docs is None else n_docs
+    n_corpus = n_corpus + n_corpus // CONTAIN_EXCERPT_MOD
     shf = shh.join(
         scale_pin(df_ok, n_corpus), ["h1", "h2"], "left_semi"
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
@@ -2111,8 +2142,14 @@ def dedup_prefix_filter(docs: DataFrame, shd: DataFrame | None = None) -> DataFr
     if shd is not None:
         # caller-materialized index: hashed (r11 — two int64 cols, the
         # cheap-to-checkpoint form) or string (derive hashes lazily, one
-        # codegen projection over already-distinct rows)
-        shh = shd if "h1" in shd.columns else shd.select("doc_id", *h_cols)
+        # codegen projection over already-distinct rows). Exact-schema
+        # checks (ADVICE r11): never key off a single column's presence.
+        if set(shd.columns) == {"doc_id", "h1", "h2"}:
+            shh = shd
+        elif set(shd.columns) == {"doc_id", "s"}:
+            shh = shd.select("doc_id", *h_cols)
+        else:
+            raise ValueError(f"unexpected shingle-index schema: {shd.columns}")
     else:
         shh = _shingles_df(docs).select("doc_id", *h_cols).distinct()
         if n_corpus <= _CONCURRENT_FIXPOINT_MAX_DOCS:

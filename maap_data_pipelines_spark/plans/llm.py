@@ -249,6 +249,27 @@ def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import curation
 
     docs = fan_out(read_table(spark, sf_dir, "documents"))
+    n_docs = _corpus_rows(docs)
+    # r12 (VERDICT #1, guide §2.4 "remove shuffles outright"): the three
+    # shingle-consuming stages (minhash, containment, novelty) used to
+    # explode+md5 the corpus independently. The DISTINCT hashed index
+    # (doc_id, h1, h2) is materialized ONCE and shared: MinHash minima
+    # are invariant under per-doc distinct (min over a set == min over
+    # the multiset), containment unions only the excerpt twins' shingles
+    # on top, and novelty's md5_long grain IS h1. Two int64 keys + id is
+    # the cheap-to-pin representation (the r11 strategy_comparison
+    # lever); value-identity per stage is argued at each signature and
+    # pinned by the oracle. Below the size gate: eager localCheckpoint
+    # (in-memory, one blocking job, every consumer reuses). Above it the
+    # checkpoint store cannot hold a corpus-sized frame (r11 300x OOM) —
+    # persist DISK_ONLY, the dedup_prefix_filter discipline.
+    shd = dedup._shingle_h12(dedup._shingles_df(docs)).distinct()
+    if n_docs <= dedup._CONCURRENT_FIXPOINT_MAX_DOCS:
+        shd = shd.localCheckpoint()
+    else:
+        from pyspark import StorageLevel
+
+        shd = shd.persist(StorageLevel.DISK_ONLY)
     quality = text.quality_filter(docs).select(
         "doc_id", F.col("keep").alias("q_ok")
     )
@@ -256,20 +277,22 @@ def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_doc_id").alias("doc_id"), F.lit(True).alias("is_survivor")
     )
     near_rejects = (
-        dedup.dedup_minhash_lsh(docs)
+        dedup.dedup_minhash_lsh(
+            docs, hashed=shd.select("doc_id", F.col("h1").alias("h"))
+        )
         .filter(F.col("est_jaccard") >= CURATION_NEAR_DUP_JACCARD)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))
     )
     contained = (
-        dedup.dedup_containment(docs)
+        dedup.dedup_containment(docs, shd_docs=shd, n_docs=n_docs)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_contained", F.lit(True))
     )
     stale = (
-        curation.doc_ngram_novelty(docs)
+        curation.doc_ngram_novelty(docs, shd_docs=shd, n_docs=n_docs)
         .filter(F.col("novelty") < CURATION_MIN_NOVELTY)
         .select("doc_id")
         .withColumn("is_stale", F.lit(True))
@@ -282,7 +305,6 @@ def corpus_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("is_stale").isNotNull(), "stale")
         .otherwise("ok")
     )
-    n_docs = _corpus_rows(docs)
     return (
         docs.select("doc_id")
         .join(_scale_pin(quality, n_docs), "doc_id")

@@ -602,3 +602,23 @@ def test_platt_registered_query_composition(spark, sf_dir):
         assert r.isotonic_ppm == iso[d].calibrated_ppm
         assert (r.n_docs, r.n_label_keep) == (cal[d].n_docs, cal[d].n_label_keep)
         assert 0 <= r.platt_ppm <= 1_000_000
+
+
+def test_novelty_shared_index_matches_standalone(spark, sf_dir):
+    """r12: doc_ngram_novelty over the shared DISTINCT hashed index
+    (h1 IS md5_long of the same 3-word shingle) reproduces the
+    standalone rows exactly."""
+    from maap_data_pipelines_spark.operators.curation import doc_ngram_novelty
+    from maap_data_pipelines_spark.operators.dedup import (
+        _shingle_h12,
+        _shingles_df,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    shd = _shingle_h12(_shingles_df(docs)).distinct().localCheckpoint()
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(
+        doc_ngram_novelty(docs, shd_docs=shd, n_docs=docs.count()).collect(),
+        key=key,
+    ) == sorted(doc_ngram_novelty(docs).collect(), key=key)

@@ -506,3 +506,68 @@ def test_local_bridges_on_crafted_barbell_edge(spark):
     )
     bridges = pairs.join(embedded, ["doc_a", "doc_b"], "left_anti").collect()
     assert [(r.doc_a, r.doc_b) for r in bridges] == [(3, 4)]
+
+
+def test_containment_shared_index_matches_standalone(spark, sf_dir):
+    """r12: dedup_containment fed the caller-materialized DISTINCT hashed
+    docs index (the curation-cascade shared frame) emits byte-identical
+    rows to the standalone path — the union-then-distinct over
+    (distinct docs rows ∪ raw excerpt rows) is set-identical to the
+    distinct over the full corpus explode."""
+    from maap_data_pipelines_spark.operators.dedup import (
+        _shingle_h12,
+        _shingles_df,
+        dedup_containment,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    shd = _shingle_h12(_shingles_df(docs)).distinct().localCheckpoint()
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(
+        dedup_containment(docs, shd_docs=shd, n_docs=docs.count()).collect(),
+        key=key,
+    ) == sorted(dedup_containment(docs).collect(), key=key)
+
+
+def test_minhash_distinct_hashed_matches_occurrence(spark, sf_dir):
+    """r12: MinHash minima are invariant under per-doc DISTINCT of the
+    shingle hashes (min over a set == min over the multiset), so the
+    cascade's shared distinct index is a valid `hashed` feed."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.operators.dedup import (
+        _shingle_h12,
+        _shingles_df,
+        dedup_minhash_lsh,
+    )
+    from maap_data_pipelines_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = (
+        _shingle_h12(_shingles_df(docs))
+        .distinct()
+        .select("doc_id", F.col("h1").alias("h"))
+    )
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(dedup_minhash_lsh(docs, hashed=hashed).collect(), key=key) == sorted(
+        dedup_minhash_lsh(docs).collect(), key=key
+    )
+
+
+def test_shingle_index_schema_is_checked(spark):
+    """ADVICE r11: a frame with an unrelated h1 column must be rejected,
+    not silently joined on wrong keys."""
+    import pytest
+
+    from maap_data_pipelines_spark.operators.dedup import (
+        dedup_prefix_filter,
+        ngram_jaccard,
+    )
+
+    docs = _docs(spark, [(1, "a b c d e")])
+    bad = spark.createDataFrame([(1, 2, "x")], ["doc_id", "h1", "junk"])
+    with pytest.raises(ValueError, match="shingle-index schema"):
+        ngram_jaccard(docs, shd=bad)
+    with pytest.raises(ValueError, match="shingle-index schema"):
+        dedup_prefix_filter(docs, shd=bad)

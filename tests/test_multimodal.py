@@ -862,3 +862,62 @@ def test_media_container_probe_frame(spark):
     assert got[2].parse_ok and got[2].container == "jpeg"
     assert got[2].probe_width == 64 and not got[2].dims_match  # the DQ signal
     assert not got[3].parse_ok and got[3].container is None
+
+
+def test_phash_udf_matches_relational_form(spark):
+    """r12: the Arrow aHash equals the relational explode/join form it
+    replaced — including multi-byte codepoints (utf-32 units == the
+    codepoints ascii()/length() count) and the exact int64
+    b*n >= total mean comparison."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.operators.multimodal import (
+        PHASH_BITS,
+        _phash_udf,
+    )
+
+    texts = [
+        (1, "hello world this is a payload"),
+        (2, "œuf déjà vu — multi·byte ✓ payload"),
+        (3, "x"),
+        (4, "aaaa bbbb cccc dddd " * 7),
+    ]
+    base = (
+        spark.createDataFrame(texts, ["doc_id", "text"])
+        .select("doc_id", F.col("text").alias("s"))
+        .withColumn("n", F.length("s").cast("long"))
+    )
+    tot = (
+        base.select(
+            "doc_id", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"), "s"
+        )
+        .select(
+            "doc_id", F.ascii(F.expr("substring(s, p, 1)")).cast("long").alias("b")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("b").alias("total"))
+    )
+    old = (
+        base.select(
+            "doc_id",
+            "s",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(PHASH_BITS - 1))).alias("i"),
+        )
+        .withColumn("p", (F.lit(1) + F.expr("(i * n) div 60")).cast("int"))
+        .withColumn("b", F.ascii(F.expr("substring(s, p, 1)")).cast("long"))
+        .join(tot, "doc_id")
+        .withColumn(
+            "bit",
+            F.when(
+                F.col("b") * F.col("n") >= F.col("total"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), i)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("phash"))
+    )
+    new = base.select("doc_id", _phash_udf(F.col("s")).alias("phash"))
+    assert {r.doc_id: r.phash for r in new.collect()} == {
+        r.doc_id: r.phash for r in old.collect()
+    }

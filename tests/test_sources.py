@@ -324,3 +324,26 @@ def test_read_zip_corpus_roundtrip_and_quarantine(spark, tmp_path):
     bad = by[("baddeflate.zip", None)]
     assert not bad.ok and bad.err
     assert ("a.zip", "docs/") not in by
+
+
+def test_fanout_base_count_invariant(spark, sf_dir):
+    """ADVICE r11: corpus_rows over a fan_out frame must equal the plain
+    count (COUNT is repartition-invariant; the gate reads the
+    pre-repartition scan via _fanout_base), and the attribute is only a
+    COUNT shortcut — transformations that drop it degrade to counting
+    the transformed frame, never to a wrong value."""
+    from pyspark.sql import functions as F
+
+    from maap_data_pipelines_spark.functions.joins import corpus_rows
+    from maap_data_pipelines_spark.sources.catalog import fan_out, read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    fanned = fan_out(docs)
+    assert corpus_rows(fanned) == docs.count()
+    # a transformation silently drops the attribute — value still right
+    projected = fanned.select("doc_id")
+    assert not hasattr(projected, "_fanout_base")
+    assert corpus_rows(projected) == docs.count()
+    # no-op path (already enough partitions): no attribute, same count
+    wide = fanned.repartition(64)
+    assert corpus_rows(fan_out(wide)) == docs.count()
