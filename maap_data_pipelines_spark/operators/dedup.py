@@ -225,6 +225,55 @@ def _band_key(band: int):
     )
 
 
+def _banded_pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from a signature frame via
+    the 16x4 band self-join over SLIM (doc_id, band_id, band_key) rows
+    (the r10 scale shape — signatures never ride the band rows)."""
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
+            for b in range(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _minhash_pairs(docs: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
+    """The MinHash candidate PAIR SET alone — for graph consumers that
+    never read ``est_jaccard`` (CC labels, pagerank, triangles, k-core,
+    label propagation, modularity).
+
+    r12 (VERDICT #3, guide §2.3): these ops consumed
+    ``dedup_minhash_lsh(...).select("doc_a", "doc_b")``, paying the two
+    signature re-fetch joins — pair rows shuffled twice against the
+    64-long signature arrays — only so a column they immediately drop
+    could be computed (Catalyst cannot prune the 1:1 inner joins away).
+    The pair set is identical by construction: every pair endpoint HAS
+    exactly one signature row (pairs derive from the signature table),
+    so the re-fetch joins never filtered or duplicated anything.
+    """
+    sig = _minhash_sig(docs, hashed).localCheckpoint(eager=False)
+    return _banded_pairs_from_sig(sig)
+
+
 def dedup_minhash_lsh(
     docs: DataFrame, hashed: DataFrame | None = None
 ) -> DataFrame:
@@ -255,32 +304,7 @@ def dedup_minhash_lsh(
     # eager=False (r11): lineage truncation + shared-consumer cache only;
     # no blocking pre-job — the one consuming action materializes it
     sig = _minhash_sig(docs, hashed).localCheckpoint(eager=False)
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
-            for b in range(BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id",
-        F.col("bk.band_id").alias("band_id"),
-        F.col("bk.band_key").alias("band_key"),
-    )
-
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    pairs = _banded_pairs_from_sig(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
     paired = pairs.join(sa.hint("shuffle_hash"), "doc_a").join(
@@ -842,7 +866,7 @@ def dedup_pagerank(docs: DataFrame) -> DataFrame:
     (high rank = most-connected copy). Same edge construction as
     :func:`dedup_clusters`.
     """
-    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    edges = _minhash_pairs(docs)  # pair set only (r12) — no sig re-fetch
     # checkpoint before pagerank_int's degree self-join so the MinHash
     # pipeline runs once, not once per join side
     und = edges.union(
@@ -876,7 +900,7 @@ def dedup_clusters(
     pair (singletons are their own implicit cluster and omitted, like a
     dedup survivor map).
     """
-    edges = dedup_minhash_lsh(docs, hashed=hashed).select("doc_a", "doc_b")
+    edges = _minhash_pairs(docs, hashed=hashed)  # pair set only (r12)
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=False)
@@ -1340,7 +1364,7 @@ def dedup_triangles(docs: DataFrame) -> DataFrame:
     full value-hash oracle. Cost is bounded by the candidate graph
     (already df-bounded), never the corpus.
     """
-    e = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    e = _minhash_pairs(docs).localCheckpoint(eager=False)  # pair set only (r12)
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -1414,7 +1438,7 @@ def dedup_clustering_coefficient(docs: DataFrame) -> DataFrame:
     (df-bounded by construction — never corpus²), two node-grain
     aggregates, one ≤12-row histogram aggregate.
     """
-    e = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    e = _minhash_pairs(docs).localCheckpoint(eager=False)  # pair set only (r12)
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -1713,7 +1737,7 @@ def dedup_kcore(docs: DataFrame) -> DataFrame:
     instead of silently trusted. The flag is a broadcast 1-row
     aggregate, not a shuffle.
     """
-    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    edges = _minhash_pairs(docs)  # pair set only (r12)
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=False)
@@ -1841,7 +1865,7 @@ def dedup_source_modularity(docs: DataFrame) -> DataFrame:
     pipeline is checkpointed so it runs once, and m is a 1-row
     broadcast cross.
     """
-    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    edges = _minhash_pairs(docs).localCheckpoint(eager=False)  # pair set only (r12)
     src = docs.select("doc_id", "source")
     lab = (
         edges.join(
@@ -2292,7 +2316,7 @@ def dedup_label_propagation(docs: DataFrame) -> DataFrame:
     Output: (doc_id, community, n_members) for every node in at least
     one candidate pair.
     """
-    edges = dedup_minhash_lsh(docs).select("doc_a", "doc_b")
+    edges = _minhash_pairs(docs)  # pair set only (r12)
     und = (
         edges.union(
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
