@@ -27,10 +27,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# Measured crossover on the replicated-corpus sweeps: 500k docs clean
-# with shuffle_hash builds and concurrent materialization, 1.5M docs
-# OOM. 600k keeps every historical local-scale plan byte-identical.
-SHUFFLE_HASH_MAX_ROWS = 600_000
+# Measured crossover on the replicated-corpus sweeps. r9-r11 read
+# "500k docs clean, 1.5M OOM" and set 600k; the r12 100x receipts
+# (tools/scale100_sweep_r12.jsonl) moved the cliff DOWN: at exactly
+# 500k docs the unpinned plans died twice — dedup_containment's
+# shuffled-hash build ("Could not allocate memory to grow
+# BytesToBytesMap") and curation_yield_report's corpus-grain broadcast
+# ("Not enough memory to build and broadcast") — while ngram_jaccard's
+# build, at the SAME estimated bytes, survived. The determinant at the
+# cliff is which side AQE picks to build, not row width, so no
+# bytes-aware gate separates the clean from the broken run (VERDICT
+# r11 #6 investigated and refuted); the gate instead engages BELOW the
+# measured failure point. 400k keeps every local/bench plan identical
+# (bench corpora are <= 50k docs) and re-receipted 100x clean.
+SHUFFLE_HASH_MAX_ROWS = 400_000
 
 
 def corpus_join_hint(n_rows: int) -> str:

@@ -318,14 +318,27 @@ def test_registry_rotation_contract():
 def test_plan_hygiene_all_queries(spark, sf_dir):
     """Whole-registry plan battery: no cartesian products anywhere, and
     nested-loop joins only where the operator is an intentional
-    quadratic baseline."""
-    problems = []
-    for key, fn in registry.queries().items():
+    quadratic baseline.
+
+    r12: plans build on a thread pool — planning 311 queries one at a
+    time was the single slowest test (264 s; iterative builders run
+    real jobs during construction), and the checks are per-key
+    independent. Same keys, same assertions.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        key, fn = item
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        out = []
         if "CartesianProduct" in plan:
-            problems.append(f"{key}: CartesianProduct")
+            out.append(f"{key}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and key not in _BNLJ_ALLOWED:
-            problems.append(f"{key}: unexpected BroadcastNestedLoopJoin")
+            out.append(f"{key}: unexpected BroadcastNestedLoopJoin")
+        return out
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        problems = [p for ps in pool.map(check, registry.queries().items()) for p in ps]
     assert not problems, problems
 
 
